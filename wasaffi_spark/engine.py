@@ -1,0 +1,138 @@
+"""The Engine: a thin, idiomatic wrapper around ``SparkSession``.
+
+≙ DataFusion's ``SessionContext`` as used by the reference
+(/root/reference/wasmedge_factory/examples/wasaffi.rs:10-27):
+
+- ``Engine(spark, function_factory=...)`` ≙ ``SessionContext::new()
+  .with_function_factory(...)`` (lib.rs:176-177)
+- ``engine.register(name, df)`` ≙ ``ctx.register_batch`` (lib.rs:183)
+- ``engine.sql(...)`` ≙ ``ctx.sql(...)`` (lib.rs:192-198): function DDL
+  (``CREATE FUNCTION`` / ``DROP FUNCTION``) is intercepted and dispatched
+  to the configured factory; every other statement goes straight to
+  ``spark.sql`` — Catalyst supplies the entire relational surface, as
+  DataFusion does for the reference (SURVEY §2C).
+
+The reference's factory ignores ``LANGUAGE`` (lib.rs:33-64 never reads
+it); we keep a language→factory dispatch map but default any language —
+including none — to the default factory for parity (SURVEY §2A).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .ddl import (
+    CreateFunctionStmt,
+    DropFunctionStmt,
+    is_function_ddl,
+    parse_function_ddl,
+)
+from .errors import WasmFunctionError
+from .factory import FunctionFactory, PythonModuleFunctionFactory
+from .registry import FunctionRegistry
+from .udf_runtime import build_pandas_udf
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        function_factory: FunctionFactory | None = None,
+        factories: dict[str, FunctionFactory] | None = None,
+    ) -> None:
+        self.spark = spark
+        self._default_factory: FunctionFactory = (
+            function_factory or PythonModuleFunctionFactory()
+        )
+        self._factories: dict[str, FunctionFactory] = {
+            k.lower(): v for k, v in (factories or {}).items()
+        }
+        self.registry = FunctionRegistry()
+
+    # -- tables ------------------------------------------------------------
+
+    def register(self, name: str, df: DataFrame) -> None:
+        """≙ ``ctx.register_batch(name, batch)`` (lib.rs:183)."""
+        df.createOrReplaceTempView(name)
+
+    def load_tables(self, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES) -> None:
+        """Register every fixture parquet in ``sf_dir`` as a temp view."""
+        from .sources.parquet import read_parquet
+
+        for t in tables:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                self.register(t, read_parquet(self.spark, path))
+
+    # -- sql ---------------------------------------------------------------
+
+    def sql(self, query: str) -> DataFrame:
+        """≙ ``ctx.sql`` (lib.rs:192): intercept function DDL, else
+        delegate to Spark SQL."""
+        if is_function_ddl(query):
+            stmt = parse_function_ddl(query)
+            if isinstance(stmt, CreateFunctionStmt):
+                return self._create_function(stmt)
+            return self._drop_function(stmt)
+        return self.spark.sql(query)
+
+    # -- function DDL ------------------------------------------------------
+
+    def _factory_for(self, language: str | None) -> FunctionFactory:
+        if language and language.lower() in self._factories:
+            return self._factories[language.lower()]
+        return self._default_factory
+
+    def _create_function(self, stmt: CreateFunctionStmt) -> DataFrame:
+        """≙ ``WasmFunctionFactory::create`` dispatch + registration
+        (lib.rs:33-64 → RegisterFunction::Scalar at lib.rs:63)."""
+        spec = self._factory_for(stmt.language).create(stmt)
+        udf = build_pandas_udf(
+            spec.module_path, spec.method, stmt.arg_types, stmt.return_type
+        )
+        self.spark.udf.register(stmt.name, udf)
+        self.registry.register(spec)
+        return self._empty_result()
+
+    def _drop_function(self, stmt: DropFunctionStmt) -> DataFrame:
+        """≙ DROP FUNCTION → deregistration + cache eviction
+        (lib.rs:347-372)."""
+        if stmt.name not in self.registry:
+            if stmt.if_exists:
+                return self._empty_result()
+            raise WasmFunctionError(f"function {stmt.name!r} is not registered")
+        self.registry.drop(stmt.name)
+        try:
+            self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {stmt.name}")
+        except Exception:
+            pass  # session-registry cleanup is best-effort across Spark versions
+        return self._empty_result()
+
+    def _empty_result(self) -> DataFrame:
+        # DDL returns an empty frame, ≙ the empty .show() at lib.rs:192
+        return self.spark.createDataFrame([], T.StructType([]))
+
+    # -- introspection -----------------------------------------------------
+
+    def function_names(self) -> list[str]:
+        return sorted(self.registry.functions())
+
+    def module_cache_size(self) -> int:
+        """Driver-side live-module count (≙ lib.rs:344-372 assertions)."""
+        return self.registry.cache_size()

@@ -1,0 +1,112 @@
+"""Real-WASM module backend (wasmtime), speaking the reference's ABI.
+
+The reference guest exports ``__wasm_udf_<name>(payload: Vec<u8>) ->
+Result<Vec<u8>, String>`` where payload/result are Arrow IPC streams of
+the packed argument batch / single-column result batch
+(/root/reference/wasm_udf/src/lib.rs:51-67, pack/unpack at lib.rs:12-43),
+bound through wasmedge-bindgen's allocate/call convention.
+
+wasmtime is not installed in this environment; the backend is gated on
+import and the ABI shim below implements the bytes-in/bytes-out calling
+convention used by wasmedge-bindgen (params packed as
+(pointer, length) pairs through guest ``allocate``/``deallocate``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyarrow as pa
+
+from .errors import ModuleLoadError, WasmInvocationError, WasmInvocationPanic
+
+GUEST_PREFIX = "__wasm_udf_"  # ≙ udf.rs:52
+
+
+def pack_arrays(arrays: list[pa.Array]) -> bytes:
+    """arrays → single-batch Arrow IPC stream with columns ``c0..cN``.
+
+    ≙ ``pack_array`` + ``to_ipc`` (/root/reference/wasm_udf/src/lib.rs:12-22,31-37).
+    Unlike the reference we declare fields nullable (SURVEY §1.2 quirk).
+    """
+    batch = pa.RecordBatch.from_arrays(
+        list(arrays), names=[f"c{i}" for i in range(len(arrays))]
+    )
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, batch.schema) as w:
+        w.write_batch(batch)
+    return sink.getvalue().to_pybytes()
+
+
+def unpack_result(payload: bytes) -> pa.Array:
+    """IPC stream bytes → column 0 of the first batch.
+
+    ≙ ``from_ipc`` + ``batch.column(0)`` (/root/reference/wasm_udf/src/lib.rs:40-43,
+    wasmedge_factory/src/udf.rs:104-108)."""
+    with pa.ipc.open_stream(payload) as r:
+        batch = r.read_next_batch()
+    return batch.column(0)
+
+
+class WasmModule:
+    """A loaded ``.wasm`` module exposing reference-ABI UDFs.
+
+    Mirrors ``VmDock`` usage (/root/reference/wasmedge_factory/src/lib.rs:124-129):
+    one engine/store/instance per module per worker process, cached by
+    :mod:`wasaffi_spark.udf_runtime`.
+    """
+
+    def __init__(self, path: str):
+        try:
+            import wasmtime
+        except ImportError as e:  # gated dependency
+            raise ModuleLoadError(
+                f"cannot load {path!r}: the 'wasmtime' package is not installed"
+            ) from e
+        self._wasmtime = wasmtime
+        self.engine = wasmtime.Engine()
+        self.module = wasmtime.Module.from_file(self.engine, path)
+        self.store = wasmtime.Store(self.engine)
+        self.instance = wasmtime.Instance(self.store, self.module, [])
+        exports = self.instance.exports(self.store)
+        self._memory = exports["memory"]
+        self._allocate = exports.get("allocate") or exports.get("__wbindgen_malloc")
+        self._deallocate = exports.get("deallocate")
+        self._exports = exports
+
+    def get_udf(self, method: str) -> Callable[[list[pa.Array]], pa.Array]:
+        symbol = GUEST_PREFIX + method  # ≙ udf.rs:52
+        fn = self._exports.get(symbol)
+        if fn is None:
+            raise ModuleLoadError(f"wasm module does not export {symbol!r}")
+
+        def call(arrays: list[pa.Array]) -> pa.Array:
+            payload = pack_arrays(arrays)
+            try:
+                out = self._call_bytes(fn, payload)
+            except self._wasmtime.Trap as e:  # ≙ udf.rs:95
+                raise WasmInvocationPanic(str(e)) from e
+            if isinstance(out, str):  # guest returned Err(String)
+                raise WasmInvocationError(out)
+            return unpack_result(out)
+
+        return call
+
+    # wasmedge-bindgen convention: write bytes into guest memory via
+    # allocate(), call f(ptr, len), read (ok, ptr, len) result triple.
+    def _call_bytes(self, fn, payload: bytes):
+        store, mem = self.store, self._memory
+        ptr = self._allocate(store, len(payload))
+        mem.write(store, payload, ptr)
+        ret = fn(store, ptr, len(payload))
+        # bindgen returns a pointer to a result struct:
+        # [status: i32][ptr: i32][len: i32]
+        import struct
+
+        status, rptr, rlen = struct.unpack("<iii", mem.read(store, ret, ret + 12))
+        data = bytes(mem.read(store, rptr, rptr + rlen))
+        if self._deallocate is not None:
+            self._deallocate(store, rptr, rlen)
+        if status != 0:
+            return data.decode("utf-8", errors="replace")
+        return data
