@@ -3,36 +3,72 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Queries live in ``wasaffi_spark.plans.relational`` (SURVEY §2C/§2D
+relational surface) and ``wasaffi_spark.operators`` (LLM-pipeline
+extensions: dedup, similarity search, text analysis, multimodal).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the reference's novel
+    surface (a DDL-registered vectorized UDF) applied inside a TPC-H-Q1
+    style aggregation."""
+    from wasaffi_spark.engine import Engine
+
+    sf_dir = "/root/testdata/sf0.001"
+    eng = Engine(spark)
+    eng.load_tables(sf_dir, ("lineitem",))
+    udfs = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "udfs.py")
+    eng.sql(
+        "CREATE OR REPLACE FUNCTION f1(DOUBLE, DOUBLE) RETURNS DOUBLE "
+        f"LANGUAGE WASM AS '{udfs}!f1'"
+    )
+    return eng.sql(
+        """select l_returnflag, l_linestatus,
+                  sum(l_quantity) as sum_qty,
+                  round(sum(disc_price), 2) as sum_disc_price,
+                  round(avg(qty_sq), 4) as avg_qty_sq,
+                  count(*) as cnt
+           from (select l_returnflag, l_linestatus, l_quantity,
+                        l_extendedprice * (1 - l_discount) as disc_price,
+                        f1(l_quantity, 2.0) as qty_sq
+                 from lineitem) li
+           group by l_returnflag, l_linestatus
+           order by l_returnflag, l_linestatus"""
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from wasaffi_spark.operators import catalog as op_catalog
+    from wasaffi_spark.plans import relational
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(relational.QUERIES)
+    out.update(op_catalog.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle for each hash-checkable query; keys absent
+    here get the driver's weaker rows-only check (approx aggregates,
+    genuinely non-SQL-expressible ops)."""
+    from wasaffi_spark.operators import catalog as op_catalog
+    from wasaffi_spark.plans import relational
+
+    out: dict[str, str] = {}
+    out.update(relational.ORACLE)
+    out.update(op_catalog.ORACLE)
+    return out

@@ -1,0 +1,423 @@
+"""The declared relational query catalog (SURVEY §2C/§2D).
+
+The reference inherits its entire relational surface from embedded
+DataFusion v38 — every ``ctx.sql`` call routes into the full engine
+(/root/reference/wasmedge_factory/src/lib.rs:192, Cargo.toml:18). This
+module pins the equivalent Spark SQL surface, one representative query per
+capability row of SURVEY §2C, each with a DuckDB oracle for the t2
+correctness gate.
+
+Conventions:
+
+- Every computed column is aliased identically in the Spark query and the
+  oracle SQL (the driver's compare hashes columns by name).
+- Aggregates over doubles that would be sensitive to summation order
+  (sum/avg of prices) are rounded at a precision far coarser than the
+  accumulated FP error but far finer than the data, so Spark's partial
+  aggregation and DuckDB's sequential sum hash identically.
+- Small dimension tables get explicit ``BROADCAST`` hints — at 100 TB the
+  fact tables shuffle on join keys only when the dim side is genuinely
+  large; region/nation/supplier/part are classic broadcast dims.
+
+Scale notes per query are in each docstring where non-obvious.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _load(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    from ..engine import Engine
+
+    if tables:
+        Engine(spark).load_tables(sf_dir, tables)
+
+
+def query(name: str, tables: tuple[str, ...], sql: str, oracle: str | None = None):
+    """Register a SQL-defined query; oracle defaults to the same text
+    (the overlap of Spark SQL and DuckDB SQL is the point — SURVEY §2C)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _load(spark, sf_dir, *tables)
+        return spark.sql(sql)
+
+    fn.__name__ = f"q_{name}"
+    fn.__doc__ = sql
+    QUERIES[name] = fn
+    ORACLE[name] = oracle if oracle is not None else sql
+    return fn
+
+
+def query_no_oracle(name: str, tables: tuple[str, ...], sql: str):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _load(spark, sf_dir, *tables)
+        return spark.sql(sql)
+
+    fn.__name__ = f"q_{name}"
+    fn.__doc__ = sql
+    QUERIES[name] = fn
+    return fn
+
+
+# -- sources / scan ---------------------------------------------------------
+
+query(
+    "scan_count",
+    ("lineitem",),
+    "select count(*) as cnt from lineitem",
+)
+
+# -- projection / filter ----------------------------------------------------
+# Pushdown: the shipdate/discount predicates reach the parquet scan
+# (PushedFilters), and only 4 columns are read (ReadSchema).
+
+query(
+    "filter_project",
+    ("lineitem",),
+    """select l_orderkey, l_extendedprice * (1 - l_discount) as revenue
+       from lineitem
+       where l_shipdate between timestamp '1994-01-01 00:00:00'
+                            and timestamp '1994-12-31 00:00:00'
+         and l_discount > 0.05""",
+)
+
+# -- joins ------------------------------------------------------------------
+# nation is tiny → broadcast; at 100 TB the customer side never shuffles.
+
+query(
+    "join_agg",
+    ("customer", "nation"),
+    """select /*+ BROADCAST(nation) */ n_name, count(*) as cnt
+       from customer join nation on c_nationkey = n_nationkey
+       group by n_name order by n_name""",
+    oracle="""select n_name, count(*) as cnt
+       from customer join nation on c_nationkey = n_nationkey
+       group by n_name order by n_name""",
+)
+
+query(
+    "outer_join",
+    ("customer", "orders"),
+    """select c_custkey, count(o_orderkey) as order_cnt
+       from customer left join orders on c_custkey = o_custkey
+       group by c_custkey order by c_custkey limit 20""",
+)
+
+query(
+    "anti_join",
+    ("customer", "orders"),
+    """select count(*) as cnt from customer
+       where not exists (select 1 from orders where o_custkey = c_custkey)""",
+)
+
+query(
+    "semi_join",
+    ("customer", "orders"),
+    """select count(*) as cnt from customer
+       where exists (select 1 from orders
+                     where o_custkey = c_custkey and o_totalprice > 100000)""",
+)
+
+query(
+    "cross_join",
+    ("region",),
+    "select count(*) as cnt from region r1 cross join region r2",
+)
+
+# -- aggregation ------------------------------------------------------------
+# TPC-H Q1 shape. sum_qty is exact (integral doubles); price aggregates are
+# rounded (sum to 2dp on a ~1e8 magnitude, avg to 4dp) so partial-agg
+# summation order cannot flip the hash.
+
+query(
+    "agg_pricing",
+    ("lineitem",),
+    """select l_returnflag, l_linestatus,
+              sum(l_quantity) as sum_qty,
+              round(sum(l_extendedprice), 2) as sum_price,
+              round(avg(l_extendedprice), 4) as avg_price,
+              count(*) as cnt
+       from lineitem
+       group by l_returnflag, l_linestatus
+       order by l_returnflag, l_linestatus""",
+)
+
+query(
+    "agg_stats",
+    ("orders",),
+    """select o_orderpriority,
+              round(stddev_samp(o_totalprice), 4) as sd_price,
+              round(var_samp(o_totalprice), 2) as var_price,
+              min(o_totalprice) as min_price,
+              max(o_totalprice) as max_price,
+              count(distinct o_custkey) as n_cust
+       from orders group by o_orderpriority order by o_orderpriority""",
+)
+
+query(
+    "having",
+    ("orders",),
+    """select o_custkey, count(*) as cnt from orders
+       group by o_custkey having count(*) >= 5 order by o_custkey""",
+)
+
+query_no_oracle(
+    "approx_distinct",
+    ("orders",),
+    "select approx_count_distinct(o_custkey) as acd from orders",
+)
+
+# -- grouping sets / rollup / cube -----------------------------------------
+
+query(
+    "rollup",
+    ("lineitem",),
+    """select l_returnflag, l_linestatus, sum(l_quantity) as sum_qty
+       from lineitem group by rollup(l_returnflag, l_linestatus)
+       order by l_returnflag nulls first, l_linestatus nulls first""",
+)
+
+query(
+    "cube",
+    ("orders",),
+    """select o_orderstatus, o_orderpriority, count(*) as cnt
+       from orders group by cube(o_orderstatus, o_orderpriority)
+       order by o_orderstatus nulls first, o_orderpriority nulls first""",
+)
+
+# -- window functions -------------------------------------------------------
+
+query(
+    "window_rownum",
+    ("orders",),
+    """select o_custkey, o_orderkey,
+              row_number() over (partition by o_custkey
+                                 order by o_orderdate, o_orderkey) as rn
+       from orders order by o_custkey, rn limit 100""",
+)
+
+query(
+    "window_rank_lag",
+    ("orders",),
+    """select o_custkey, o_orderkey,
+              rank() over (partition by o_custkey order by o_totalprice desc,
+                           o_orderkey) as rnk,
+              lag(o_orderkey) over (partition by o_custkey
+                                    order by o_orderdate, o_orderkey) as prev_ok
+       from orders order by o_custkey, o_orderkey limit 100""",
+)
+
+query(
+    "window_frame",
+    ("orders",),
+    """select o_orderkey,
+              round(sum(o_totalprice) over (partition by o_custkey
+                    order by o_orderdate, o_orderkey
+                    rows between unbounded preceding and current row), 2)
+                as running_total
+       from orders order by o_orderkey limit 100""",
+)
+
+# -- sort / limit / top-k ---------------------------------------------------
+# Catalyst compiles this to TakeOrderedAndProject: no global sort at scale.
+
+query(
+    "topk",
+    ("orders",),
+    """select o_orderkey, o_totalprice from orders
+       order by o_totalprice desc, o_orderkey limit 10""",
+)
+
+# -- set operations ---------------------------------------------------------
+
+query(
+    "setop_intersect",
+    ("customer", "supplier"),
+    """select c_nationkey as nationkey from customer
+       intersect
+       select s_nationkey as nationkey from supplier
+       order by nationkey""",
+)
+
+query(
+    "setop_except",
+    ("customer", "supplier"),
+    """select c_nationkey as nationkey from customer
+       except
+       select s_nationkey as nationkey from supplier
+       order by nationkey""",
+)
+
+query(
+    "union_all",
+    ("customer", "supplier"),
+    """select count(*) as cnt from (
+         select c_nationkey as nationkey from customer
+         union all
+         select s_nationkey as nationkey from supplier) u""",
+)
+
+# -- subqueries / CTEs ------------------------------------------------------
+
+query(
+    "subquery_scalar",
+    ("orders",),
+    """select o_orderkey from orders o
+       where o_totalprice > (select avg(o_totalprice) from orders)
+       order by o_orderkey limit 20""",
+)
+
+query(
+    "subquery_in",
+    ("orders", "customer"),
+    """select count(*) as cnt from orders
+       where o_custkey in (select c_custkey from customer
+                           where c_mktsegment = 'BUILDING')""",
+)
+
+query(
+    "cte",
+    ("orders",),
+    """with big as (
+         select o_custkey, sum(o_totalprice) as s
+         from orders group by o_custkey)
+       select count(*) as cnt from big where s > 100000""",
+)
+
+query(
+    "values_inline",
+    (),
+    """select * from (values (1, 'a'), (2, 'b')) as v(id, tag) order by id""",
+)
+
+query(
+    "distinct",
+    ("orders",),
+    "select distinct o_orderpriority from orders order by o_orderpriority",
+)
+
+# -- scalar function library ------------------------------------------------
+
+query(
+    "string_fns",
+    ("part",),
+    """select p_partkey,
+              upper(substr(p_name, 1, 5)) as pfx,
+              length(p_name) as name_len,
+              replace(p_brand, 'Brand', 'B') as brand_s,
+              concat(p_type, '/', p_brand) as type_brand
+       from part order by p_partkey limit 20""",
+)
+
+# date_trunc returns TIMESTAMP in Spark but DATE in DuckDB — cast both to
+# DATE so the hashed values agree.
+query(
+    "date_fns",
+    ("orders",),
+    """select cast(date_trunc('month', o_orderdate) as date) as m, count(*) as cnt
+       from orders group by m order by m""",
+)
+
+query(
+    "date_extract",
+    ("orders",),
+    """select cast(extract(year from o_orderdate) as bigint) as y,
+              cast(extract(month from o_orderdate) as bigint) as mo,
+              count(*) as cnt
+       from orders group by y, mo order by y, mo""",
+)
+
+query(
+    "math_fns",
+    ("part",),
+    """select p_partkey,
+              round(sqrt(p_retailprice), 2) as sq,
+              abs(p_size - 25) as sz_dist,
+              floor(p_retailprice) as fl,
+              ceil(p_retailprice) as ce
+       from part order by p_partkey limit 20""",
+)
+
+query(
+    "conditional_fns",
+    ("lineitem",),
+    """select coalesce(nullif(l_returnflag, 'N'), 'X') as f, count(*) as cnt
+       from lineitem group by f order by f""",
+)
+
+query(
+    "case_when",
+    ("orders",),
+    """select case when o_totalprice < 50000 then 'small'
+                   when o_totalprice < 150000 then 'medium'
+                   else 'large' end as bucket,
+              count(*) as cnt
+       from orders group by bucket order by bucket""",
+)
+
+# -- arrays / structs / json -----------------------------------------------
+
+query(
+    "array_fns",
+    ("embeddings",),
+    """select vec_id, cast(size(embedding) as int) as emb_len
+       from embeddings order by vec_id limit 10""",
+    oracle="""select vec_id, cast(len(embedding) as int) as emb_len
+       from embeddings order by vec_id limit 10""",
+)
+
+query(
+    "struct_access",
+    ("orders",),
+    """select named_struct('k', o_orderkey, 'p', o_totalprice).p as p_price
+       from orders order by o_orderkey limit 5""",
+    oracle="""select struct_pack(k := o_orderkey, p := o_totalprice).p as p_price
+       from orders order by o_orderkey limit 5""",
+)
+
+query(
+    "json_extract",
+    ("events",),
+    """select event_id, get_json_object(props, '$.k') as k
+       from events order by event_id limit 10""",
+    oracle="""select event_id, props ->> '$.k' as k
+       from events order by event_id limit 10""",
+)
+
+# -- the reference's own surface: scalar UDF via CREATE FUNCTION ------------
+# (≙ `select a, b, f1(a,b) from t`, lib.rs:194-198; here over a real table
+# with exact-in-FP values so the DuckDB oracle's native pow() matches
+# bit-for-bit.)
+
+
+def _q_udf_pow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..engine import Engine
+
+    eng = Engine(spark)
+    eng.load_tables(sf_dir, ("lineitem",))
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    udfs = os.path.join(repo, "fixtures", "udfs.py")
+    eng.sql(
+        "CREATE OR REPLACE FUNCTION f1(DOUBLE, DOUBLE) RETURNS DOUBLE "
+        f"LANGUAGE WASM AS '{udfs}!f1'"
+    )
+    return eng.sql(
+        """select l_linenumber, f1(cast(l_linenumber as double), 2.0) as sq
+           from lineitem group by l_linenumber, sq order by l_linenumber"""
+    )
+
+
+_q_udf_pow.__name__ = "q_udf_pow"
+QUERIES["udf_pow"] = _q_udf_pow
+ORACLE["udf_pow"] = (
+    """select l_linenumber, pow(cast(l_linenumber as double), 2.0) as sq
+       from lineitem group by l_linenumber, sq order by l_linenumber"""
+)
