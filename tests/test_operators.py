@@ -1,0 +1,143 @@
+"""Behavioral tests for the LLM-pipeline operators (dedup, similarity,
+text, multimodal) on synthetic micro-fixtures — the DuckDB parity run at
+sf0.01 lives in tools/oracle_check.py."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from wasaffi_spark.operators import dedup, multimodal, similarity, text
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm window sill and the birds sing in the garden"
+)
+NEAR_DUP = BASE.replace("warm window sill", "cold window ledge")  # ~90% shingles shared
+DISTINCT = (
+    "completely different content about spark shuffles partitions and "
+    "broadcast joins at terabyte scale with adaptive query execution"
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, BASE, "en", "s0", len(BASE)),
+        (1, NEAR_DUP, "en", "s1", len(NEAR_DUP)),
+        (2, DISTINCT, "en", "s2", len(DISTINCT)),
+        (3, BASE, "en", "s3", len(BASE)),  # exact dup of 0
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_exact_dedup(docs):
+    kept = dedup.exact_dedup(docs).select("doc_id").collect()
+    ids = sorted(r.doc_id for r in kept)
+    assert ids == [0, 1, 2]  # doc 3 (exact dup of 0) removed, min id kept
+
+
+def test_word_shingles_count(docs):
+    sh = dedup.word_shingles(docs.where("doc_id = 2"))
+    n_tokens = len(DISTINCT.split())
+    assert sh.count() == n_tokens - dedup.SHINGLE_K + 1
+
+
+def test_minhash_lsh_finds_neardups(docs):
+    sigs = dedup.minhash_signatures(docs)
+    assert sigs.count() == 4
+    pairs = {
+        (r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(sigs).collect()
+    }
+    assert (0, 3) in pairs  # exact dups always collide in every band
+    assert (0, 1) in pairs  # near-dups collide in at least one band
+    assert (0, 2) not in pairs and (1, 2) not in pairs  # distinct doc stays out
+    est = dedup.minhash_jaccard_estimate(sigs, dedup.lsh_candidate_pairs(sigs))
+    by_pair = {(r.id_a, r.id_b): r.est_jaccard for r in est.collect()}
+    assert by_pair[(0, 3)] == 1.0
+    assert by_pair[(0, 1)] >= 0.5
+
+
+def test_simhash_near_vs_far(docs):
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert sigs[0] == sigs[3]  # identical text → identical signature
+
+    def hamming(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    assert hamming(sigs[0], sigs[1]) < hamming(sigs[0], sigs[2])
+
+
+def test_jaccard_pairs_exact(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs  # high token overlap
+    assert (0, 2) not in pairs
+
+
+def test_text_operators(docs, spark):
+    out = text.with_quality(text.with_lang_guess(text.with_fingerprint(docs)))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[0].lang_guess == "en"
+    assert rows[0].fingerprint == rows[3].fingerprint
+    assert rows[0].fingerprint != rows[2].fingerprint
+    assert rows[0].n_tokens == len(BASE.split())
+    assert 0.0 <= rows[0].quality_score <= 1.0
+
+
+def test_brute_force_topk(spark):
+    # vec 0 ≈ vec 1 (same direction), vec 2 orthogonal, vec 3 opposite
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    topk = similarity.brute_force_topk(emb.where("vec_id = 0"), emb, k=3)
+    got = [(r.nid, r.rank) for r in topk.orderBy("rank").collect()]
+    assert got == [(1, 1), (2, 2), (3, 3)]
+    sims = {r.nid: r.cos_sim for r in topk.collect()}
+    assert sims[1] == pytest.approx(0.9 / (0.9**2 + 0.1**2) ** 0.5, abs=1e-6)
+    assert sims[2] == pytest.approx(0.0, abs=1e-9)
+    assert sims[3] == pytest.approx(-1.0, abs=1e-9)
+
+
+def test_bucketed_topk_prunes(spark):
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (1, [0.9, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),  # same sign cell
+        (2, [-1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),  # different cell
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.bucketed_topk(emb.where("vec_id = 0"), emb, k=5).collect()
+    assert {r.nid for r in got} == {1}  # cell pruning drops vec 2
+
+
+def test_media_features_match_payload(docs):
+    media = multimodal.ingest_as_media(docs)
+    feats = {r.doc_id: r for r in multimodal.extract_features(media).collect()}
+    assert feats[0].n_bytes == len(BASE.encode())
+    assert feats[0].digest == hashlib.md5(BASE.encode()).hexdigest()
+    assert feats[0].head_byte == BASE.encode()[0]
+
+
+def test_media_meta_struct(docs):
+    media = multimodal.ingest_as_media(docs)
+    assert "meta" in media.columns
+    row = media.where("doc_id = 0").collect()[0]
+    assert row.meta.n_bytes == len(BASE.encode())
+    assert row.media_type == "text/plain"
+
+
+def test_decode_image_is_gated_stub():
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        multimodal.decode_image(b"\x89PNG\r\n")

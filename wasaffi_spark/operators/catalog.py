@@ -1,9 +1,11 @@
-"""Aggregated query/oracle catalog for the extension operators
-(dedup, similarity search, text analysis, multimodal).
+"""Query/oracle catalog for the extension operators (SURVEY §7.6):
+dedup, similarity search, text analysis, multimodal, event time-series.
 
-Populated by the operator modules as they are implemented; kept separate
-from :mod:`wasaffi_spark.plans.relational` so the driver contract in
-``__spark_entry__`` just merges the two dicts.
+Every Spark query here is a DataFrame-API pipeline from the operator
+modules; every oracle is ANSI SQL generated with the SAME constants
+(shingle k, permutation count, bands, sign bits, thresholds), with md5 as
+the shared deterministic hash — so the DuckDB oracle checks the operators
+bit-for-bit, not just structurally.
 """
 
 from __future__ import annotations
@@ -11,6 +13,483 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import dedup, multimodal, similarity, text
+from .dedup import BANDS, NUM_PERM, ROWS_PER_BAND, SHINGLE_K, SIMHASH_HEX_DIGITS
+from .similarity import SIGN_BITS
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
+
+NEARDUP_COS_THRESHOLD = 0.4
+JACCARD_THRESHOLD = 0.8
+ANN_QUERY_MAX_ID = 8  # vec_id < 8 are the probe queries
+ANN_K = 3
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..engine import Engine
+
+    eng = Engine(spark)
+    eng.load_tables(sf_dir, (name,))
+    return spark.table(name)
+
+
+def register(name: str, fn: Callable[[SparkSession, str], DataFrame], oracle: str | None):
+    fn.__name__ = f"q_{name}"
+    QUERIES[name] = fn
+    if oracle is not None:
+        ORACLE[name] = oracle
+
+
+# ---------------------------------------------------------------------------
+# shared oracle SQL fragments (DuckDB dialect)
+
+_TOKS = r"string_split_regex(lower(text), '\s+')"
+
+_SHINGLES_CTE = f"""
+toks as (select doc_id, {_TOKS} as w from documents),
+pos as (select doc_id, w, unnest(generate_series(1, len(w) - {SHINGLE_K - 1})) as i
+        from toks where len(w) >= {SHINGLE_K}),
+sh as (select distinct doc_id,
+              array_to_string(w[i:i+{SHINGLE_K - 1}], ' ') as shingle
+       from pos)
+"""
+
+_SIG_COLS = ",\n              ".join(
+    f"min(md5('{i}|' || shingle)) as h{i}" for i in range(NUM_PERM)
+)
+
+_SIG_CTE = f"""{_SHINGLES_CTE},
+sig as (select doc_id,
+              {_SIG_COLS}
+        from sh group by doc_id)
+"""
+
+
+def _band_key(b: int) -> str:
+    cols = " || '|' || ".join(f"h{i}" for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND))
+    return f"md5({cols})"
+
+
+_BUCKETS_CTE = "buckets as (\n  " + "\n  union all ".join(
+    f"select doc_id, {b} as band, {_band_key(b)} as key from sig"
+    for b in range(BANDS)
+) + ")"
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_keys(docs).orderBy("text_hash")
+
+
+register(
+    "dedup_exact",
+    q_dedup_exact,
+    """select md5(text) as text_hash, min(doc_id) as keep_id,
+              count(*) as n_copies
+       from documents group by text_hash order by text_hash""",
+)
+
+
+# dedup: MinHash signatures
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs).orderBy("doc_id")
+
+
+register(
+    "minhash_signatures",
+    q_minhash_signatures,
+    f"""with {_SIG_CTE}
+        select * from sig order by doc_id""",
+)
+
+
+# dedup: LSH candidate pairs + estimated jaccard
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs)
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    return dedup.minhash_jaccard_estimate(sigs, pairs).orderBy("id_a", "id_b")
+
+
+_AGREE = " + ".join(
+    f"(case when sa.h{i} = sb.h{i} then 1 else 0 end)" for i in range(NUM_PERM)
+)
+
+register(
+    "minhash_lsh_pairs",
+    q_minhash_lsh_pairs,
+    f"""with {_SIG_CTE},
+        {_BUCKETS_CTE},
+        pairs as (
+          select distinct a.doc_id as id_a, b.doc_id as id_b
+          from buckets a join buckets b
+            on a.band = b.band and a.key = b.key and a.doc_id < b.doc_id)
+        select id_a, id_b,
+               round(({_AGREE}) / {float(NUM_PERM)}, 6) as est_jaccard
+        from pairs
+        join sig sa on id_a = sa.doc_id
+        join sig sb on id_b = sb.doc_id
+        order by id_a, id_b""",
+)
+
+
+# dedup: SimHash
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return dedup.simhash(docs).orderBy("doc_id")
+
+
+def _simhash_oracle() -> str:
+    votes = []
+    for d in range(SIMHASH_HEX_DIGITS):
+        digit = f"(strpos('0123456789abcdef', substr(th, {d + 1}, 1)) - 1)"
+        for b in range(4):
+            votes.append(
+                f"sum((({digit} // {2 ** b}) % 2) * 2 - 1) as s{d * 4 + b}"
+            )
+    votes_sql = ",\n             ".join(votes)
+    bits = " + ".join(
+        f"(case when s{j} > 0 then {2 ** j} else 0 end)"
+        for j in range(SIMHASH_HEX_DIGITS * 4)
+    )
+    return f"""with tok as (
+          select distinct doc_id, unnest({_TOKS}) as tok from documents),
+        th as (select doc_id, md5(tok) as th from tok where tok <> ''),
+        votes as (
+          select doc_id,
+             {votes_sql}
+          from th group by doc_id)
+        select doc_id, cast({bits} as bigint) as simhash
+        from votes order by doc_id"""
+
+
+register("simhash", q_simhash, _simhash_oracle())
+
+
+# dedup: exact n-gram Jaccard within language blocks
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(
+        docs, block_cols=("lang",), threshold=JACCARD_THRESHOLD
+    ).orderBy("id_a", "id_b")
+
+
+register(
+    "jaccard_pairs",
+    q_jaccard_pairs,
+    f"""with tok as (
+          select distinct doc_id, lang, unnest({_TOKS}) as tok from documents),
+        tokf as (select * from tok where tok <> ''),
+        sizes as (select doc_id, count(*) as sz from tokf group by doc_id),
+        inter as (
+          select a.doc_id as id_a, b.doc_id as id_b, count(*) as inter
+          from tokf a join tokf b
+            on a.lang = b.lang and a.tok = b.tok and a.doc_id < b.doc_id
+          group by 1, 2),
+        j as (
+          select id_a, id_b,
+                 round(inter / (sa.sz + sb.sz - inter), 6) as jaccard
+          from inter
+          join sizes sa on id_a = sa.doc_id
+          join sizes sb on id_b = sb.doc_id)
+        select id_a, id_b, jaccard from j
+        where jaccard >= {JACCARD_THRESHOLD}
+        order by id_a, id_b""",
+)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+
+def _emb_cell_sql(vec: str) -> str:
+    return " + ".join(
+        f"(case when {vec}[{i + 1}] > 0 then {2 ** i} else 0 end)"
+        for i in range(SIGN_BITS)
+    )
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    return similarity.brute_force_topk(queries, emb, k=ANN_K).withColumnRenamed(
+        "rank", "rnk"
+    ).orderBy("qid", "rnk")
+
+
+register(
+    "ann_bruteforce",
+    q_ann_bruteforce,
+    f"""with q as (select vec_id as qid, embedding::DOUBLE[] as qv
+                  from embeddings where vec_id < {ANN_QUERY_MAX_ID}),
+        c as (select vec_id as nid, embedding::DOUBLE[] as nv from embeddings),
+        scored as (
+          select qid, nid,
+                 round(list_cosine_similarity(qv, nv), 6) as cos_sim
+          from q, c where qid <> nid),
+        ranked as (
+          select qid, nid, cos_sim,
+                 row_number() over (partition by qid
+                                    order by cos_sim desc, nid) as rnk
+          from scored)
+        select qid, nid, cos_sim, rnk from ranked
+        where rnk <= {ANN_K} order by qid, rnk""",
+)
+
+
+def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    return similarity.bucketed_topk(queries, emb, k=ANN_K).withColumnRenamed(
+        "rank", "rnk"
+    ).orderBy("qid", "rnk")
+
+
+register(
+    "ann_bucketed",
+    q_ann_bucketed,
+    f"""with q as (select vec_id as qid, embedding::DOUBLE[] as qv,
+                   {_emb_cell_sql("embedding")} as cell
+                  from embeddings where vec_id < {ANN_QUERY_MAX_ID}),
+        c as (select vec_id as nid, embedding::DOUBLE[] as nv,
+                   {_emb_cell_sql("embedding")} as cell
+              from embeddings),
+        scored as (
+          select qid, nid,
+                 round(list_cosine_similarity(qv, nv), 6) as cos_sim
+          from q join c using (cell) where qid <> nid),
+        ranked as (
+          select qid, nid, cos_sim,
+                 row_number() over (partition by qid
+                                    order by cos_sim desc, nid) as rnk
+          from scored)
+        select qid, nid, cos_sim, rnk from ranked
+        where rnk <= {ANN_K} order by qid, rnk""",
+)
+
+
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _table(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs(emb, threshold=NEARDUP_COS_THRESHOLD).orderBy(
+        "id_a", "id_b"
+    )
+
+
+register(
+    "emb_neardup",
+    q_emb_neardup,
+    f"""with c as (select vec_id, embedding::DOUBLE[] as v,
+                   {_emb_cell_sql("embedding")} as cell
+                  from embeddings),
+        pairs as (
+          select a.vec_id as id_a, b.vec_id as id_b,
+                 round(list_cosine_similarity(a.v, b.v), 6) as cos_sim
+          from c a join c b using (cell)
+          where a.vec_id < b.vec_id)
+        select id_a, id_b, cos_sim from pairs
+        where cos_sim >= {NEARDUP_COS_THRESHOLD}
+        order by id_a, id_b""",
+)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return text.with_quality(docs).select(
+        "doc_id", "n_tokens", "space_ratio", "avg_token_len", "quality_score"
+    ).orderBy("doc_id")
+
+
+register(
+    "text_stats",
+    q_text_stats,
+    f"""with base as (
+          select doc_id,
+                 length(text) as n_chars,
+                 length(regexp_replace(text, '\\s', '', 'g')) as no_space,
+                 len({_TOKS}) as n_tokens
+          from documents)
+        select doc_id,
+               cast(n_tokens as int) as n_tokens,
+               round((n_chars - no_space) / n_chars, 6) as space_ratio,
+               round(no_space / n_tokens, 6) as avg_token_len,
+               round(least(1.0, n_tokens / 50.0) * 0.5
+                     + least(1.0, (no_space / n_tokens) / 8.0) * 0.5, 6)
+                 as quality_score
+        from base order by doc_id""",
+)
+
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return (
+        text.with_lang_guess(docs)
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("lang_guess")
+    )
+
+
+_MARKER_CASE = "case " + " ".join(
+    f"when list_contains({_TOKS}, '{m}') then '{lang}'"
+    for m, lang in text.LANG_MARKERS
+) + " else 'und' end"
+
+register(
+    "lang_guess",
+    q_lang_guess,
+    f"""select {_MARKER_CASE} as lang_guess, count(*) as cnt
+        from documents group by lang_guess order by lang_guess""",
+)
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return text.with_fingerprint(docs).select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+register(
+    "fingerprint",
+    q_fingerprint,
+    f"""select doc_id,
+               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+                 as fingerprint
+        from documents order by doc_id""",
+)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    media = multimodal.ingest_as_media(docs)
+    return media.select(
+        "doc_id",
+        "media_type",
+        F.col("meta.source").alias("source"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
+register(
+    "media_meta",
+    q_media_meta,
+    """select doc_id, 'text/plain' as media_type, source,
+              cast(octet_length(encode(text)) as bigint) as n_bytes
+       from documents order by doc_id""",
+)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    media = multimodal.ingest_as_media(docs)
+    return (
+        multimodal.extract_features(media)
+        .select("doc_id", "n_bytes", "digest")
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "media_features",
+    q_media_features,
+    """select doc_id,
+              cast(octet_length(encode(text)) as bigint) as n_bytes,
+              md5(text) as digest
+       from documents order by doc_id""",
+)
+
+
+# ---------------------------------------------------------------------------
+# event time-series (batch forms; streaming variants in
+# wasaffi_spark.streaming)
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+register(
+    "events_tumbling",
+    q_events_tumbling,
+    """select cast(date_trunc('hour', ts) as timestamp) as hour_start,
+              event_type, count(*) as cnt,
+              round(sum(value), 2) as sum_value
+       from events group by 1, 2 order by 1, 2""",
+)
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _table(spark, sf_dir, "events")
+    return (
+        events.selectExpr(
+            "user_id",
+            "event_id",
+            "unix_timestamp(ts) as ts_s",
+        )
+        .selectExpr(
+            "user_id",
+            "case when ts_s - lag(ts_s) over (partition by user_id "
+            "order by ts_s, event_id) > 1800 or lag(ts_s) over "
+            "(partition by user_id order by ts_s, event_id) is null "
+            "then 1 else 0 end as new_session",
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+register(
+    "events_sessions",
+    q_events_sessions,
+    """with t as (
+         select user_id, event_id, epoch(ts)::bigint as ts_s from events),
+       flags as (
+         select user_id,
+                case when ts_s - lag(ts_s) over (partition by user_id
+                       order by ts_s, event_id) > 1800
+                     or lag(ts_s) over (partition by user_id
+                       order by ts_s, event_id) is null
+                then 1 else 0 end as new_session
+         from t)
+       select user_id, cast(sum(new_session) as bigint) as n_sessions
+       from flags group by user_id order by user_id""",
+)

@@ -1,0 +1,261 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Beyond-reference extensions (SURVEY §7.6) built for 100 TB corpora:
+
+- **exact**: one shuffle on ``md5(text)`` with map-side partial ``min`` —
+  the canonical hash-groupBy dedup.
+- **MinHash + LSH**: k-word shingles → P permutation min-hashes → B bands
+  of R rows → candidate pairs join *within band buckets only*. Every hash
+  is ``md5(seed || shingle)`` (min taken lexicographically), which makes
+  the whole pipeline deterministic AND expressible in ANSI SQL, so the
+  DuckDB oracle checks it bit-for-bit. At scale the only large shuffles
+  are the explode/groupBy for signatures and the band-bucket self-join —
+  bucket sizes are bounded by construction (near-identical docs), never
+  O(corpus).
+- **SimHash**: 48-bit signature from per-token md5 hex digits; one
+  explode + one groupBy(sum) shuffle; bit reassembly is pure arithmetic.
+- **n-gram Jaccard**: exact pairwise token-set Jaccard *within blocking
+  groups* (language × length bucket) — the exact-verify companion to the
+  LSH candidate generator; the block key bounds the quadratic term.
+
+All column expressions are JVM built-ins — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# MinHash parameters (shared with the DuckDB oracle generator in catalog.py)
+SHINGLE_K = 3
+NUM_PERM = 12
+BANDS = 4
+ROWS_PER_BAND = NUM_PERM // BANDS
+
+
+# -- exact dedup ------------------------------------------------------------
+
+
+def exact_dedup_keys(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One surviving id per distinct text: ``min(id) group by md5(text)``."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The deduplicated frame itself (keeps the min-id row per text)."""
+    keys = exact_dedup_keys(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keys, on=id_col, how="left_semi")
+
+
+# -- shingling / MinHash ----------------------------------------------------
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
+    """Explode each doc into its k-word shingles (column ``shingle``).
+
+    Whitespace-tokenized, lower-cased; docs shorter than k words yield no
+    shingles (and therefore never pair — same as the oracle).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # positions 0 .. n-k ; sequence() is empty-safe via the filter below
+    df = df.withColumn("_toks", toks).where(n >= k)
+    pos = F.sequence(F.lit(0), F.size(F.col("_toks")) - k)
+    sh = F.transform(
+        pos,
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("_toks"), i + 1, k)  # slice() is 1-based
+        ),
+    )
+    return df.withColumn("shingle", F.explode(sh)).drop("_toks")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """P-permutation MinHash signature per doc: ``h_i = min(md5(i|shingle))``.
+
+    Lexicographic min over md5 hex strings ≡ min over a uniform 128-bit
+    hash family — and md5 is identical in Spark, DuckDB, and every other
+    engine, which is what makes the signature portable. Single shuffle:
+    explode → groupBy(id) with P partial-agg mins.
+    """
+    sh = word_shingles(df, text_col, k).select(id_col, "shingle").distinct()
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+) -> DataFrame:
+    """Banded LSH over a signature frame → candidate pairs (id_a < id_b).
+
+    Docs agreeing on ALL rows of at least one band become candidates.
+    The self-join is on (band_idx, band_key): bucket sizes stay small by
+    construction, so the join never degenerates into a cross product.
+    """
+    r = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}") for i in range(b * r, (b + 1) * r)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key"))
+        )
+    buckets = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(
+    signatures: DataFrame, pairs: DataFrame, num_perm: int = NUM_PERM
+) -> DataFrame:
+    """Estimated Jaccard = fraction of agreeing minhashes, per pair."""
+    sa = signatures.alias("sa")
+    sb = signatures.alias("sb")
+    agree: Column = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(num_perm)
+    )
+    return (
+        pairs.join(sa, pairs.id_a == F.col("sa.doc_id"))
+        .join(sb, pairs.id_b == F.col("sb.doc_id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(float(num_perm)), 6).alias("est_jaccard"),
+        )
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+SIMHASH_HEX_DIGITS = 12  # 48 bits — comfortably inside a signed BIGINT
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hex_digits: int = SIMHASH_HEX_DIGITS,
+) -> DataFrame:
+    """48-bit SimHash per document over distinct tokens.
+
+    Per token, md5 hex chars supply 4 bits each; each bit votes ±1; the
+    signature sets bit ``j`` where the vote sum is positive. One explode +
+    one groupBy shuffle; everything else is arithmetic on hex digits
+    (``instr`` into a hex alphabet), so the DuckDB oracle matches exactly.
+    """
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+        .withColumn("th", F.md5(F.col("tok")))
+    )
+    sums = []
+    for d in range(hex_digits):
+        digit = F.instr(
+            F.lit("0123456789abcdef"), F.substring(F.col("th"), d + 1, 1)
+        ) - F.lit(1)
+        for b in range(4):
+            bit = F.floor(digit / (2**b)) % 2
+            sums.append(
+                F.sum(bit * 2 - 1).alias(f"s{d * 4 + b}")
+            )  # bit∈{0,1} → vote ∈{-1,+1}
+    agg = tok.groupBy(id_col).agg(*sums)
+    sig: Column = F.lit(0).cast("bigint")
+    for j in range(hex_digits * 4):
+        sig = sig + F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+# -- exact n-gram (token-set) Jaccard with blocking -------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact token-set Jaccard for doc pairs sharing a blocking key.
+
+    |A∩B| via a token-level self-join inside the block, |A∪B| =
+    |A|+|B|−|A∩B|; integer arithmetic until the final division, so the
+    value is exact. The block key bounds the pair count — at 100 TB you'd
+    block on (lang, length-bucket, LSH band) rather than scan all pairs.
+    """
+    toks = (
+        df.select(
+            F.col(id_col), *[F.col(c) for c in block_cols],
+            F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    block_cond = F.lit(True)
+    for c in block_cols:
+        block_cond = block_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = (
+        a.join(
+            b,
+            block_cond
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, inter.id_a == F.col(f"sa.{id_col}"))
+        .join(sb, inter.id_b == F.col(f"sb.{id_col}"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

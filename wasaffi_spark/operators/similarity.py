@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Beyond-reference extensions (SURVEY §7.6):
+
+- **brute-force cosine top-k** — the correctness baseline: query set ×
+  corpus join, cosine via higher-order array functions (``zip_with`` +
+  ``aggregate`` fold — sequential, deterministic, JVM-side), ranked with
+  a window. O(Q·N·d): fine for small Q, the oracle for everything else.
+- **bucketed ANN (sign-LSH / coarse IVF)** — the scale path: a coarse
+  cell id from the sign pattern of the first ``SIGN_BITS`` dimensions;
+  probing joins only within the cell, so the candidate set — and the
+  shuffle — shrinks by ~2^bits. Deterministic (no trained centroids), so
+  it stays oracle-checkable; swap the cell function for k-means
+  centroids at production scale without touching the probe join.
+- **embedding near-dup pairs** — cosine ≥ threshold within cells.
+
+Everything is built-in column expressions; the dot product folds in
+index order, so Spark and DuckDB produce bit-identical doubles before
+the defensive rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SIGN_BITS = 8  # coarse cell = sign pattern of the first 8 dims
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a sequential fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def with_cell(df: DataFrame, vec_col: str = "embedding", bits: int = SIGN_BITS) -> DataFrame:
+    """Adds ``cell`` — the sign-pattern bucket of the first ``bits`` dims."""
+    cell: Column = F.lit(0)
+    for i in range(bits):
+        cell = cell + F.when(
+            F.element_at(F.col(vec_col), i + 1) > 0, F.lit(2**i)
+        ).otherwise(F.lit(0))
+    return df.withColumn("cell", cell.cast("int"))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: every query against the whole corpus.
+
+    The query side is expected to be small → broadcast it so the corpus
+    never shuffles. Ties broken by neighbour id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "cos_sim", "rank")
+    )
+
+
+def bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = SIGN_BITS,
+) -> DataFrame:
+    """Approximate top-k probing only the query's coarse cell.
+
+    Recall < 1 by design (cell boundaries); at 100 TB this is the join
+    that keeps ANN tractable: candidates ∝ N/2^bits per query, and the
+    corpus can be written bucketed-by-cell so the probe is shuffle-free.
+    """
+    q = with_cell(queries, vec_col, bits).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "cell"
+    )
+    c = with_cell(corpus, vec_col, bits).select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "cell"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, ["cell"])
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "cos_sim", "rank")
+    )
+
+
+def neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = SIGN_BITS,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ threshold), blocked by
+    coarse cell so the pair join is per-bucket, not corpus²."""
+    c = with_cell(corpus, vec_col, bits)
+    a = c.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
+    )
+    b = c.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell"
+    )
+    return (
+        a.join(b, ["cell"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
