@@ -1,0 +1,82 @@
+"""Plan-quality tests: the scale contract (SURVEY §7.5.5) asserted from
+the physical plan — pushdown reaches the scan, scans are column-pruned,
+dimension joins broadcast, hot paths stay in codegen, UDF islands are
+Arrow-vectorized."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+from wasaffi_spark.plans import relational
+from wasaffi_spark.plans.inspect import plan_facts
+
+needs_data = pytest.mark.skipif(
+    not os.path.isdir(SF_SMOKE), reason="testdata not present"
+)
+
+
+@needs_data
+def test_filter_pushdown_reaches_scan(spark):
+    f = plan_facts(relational.QUERIES["filter_project"](spark, SF_SMOKE))
+    pushed = " ".join(f.pushed_filters)
+    assert "l_shipdate" in pushed and "l_discount" in pushed
+    # column pruning: only the 4 referenced columns are read
+    assert len(f.read_schemas) == 1
+    schema = f.read_schemas[0]
+    assert "l_extendedprice" in schema and "l_partkey" not in schema
+
+
+@needs_data
+def test_dimension_join_broadcasts(spark):
+    f = plan_facts(relational.QUERIES["join_agg"](spark, SF_SMOKE))
+    assert f.broadcast_joins >= 1
+    assert f.sortmerge_joins == 0  # the fact side must not shuffle-sort
+    # customer scan reads ONLY the join key (group key comes from nation)
+    assert any(s == "struct<c_nationkey:int>" for s in f.read_schemas)
+
+
+@needs_data
+def test_agg_scan_pruned(spark):
+    f = plan_facts(relational.QUERIES["agg_pricing"](spark, SF_SMOKE))
+    [schema] = f.read_schemas
+    for col in ("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"):
+        assert col in schema
+    assert "l_orderkey" not in schema and "l_shipdate" not in schema
+
+
+@needs_data
+def test_topk_no_global_sort(spark):
+    f = plan_facts(relational.QUERIES["topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in f.text  # top-k, not full sort
+    assert f.read_schemas == ["struct<o_orderkey:bigint,o_totalprice:double>"]
+
+
+@needs_data
+def test_udf_is_arrow_vectorized(spark):
+    f = plan_facts(relational.QUERIES["udf_pow"](spark, SF_SMOKE))
+    assert "ArrowEvalPython" in f.text  # pandas_udf path, not row-Python
+    assert "BatchEvalPython" not in f.text
+    assert f.read_schemas == ["struct<l_linenumber:int>"]
+
+
+@needs_data
+def test_ann_broadcasts_query_side(spark):
+    from wasaffi_spark.operators.catalog import QUERIES as OPQ
+
+    f = plan_facts(OPQ["ann_bruteforce"](spark, SF_SMOKE))
+    assert f.broadcast_joins >= 1  # query side broadcast; corpus never shuffles
+    assert f.sortmerge_joins == 0
+
+
+@needs_data
+def test_codegen_present(spark):
+    df = relational.QUERIES["agg_pricing"](spark, SF_SMOKE)
+    df.collect()  # AQE: codegen ids only appear in the finalized plan
+    f = plan_facts(df)
+    assert f.codegen_stages >= 1
+    # and the aggregation is partial+final (map-side combine before shuffle)
+    assert "partial_sum" in f.text

@@ -118,7 +118,14 @@ register(
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs)
+    # The signature frame feeds the band self-join (twice) and the
+    # estimate join (twice): persist AND materialize it so the shingle
+    # explode+groupBy — the expensive stage — runs exactly once (lazy
+    # persist would still recompute it concurrently for each join side
+    # within the first job). The materialized frame is ~P×32 bytes per
+    # doc, far smaller than the corpus.
+    sigs = dedup.minhash_signatures(docs).persist()
+    sigs.count()
     pairs = dedup.lsh_candidate_pairs(sigs)
     return dedup.minhash_jaccard_estimate(sigs, pairs).orderBy("id_a", "id_b")
 

@@ -35,6 +35,20 @@ BANDS = 4
 ROWS_PER_BAND = NUM_PERM // BANDS
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ahead of an explode-heavy stage.
+
+    A narrow input (one parquet row group, a filtered scan) otherwise
+    leaves the whole shingle/token fan-out — the expensive md5 work — on
+    a handful of tasks. The pre-shuffle moves rows proportional to the
+    *input* (cheap) to parallelize work proportional to the *fan-out*
+    (expensive); at cluster scale this is the difference between one hot
+    executor and an even spread.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 # -- exact dedup ------------------------------------------------------------
 
 
@@ -66,7 +80,7 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> 
     toks = tokens(text_col)
     n = F.size(toks)
     # positions 0 .. n-k ; sequence() is empty-safe via the filter below
-    df = df.withColumn("_toks", toks).where(n >= k)
+    df = _fan_out(df).withColumn("_toks", toks).where(n >= k)
     pos = F.sequence(F.lit(0), F.size(F.col("_toks")) - k)
     sh = F.transform(
         pos,
@@ -177,7 +191,8 @@ def simhash(
     (``instr`` into a hex alphabet), so the DuckDB oracle matches exactly.
     """
     tok = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        _fan_out(df)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
         .where(F.col("tok") != "")
         .distinct()
         .withColumn("th", F.md5(F.col("tok")))
@@ -219,7 +234,8 @@ def jaccard_pairs(
     block on (lang, length-bucket, LSH band) rather than scan all pairs.
     """
     toks = (
-        df.select(
+        _fan_out(df)
+        .select(
             F.col(id_col), *[F.col(c) for c in block_cols],
             F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
         )
