@@ -1,0 +1,112 @@
+"""Structured Streaming tests: each streaming operator drains the fixture
+events file with an availableNow trigger into a memory sink and must
+equal its batch twin."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+from wasaffi_spark.streaming import events as stream_ops
+
+needs_data = pytest.mark.skipif(
+    not os.path.isdir(SF_SMOKE), reason="testdata not present"
+)
+
+
+@pytest.fixture()
+def event_stream(spark):
+    return stream_ops.read_events_stream(spark, SF_SMOKE)
+
+
+@needs_data
+def test_stream_is_streaming(event_stream):
+    assert event_stream.isStreaming
+    assert dict(event_stream.dtypes)["ts"] == "timestamp"
+
+
+@needs_data
+def test_tumbling_stream_equals_batch(spark, event_stream):
+    from wasaffi_spark.operators.catalog import QUERIES as OPQ
+
+    stream_ops.run_to_memory(
+        stream_ops.tumbling_counts(event_stream), "tumbling_test"
+    )
+    got = {
+        (r.hour_start, r.event_type): (r.cnt, r.sum_value)
+        for r in spark.table("tumbling_test").collect()
+    }
+    want = {
+        (r.hour_start, r.event_type): (r.cnt, r.sum_value)
+        for r in OPQ["events_tumbling"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+@needs_data
+def test_session_window_stream_equals_batch(spark, event_stream):
+    from wasaffi_spark.operators.catalog import QUERIES as OPQ
+
+    stream_ops.run_to_memory(
+        stream_ops.session_counts(event_stream), "sessions_test"
+    )
+    got = {
+        (r.user_id, r.session_start): r.cnt
+        for r in spark.table("sessions_test").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): r.cnt
+        for r in OPQ["events_session_window"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    # ...and the per-user session count agrees with the lag-based batch op
+    n_sessions = {}
+    for (uid, _), _cnt in got.items():
+        n_sessions[uid] = n_sessions.get(uid, 0) + 1
+    lag_based = {
+        r.user_id: r.n_sessions
+        for r in OPQ["events_sessions"](spark, SF_SMOKE).collect()
+    }
+    assert n_sessions == lag_based
+
+
+@needs_data
+def test_sliding_stream_runs(spark, event_stream):
+    stream_ops.run_to_memory(
+        stream_ops.sliding_counts(event_stream), "sliding_test"
+    )
+    rows = spark.table("sliding_test").collect()
+    assert len(rows) > 0
+    # every event lands in 4 sliding windows (1h window, 15m slide):
+    # total count across windows = 4 × events
+    total = sum(r.cnt for r in rows)
+    n_events = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet")).count()
+    assert total == 4 * n_events
+
+
+@needs_data
+def test_stateful_user_stats(spark, event_stream):
+    stream_ops.run_to_memory(
+        stream_ops.stateful_user_stats(event_stream),
+        "user_stats_test",
+        output_mode="update",
+    )
+    got = {
+        r.user_id: (r.n_events, r.max_value)
+        for r in spark.table("user_stats_test").collect()
+    }
+    from wasaffi_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.load_tables(SF_SMOKE, ("events",))
+    want = {
+        r.user_id: (r.n, r.v)
+        for r in spark.sql(
+            "select user_id, count(*) as n, max(value) as v "
+            "from events group by user_id"
+        ).collect()
+    }
+    assert got == want

@@ -484,6 +484,49 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` (30-min gap) in batch mode — the same
+    operator the streaming path uses (wasaffi_spark.streaming.events)."""
+    events = _table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "cnt"
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+register(
+    "events_session_window",
+    q_events_session_window,
+    # gap-based session reconstruction: a session starts where the gap
+    # from the previous event exceeds 30 min; session_start = min(ts).
+    """with t as (
+         select user_id, event_id, ts::timestamp as ts from events),
+       flags as (
+         select user_id, ts,
+                case when ts - lag(ts) over (partition by user_id
+                       order by ts, event_id) > interval 30 minute
+                     or lag(ts) over (partition by user_id
+                       order by ts, event_id) is null
+                then 1 else 0 end as new_session
+         from t),
+       sessions as (
+         select user_id, ts,
+                sum(new_session) over (partition by user_id order by ts
+                  rows between unbounded preceding and current row) as sid
+         from flags)
+       select user_id, min(ts) as session_start,
+              count(*) as cnt
+       from sessions group by user_id, sid
+       order by user_id, session_start""",
+)
+
+
 register(
     "events_sessions",
     q_events_sessions,

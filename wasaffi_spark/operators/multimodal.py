@@ -74,26 +74,32 @@ def decode_image(payload: bytes):
     return img.width, img.height, img.mode  # pragma: no cover
 
 
-def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched feature extraction (runs on executors)."""
-    import hashlib
-
-    for pdf in batches:
-        payloads = pdf["payload"]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": payloads.map(len).astype("int64"),
-                "digest": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
-                "head_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype(
-                    "int32"
-                ),
-            }
-        )
-
-
 def extract_features(media: DataFrame) -> DataFrame:
-    """Byte-level features per payload via ``mapInPandas`` (no shuffle)."""
+    """Byte-level features per payload via ``mapInPandas`` (no shuffle).
+
+    The batch function is defined inline so cloudpickle ships it BY
+    VALUE — executors do not need ``wasaffi_spark`` installed (same
+    posture as ``udf_runtime.build_pandas_udf``).
+    """
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "digest": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+                    "head_byte": payloads.map(
+                        lambda b: b[0] if len(b) else -1
+                    ).astype("int32"),
+                }
+            )
+
     return media.select("doc_id", "payload").mapInPandas(
-        _feature_batches, schema=FEATURE_SCHEMA
+        feature_batches, schema=FEATURE_SCHEMA
     )

@@ -58,9 +58,10 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     finally:
         spark.conf.set(NANOS_AS_LONG, prev)
     for c in ns_cols:
-        # nanos-since-epoch long → micros → TimestampType (floor keeps
-        # pre-epoch values correct)
-        df = df.withColumn(
-            c, F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long"))
-        )
+        # nanos-since-epoch long → micros → TimestampType. Integer `div`,
+        # NOT float division: ns-since-epoch (~1.7e18) exceeds a double's
+        # 53-bit mantissa, so float math is off by hundreds of ns.
+        # Truncation toward zero matches DuckDB's ns→us cast for
+        # post-epoch data.
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df

@@ -1,0 +1,155 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming surface (DataFusion v38 has no structured
+streaming — SURVEY §2C last row); this is a north-star extension built
+directly on Spark Structured Streaming: file source → event-time
+transformations with watermarks → windowed aggregations, plus a custom
+stateful operator via ``applyInPandasWithState``.
+
+Batch/stream parity: each streaming query here has a batch twin in
+``wasaffi_spark.operators.catalog`` (``events_tumbling``,
+``events_sessions``, ``events_session_window``) computed by the same
+expressions, and the tests assert the streaming result (run with an
+``availableNow`` trigger over the fixture file) equals the batch result.
+
+Scale notes: file-source streaming shards by file; watermarks bound the
+window state store; ``applyInPandasWithState`` state is per-key and
+partitioned by the grouping key — no driver state anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.parquet import NANOS_AS_LONG, _nano_timestamp_cols
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet, normalizing the
+    nano-precision ``ts`` exactly like the batch reader."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ns_cols = _nano_timestamp_cols(path)
+    if ns_cols:
+        spark.conf.set(NANOS_AS_LONG, "true")
+    schema = spark.read.parquet(path).schema
+    # the streaming file source wants a directory: stream the sf_dir with
+    # a glob filter selecting just the events file
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for c in ns_cols:
+        # exact integer division — see sources/parquet.py
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """1-hour tumbling windows per event_type with a late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("hour_start"), "event_type", "cnt", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """1-hour windows sliding every 15 minutes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Gap-based session windows per user (built-in ``session_window``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "cnt",
+        )
+    )
+
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("v_max", T.DoubleType()),
+    ]
+)
+USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+
+def stateful_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Running per-user statistics via ``applyInPandasWithState`` —
+    the custom-stateful-operator escape hatch (SURVEY §7.6).
+
+    The update function is defined inline so cloudpickle ships it BY
+    VALUE: executors do not need ``wasaffi_spark`` on their python path
+    (same cluster posture as the UDF runtime — see
+    ``udf_runtime.build_pandas_udf``). State lives in the partitioned
+    state store keyed by user_id; nothing accumulates on the driver.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_user_stats(key, pdfs, state):
+        import pandas as pd
+
+        n, v_max = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                v_max = max(v_max, float(pdf["value"].max()))
+        state.update((n, v_max))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "max_value": [v_max]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_user_stats,
+            outputStructType=USER_STATS_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Execute a streaming frame with an availableNow trigger into an
+    in-memory table; returns after the stream drains."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
