@@ -34,6 +34,31 @@ def f1(args: list[pa.Array]) -> pa.Array:
 f2 = f1
 
 
+def emb_norm(args: list[pa.Array]) -> pa.Array:
+    """L2 norm of a float-list column — demonstrates ARRAY arguments
+    crossing the vectorized boundary (beyond the reference's
+    Float64-only exercise, SURVEY §1.2)."""
+    import numpy as np
+
+    [vecs] = args
+    out = []
+    for v in vecs:
+        if v is None or not v.is_valid:
+            out.append(None)
+        else:
+            arr = np.asarray(v.as_py(), dtype=np.float64)
+            out.append(float(np.sqrt((arr * arr).sum())))
+    return pa.array(out, pa.float64())
+
+
+def str_len_upper(args: list[pa.Array]) -> pa.Array:
+    """Length of the upper-cased string — STRING in, BIGINT out."""
+    import pyarrow.compute as pc
+
+    [s] = args
+    return pc.utf8_length(pc.utf8_upper(s)).cast(pa.int64())
+
+
 def f_return_error(args: list[pa.Array]) -> pa.Array:
     """≙ guest ``f_return_error`` (wasm_function/src/lib.rs:55-57)."""
     raise RuntimeError("wasm function returned error")

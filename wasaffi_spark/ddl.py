@@ -47,10 +47,31 @@ _DROP_RE = re.compile(
     re.IGNORECASE | re.VERBOSE,
 )
 
-# Leading keyword sniff: cheap test for whether a statement is function DDL
+# Leading keyword sniff: cheap test for whether a statement is engine DDL
 # at all (so everything else goes straight to spark.sql untouched).
 _SNIFF_RE = re.compile(
-    r"^\s*(CREATE\s+(OR\s+REPLACE\s+)?FUNCTION|DROP\s+FUNCTION)\b", re.IGNORECASE
+    r"^\s*(CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\b|DROP\s+FUNCTION\b"
+    r"|CREATE\s+EXTERNAL\s+TABLE\b|COPY\s)",
+    re.IGNORECASE,
+)
+
+# DataFusion-style external table DDL
+# (CREATE EXTERNAL TABLE t STORED AS PARQUET LOCATION 'path'):
+_EXTERNAL_TABLE_RE = re.compile(
+    r"""^\s*CREATE\s+EXTERNAL\s+TABLE\s+(?P<if_not_exists>IF\s+NOT\s+EXISTS\s+)?
+        (?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+
+        STORED\s+AS\s+(?P<format>[A-Za-z]+)\s*
+        (?P<header>WITH\s+HEADER\s+ROW\s+)?
+        LOCATION\s+'(?P<location>[^']+)'\s*;?\s*$""",
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+# DataFusion-style COPY ... TO 'path' [STORED AS fmt]:
+_COPY_TO_RE = re.compile(
+    r"""^\s*COPY\s+(?P<source>\(.*\)|[A-Za-z_][A-Za-z0-9_]*)\s+
+        TO\s+'(?P<location>[^']+)'\s*
+        (?:STORED\s+AS\s+(?P<format>[A-Za-z]+))?\s*;?\s*$""",
+    re.IGNORECASE | re.VERBOSE | re.DOTALL,
 )
 
 _SIMPLE_TYPES: dict[str, T.DataType] = {
@@ -166,12 +187,66 @@ class DropFunctionStmt:
     raw: str = field(default="", compare=False)
 
 
+@dataclass(frozen=True)
+class CreateExternalTableStmt:
+    """≙ DataFusion's ``CREATE EXTERNAL TABLE`` (part of the engine
+    surface the reference inherits — SURVEY §2C sources row)."""
+
+    name: str
+    format: str  # parquet | csv | json
+    location: str
+    header: bool = False
+    if_not_exists: bool = False
+    raw: str = field(default="", compare=False)
+
+
+@dataclass(frozen=True)
+class CopyToStmt:
+    """≙ DataFusion's ``COPY <table|(query)> TO 'path'``."""
+
+    source: str  # table name or a parenthesized query
+    location: str
+    format: str = "parquet"
+    raw: str = field(default="", compare=False)
+
+
 def is_function_ddl(sql: str) -> bool:
     return bool(_SNIFF_RE.match(sql))
 
 
-def parse_function_ddl(sql: str) -> CreateFunctionStmt | DropFunctionStmt:
-    """Parse a statement already sniffed as function DDL."""
+EngineStmt = (
+    CreateFunctionStmt | DropFunctionStmt | CreateExternalTableStmt | CopyToStmt
+)
+
+
+def parse_function_ddl(sql: str) -> EngineStmt:
+    """Parse a statement already sniffed as engine DDL."""
+    m = _EXTERNAL_TABLE_RE.match(sql)
+    if m:
+        fmt = m.group("format").lower()
+        if fmt not in ("parquet", "csv", "json"):
+            raise FunctionDefinitionError(
+                f"unsupported external table format: {fmt!r}"
+            )
+        return CreateExternalTableStmt(
+            name=m.group("name").lower(),
+            format=fmt,
+            location=m.group("location"),
+            header=bool(m.group("header")),
+            if_not_exists=bool(m.group("if_not_exists")),
+            raw=sql,
+        )
+    m = _COPY_TO_RE.match(sql)
+    if m:
+        fmt = (m.group("format") or "parquet").lower()
+        if fmt not in ("parquet", "csv", "json"):
+            raise FunctionDefinitionError(f"unsupported COPY format: {fmt!r}")
+        return CopyToStmt(
+            source=m.group("source"),
+            location=m.group("location"),
+            format=fmt,
+            raw=sql,
+        )
     m = _CREATE_RE.match(sql)
     if m:
         args = tuple(parse_type(a) for a in _split_args(m.group("args")))
@@ -194,7 +269,7 @@ def parse_function_ddl(sql: str) -> CreateFunctionStmt | DropFunctionStmt:
             if_exists=bool(m.group("if_exists")),
             raw=sql,
         )
-    raise FunctionDefinitionError(f"malformed function DDL: {sql!r}")
+    raise FunctionDefinitionError(f"malformed engine DDL: {sql!r}")
 
 
 def split_definition(definition: str) -> tuple[str, str]:

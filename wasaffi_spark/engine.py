@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from .ddl import (
+    CopyToStmt,
+    CreateExternalTableStmt,
     CreateFunctionStmt,
     DropFunctionStmt,
     is_function_ddl,
@@ -89,7 +91,11 @@ class Engine:
             stmt = parse_function_ddl(query)
             if isinstance(stmt, CreateFunctionStmt):
                 return self._create_function(stmt)
-            return self._drop_function(stmt)
+            if isinstance(stmt, DropFunctionStmt):
+                return self._drop_function(stmt)
+            if isinstance(stmt, CreateExternalTableStmt):
+                return self._create_external_table(stmt)
+            return self._copy_to(stmt)
         return self.spark.sql(query)
 
     # -- function DDL ------------------------------------------------------
@@ -122,6 +128,45 @@ class Engine:
             self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {stmt.name}")
         except Exception:
             pass  # session-registry cleanup is best-effort across Spark versions
+        return self._empty_result()
+
+    def _create_external_table(self, stmt: CreateExternalTableStmt) -> DataFrame:
+        """≙ DataFusion ``CREATE EXTERNAL TABLE`` → lazy scan + temp view.
+
+        The registered view is a plain scan: predicates and projections
+        from later queries still push down into the file source.
+        """
+        if stmt.if_not_exists and stmt.name in [
+            t.name for t in self.spark.catalog.listTables()
+        ]:
+            return self._empty_result()
+        if stmt.format == "parquet":
+            from .sources.parquet import read_parquet
+
+            df = read_parquet(self.spark, stmt.location)
+        elif stmt.format == "csv":
+            df = self.spark.read.csv(
+                stmt.location, header=stmt.header, inferSchema=True
+            )
+        else:
+            df = self.spark.read.json(stmt.location)
+        self.register(stmt.name, df)
+        return self._empty_result()
+
+    def _copy_to(self, stmt: CopyToStmt) -> DataFrame:
+        """≙ DataFusion ``COPY <src> TO 'path'`` → distributed write."""
+        src = stmt.source.strip()
+        if src.startswith("("):
+            df = self.spark.sql(src[1:-1])
+        else:
+            df = self.spark.table(src)
+        writer = df.write.mode("overwrite")
+        if stmt.format == "csv":
+            writer.option("header", True).csv(stmt.location)
+        elif stmt.format == "json":
+            writer.json(stmt.location)
+        else:
+            writer.parquet(stmt.location)
         return self._empty_result()
 
     def _empty_result(self) -> DataFrame:

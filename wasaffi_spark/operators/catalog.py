@@ -235,8 +235,9 @@ def _emb_cell_sql(vec: str) -> str:
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
-    return similarity.brute_force_topk(queries, emb, k=ANN_K).withColumnRenamed(
-        "rank", "rnk"
+    out = similarity.brute_force_topk(queries, emb, k=ANN_K)
+    return out.select(
+        "qid", "nid", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
     ).orderBy("qid", "rnk")
 
 
@@ -263,8 +264,9 @@ register(
 def q_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
-    return similarity.bucketed_topk(queries, emb, k=ANN_K).withColumnRenamed(
-        "rank", "rnk"
+    out = similarity.bucketed_topk(queries, emb, k=ANN_K)
+    return out.select(
+        "qid", "nid", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
     ).orderBy("qid", "rnk")
 
 

@@ -197,8 +197,8 @@ query(
     "window_rownum",
     ("orders",),
     """select o_custkey, o_orderkey,
-              row_number() over (partition by o_custkey
-                                 order by o_orderdate, o_orderkey) as rn
+              cast(row_number() over (partition by o_custkey
+                                 order by o_orderdate, o_orderkey) as bigint) as rn
        from orders order by o_custkey, rn limit 100""",
 )
 
@@ -206,8 +206,8 @@ query(
     "window_rank_lag",
     ("orders",),
     """select o_custkey, o_orderkey,
-              rank() over (partition by o_custkey order by o_totalprice desc,
-                           o_orderkey) as rnk,
+              cast(rank() over (partition by o_custkey order by o_totalprice desc,
+                           o_orderkey) as bigint) as rnk,
               lag(o_orderkey) over (partition by o_custkey
                                     order by o_orderdate, o_orderkey) as prev_ok
        from orders order by o_custkey, o_orderkey limit 100""",
@@ -309,7 +309,7 @@ query(
     ("part",),
     """select p_partkey,
               upper(substr(p_name, 1, 5)) as pfx,
-              length(p_name) as name_len,
+              cast(length(p_name) as bigint) as name_len,
               replace(p_brand, 'Brand', 'B') as brand_s,
               concat(p_type, '/', p_brand) as type_brand
        from part order by p_partkey limit 20""",
@@ -341,6 +341,13 @@ query(
               abs(p_size - 25) as sz_dist,
               floor(p_retailprice) as fl,
               ceil(p_retailprice) as ce
+       from part order by p_partkey limit 20""",
+    # Spark floor/ceil return BIGINT; DuckDB's return DOUBLE — cast.
+    oracle="""select p_partkey,
+              round(sqrt(p_retailprice), 2) as sq,
+              abs(p_size - 25) as sz_dist,
+              cast(floor(p_retailprice) as bigint) as fl,
+              cast(ceil(p_retailprice) as bigint) as ce
        from part order by p_partkey limit 20""",
 )
 
@@ -420,4 +427,83 @@ QUERIES["udf_pow"] = _q_udf_pow
 ORACLE["udf_pow"] = (
     """select l_linenumber, pow(cast(l_linenumber as double), 2.0) as sq
        from lineitem group by l_linenumber, sq order by l_linenumber"""
+)
+
+
+def _fixture_path() -> str:
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo, "fixtures", "udfs.py")
+
+
+def _q_udf_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY<FLOAT> argument through the DDL-registered boundary: L2 norm
+    of each embedding (the reference only ever exercises DOUBLE —
+    SURVEY §1.2; this pins the full Arrow type lattice claim)."""
+    from ..engine import Engine
+
+    eng = Engine(spark)
+    eng.load_tables(sf_dir, ("embeddings",))
+    eng.sql(
+        "CREATE OR REPLACE FUNCTION emb_norm(ARRAY<FLOAT>) RETURNS DOUBLE "
+        f"AS '{_fixture_path()}!emb_norm'"
+    )
+    return eng.sql(
+        """select vec_id, round(emb_norm(embedding), 6) as l2
+           from embeddings order by vec_id limit 50"""
+    )
+
+
+_q_udf_array.__name__ = "q_udf_array"
+QUERIES["udf_array"] = _q_udf_array
+ORACLE["udf_array"] = (
+    """select vec_id,
+              round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[])), 6) as l2
+       from embeddings order by vec_id limit 50"""
+)
+
+
+def _q_udf_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING → BIGINT through the DDL-registered boundary."""
+    from ..engine import Engine
+
+    eng = Engine(spark)
+    eng.load_tables(sf_dir, ("part",))
+    eng.sql(
+        "CREATE OR REPLACE FUNCTION str_len_upper(VARCHAR) RETURNS BIGINT "
+        f"AS '{_fixture_path()}!str_len_upper'"
+    )
+    return eng.sql(
+        """select p_partkey, str_len_upper(p_name) as ulen
+           from part order by p_partkey limit 50"""
+    )
+
+
+_q_udf_string.__name__ = "q_udf_string"
+QUERIES["udf_string"] = _q_udf_string
+ORACLE["udf_string"] = (
+    """select p_partkey, cast(length(upper(p_name)) as bigint) as ulen
+       from part order by p_partkey limit 50"""
+)
+
+
+# BPE-ish token counting (north-star text op): regex word-piece count +
+# a chars/3.5 subword estimate — both exact cross-engine.
+query(
+    "token_counts",
+    ("documents",),
+    r"""select doc_id,
+              cast(size(split(text, '\\s+')) as bigint) as ws_tokens,
+              cast(regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') as bigint)
+                as re_tokens,
+              cast(ceil(length(text) / 3.5) as bigint) as bpe_estimate
+       from documents order by doc_id""",
+    oracle=r"""select doc_id,
+              len(string_split_regex(text, '\s+')) as ws_tokens,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                as re_tokens,
+              cast(ceil(length(text) / 3.5) as bigint) as bpe_estimate
+       from documents order by doc_id""",
 )
