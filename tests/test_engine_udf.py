@@ -141,6 +141,58 @@ def test_create_drop_lifecycle(engine):
     engine.sql("DROP FUNCTION IF EXISTS f1")
 
 
+def test_create_or_replace(engine):
+    create_f1(engine, "g")
+    engine.sql(
+        f"CREATE OR REPLACE FUNCTION g(DOUBLE, DOUBLE) RETURNS DOUBLE "
+        f"AS '{UDFS}!f_return_error'"
+    )
+    with pytest.raises(Exception, match=r"\[Wasm Invocation\]"):
+        engine.sql("select g(1.0, 1.0) as v").collect()
+    # replace back; registry stays consistent (one module, one function)
+    engine.sql(
+        f"CREATE OR REPLACE FUNCTION g(DOUBLE, DOUBLE) RETURNS DOUBLE AS '{UDFS}!f1'"
+    )
+    [row] = engine.sql("select g(3.0, 2.0) as v").collect()
+    assert row["v"] == 9.0
+    assert engine.module_cache_size() == 1
+    engine.sql("DROP FUNCTION g")
+    assert engine.module_cache_size() == 0
+
+
+def test_language_dispatch(spark):
+    """The reference ignores LANGUAGE (lib.rs:33-64); we additionally
+    support a language→factory map, defaulting everything else to the
+    default factory."""
+    from wasaffi_spark import Engine, PythonModuleFunctionFactory
+    from wasaffi_spark.ddl import CreateFunctionStmt
+
+    calls = []
+
+    class Recording(PythonModuleFunctionFactory):
+        def create(self, stmt: CreateFunctionStmt):
+            calls.append(stmt.language)
+            return super().create(stmt)
+
+    eng = Engine(
+        spark,
+        function_factory=PythonModuleFunctionFactory(),
+        factories={"python": Recording()},
+    )
+    eng.sql(
+        f"CREATE FUNCTION h1(DOUBLE, DOUBLE) RETURNS DOUBLE LANGUAGE PYTHON "
+        f"AS '{UDFS}!f1'"
+    )
+    assert calls == ["python"]  # routed to the language-specific factory
+    eng.sql(
+        f"CREATE FUNCTION h2(DOUBLE, DOUBLE) RETURNS DOUBLE LANGUAGE WASM "
+        f"AS '{UDFS}!f2'"
+    )
+    assert calls == ["python"]  # unknown language → default factory
+    eng.sql("DROP FUNCTION h1")
+    eng.sql("DROP FUNCTION h2")
+
+
 def test_input_coercion(engine):
     # ≙ Signature::exact (udf.rs:54): integer call-site args are cast to
     # the declared DOUBLE before the guest sees them.

@@ -465,6 +465,40 @@ register(
 )
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: day and day+hour
+    aggregates in ONE pass via GROUPING SETS (Spark computes the partial
+    aggregates map-side; one shuffle serves every resolution)."""
+    events = _table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events")
+    return spark.sql(
+        """with base as (
+             select cast(date_trunc('day', ts) as timestamp) as day,
+                    cast(date_trunc('hour', ts) as timestamp) as hour,
+                    value
+             from events)
+           select day, hour, count(*) as cnt, round(sum(value), 2) as sum_value
+           from base
+           group by grouping sets ((day), (day, hour))
+           order by day, hour nulls first"""
+    )
+
+
+register(
+    "events_rollup",
+    q_events_rollup,
+    """with base as (
+         select cast(date_trunc('day', ts) as timestamp) as day,
+                cast(date_trunc('hour', ts) as timestamp) as hour,
+                value
+         from events)
+       select day, hour, count(*) as cnt, round(sum(value), 2) as sum_value
+       from base
+       group by grouping sets ((day), (day, hour))
+       order by day, hour nulls first""",
+)
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _table(spark, sf_dir, "events")
     return (
