@@ -173,6 +173,24 @@ query_no_oracle(
     "select approx_count_distinct(o_custkey) as acd from orders",
 )
 
+# approx percentile (t-digest in Spark, different sketch in DuckDB) —
+# rows-only like every approx aggregate.
+query_no_oracle(
+    "approx_percentile",
+    ("orders",),
+    """select o_orderpriority,
+              percentile_approx(o_totalprice, 0.5) as p50,
+              percentile_approx(o_totalprice, 0.95) as p95
+       from orders group by o_orderpriority order by o_orderpriority""",
+)
+
+# EXPLAIN surface (SURVEY §2C) — smoke-only: returns the plan as text.
+query_no_oracle(
+    "explain_smoke",
+    ("lineitem",),
+    "explain select count(*) from lineitem",
+)
+
 # -- grouping sets / rollup / cube -----------------------------------------
 
 query(
