@@ -431,6 +431,85 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# UDAF-equivalent (applyInPandas) and UDTF
+
+
+def q_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import grouped
+
+    orders = _table(spark, sf_dir, "orders")
+    return (
+        grouped.grouped_median(orders, "o_custkey", "o_totalprice")
+        .select("o_custkey", F.round("median", 4).alias("median"))
+        .orderBy("o_custkey")
+    )
+
+
+register(
+    "grouped_median",
+    q_grouped_median,
+    """select o_custkey,
+              round(percentile_cont(0.5) within group (order by o_totalprice), 4)
+                as median
+       from orders group by o_custkey order by o_custkey""",
+)
+
+
+def q_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import grouped
+
+    _table(spark, sf_dir, "documents")
+    grouped.register_split_udtf(spark)
+    return spark.sql(
+        """select doc_id, t.pos, t.token
+           from documents, lateral split_tokens(text) t
+           where doc_id < 5 order by doc_id, pos"""
+    )
+
+
+register(
+    "udtf_tokens",
+    q_udtf_tokens,
+    r"""with w as (select doc_id, string_split_regex(text, '\s+') as toks
+                  from documents where doc_id < 5)
+        select doc_id,
+               cast(i - 1 as int) as pos,
+               toks[i] as token
+        from w, unnest(generate_series(1, len(toks))) as u(i)
+        order by doc_id, pos""",
+)
+
+
+# ---------------------------------------------------------------------------
+# sink round trip: COPY TO + CREATE EXTERNAL TABLE through the engine DDL
+
+
+def q_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark)
+    eng.load_tables(sf_dir, ("nation",))
+    out = tempfile.mkdtemp(prefix="wasaffi_copy_") + "/nation_out"
+    eng.sql(f"COPY (select n_nationkey, n_name, n_regionkey from nation) TO '{out}'")
+    eng.sql(
+        f"CREATE EXTERNAL TABLE nation_roundtrip STORED AS PARQUET LOCATION '{out}'"
+    )
+    return eng.sql(
+        "select n_nationkey, n_name, n_regionkey from nation_roundtrip "
+        "order by n_nationkey"
+    )
+
+
+register(
+    "copy_roundtrip",
+    q_copy_roundtrip,
+    """select n_nationkey, n_name, n_regionkey from nation order by n_nationkey""",
+)
+
+
+# ---------------------------------------------------------------------------
 # event time-series (batch forms; streaming variants in
 # wasaffi_spark.streaming)
 
