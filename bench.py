@@ -35,11 +35,14 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash",
+    "jaccard_pairs",
     "ann_bruteforce",
     "ann_bucketed",
     "text_stats",
     "media_features",
+    "grouped_median",
     "events_sessions",
+    "events_rollup",
 ]
 
 

@@ -63,6 +63,27 @@ def test_minhash_lsh_finds_neardups(docs):
     assert by_pair[(0, 1)] >= 0.5
 
 
+def test_lsh_bucket_cap(spark):
+    # docs 0,1: a near-dup pair (size-2 buckets); docs 10-13: four exact
+    # copies of an unrelated text (size-4 buckets in every band).
+    rows = [
+        (0, BASE, "en", "s", len(BASE)),
+        (1, NEAR_DUP, "en", "s", len(NEAR_DUP)),
+    ] + [(10 + i, DISTINCT, "en", "s", len(DISTINCT)) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sigs = dedup.minhash_signatures(df)
+    uncapped = {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(sigs).collect()}
+    assert (0, 1) in uncapped and (10, 11) in uncapped
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.lsh_candidate_pairs(sigs, max_bucket_size=3).collect()
+    }
+    assert (10, 11) not in capped  # degenerate size-4 cluster dropped
+    assert (0, 1) in capped  # small near-dup buckets survive
+
+
 def test_simhash_near_vs_far(docs):
     sigs = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
     assert sigs[0] == sigs[3]  # identical text → identical signature

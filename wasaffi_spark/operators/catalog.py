@@ -200,9 +200,13 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "jaccard_pairs",
     q_jaccard_pairs,
-    f"""with tok as (
-          select distinct doc_id, lang, unnest({_TOKS}) as tok from documents),
-        tokf as (select * from tok where tok <> ''),
+    f"""with toks0 as (select doc_id, lang, {_TOKS} as w from documents),
+        pos as (select doc_id, lang, w,
+                       unnest(generate_series(1, len(w) - {SHINGLE_K - 1})) as i
+                from toks0 where len(w) >= {SHINGLE_K}),
+        tokf as (select distinct doc_id, lang,
+                        array_to_string(w[i:i+{SHINGLE_K - 1}], ' ') as tok
+                 from pos),
         sizes as (select doc_id, count(*) as sz from tokf group by doc_id),
         inter as (
           select a.doc_id as id_a, b.doc_id as id_b, count(*) as inter

@@ -118,12 +118,20 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_perm: int = NUM_PERM,
     bands: int = BANDS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH over a signature frame → candidate pairs (id_a < id_b).
 
     Docs agreeing on ALL rows of at least one band become candidates.
     The self-join is on (band_idx, band_key): bucket sizes stay small by
     construction, so the join never degenerates into a cross product.
+
+    ``max_bucket_size`` is the 100 TB safety valve (SCALE.md): buckets
+    larger than the cap — boilerplate/templated documents hashing
+    together by the thousand — are dropped before the self-join, trading
+    recall on degenerate clusters for a bound of cap² pairs per bucket.
+    ``None`` (default) disables the cap (exact LSH semantics; what the
+    oracle checks).
     """
     r = num_perm // bands
     band_cols = []
@@ -135,6 +143,15 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "key")
+        buckets = (
+            buckets.withColumn("_bsz", F.count("*").over(w))
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -225,23 +242,24 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     block_cols: tuple[str, ...] = ("lang",),
     threshold: float = 0.8,
+    k: int = SHINGLE_K,
 ) -> DataFrame:
-    """Exact token-set Jaccard for doc pairs sharing a blocking key.
+    """Exact n-gram (k-word shingle) Jaccard for doc pairs sharing a
+    blocking key.
 
-    |A∩B| via a token-level self-join inside the block, |A∪B| =
+    |A∩B| via a shingle-level self-join inside the block, |A∪B| =
     |A|+|B|−|A∩B|; integer arithmetic until the final division, so the
-    value is exact. The block key bounds the pair count — at 100 TB you'd
-    block on (lang, length-bucket, LSH band) rather than scan all pairs.
+    value is exact. Shingles — not single tokens — keep the join sparse:
+    only genuinely similar documents share k-grams, so the join output is
+    ∝ near-dup pairs, while a token join degenerates to block² whenever
+    the vocabulary is small relative to the block. The block key is the
+    second bound — at 100 TB block on (lang, length-bucket, LSH band).
     """
-    toks = (
-        _fan_out(df)
-        .select(
-            F.col(id_col), *[F.col(c) for c in block_cols],
-            F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
-        )
-        .where(F.col("tok") != "")
-        .distinct()
-    )
+    sh = word_shingles(df, text_col, k)
+    toks = sh.select(
+        F.col(id_col), *[F.col(c) for c in block_cols],
+        F.col("shingle").alias("tok"),
+    ).distinct()
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = toks.alias("a")
     b = toks.alias("b")
