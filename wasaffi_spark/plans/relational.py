@@ -386,6 +386,38 @@ query(
        from orders group by bucket order by bucket""",
 )
 
+# -- pivot / unpivot --------------------------------------------------------
+# Spark's PIVOT operator; the oracle expresses the same result portably
+# as conditional aggregation.
+
+query(
+    "pivot",
+    ("orders",),
+    """select * from (select o_orderpriority, o_orderstatus from orders)
+       pivot (count(*) for o_orderstatus in ('O' as st_o, 'F' as st_f, 'P' as st_p))
+       order by o_orderpriority""",
+    oracle="""select o_orderpriority,
+              count(*) filter (where o_orderstatus = 'O') as st_o,
+              count(*) filter (where o_orderstatus = 'F') as st_f,
+              count(*) filter (where o_orderstatus = 'P') as st_p
+       from orders group by o_orderpriority order by o_orderpriority""",
+)
+
+query(
+    "unpivot",
+    ("part",),
+    """select p_partkey, metric, val from
+         (select p_partkey, p_retailprice, cast(p_size as double) as p_size_d
+          from part)
+       unpivot (val for metric in (p_retailprice as price, p_size_d as size))
+       order by p_partkey, metric limit 40""",
+    oracle="""select p_partkey, metric, val from (
+         select p_partkey, 'price' as metric, p_retailprice as val from part
+         union all
+         select p_partkey, 'size' as metric, cast(p_size as double) as val from part)
+       order by p_partkey, metric limit 40""",
+)
+
 # -- arrays / structs / json -----------------------------------------------
 
 query(
