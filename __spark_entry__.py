@@ -28,6 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from wasaffi_spark.engine import Engine
 
     sf_dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     eng = Engine(spark)
     eng.load_tables(sf_dir, ("lineitem",))
     udfs = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "udfs.py")
@@ -50,6 +51,21 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _utc(fn: Callable[[SparkSession, str], DataFrame]):
+    """Pin the session timezone to UTC for the duration of query
+    construction: DuckDB computes on naive timestamps, and a driver
+    session running in a non-UTC zone would shift every collected
+    timestamp value."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from wasaffi_spark.operators import catalog as op_catalog
@@ -58,7 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
     out.update(op_catalog.QUERIES)
-    return out
+    return {name: _utc(fn) for name, fn in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:

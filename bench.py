@@ -64,6 +64,7 @@ def main() -> None:
         .config("spark.driver.memory", "16g")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")  # keep stdout = 1 JSON line
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
