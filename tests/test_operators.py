@@ -143,6 +143,30 @@ def test_bucketed_topk_prunes(spark):
     assert {r.nid for r in got} == {1}  # cell pruning drops vec 2
 
 
+def test_ivf_topk(spark):
+    # three tight clusters; queries must find their own cluster's members
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for cid, center in enumerate([[10, 0, 0, 0], [0, 10, 0, 0], [0, 0, 10, 0]]):
+        for i in range(20):
+            rows.append(
+                (
+                    cid * 100 + i,
+                    [c + rng.uniform(-0.5, 0.5) for c in center],
+                )
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where("vec_id in (0, 100, 200)")
+    got = similarity.ivf_topk(q, emb, k=3, n_cells=3, n_probe=1, seed=1)
+    for r in got.collect():
+        # every neighbour comes from the query's own cluster
+        assert r.nid // 100 == r.qid // 100
+        assert r.cos_sim > 0.99
+    assert got.count() == 9  # 3 queries × k
+
+
 def test_media_features_match_payload(docs):
     media = multimodal.ingest_as_media(docs)
     feats = {r.doc_id: r for r in multimodal.extract_features(media).collect()}

@@ -34,7 +34,8 @@ from .errors import FunctionDefinitionError
 _CREATE_RE = re.compile(
     r"""^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?FUNCTION\s+
         (?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*
-        \(\s*(?P<args>[^)]*)\)\s*
+        # arg list: allow one nesting level of parens (DECIMAL(p,s))
+        \(\s*(?P<args>(?:[^()]|\([^()]*\))*)\)\s*
         RETURNS\s+(?P<ret>.+?)\s*
         (?:LANGUAGE\s+(?P<lang>[A-Za-z_][A-Za-z0-9_]*)\s*)?
         AS\s+'(?P<definition>[^']*)'\s*;?\s*$""",

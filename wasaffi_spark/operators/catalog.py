@@ -297,6 +297,21 @@ register(
 )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with trained centroids — rows-only (k-means training is
+    not SQL-expressible); exactness of scores + recall floor are pinned
+    by tests/test_operators.py."""
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    out = similarity.ivf_topk(queries, emb, k=ANN_K, n_cells=16, n_probe=2)
+    return out.select(
+        "qid", "nid", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
+    ).orderBy("qid", "rnk")
+
+
+register("ann_ivf", q_ann_ivf, None)
+
+
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _table(spark, sf_dir, "embeddings")
     return similarity.neardup_pairs(emb, threshold=NEARDUP_COS_THRESHOLD).orderBy(

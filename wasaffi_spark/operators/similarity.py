@@ -130,6 +130,80 @@ def bucketed_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN with *trained* coarse centroids (MLlib KMeans).
+
+    The production upgrade of :func:`bucketed_topk` (SCALE.md): cells are
+    k-means centroids fit on (a sample of) the corpus, so they adapt to
+    the data distribution instead of assuming uncorrelated dimension
+    signs. Each query probes its ``n_probe`` nearest cells; the
+    candidate join is on cell id — shuffle ∝ N·n_probe/n_cells.
+
+    Training is not SQL-expressible, so this operator is test-verified
+    (recall vs brute force) rather than oracle-checked. At 100 TB the fit
+    runs on a sample (KMeans is itself distributed) and the corpus is
+    written bucketed by cell.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus_v = corpus.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_v")
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_v", predictionCol="cell")
+    model = km.fit(corpus_v)
+    c = model.transform(corpus_v).select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "cell"
+    )
+
+    # centroid frame (tiny) → per-query n_probe nearest cells
+    centers = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+    ]
+    spark = queries.sparkSession
+    cdf = spark.createDataFrame(centers, f"cell int, centroid array<double>")
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    qc = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            "qid", "qv", "cell", cosine(F.col("qv"), F.col("centroid")).alias("csim")
+        )
+    )
+    w_cell = Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cell"))
+    probes = (
+        qc.withColumn("r", F.row_number().over(w_cell))
+        .where(F.col("r") <= n_probe)
+        .select("qid", "qv", "cell")
+    )
+
+    scored = (
+        F.broadcast(probes)
+        .join(c, ["cell"])
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "cos_sim", "rank")
+    )
+
+
 def neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
