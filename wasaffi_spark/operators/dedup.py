@@ -214,22 +214,32 @@ def simhash(
         .distinct()
         .withColumn("th", F.md5(F.col("tok")))
     )
-    sums = []
+    # Lane-packed popcounts: the 4 bits of one hex digit accumulate in 4
+    # independent 16-bit lanes of ONE bigint sum (bit b of digit d adds
+    # 1<<(16*b)), so the aggregation is 12 packed sums + a count instead
+    # of 48 sums — 4× fewer agg expressions, smaller codegen, same
+    # shuffle. Lane capacity: 16 bits ⇒ valid for up to 32767 distinct
+    # tokens per document (highest lane must stay below 2^63); far above
+    # any real document, asserted nowhere hot.
+    packed = []
     for d in range(hex_digits):
         digit = F.instr(
             F.lit("0123456789abcdef"), F.substring(F.col("th"), d + 1, 1)
         ) - F.lit(1)
+        lanes: Column = F.lit(0).cast("bigint")
         for b in range(4):
-            bit = F.floor(digit / (2**b)) % 2
-            sums.append(
-                F.sum(bit * 2 - 1).alias(f"s{d * 4 + b}")
-            )  # bit∈{0,1} → vote ∈{-1,+1}
-    agg = tok.groupBy(id_col).agg(*sums)
+            bit = (F.floor(digit / (2**b)) % 2).cast("bigint")
+            lanes = lanes + bit * F.lit(1 << (16 * b)).cast("bigint")
+        packed.append(F.sum(lanes).alias(f"p{d}"))
+    agg = tok.groupBy(id_col).agg(F.count("*").alias("_n"), *packed)
+    # bit j set ⟺ ones_j > n/2 ⟺ vote sum (2·ones−n) > 0
     sig: Column = F.lit(0).cast("bigint")
-    for j in range(hex_digits * 4):
-        sig = sig + F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+    for d in range(hex_digits):
+        for b in range(4):
+            ones = F.shiftrightunsigned(F.col(f"p{d}"), 16 * b) % F.lit(1 << 16)
+            sig = sig + F.when(
+                ones * 2 > F.col("_n"), F.lit(2 ** (d * 4 + b)).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint"))
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
