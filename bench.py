@@ -50,19 +50,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-    from pyspark.sql import SparkSession
-
     import __spark_entry__ as entrymod
+    from wasaffi_spark.conf import recommended_builder
 
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("wasaffi-bench")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 16)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
+        recommended_builder(master=f"local[{cpus}]", cpus=cpus, app_name="wasaffi-bench")
         .config("spark.driver.memory", "16g")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")  # keep stdout = 1 JSON line
         .getOrCreate()

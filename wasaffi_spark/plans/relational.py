@@ -438,6 +438,45 @@ query(
        from orders order by o_orderkey limit 5""",
 )
 
+# map type: build + element_at; the oracle reduces to the underlying
+# scalar (DuckDB's map extraction semantics differ across versions).
+query(
+    "map_access",
+    ("orders",),
+    """select o_orderkey,
+              element_at(map('price', o_totalprice, 'neg', -o_totalprice),
+                         'price') as price_val
+       from orders order by o_orderkey limit 10""",
+    oracle="""select o_orderkey, o_totalprice as price_val
+       from orders order by o_orderkey limit 10""",
+)
+
+# schema-based JSON parsing (from_json → typed struct field), vs the
+# path-extraction flavor in json_extract.
+query(
+    "json_struct",
+    ("events",),
+    """select event_id,
+              from_json(props, 'k int').k as k_int
+       from events order by event_id limit 20""",
+    oracle="""select event_id, (props ->> '$.k')::int as k_int
+       from events order by event_id limit 20""",
+)
+
+# interval arithmetic on timestamps.
+query(
+    "interval_arith",
+    ("orders",),
+    """select o_orderkey,
+              o_orderdate + interval 30 day as due,
+              cast(o_orderdate - interval 1 hour as timestamp) as hour_before
+       from orders order by o_orderkey limit 20""",
+    oracle="""select o_orderkey,
+              o_orderdate + interval 30 day as due,
+              cast(o_orderdate - interval 1 hour as timestamp) as hour_before
+       from orders order by o_orderkey limit 20""",
+)
+
 query(
     "json_extract",
     ("events",),
