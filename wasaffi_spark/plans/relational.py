@@ -167,6 +167,30 @@ query(
        group by o_custkey having count(*) >= 5 order by o_custkey""",
 )
 
+# aggregation into collections: sorted for cross-engine determinism
+# (collect_list/list() order is execution-dependent in both engines).
+query(
+    "array_agg",
+    ("nation",),
+    """select n_regionkey,
+              sort_array(collect_list(n_name)) as names,
+              cast(size(collect_list(n_name)) as bigint) as n
+       from nation group by n_regionkey order by n_regionkey""",
+    oracle="""select n_regionkey,
+              list_sort(list(n_name)) as names,
+              cast(len(list(n_name)) as bigint) as n
+       from nation group by n_regionkey order by n_regionkey""",
+)
+
+query(
+    "string_agg",
+    ("region",),
+    """select listagg(r_name, ',') within group (order by r_name) as all_regions
+       from region""",
+    oracle="""select string_agg(r_name, ',' order by r_name) as all_regions
+       from region""",
+)
+
 query_no_oracle(
     "approx_distinct",
     ("orders",),
