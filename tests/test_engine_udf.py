@@ -193,6 +193,36 @@ def test_language_dispatch(spark):
     eng.sql("DROP FUNCTION h2")
 
 
+def test_arity_mismatch_rejected(engine):
+    # ≙ Signature::exact (udf.rs:54): extra/missing call-site arguments
+    # must error, never silently truncate.
+    create_f1(engine)
+    with pytest.raises(Exception, match=r"expects 2 arguments, got 3"):
+        engine.sql("select f1(2.0, 3.0, 99.0) as v").collect()
+    with pytest.raises(Exception, match=r"expects 2 arguments, got 1"):
+        engine.sql("select f1(2.0) as v").collect()
+
+
+def test_zero_arg_function_rejected_at_create(engine):
+    from wasaffi_spark.errors import FunctionDefinitionError
+
+    with pytest.raises(FunctionDefinitionError, match="no arguments"):
+        engine.sql(f"CREATE FUNCTION zf() RETURNS DOUBLE AS '{UDFS}!f1'")
+
+
+def test_uncovered_ddl_falls_through_to_spark(engine):
+    # qualified DROP FUNCTION isn't our grammar → must delegate to Spark
+    # (which raises its own analysis error), not FunctionDefinitionError
+    from wasaffi_spark.errors import FunctionDefinitionError
+
+    with pytest.raises(Exception) as ei:
+        engine.sql("DROP FUNCTION some_db.some_fn")
+    assert not isinstance(ei.value, FunctionDefinitionError)
+    # but a statement with our module!method marker still errors clearly
+    with pytest.raises(FunctionDefinitionError):
+        engine.sql("CREATE FUNCTION bad RETURNS DOUBLE AS 'mod.py!f'")
+
+
 def test_input_coercion(engine):
     # ≙ Signature::exact (udf.rs:54): integer call-site args are cast to
     # the declared DOUBLE before the guest sees them.

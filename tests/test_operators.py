@@ -104,6 +104,32 @@ def test_jaccard_pairs_exact(docs):
     assert (0, 2) not in pairs
 
 
+def test_quality_on_empty_doc(spark):
+    # ANSI mode: an empty text must yield NULL features, not DIVIDE_BY_ZERO
+    df = spark.createDataFrame(
+        [(1, "", "en", "s", 0), (2, "two words", "en", "s", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r.doc_id: r for r in text.with_quality(df).collect()}
+    # '' splits to [''] → n_tokens=1 (same as DuckDB); 0-char text makes
+    # space_ratio 0/0 → NULL instead of an ANSI error
+    assert rows[1].n_tokens == 1
+    assert rows[1].space_ratio is None
+    assert rows[1].avg_token_len == 0.0
+    assert rows[2].n_tokens == 2
+
+
+def test_cell_on_short_vector(spark):
+    # vectors shorter than SIGN_BITS dims must bucket, not crash
+    emb = spark.createDataFrame(
+        [(1, [1.0, -1.0]), (2, [1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cells = {r.vec_id: r.cell for r in similarity.with_cell(emb).collect()}
+    assert cells[1] == 1  # only dim 1 positive among present dims
+    assert cells[2] == 0b11111101
+
+
 def test_text_operators(docs, spark):
     out = text.with_quality(text.with_lang_guess(text.with_fingerprint(docs)))
     rows = {r.doc_id: r for r in out.collect()}

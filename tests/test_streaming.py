@@ -83,7 +83,9 @@ def test_sliding_stream_runs(spark, event_stream):
     # every event lands in 4 sliding windows (1h window, 15m slide):
     # total count across windows = 4 × events
     total = sum(r.cnt for r in rows)
-    n_events = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet")).count()
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    n_events = read_parquet(spark, os.path.join(SF_SMOKE, "events.parquet")).count()
     assert total == 4 * n_events
 
 

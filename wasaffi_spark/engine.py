@@ -20,6 +20,7 @@ including none — to the default factory for parity (SURVEY §2A).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -32,7 +33,7 @@ from .ddl import (
     is_function_ddl,
     parse_function_ddl,
 )
-from .errors import WasmFunctionError
+from .errors import FunctionDefinitionError, WasmFunctionError
 from .factory import FunctionFactory, PythonModuleFunctionFactory
 from .registry import FunctionRegistry
 from .udf_runtime import build_pandas_udf
@@ -88,7 +89,19 @@ class Engine:
         """≙ ``ctx.sql`` (lib.rs:192): intercept function DDL, else
         delegate to Spark SQL."""
         if is_function_ddl(query):
-            stmt = parse_function_ddl(query)
+            try:
+                stmt = parse_function_ddl(query)
+            except FunctionDefinitionError:
+                # Statements our mini-grammar doesn't cover (Hive-style
+                # CREATE FUNCTION ... AS 'class', qualified DROP
+                # FUNCTION db.fn, Spark-native CREATE EXTERNAL TABLE
+                # ...) delegate to Spark instead of hard-erroring —
+                # UNLESS the statement carries our 'module!method'
+                # definition marker, in which case the user meant engine
+                # DDL and deserves the parse error.
+                if re.search(r"AS\s+'[^']*![^']*'", query, re.IGNORECASE):
+                    raise
+                return self.spark.sql(query)
             if isinstance(stmt, CreateFunctionStmt):
                 return self._create_function(stmt)
             if isinstance(stmt, DropFunctionStmt):
@@ -108,6 +121,14 @@ class Engine:
     def _create_function(self, stmt: CreateFunctionStmt) -> DataFrame:
         """≙ ``WasmFunctionFactory::create`` dispatch + registration
         (lib.rs:33-64 → RegisterFunction::Scalar at lib.rs:63)."""
+        if not stmt.arg_types:
+            # a scalar pandas_udf needs at least one column; a zero-arg
+            # registration would die later with an opaque serializer
+            # error — reject clearly at CREATE time instead.
+            raise FunctionDefinitionError(
+                f"function {stmt.name!r} declares no arguments; the "
+                "vectorized runtime requires at least one"
+            )
         spec = self._factory_for(stmt.language).create(stmt)
         udf = build_pandas_udf(
             spec.module_path, spec.method, stmt.arg_types, stmt.return_type

@@ -10,6 +10,7 @@ bit-for-bit, not just structurally.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -116,6 +117,9 @@ register(
 # dedup: LSH candidate pairs + estimated jaccard
 
 
+_LAST_SIGS: list = []  # previous run's persisted signatures (see below)
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     # The signature frame feeds the band self-join (twice) and the
@@ -123,9 +127,18 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode+groupBy — the expensive stage — runs exactly once (lazy
     # persist would still recompute it concurrently for each join side
     # within the first job). The materialized frame is ~P×32 bytes per
-    # doc, far smaller than the corpus.
+    # doc, far smaller than the corpus. The returned (lazy) frame still
+    # references the cache, so it cannot be unpersisted here; instead
+    # each invocation evicts the PREVIOUS run's cache so repeated calls
+    # (bench, oracle sweeps) don't accumulate pinned storage memory.
+    while _LAST_SIGS:
+        try:
+            _LAST_SIGS.pop().unpersist()
+        except Exception:
+            pass
     sigs = dedup.minhash_signatures(docs).persist()
     sigs.count()
+    _LAST_SIGS.append(sigs)
     pairs = dedup.lsh_candidate_pairs(sigs)
     return dedup.minhash_jaccard_estimate(sigs, pairs).orderBy("id_a", "id_b")
 
@@ -510,7 +523,9 @@ def q_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     eng = Engine(spark)
     eng.load_tables(sf_dir, ("nation",))
-    out = tempfile.mkdtemp(prefix="wasaffi_copy_") + "/nation_out"
+    # fixed per-process path + overwrite mode: repeated runs reuse one
+    # directory instead of leaking a mkdtemp per invocation
+    out = os.path.join(tempfile.gettempdir(), "wasaffi_copy_roundtrip", "nation_out")
     eng.sql(f"COPY (select n_nationkey, n_name, n_regionkey from nation) TO '{out}'")
     eng.sql(
         f"CREATE EXTERNAL TABLE nation_roundtrip STORED AS PARQUET LOCATION '{out}'"
@@ -642,7 +657,7 @@ register(
     """with t as (
          select user_id, event_id, ts::timestamp as ts from events),
        flags as (
-         select user_id, ts,
+         select user_id, ts, event_id,
                 case when ts - lag(ts) over (partition by user_id
                        order by ts, event_id) > interval 30 minute
                      or lag(ts) over (partition by user_id
@@ -651,7 +666,8 @@ register(
          from t),
        sessions as (
          select user_id, ts,
-                sum(new_session) over (partition by user_id order by ts
+                sum(new_session) over (partition by user_id
+                  order by ts, event_id
                   rows between unbounded preceding and current row) as sid
          from flags)
        select user_id, min(ts) as session_start,

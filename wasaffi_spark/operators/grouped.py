@@ -39,8 +39,11 @@ def grouped_median(
 
     Scale: one shuffle on the key; a partition's groups must fit worker
     memory (same bound as any grouped aggregation's reduce side).
+    NULL group keys are excluded up front (defined behavior, documented
+    divergence from SQL GROUP BY, which keeps a NULL group).
     """
-    schema = f"{group_col} long, {out_col} double"
+    group_type = df.schema[group_col].dataType.simpleString()
+    schema = f"{group_col} {group_type}, {out_col} double"
     n = df.sparkSession.sparkContext.defaultParallelism
 
     def medians_of_partition(batches):
@@ -60,6 +63,7 @@ def grouped_median(
 
     return (
         df.select(group_col, value_col)
+        .where(F.col(group_col).isNotNull())
         .repartition(n, group_col)
         .mapInPandas(medians_of_partition, schema=schema)
     )

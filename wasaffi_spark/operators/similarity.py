@@ -49,8 +49,11 @@ def with_cell(df: DataFrame, vec_col: str = "embedding", bits: int = SIGN_BITS) 
     """Adds ``cell`` — the sign-pattern bucket of the first ``bits`` dims."""
     cell: Column = F.lit(0)
     for i in range(bits):
+        # try_element_at: a vector shorter than `bits` dims yields NULL
+        # (→ bit 0) instead of an ANSI index error, matching the SQL
+        # oracle's out-of-range semantics.
         cell = cell + F.when(
-            F.element_at(F.col(vec_col), i + 1) > 0, F.lit(2**i)
+            F.try_element_at(F.col(vec_col), F.lit(i + 1)) > 0, F.lit(2**i)
         ).otherwise(F.lit(0))
     return df.withColumn("cell", cell.cast("int"))
 

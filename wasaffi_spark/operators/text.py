@@ -40,14 +40,19 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_chars = F.length(text)
     no_space = F.length(F.regexp_replace(text, r"\s", ""))
     n_tokens = F.size(tokens(text_col))
-    avg_tok = no_space / n_tokens
+    # try_divide: Spark 4 runs ANSI mode by default, where n/0 raises —
+    # an empty document must yield NULL features (matching the SQL
+    # oracle's NULL semantics), not kill the job.
+    avg_tok = F.try_divide(no_space, n_tokens)
     score = (
         F.least(F.lit(1.0), n_tokens / F.lit(50.0)) * 0.5
         + F.least(F.lit(1.0), avg_tok / F.lit(8.0)) * 0.5
     )
     return (
         df.withColumn("n_tokens", n_tokens.cast("int"))
-        .withColumn("space_ratio", F.round((n_chars - no_space) / n_chars, 6))
+        .withColumn(
+            "space_ratio", F.round(F.try_divide(n_chars - no_space, n_chars), 6)
+        )
         .withColumn("avg_token_len", F.round(avg_tok, 6))
         .withColumn("quality_score", F.round(score, 6))
     )

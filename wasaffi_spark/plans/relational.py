@@ -417,7 +417,13 @@ query(
 query(
     "pivot",
     ("orders",),
-    """select * from (select o_orderpriority, o_orderstatus from orders)
+    # coalesce: Spark PIVOT yields NULL for absent combinations where
+    # conditional aggregation (the oracle) yields 0.
+    """select o_orderpriority,
+              coalesce(st_o, 0) as st_o,
+              coalesce(st_f, 0) as st_f,
+              coalesce(st_p, 0) as st_p
+       from (select o_orderpriority, o_orderstatus from orders)
        pivot (count(*) for o_orderstatus in ('O' as st_o, 'F' as st_f, 'P' as st_p))
        order by o_orderpriority""",
     oracle="""select o_orderpriority,

@@ -34,6 +34,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     ns_cols = _nano_timestamp_cols(path)
     if ns_cols:
+        # Deliberately left set for the SESSION lifetime (unlike the
+        # batch reader, which restores it): the streaming source re-reads
+        # files at every micro-batch, long after this function returns,
+        # and needs the conf live then. Side effect: later plain batch
+        # reads of nano-timestamp files in the same session see those
+        # columns as bigint — use sources.parquet.read_parquet, which
+        # normalizes either way.
         spark.conf.set(NANOS_AS_LONG, "true")
     schema = spark.read.parquet(path).schema
     # the streaming file source wants a directory: stream the sf_dir with

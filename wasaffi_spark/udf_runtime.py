@@ -192,7 +192,16 @@ def build_pandas_udf(
                     f"module {path!r} does not export a callable {method!r}"
                 )
 
-        # -- exact-signature coercion (≙ Signature::exact, udf.rs:54)
+        # -- exact-signature arity + coercion (≙ Signature::exact,
+        #    udf.rs:54). Spark does not arity-check Python UDF calls, so
+        #    a mismatched call would silently drop/miss arguments here;
+        #    the reference rejects it at plan time — we reject at the
+        #    first batch with a protocol-shaped error.
+        if len(cols) != len(arrow_arg_types):
+            raise RuntimeError(
+                f"[Wasm Invocation] function '{method}' expects "
+                f"{len(arrow_arg_types)} arguments, got {len(cols)}"
+            )
         arrays = []
         for s, at in zip(cols, arrow_arg_types):
             arr = _pa.Array.from_pandas(s)
