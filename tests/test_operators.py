@@ -130,6 +130,24 @@ def test_cell_on_short_vector(spark):
     assert cells[2] == 0b11111101
 
 
+def test_chunk_documents(spark):
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, words, "en", "s", len(words))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    chunks = text.chunk_documents(df, chunk_tokens=40, overlap=10).collect()
+    # step=30 → starts 0,30,60,90 → 4 chunks
+    assert [c.chunk_start for c in chunks] == [0, 30, 60, 90]
+    assert chunks[0].chunk_text.split()[:2] == ["w0", "w1"]
+    assert len(chunks[0].chunk_text.split()) == 40
+    assert len(chunks[-1].chunk_text.split()) == 10  # tail chunk shorter
+    # overlap lineage: chunk 1 starts 10 tokens before chunk 0 ends
+    assert chunks[1].chunk_text.split()[0] == "w30"
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
 def test_text_operators(docs, spark):
     out = text.with_quality(text.with_lang_guess(text.with_fingerprint(docs)))
     rows = {r.doc_id: r for r in out.collect()}

@@ -403,6 +403,70 @@ register(
 )
 
 
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    return text.chunk_documents(
+        docs, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    ).orderBy("doc_id", "chunk_id")
+
+
+_STEP = CHUNK_TOKENS - CHUNK_OVERLAP
+
+register(
+    "chunk_documents",
+    q_chunk_documents,
+    f"""with toks as (select doc_id, {_TOKS} as w from documents),
+        starts as (
+          select doc_id, w,
+                 unnest(generate_series(0, greatest(len(w) - 1, 0), {_STEP})) as s
+          from toks),
+        chunks as (
+          select doc_id,
+                 cast(s / {_STEP} as int) as chunk_id,
+                 cast(s as int) as chunk_start,
+                 array_to_string(w[s + 1 : s + {CHUNK_TOKENS}], ' ') as chunk_text
+          from starts)
+        select doc_id, chunk_id, chunk_start, chunk_text from chunks
+        where chunk_text <> ''
+        order by doc_id, chunk_id""",
+)
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics: top tokens by document+total
+    frequency (one explode + one groupBy — the word-count classic)."""
+    docs = _table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.col("doc_id"), F.explode(text.tokens("text")).alias("tok")
+    ).where(F.col("tok") != "")
+    return (
+        tok.groupBy("tok")
+        .agg(
+            F.count("*").alias("total_freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("total_freq"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+register(
+    "vocab_topk",
+    q_vocab_topk,
+    r"""with tok as (
+          select doc_id, unnest(string_split_regex(lower(text), '\s+')) as tok
+          from documents)
+        select tok, count(*) as total_freq,
+               count(distinct doc_id) as doc_freq
+        from tok where tok <> ''
+        group by tok order by total_freq desc, tok asc limit 20""",
+)
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     return text.with_fingerprint(docs).select("doc_id", "fingerprint").orderBy("doc_id")

@@ -72,6 +72,50 @@ def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_guess", expr)
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks with lineage.
+
+    The standard LLM-preprocessing shape: each chunk carries
+    (doc_id, chunk_id, chunk_start) so provenance survives downstream
+    dedup/embedding. Pure column expressions (sequence → transform →
+    explode), no shuffle — embarrassingly parallel over input rows, and
+    output size ∝ input tokens × (1 + overlap/(chunk−overlap)).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(text_col)
+    df = df.withColumn("_toks", toks)
+    n = F.size(F.col("_toks"))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / step).cast("int").alias("chunk_id"),
+            s.alias("chunk_start"),
+            F.concat_ws(" ", F.slice(F.col("_toks"), s + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    return (
+        df.withColumn("_c", F.explode(chunks))
+        .select(
+            F.col(id_col),
+            F.col("_c.chunk_id").alias("chunk_id"),
+            F.col("_c.chunk_start").cast("int").alias("chunk_start"),
+            F.col("_c.chunk_text").alias("chunk_text"),
+        )
+        .where(F.col("chunk_text") != "")
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds ``fingerprint`` — md5 over the sorted distinct token set.
 
