@@ -160,6 +160,28 @@ query(
        from orders group by o_orderpriority order by o_orderpriority""",
 )
 
+# correlation / covariance (the remaining SURVEY §2C agg row entries)
+query(
+    "agg_corr",
+    ("lineitem",),
+    """select l_returnflag,
+              round(corr(l_quantity, l_extendedprice), 6) as qp_corr,
+              round(covar_samp(l_quantity, l_discount), 6) as qd_covar,
+              count(*) as cnt
+       from lineitem group by l_returnflag order by l_returnflag""",
+)
+
+# fixed-width histogram via pure arithmetic (portable width_bucket)
+query(
+    "histogram",
+    ("orders",),
+    """select cast(floor(o_totalprice / 50000) as bigint) as bucket,
+              count(*) as cnt,
+              round(min(o_totalprice), 2) as lo,
+              round(max(o_totalprice), 2) as hi
+       from orders group by bucket order by bucket""",
+)
+
 query(
     "having",
     ("orders",),
