@@ -642,6 +642,115 @@ register(
 )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each error event, the latest purchase (ts + value) by the same
+    user at-or-before it — the as-of join Spark lacks natively, built as
+    the one-shuffle union+window composition (operators/temporal.py);
+    DuckDB's native ASOF JOIN is the oracle."""
+    from . import temporal
+
+    events = _table(spark, sf_dir, "events")
+    errors = events.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    joined = temporal.asof_join(
+        errors, purchases, on="user_id", ts_col="ts", right_value_cols=["pval"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_right").alias("purchase_ts"),
+        F.col("pval_right").alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+register(
+    "asof_join",
+    q_asof_join,
+    """with l as (
+         select event_id, user_id, ts::timestamp as ts
+         from events where event_type = 'error'),
+       r as (
+         select user_id, ts::timestamp as ts, max(value) as pval
+         from events where event_type = 'purchase' group by 1, 2)
+       select l.event_id, l.user_id, l.ts,
+              r.ts as purchase_ts, r.pval as purchase_value
+       from l asof left join r
+         on l.user_id = r.user_id and r.ts <= l.ts
+       order by l.event_id""",
+)
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors falling inside purchase sessions (30-min gap windows) per
+    user — a point-in-interval range join executed as a binned equi-join
+    (operators/temporal.py) instead of a nested-loop plan."""
+    from . import temporal
+
+    events = _table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase")
+    sessions = (
+        purchases.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "user_id", F.col("w.start").alias("start"), F.col("w.end").alias("end")
+        )
+    )
+    errors = events.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = temporal.range_join_binned(
+        errors, sessions, on="user_id", bin_seconds=3600
+    )
+    return (
+        joined.groupBy("user_id")
+        .agg(F.count("*").alias("n_errors_in_sessions"))
+        .orderBy("user_id")
+    )
+
+
+register(
+    "range_join",
+    q_range_join,
+    """with p as (
+         select user_id, ts::timestamp as ts, event_id
+         from events where event_type = 'purchase'),
+       flags as (
+         select user_id, ts, event_id,
+                case when ts - lag(ts) over (partition by user_id
+                       order by ts, event_id) > interval 30 minute
+                     or lag(ts) over (partition by user_id
+                       order by ts, event_id) is null
+                then 1 else 0 end as ns
+         from p),
+       s0 as (
+         select user_id, ts,
+                sum(ns) over (partition by user_id order by ts, event_id
+                  rows between unbounded preceding and current row) as sid
+         from flags),
+       sess as (
+         select user_id, min(ts) as s,
+                max(ts) + interval 30 minute as e
+         from s0 group by user_id, sid),
+       err as (
+         select user_id, ts::timestamp as ts
+         from events where event_type = 'error')
+       select err.user_id,
+              count(*) as n_errors_in_sessions
+       from err join sess
+         on err.user_id = sess.user_id and err.ts >= sess.s and err.ts <= sess.e
+       group by err.user_id order by err.user_id""",
+)
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup: day and day+hour
     aggregates in ONE pass via GROUPING SETS (Spark computes the partial

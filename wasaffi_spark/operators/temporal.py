@@ -1,0 +1,122 @@
+"""Temporal joins Spark lacks natively: as-of join and binned range join.
+
+Two of the classic "reference engines have it, Spark doesn't" operators
+(DuckDB ships ASOF JOIN; Flink has temporal joins). Both are built as
+compositions of existing DataFrame ops — no Python in the data path —
+using the standard scale patterns:
+
+- **as-of join** (latest right row with ``r.ts <= l.ts`` per key): the
+  union+window trick. Tag sides, union, sort within key by (ts, side),
+  carry the last right value forward with ``last(..., ignorenulls)``,
+  keep left rows. ONE shuffle on the key — same cost as a grouped
+  aggregation, versus the naive per-left-row subquery which is a
+  quadratic non-equi join.
+- **binned range join** (``l.ts BETWEEN r.start AND r.end``): bin both
+  sides into fixed time buckets, equi-join on (key, bucket) — intervals
+  explode into the buckets they overlap — then apply the exact range
+  predicate. Turns a BroadcastNestedLoop/cartesian plan into an
+  equi-join whose fan-out is interval_span/bin_width per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    right_value_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` within the same ``on`` key (left outer
+    semantics: unmatched left rows keep NULLs).
+
+    Ties on (key, ts): right rows sort before left rows at equal ts
+    (``<=`` semantics); multiple right rows at the exact same (key, ts)
+    are resolved by the later one in ``ts_col`` order with NULLs-last
+    determinism — pre-aggregate the right side if that matters.
+    """
+    if right_value_cols is None:
+        right_value_cols = [c for c in right.columns if c not in (on, ts_col)]
+    lcols = left.columns
+
+    l_tag = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_value_cols],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("_r_ts"),
+    )
+    r_tag = right.select(
+        F.col(on),
+        F.col(ts_col),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (on, ts_col)],
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
+        F.col(ts_col).alias("_r_ts"),
+    ).select(*[F.col(c) for c in l_tag.columns])  # align column order
+
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[F.col(c) for c in lcols],
+        F.col("_side"),
+        *[
+            F.last(F.when(F.col("_side") == 0, F.col(f"_r_{c}")), ignorenulls=True)
+            .over(w)
+            .alias(f"{c}{suffix}")
+            for c in right_value_cols
+        ],
+        F.last(F.when(F.col("_side") == 0, F.col("_r_ts")), ignorenulls=True)
+        .over(w)
+        .alias(f"{ts_col}{suffix}"),
+    )
+    return carried.where(F.col("_side") == 1).drop("_side")
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Join points to intervals containing them
+    (``start <= ts <= end``) per key, via time-bucket binning.
+
+    Each interval is exploded into every ``bin_seconds`` bucket it
+    overlaps; points carry their single bucket; the join is equi on
+    (key, bucket) followed by the exact predicate. Duplicate matches
+    from multi-bucket intervals are impossible: a point lives in one
+    bucket only.
+    """
+    p_bin = points.withColumn(
+        "_bin", F.floor(F.unix_timestamp(F.col(ts_col)) / bin_seconds)
+    )
+    i_bin = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / bin_seconds),
+                F.floor(F.unix_timestamp(F.col(end_col)) / bin_seconds),
+            )
+        ),
+    )
+    return (
+        p_bin.join(i_bin, [on, "_bin"])
+        .where(
+            (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("_bin")
+    )
