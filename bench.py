@@ -43,6 +43,9 @@ HEADLINE = [
     "grouped_median",
     "events_sessions",
     "events_rollup",
+    "asof_join",
+    "range_join",
+    "tfidf",
 ]
 
 

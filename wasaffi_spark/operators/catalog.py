@@ -467,6 +467,125 @@ register(
 )
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TF-IDF term per document (classic text weighting): one
+    explode + two aggregations + a broadcast of the tiny doc-frequency
+    side; idf = ln(N/df), deterministic tiebreak on term."""
+    from pyspark.sql.window import Window
+
+    docs = _table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar, driver-side (cheap count on the dim)
+    tok = docs.select(
+        F.col("doc_id"), F.explode(text.tokens("text")).alias("tok")
+    ).where(F.col("tok") != "")
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = tok.distinct().groupBy("tok").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "tok", "tfidf")
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "tfidf",
+    q_tfidf,
+    r"""with tok as (
+          select doc_id, unnest(string_split_regex(lower(text), '\s+')) as tok
+          from documents),
+        tokf as (select doc_id, tok from tok where tok <> ''),
+        tf as (select doc_id, tok, count(*) as tf from tokf group by 1, 2),
+        df as (select tok, count(distinct doc_id) as df from tokf group by 1),
+        n as (select count(*) as n_docs from documents),
+        scored as (
+          select doc_id, tok,
+                 round(tf * ln(n_docs / df), 6) as tfidf
+          from tf join df using (tok) cross join n),
+        ranked as (
+          select doc_id, tok, tfidf,
+                 row_number() over (partition by doc_id
+                                    order by tfidf desc, tok asc) as rn
+          from scored)
+        select doc_id, tok, tfidf from ranked where rn = 1
+        order by doc_id""",
+)
+
+
+WINNOW_WINDOW = 4  # k-gram hashes per winnowing window
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint (rolling-hash document signature): md5 each
+    k-word shingle, slide a window of W hashes per document, keep each
+    window's minimum — the classic plagiarism/near-dup signature with
+    positional locality (unlike the order-insensitive md5 fingerprint).
+    Output: distinct selected hashes per doc, count per doc."""
+    from pyspark.sql.window import Window
+
+    docs = _table(spark, sf_dir, "documents")
+    # positions must be deterministic: posexplode over the per-doc
+    # shingle-hash array (not explode + a synthetic id)
+    toks = text.tokens("text")
+    n = F.size(toks)
+    k = dedup.SHINGLE_K
+    df2 = docs.withColumn("_toks", toks).where(n >= k)
+    pos_sh = df2.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(F.col("_toks")) - k),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))),
+            )
+        ).alias("pos", "h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_WINDOW - 1)
+    )
+    selected = (
+        pos_sh.withColumn("win_min", F.min("h").over(w))
+        .select("doc_id", "win_min")
+        .distinct()
+    )
+    return (
+        selected.groupBy("doc_id")
+        .agg(F.count("*").alias("n_fingerprints"), F.min("win_min").alias("min_fp"))
+        .orderBy("doc_id")
+    )
+
+
+register(
+    "winnow_fingerprint",
+    q_winnow_fingerprint,
+    f"""with toks as (select doc_id, {_TOKS} as w from documents),
+        pos as (select doc_id, w,
+                       unnest(generate_series(1, len(w) - {SHINGLE_K - 1})) as i
+                from toks where len(w) >= {SHINGLE_K}),
+        sh as (select doc_id, i - 1 as pos,
+                      md5(array_to_string(w[i:i+{SHINGLE_K - 1}], ' ')) as h
+               from pos),
+        winmin as (
+          select doc_id,
+                 min(h) over (partition by doc_id order by pos
+                   rows between current row and {WINNOW_WINDOW - 1} following)
+                   as win_min
+          from sh),
+        sel as (select distinct doc_id, win_min from winmin)
+        select doc_id, count(*) as n_fingerprints, min(win_min) as min_fp
+        from sel group by doc_id order by doc_id""",
+)
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     return text.with_fingerprint(docs).select("doc_id", "fingerprint").orderBy("doc_id")
