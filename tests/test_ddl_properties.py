@@ -76,7 +76,9 @@ def test_split_definition_never_crashes_weirdly(s):
     try:
         module, method = split_definition(s)
         assert module and method
-        assert f"{module}!{method}" == s or "!" in method is False or True
+        # partition on the FIRST '!': parts always reconstruct the input
+        assert f"{module}!{method}" == s
+        assert "!" not in module
     except FunctionDefinitionError:
         pass
 

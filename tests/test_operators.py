@@ -137,11 +137,12 @@ def test_chunk_documents(spark):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     chunks = text.chunk_documents(df, chunk_tokens=40, overlap=10).collect()
-    # step=30 → starts 0,30,60,90 → 4 chunks
-    assert [c.chunk_start for c in chunks] == [0, 30, 60, 90]
+    # step=30 → starts 0,30,60; a start at 90 would be a strict suffix
+    # of the chunk at 60 (which already reaches token 100) — suppressed
+    assert [c.chunk_start for c in chunks] == [0, 30, 60]
     assert chunks[0].chunk_text.split()[:2] == ["w0", "w1"]
     assert len(chunks[0].chunk_text.split()) == 40
-    assert len(chunks[-1].chunk_text.split()) == 10  # tail chunk shorter
+    assert chunks[-1].chunk_text.split()[-1] == "w99"  # full coverage
     # overlap lineage: chunk 1 starts 10 tokens before chunk 0 ends
     assert chunks[1].chunk_text.split()[0] == "w30"
     with pytest.raises(ValueError):

@@ -51,6 +51,40 @@ def test_asof_join_semantics(trades_quotes):
     assert out.count() == trades.count()  # every left row survives
 
 
+def test_asof_row_atomicity_with_null_values(spark):
+    """The matched right row is carried whole: a NULL value in the
+    LATEST right row must stay NULL (not resurrect a stale value) —
+    DuckDB ASOF semantics."""
+    trades = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:10"), 1)], "user_id long, ts timestamp, event_id long"
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01 10:00:00"), 100.0),
+            (1, ts("2024-01-01 10:00:07"), None),  # latest has NULL px
+        ],
+        "user_id long, ts timestamp, px double",
+    )
+    [row] = temporal.asof_join(
+        trades, quotes, on="user_id", right_value_cols=["px"]
+    ).collect()
+    assert row.ts_right == ts("2024-01-01 10:00:07")
+    assert row.px_right is None  # NOT 100.0
+
+
+def test_asof_ignores_null_ts_right_rows(spark):
+    trades = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:10"), 1)], "user_id long, ts timestamp, event_id long"
+    )
+    quotes = spark.createDataFrame(
+        [(1, None, 999.0)], "user_id long, ts timestamp, px double"
+    )
+    [row] = temporal.asof_join(
+        trades, quotes, on="user_id", right_value_cols=["px"]
+    ).collect()
+    assert row.px_right is None and row.ts_right is None
+
+
 def test_range_join_binned_equals_naive(spark):
     import random
 

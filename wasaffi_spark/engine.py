@@ -94,12 +94,15 @@ class Engine:
             except FunctionDefinitionError:
                 # Statements our mini-grammar doesn't cover (Hive-style
                 # CREATE FUNCTION ... AS 'class', qualified DROP
-                # FUNCTION db.fn, Spark-native CREATE EXTERNAL TABLE
-                # ...) delegate to Spark instead of hard-erroring —
+                # FUNCTION db.fn, Hive-style CREATE EXTERNAL TABLE with
+                # column lists / other formats) delegate to Spark —
                 # UNLESS the statement carries our 'module!method'
-                # definition marker, in which case the user meant engine
-                # DDL and deserves the parse error.
+                # definition marker, or is a COPY (Spark cannot parse
+                # COPY at all, so our typed error beats its generic
+                # syntax error).
                 if re.search(r"AS\s+'[^']*![^']*'", query, re.IGNORECASE):
+                    raise
+                if re.match(r"^\s*COPY\s", query, re.IGNORECASE):
                     raise
                 return self.spark.sql(query)
             if isinstance(stmt, CreateFunctionStmt):

@@ -422,7 +422,8 @@ register(
     f"""with toks as (select doc_id, {_TOKS} as w from documents),
         starts as (
           select doc_id, w,
-                 unnest(generate_series(0, greatest(len(w) - 1, 0), {_STEP})) as s
+                 unnest(generate_series(0,
+                   greatest(len(w) - {CHUNK_OVERLAP} - 1, 0), {_STEP})) as s
           from toks),
         chunks as (
           select doc_id,
@@ -479,7 +480,9 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"), F.explode(text.tokens("text")).alias("tok")
     ).where(F.col("tok") != "")
     tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df_ = tok.distinct().groupBy("tok").agg(F.count("*").alias("df"))
+    # document frequency straight from tf (one row per (doc, tok)) —
+    # avoids a second explode pass plus a distinct shuffle
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
     scored = tf.join(F.broadcast(df_), "tok").select(
         "doc_id",
         "tok",
@@ -698,6 +701,8 @@ register(
 # ---------------------------------------------------------------------------
 # sink round trip: COPY TO + CREATE EXTERNAL TABLE through the engine DDL
 
+_COPY_DIR: str | None = None
+
 
 def q_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -706,9 +711,12 @@ def q_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     eng = Engine(spark)
     eng.load_tables(sf_dir, ("nation",))
-    # fixed per-process path + overwrite mode: repeated runs reuse one
-    # directory instead of leaking a mkdtemp per invocation
-    out = os.path.join(tempfile.gettempdir(), "wasaffi_copy_roundtrip", "nation_out")
+    # one mkdtemp per PROCESS (cached): collision-safe across concurrent
+    # drivers, no per-invocation leak within a process
+    global _COPY_DIR
+    if _COPY_DIR is None:
+        _COPY_DIR = tempfile.mkdtemp(prefix="wasaffi_copy_")
+    out = os.path.join(_COPY_DIR, "nation_out")
     eng.sql(f"COPY (select n_nationkey, n_name, n_regionkey from nation) TO '{out}'")
     eng.sql(
         f"CREATE EXTERNAL TABLE nation_roundtrip STORED AS PARQUET LOCATION '{out}'"

@@ -174,13 +174,12 @@ def ivf_topk(
     ]
     spark = queries.sparkSession
     cdf = spark.createDataFrame(centers, f"cell int, centroid array<double>")
+    # only the centroid frame (n_cells rows) is guaranteed tiny — the
+    # query side may be the whole corpus (all-pairs neardup), so it must
+    # NOT be broadcast; AQE picks the probe-join strategy.
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    qc = (
-        F.broadcast(q)
-        .crossJoin(F.broadcast(cdf))
-        .select(
-            "qid", "qv", "cell", cosine(F.col("qv"), F.col("centroid")).alias("csim")
-        )
+    qc = q.crossJoin(F.broadcast(cdf)).select(
+        "qid", "qv", "cell", cosine(F.col("qv"), F.col("centroid")).alias("csim")
     )
     w_cell = Window.partitionBy("qid").orderBy(F.col("csim").desc(), F.col("cell"))
     probes = (
@@ -190,8 +189,7 @@ def ivf_topk(
     )
 
     scored = (
-        F.broadcast(probes)
-        .join(c, ["cell"])
+        probes.join(c, ["cell"])
         .where(F.col("qid") != F.col("nid"))
         .select(
             "qid",

@@ -39,26 +39,46 @@ def asof_join(
 
     Ties on (key, ts): right rows sort before left rows at equal ts
     (``<=`` semantics); multiple right rows at the exact same (key, ts)
-    are resolved by the later one in ``ts_col`` order with NULLs-last
-    determinism — pre-aggregate the right side if that matters.
+    are resolved by the later one in union order — pre-aggregate the
+    right side if that matters.
+
+    Row atomicity: the matched right row is carried as ONE struct, so a
+    NULL value inside the latest right row stays NULL (per-column
+    carries would resurrect stale values from older rows — DuckDB ASOF
+    returns the whole row, and so do we). Right rows with NULL ``ts``
+    are dropped up front: they can never be "as of" anything.
     """
     if right_value_cols is None:
         right_value_cols = [c for c in right.columns if c not in (on, ts_col)]
     lcols = left.columns
+    right = right.where(F.col(ts_col).isNotNull())
 
+    r_struct_type = (
+        "struct<"
+        + ",".join(
+            [f"_ts:{right.schema[ts_col].dataType.simpleString()}"]
+            + [f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_value_cols]
+        )
+        + ">"
+    )
     l_tag = left.select(
         *lcols,
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_value_cols],
-        F.lit(None).cast(right.schema[ts_col].dataType).alias("_r_ts"),
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     r_tag = right.select(
         F.col(on),
         F.col(ts_col),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (on, ts_col)],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+            if c not in (on, ts_col)
+        ],
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
-        F.col(ts_col).alias("_r_ts"),
+        F.struct(
+            F.col(ts_col).alias("_ts"),
+            *[F.col(c) for c in right_value_cols],
+        ).alias("_r"),
     ).select(*[F.col(c) for c in l_tag.columns])  # align column order
 
     unioned = l_tag.unionByName(r_tag)
@@ -70,17 +90,18 @@ def asof_join(
     carried = unioned.select(
         *[F.col(c) for c in lcols],
         F.col("_side"),
-        *[
-            F.last(F.when(F.col("_side") == 0, F.col(f"_r_{c}")), ignorenulls=True)
-            .over(w)
-            .alias(f"{c}{suffix}")
-            for c in right_value_cols
-        ],
-        F.last(F.when(F.col("_side") == 0, F.col("_r_ts")), ignorenulls=True)
+        F.last(F.when(F.col("_side") == 0, F.col("_r")), ignorenulls=True)
         .over(w)
-        .alias(f"{ts_col}{suffix}"),
+        .alias("_m"),
     )
-    return carried.where(F.col("_side") == 1).drop("_side")
+    return (
+        carried.where(F.col("_side") == 1)
+        .select(
+            *[F.col(c) for c in lcols],
+            *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in right_value_cols],
+            F.col("_m._ts").alias(f"{ts_col}{suffix}"),
+        )
+    )
 
 
 def range_join_binned(

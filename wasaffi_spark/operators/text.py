@@ -93,7 +93,13 @@ def chunk_documents(
     toks = tokens(text_col)
     df = df.withColumn("_toks", toks)
     n = F.size(F.col("_toks"))
-    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    # last useful start: a chunk at s adds new content only while the
+    # previous chunk did not already reach the end of the document,
+    # i.e. s <= n - overlap - 1 — otherwise the tail chunk is a strict
+    # suffix of its predecessor (pure duplicate downstream cost).
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(step)
+    )
     chunks = F.transform(
         starts,
         lambda s: F.struct(
