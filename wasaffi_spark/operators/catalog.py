@@ -165,6 +165,53 @@ register(
 )
 
 
+# dedup: clusters = connected components over the LSH candidate graph
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the LSH candidate pairs: iterative
+    connected components (operators/graph.py); each doc in the graph is
+    labeled with the min doc_id of its component — the keep-one-per-
+    cluster step of a dedup pipeline."""
+    from . import graph
+
+    docs = _table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs).persist()
+    sigs.count()
+    try:
+        pairs = dedup.lsh_candidate_pairs(sigs)
+        comp = graph.connected_components(pairs)
+    finally:
+        sigs.unpersist()
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+    ).orderBy("doc_id")
+
+
+register(
+    "dedup_clusters",
+    q_dedup_clusters,
+    f"""with recursive {_SIG_CTE},
+        {_BUCKETS_CTE},
+        pairs as (
+          select distinct a.doc_id as id_a, b.doc_id as id_b
+          from buckets a join buckets b
+            on a.band = b.band and a.key = b.key and a.doc_id < b.doc_id),
+        edges as (
+          select id_a as a, id_b as b from pairs
+          union
+          select id_b as a, id_a as b from pairs),
+        reach(a, b) as (
+          select a, b from edges
+          union
+          select r.a, e.b from reach r join edges e on r.b = e.a),
+        comp as (
+          select a as doc_id, least(a, min(b)) as component_id
+          from reach group by a)
+        select doc_id, component_id from comp order by doc_id""",
+)
+
+
 # dedup: SimHash
 
 
