@@ -696,6 +696,79 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# deterministic train/val/test split (hash-bernoulli — reproducible
+# across runs, engines, and cluster sizes, unlike TABLESAMPLE/rand)
+
+SPLIT_SEED = "split-v1"
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.concat(F.lit(SPLIT_SEED), F.col("doc_id"))), 1, 4), 16, 10).cast("int") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("split")
+    )
+
+
+register(
+    "train_split",
+    q_train_split,
+    f"""with b as (
+         select doc_id,
+                cast(('0x' || substr(md5('{SPLIT_SEED}' || doc_id), 1, 4))::int
+                     as int) % 100 as bucket
+         from documents)
+       select case when bucket < 80 then 'train'
+                   when bucket < 90 then 'val'
+                   else 'test' end as split,
+              count(*) as cnt
+       from b group by split order by split""",
+)
+
+
+# embedding quantization: per-vector int8 (symmetric max-abs scaling) —
+# the storage-scale companion to similarity search (4x smaller vectors)
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    max_abs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    q = F.transform(
+        vec,
+        lambda x: F.round(x.cast("double") * 127.0 / max_abs).cast("int"),
+    )
+    return emb.select(
+        "vec_id",
+        F.round(max_abs, 6).alias("scale_max"),
+        q.alias("q8"),
+    ).orderBy("vec_id").limit(50)
+
+
+register(
+    "quantize_embeddings",
+    q_quantize_embeddings,
+    """with v as (
+         select vec_id, embedding::DOUBLE[] as e from embeddings),
+       m as (
+         select vec_id, e,
+                (select max(abs(x)) from unnest(e) as t(x)) as max_abs
+         from v)
+       select vec_id,
+              round(max_abs, 6) as scale_max,
+              list_transform(e, x -> cast(round(x * 127.0 / max_abs) as int))
+                as q8
+       from m order by vec_id limit 50""",
+)
+
+
+# ---------------------------------------------------------------------------
 # UDAF-equivalent (applyInPandas) and UDTF
 
 
