@@ -90,6 +90,21 @@ def test_sliding_stream_runs(spark, event_stream):
 
 
 @needs_data
+def test_dedup_stream(spark, event_stream):
+    # the fixture file has unique event_ids; duplicate the stream by
+    # unioning it with itself → dedup must restore the original count
+    doubled = event_stream.union(event_stream)
+    stream_ops.run_to_memory(
+        stream_ops.dedup_stream(doubled), "dedup_test", output_mode="append"
+    )
+    n = spark.table("dedup_test").count()
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    expected = read_parquet(spark, os.path.join(SF_SMOKE, "events.parquet")).count()
+    assert n == expected
+
+
+@needs_data
 def test_stateful_user_stats(spark, event_stream):
     stream_ops.run_to_memory(
         stream_ops.stateful_user_stats(event_stream),

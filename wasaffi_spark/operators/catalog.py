@@ -696,6 +696,67 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# flagship composition: the full training-set pipeline, oracle-checked
+# end-to-end (ingest → dedup → quality filter → chunk → split)
+
+
+def q_pipeline_train_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import pipeline
+
+    docs = _table(spark, sf_dir, "documents")
+    out = pipeline.training_set(docs, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP)
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("split")
+    )
+
+
+register(
+    "pipeline_train_set",
+    q_pipeline_train_set,
+    f"""with kept_ids as (
+          select min(doc_id) as doc_id from documents group by md5(text)),
+        quality as (
+          select d.doc_id, d.text,
+                 length(d.text) as n_chars,
+                 length(regexp_replace(d.text, '\\s', '', 'g')) as no_space,
+                 len({_TOKS.replace('text', 'd.text')}) as n_tokens
+          from documents d join kept_ids using (doc_id)),
+        kept as (
+          select doc_id, text from quality
+          where round(least(1.0, n_tokens / 50.0) * 0.5
+                + least(1.0, (no_space / n_tokens) / 8.0) * 0.5, 6)
+                >= {0.5}),
+        toks as (select doc_id, {_TOKS} as w from kept),
+        starts as (
+          select doc_id, w,
+                 unnest(generate_series(0,
+                   greatest(len(w) - {CHUNK_OVERLAP} - 1, 0), {_STEP})) as s
+          from toks),
+        chunks as (
+          select doc_id,
+                 array_to_string(w[s + 1 : s + {CHUNK_TOKENS}], ' ') as chunk_text
+          from starts),
+        chunksf as (select * from chunks where chunk_text <> ''),
+        assigned as (
+          select doc_id,
+                 case when cast(('0x' || substr(md5('split-v1' || doc_id), 1, 4))::int
+                          as int) % 100 < 80 then 'train'
+                      when cast(('0x' || substr(md5('split-v1' || doc_id), 1, 4))::int
+                          as int) % 100 < 90 then 'val'
+                      else 'test' end as split
+          from chunksf)
+        select split, count(*) as n_chunks,
+               count(distinct doc_id) as n_docs
+        from assigned group by split order by split""",
+)
+
+
+# ---------------------------------------------------------------------------
 # deterministic train/val/test split (hash-bernoulli — reproducible
 # across runs, engines, and cluster sizes, unlike TABLESAMPLE/rand)
 
@@ -729,6 +790,29 @@ register(
                    else 'test' end as split,
               count(*) as cnt
        from b group by split order by split""",
+)
+
+
+def q_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _table(spark, sf_dir, "embeddings")
+    return (
+        similarity.normalize_embeddings(emb)
+        .select("vec_id", "unit_vec")
+        .orderBy("vec_id")
+        .limit(50)
+    )
+
+
+register(
+    "normalize_embeddings",
+    q_normalize_embeddings,
+    """with v as (select vec_id, embedding::DOUBLE[] as e from embeddings)
+       select vec_id,
+              case when list_dot_product(e, e) > 0
+                   then list_transform(e,
+                        x -> round(x / sqrt(list_dot_product(e, e)), 6))
+              end as unit_vec
+       from v order by vec_id limit 50""",
 )
 
 

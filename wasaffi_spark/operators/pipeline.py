@@ -1,0 +1,50 @@
+"""End-to-end training-set pipeline: the engine's purpose in one call.
+
+Composes the catalog operators into the canonical LLM data-prep flow:
+
+    ingest → exact dedup → quality filter → chunk → deterministic split
+
+Every stage is a reusable operator from this package; the composition is
+itself a single declarative plan (Catalyst fuses the stages — one
+shuffle for the dedup semi-join, none for quality/chunk/split), and the
+whole pipeline remains SQL-expressible, so the DuckDB oracle checks the
+composed result end-to-end, not just the stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup, text
+
+QUALITY_THRESHOLD = 0.5
+
+
+def training_set(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    quality_threshold: float = QUALITY_THRESHOLD,
+    split_seed: str = "split-v1",
+) -> DataFrame:
+    """Documents → deduped, quality-filtered, chunked, split corpus.
+
+    Returns one row per chunk: (doc_id, chunk_id, chunk_text, split).
+    """
+    deduped = dedup.exact_dedup(docs)
+    scored = text.with_quality(deduped)
+    kept = scored.where(F.col("quality_score") >= quality_threshold)
+    chunks = text.chunk_documents(kept, chunk_tokens=chunk_tokens, overlap=overlap)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(split_seed), F.col("doc_id"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 100
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    return chunks.withColumn("split", split)

@@ -58,6 +58,21 @@ def with_cell(df: DataFrame, vec_col: str = "embedding", bits: int = SIGN_BITS) 
     return df.withColumn("cell", cell.cast("int"))
 
 
+def normalize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "unit_vec"
+) -> DataFrame:
+    """L2-normalize vectors once so downstream similarity is a plain dot
+    product — the standard precompute that removes per-pair norm work
+    from every subsequent ANN/near-dup pass. Zero vectors yield NULL.
+    """
+    v = F.col(vec_col)
+    nrm = _norm(v)
+    unit = F.when(
+        nrm > 0, F.transform(v, lambda x: F.round(x.cast("double") / nrm, 6))
+    )
+    return df.withColumn(out_col, unit)
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,

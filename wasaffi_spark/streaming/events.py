@@ -148,6 +148,16 @@ def stateful_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state store by
+    event time (the unbounded-state trap of plain dropDuplicates on an
+    infinite stream). The streaming twin of exact corpus dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Execute a streaming frame with an availableNow trigger into an
     in-memory table; returns after the stream drains."""
