@@ -744,10 +744,8 @@ register(
         chunksf as (select * from chunks where chunk_text <> ''),
         assigned as (
           select doc_id,
-                 case when cast(('0x' || substr(md5('split-v1' || doc_id), 1, 4))::int
-                          as int) % 100 < 80 then 'train'
-                      when cast(('0x' || substr(md5('split-v1' || doc_id), 1, 4))::int
-                          as int) % 100 < 90 then 'val'
+                 case when {{BUCKET}} < 80 then 'train'
+                      when {{BUCKET}} < 90 then 'val'
                       else 'test' end as split
           from chunksf)
         select split, count(*) as n_chunks,
@@ -758,19 +756,26 @@ register(
 
 # ---------------------------------------------------------------------------
 # deterministic train/val/test split (hash-bernoulli — reproducible
-# across runs, engines, and cluster sizes, unlike TABLESAMPLE/rand)
+# across runs, engines, and cluster sizes, unlike TABLESAMPLE/rand);
+# the bucket expression and seed live in operators.pipeline and are
+# interpolated into every oracle that uses them.
 
-SPLIT_SEED = "split-v1"
+from .pipeline import SPLIT_SEED, split_label  # noqa: E402
+
+_ORACLE_BUCKET = (
+    f"cast(('0x' || substr(md5('{SPLIT_SEED}' || doc_id), 1, 4))::int as int) % 100"
+)
+
+# the pipeline oracle (registered above) uses the same bucket expression
+ORACLE["pipeline_train_set"] = ORACLE["pipeline_train_set"].replace(
+    "{BUCKET}", _ORACLE_BUCKET
+)
 
 
 def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5(F.concat(F.lit(SPLIT_SEED), F.col("doc_id"))), 1, 4), 16, 10).cast("int") % 100
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    )
     return (
-        docs.select("doc_id", split.alias("split"))
+        docs.select("doc_id", split_label("doc_id").alias("split"))
         .groupBy("split")
         .agg(F.count("*").alias("cnt"))
         .orderBy("split")
@@ -781,10 +786,7 @@ register(
     "train_split",
     q_train_split,
     f"""with b as (
-         select doc_id,
-                cast(('0x' || substr(md5('{SPLIT_SEED}' || doc_id), 1, 4))::int
-                     as int) % 100 as bucket
-         from documents)
+         select doc_id, {_ORACLE_BUCKET} as bucket from documents)
        select case when bucket < 80 then 'train'
                    when bucket < 90 then 'val'
                    else 'test' end as split,
@@ -823,10 +825,18 @@ register(
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _table(spark, sf_dir, "embeddings")
     vec = F.col("embedding")
-    max_abs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
-    q = F.transform(
-        vec,
-        lambda x: F.round(x.cast("double") * 127.0 / max_abs).cast("int"),
+    # hoist max_abs into a column (one pass, not re-evaluated per
+    # element) and guard the zero vector: ANSI mode would otherwise
+    # raise DIVIDE_BY_ZERO, where the oracle yields NULL.
+    emb = emb.withColumn(
+        "_max_abs", F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    )
+    max_abs = F.col("_max_abs")
+    q = F.when(
+        max_abs > 0,
+        F.transform(
+            vec, lambda x: F.round(x.cast("double") * 127.0 / max_abs).cast("int")
+        ),
     )
     return emb.select(
         "vec_id",
@@ -846,8 +856,10 @@ register(
          from v)
        select vec_id,
               round(max_abs, 6) as scale_max,
-              list_transform(e, x -> cast(round(x * 127.0 / max_abs) as int))
-                as q8
+              case when max_abs > 0
+                   then list_transform(e,
+                        x -> cast(round(x * 127.0 / max_abs) as int))
+              end as q8
        from m order by vec_id limit 50""",
 )
 

@@ -29,12 +29,18 @@ def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
-    max_iterations: int = 25,
+    max_iterations: int = 50,
 ) -> DataFrame:
     """Label-propagation components over an undirected edge list.
 
     Returns ``(node, component)`` for every node appearing in an edge,
     where ``component`` is the minimum node id in the node's component.
+
+    Convergence is detected from one cheap aggregate per round: labels
+    are monotonically non-increasing under min-propagation, so the label
+    sum is strictly decreasing until the fixpoint — no per-round
+    join+count needed. Raises if ``max_iterations`` is hit before the
+    fixpoint (silently-partial components would corrupt dedup clusters).
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(
@@ -44,7 +50,9 @@ def connected_components(
     sym.count()  # materialize once; reused every iteration
 
     labels = sym.select("a").distinct().withColumn("label", F.col("a"))
+    converged = False
     try:
+        prev_sum = None
         for _ in range(max_iterations):
             msgs = sym.join(labels, on="a").select(
                 F.col("b").alias("a"), F.col("label")
@@ -53,15 +61,19 @@ def connected_components(
                 labels.unionByName(msgs).groupBy("a").agg(F.min("label").alias("label"))
             )
             new_labels = new_labels.localCheckpoint(eager=True)
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), on="a")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            [row] = new_labels.select(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()
             labels = new_labels
-            if changed == 0:
+            if row["s"] == prev_sum:
+                converged = True
                 break
+            prev_sum = row["s"]
     finally:
         sym.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations; raise max_iterations (graph diameter exceeds the cap)"
+        )
     return labels.select(F.col("a").alias("node"), F.col("label").alias("component"))

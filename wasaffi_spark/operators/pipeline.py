@@ -16,9 +16,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
 from . import dedup, text
 
 QUALITY_THRESHOLD = 0.5
+SPLIT_SEED = "split-v1"
+
+
+def split_bucket(id_col: str = "doc_id", seed: str = SPLIT_SEED) -> Column:
+    """Deterministic 0-99 bucket from md5(seed || id) — THE shared
+    hash-bernoulli split expression (also interpolated into the DuckDB
+    oracles; change it in lockstep)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col))), 1, 4), 16, 10
+        ).cast("int")
+        % 100
+    )
+
+
+def split_label(id_col: str = "doc_id", seed: str = SPLIT_SEED) -> Column:
+    b = split_bucket(id_col, seed)
+    return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
 
 
 def training_set(
@@ -26,7 +46,7 @@ def training_set(
     chunk_tokens: int = 32,
     overlap: int = 8,
     quality_threshold: float = QUALITY_THRESHOLD,
-    split_seed: str = "split-v1",
+    split_seed: str = SPLIT_SEED,
 ) -> DataFrame:
     """Documents → deduped, quality-filtered, chunked, split corpus.
 
@@ -36,15 +56,4 @@ def training_set(
     scored = text.with_quality(deduped)
     kept = scored.where(F.col("quality_score") >= quality_threshold)
     chunks = text.chunk_documents(kept, chunk_tokens=chunk_tokens, overlap=overlap)
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(split_seed), F.col("doc_id"))), 1, 4
-            ),
-            16,
-            10,
-        ).cast("int")
-        % 100
-    )
-    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
-    return chunks.withColumn("split", split)
+    return chunks.withColumn("split", split_label("doc_id", split_seed))

@@ -39,8 +39,8 @@ def asof_join(
 
     Ties on (key, ts): right rows sort before left rows at equal ts
     (``<=`` semantics); multiple right rows at the exact same (key, ts)
-    are resolved by the later one in union order — pre-aggregate the
-    right side if that matters.
+    resolve deterministically to the greatest row struct (value-wise) —
+    pre-aggregate the right side if different semantics are needed.
 
     Row atomicity: the matched right row is carried as ONE struct, so a
     NULL value inside the latest right row stays NULL (per-column
@@ -48,18 +48,20 @@ def asof_join(
     returns the whole row, and so do we). Right rows with NULL ``ts``
     are dropped up front: they can never be "as of" anything.
     """
+    from pyspark.sql import types as T
+
     if right_value_cols is None:
         right_value_cols = [c for c in right.columns if c not in (on, ts_col)]
+    if "_asof_ts" in right_value_cols:
+        raise ValueError("right_value_cols may not contain the reserved name '_asof_ts'")
     lcols = left.columns
     right = right.where(F.col(ts_col).isNotNull())
 
-    r_struct_type = (
-        "struct<"
-        + ",".join(
-            [f"_ts:{right.schema[ts_col].dataType.simpleString()}"]
-            + [f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_value_cols]
-        )
-        + ">"
+    # build the struct type programmatically — DDL-string concatenation
+    # breaks on non-identifier column names (spaces, reserved words)
+    r_struct_type = T.StructType(
+        [T.StructField("_asof_ts", right.schema[ts_col].dataType)]
+        + [T.StructField(c, right.schema[c].dataType) for c in right_value_cols]
     )
     l_tag = left.select(
         *lcols,
@@ -76,15 +78,17 @@ def asof_join(
         ],
         F.lit(0).alias("_side"),
         F.struct(
-            F.col(ts_col).alias("_ts"),
+            F.col(ts_col).alias("_asof_ts"),
             *[F.col(c) for c in right_value_cols],
         ).alias("_r"),
     ).select(*[F.col(c) for c in l_tag.columns])  # align column order
 
     unioned = l_tag.unionByName(r_tag)
+    # _r in the ordering: deterministic tiebreak among right rows that
+    # share the exact same (key, ts) — window sorts are not stable
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_r").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -98,8 +102,8 @@ def asof_join(
         carried.where(F.col("_side") == 1)
         .select(
             *[F.col(c) for c in lcols],
-            *[F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in right_value_cols],
-            F.col("_m._ts").alias(f"{ts_col}{suffix}"),
+            *[F.col("_m").getField(c).alias(f"{c}{suffix}") for c in right_value_cols],
+            F.col("_m._asof_ts").alias(f"{ts_col}{suffix}"),
         )
     )
 
