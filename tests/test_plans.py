@@ -73,6 +73,22 @@ def test_ann_broadcasts_query_side(spark):
 
 
 @needs_data
+def test_tfidf_no_unconditional_vocab_broadcast(spark):
+    """The doc-frequency side is O(vocabulary) — it must not carry a
+    broadcast hint (VERDICT r1 #3). The tok-join is left to AQE: small
+    vocab → runtime broadcast, huge vocab → shuffled join. The only
+    static broadcast allowed is the 1-row corpus-count cross join."""
+    from wasaffi_spark.operators.catalog import QUERIES as OPQ
+
+    df = OPQ["tfidf"](spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed  # no forced broadcast anywhere
+    # and the corpus count is in-plan (an Aggregate under a Join), not a
+    # driver-side literal
+    assert "count(1)" in analyzed
+
+
+@needs_data
 def test_codegen_present(spark):
     df = relational.QUERIES["agg_pricing"](spark, SF_SMOKE)
     df.collect()  # AQE: codegen ids only appear in the finalized plan

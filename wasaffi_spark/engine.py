@@ -151,7 +151,23 @@ class Engine:
         try:
             self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {stmt.name}")
         except Exception:
-            pass  # session-registry cleanup is best-effort across Spark versions
+            # Session-registry cleanup paths differ across Spark versions.
+            # If the UDF is still resolvable from SQL, registry state and
+            # session state have diverged — surface it instead of letting
+            # function_names() silently disagree with what SQL can call.
+            import logging
+
+            still_there = False
+            try:
+                still_there = self.spark.catalog.functionExists(stmt.name)
+            except Exception:
+                pass
+            if still_there:
+                logging.getLogger(__name__).warning(
+                    "DROP FUNCTION %s: session cleanup failed; the UDF "
+                    "remains callable from SQL until the session ends",
+                    stmt.name,
+                )
         return self._empty_result()
 
     def _create_external_table(self, stmt: CreateExternalTableStmt) -> DataFrame:

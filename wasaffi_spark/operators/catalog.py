@@ -517,12 +517,22 @@ register(
 
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top TF-IDF term per document (classic text weighting): one
-    explode + two aggregations + a broadcast of the tiny doc-frequency
-    side; idf = ln(N/df), deterministic tiebreak on term."""
+    explode + two aggregations; idf = ln(N/df), deterministic tiebreak
+    on term.
+
+    Scale: the doc-frequency frame has one row per DISTINCT token —
+    O(vocabulary), which at 100 TB runs 10⁸–10⁹ rows. It must NOT carry
+    an unconditional broadcast hint (a guaranteed driver/executor OOM at
+    that size); the tok-join is left to AQE, which broadcasts only when
+    the measured size is under the threshold and otherwise runs a plain
+    shuffled join on ``tok`` — correct at any vocabulary size. The
+    corpus size N likewise stays IN the plan (1-row aggregate,
+    cross-joined; Spark broadcasts the single row) instead of a
+    driver-side ``.count()`` action during query construction."""
     from pyspark.sql.window import Window
 
     docs = _table(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar, driver-side (cheap count on the dim)
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
     tok = docs.select(
         F.col("doc_id"), F.explode(text.tokens("text")).alias("tok")
     ).where(F.col("tok") != "")
@@ -530,10 +540,10 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # document frequency straight from tf (one row per (doc, tok)) —
     # avoids a second explode pass plus a distinct shuffle
     df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(df_), "tok").select(
+    scored = tf.join(df_, "tok").crossJoin(n_docs).select(
         "doc_id",
         "tok",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+        F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
             "tfidf"
         ),
     )

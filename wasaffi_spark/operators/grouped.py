@@ -24,48 +24,71 @@ from pyspark.sql import functions as F
 
 
 def grouped_median(
-    df: DataFrame, group_col: str, value_col: str, out_col: str = "median"
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    out_col: str = "median",
+    num_partitions: int | None = None,
+    rows_per_partition: int = 4_000_000,
 ) -> DataFrame:
-    """Exact per-group median: hash-repartition on the key, then ONE
-    vectorized pandas ``groupby().quantile()`` per partition via
-    ``mapInPandas``.
+    """Exact per-group median: hash-repartition on the key, then one
+    ``mapInPandas`` pass that accumulates only ``(key, value)`` pairs
+    per batch and computes each group's median once at partition end.
 
     ``applyInPandas`` would invoke Python once per GROUP — measured 10×
     slower with many small groups (one pandas frame + one call per
     customer). Repartitioning on the key gives the same co-location
-    guarantee with per-partition call granularity; pandas' linear
+    guarantee with per-partition call granularity; numpy's linear
     interpolation matches ANSI ``percentile_cont(0.5)`` (the DuckDB
     oracle) exactly. The function is closure-inlined → shipped by value.
 
-    Scale: one shuffle on the key; a partition's groups must fit worker
-    memory (same bound as any grouped aggregation's reduce side).
+    Scale: one shuffle on the key. Per-worker memory is bounded two
+    ways: (1) the input is projected to the two relevant columns before
+    the shuffle, and the pandas side holds only per-group numpy value
+    chunks — never a concatenated copy of the whole partition's frame;
+    (2) the partition count is data-proportional — ``max(cores, rows /
+    rows_per_partition)`` via a cheap two-column count — so a partition
+    holds ~``rows_per_partition`` values (~64 MB of doubles at the 4M
+    default) no matter how large the table is. Pass ``num_partitions``
+    to skip the count job. The residual bound is the largest single
+    GROUP (exact median inherently needs a group's values together —
+    that's the same bound as Spark's own ``percentile``; use
+    ``percentile_approx`` when single keys exceed worker memory).
     NULL group keys are excluded up front (defined behavior, documented
-    divergence from SQL GROUP BY, which keeps a NULL group).
+    divergence from SQL GROUP BY, which keeps a NULL group); NULL values
+    are ignored per ``percentile_cont`` semantics, and a group whose
+    values are ALL NULL is omitted from the output.
     """
     group_type = df.schema[group_col].dataType.simpleString()
     schema = f"{group_col} {group_type}, {out_col} double"
-    n = df.sparkSession.sparkContext.defaultParallelism
+    proj = df.select(group_col, value_col).where(F.col(group_col).isNotNull())
+    if num_partitions is None:
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        n_rows = proj.count()  # 2-column count: cheap, data-proportional sizing
+        num_partitions = max(cores, -(-n_rows // rows_per_partition))
 
     def medians_of_partition(batches):
+        import numpy as np
         import pandas as pd
 
-        frames = list(batches)
-        if not frames:
+        chunks: dict = {}
+        for pdf in batches:
+            # percentile_cont ignores NULL values — drop them per batch
+            for key, vals in pdf.groupby(group_col, sort=False)[value_col]:
+                arr = vals.dropna().to_numpy()
+                if len(arr):
+                    chunks.setdefault(key, []).append(arr)
+        if not chunks:
             return
-        pdf = pd.concat(frames, ignore_index=True)
-        med = (
-            pdf.groupby(group_col)[value_col]
-            .quantile(0.5, interpolation="linear")
-            .reset_index()
-            .rename(columns={value_col: out_col})
-        )
-        yield med
+        keys = list(chunks)
+        meds = [
+            float(np.median(np.concatenate(chunks[k]) if len(chunks[k]) > 1 else chunks[k][0]))
+            for k in keys
+        ]
+        yield pd.DataFrame({group_col: keys, out_col: meds})
 
-    return (
-        df.select(group_col, value_col)
-        .where(F.col(group_col).isNotNull())
-        .repartition(n, group_col)
-        .mapInPandas(medians_of_partition, schema=schema)
+    return proj.repartition(num_partitions, group_col).mapInPandas(
+        medians_of_partition, schema=schema
     )
 
 

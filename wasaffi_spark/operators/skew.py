@@ -7,11 +7,14 @@ salting remains the tool when the skewed side feeds an *aggregation* or
 when the small side is replicable.
 
 ``salted_join`` is semantically identical to a plain equi-join: the big
-side gets a deterministic salt ``pmod(hash(key-cols…), n_salts)`` and the
-small side is replicated n_salts times (explode of a literal range), so
-every (key, salt) pair finds its match. The big side's shuffle spreads a
-hot key over n_salts partitions; the small side grows ×n_salts — choose
-n_salts ≈ (hot-key rows / target partition rows).
+side gets a **row-level** salt (hash of the key columns *plus* a per-row
+id, pmod n_salts) and the small side is replicated n_salts times (explode
+of a literal range), so every (key, salt) pair finds its match. The salt
+must NOT be a function of the key alone — a hot key hashed by itself
+lands every one of its rows on one salt value, defeating the spread; the
+per-row component is what scatters a single hot key across n_salts
+shuffle partitions. The small side grows ×n_salts — choose n_salts ≈
+(hot-key rows / target partition rows).
 """
 
 from __future__ import annotations

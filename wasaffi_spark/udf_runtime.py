@@ -202,12 +202,22 @@ def build_pandas_udf(
                 f"[Wasm Invocation] function '{method}' expects "
                 f"{len(arrow_arg_types)} arguments, got {len(cols)}"
             )
-        arrays = []
-        for s, at in zip(cols, arrow_arg_types):
-            arr = _pa.Array.from_pandas(s)
-            if at is not None and arr.type != at:
-                arr = arr.cast(at)
-            arrays.append(arr)
+        # Argument coercion sits inside the error protocol: a cast
+        # failure (overflow / invalid value vs the declared type) is an
+        # invocation-path error in the reference too (the analyzer's
+        # inserted cast fails at execution, udf.rs:95-113), so it must
+        # surface protocol-shaped, not as a raw ArrowInvalid.
+        try:
+            arrays = []
+            for s, at in zip(cols, arrow_arg_types):
+                arr = _pa.Array.from_pandas(s)
+                if at is not None and arr.type != at:
+                    arr = arr.cast(at)
+                arrays.append(arr)
+        except Exception as e:
+            raise RuntimeError(
+                f"[Wasm Invocation] argument cast to declared type failed: {e}"
+            ) from e
 
         # -- guest call + error protocol (≙ udf.rs:92-113)
         try:
@@ -221,11 +231,18 @@ def build_pandas_udf(
             raise RuntimeError(
                 f"[Wasm Invocation Panic] {str(e) or type(e).__name__}"
             ) from e
-        if not isinstance(result, (_pa.Array, _pa.ChunkedArray)):
-            result = _pa.array(result)
-        if result.type != arrow_ret:
-            result = result.cast(arrow_ret)
-        return result.to_pandas()
+        # Result cast likewise: declared-return-type mismatch is part of
+        # the invoke contract, not an anonymous Arrow error.
+        try:
+            if not isinstance(result, (_pa.Array, _pa.ChunkedArray)):
+                result = _pa.array(result)
+            if result.type != arrow_ret:
+                result = result.cast(arrow_ret)
+            return result.to_pandas()
+        except Exception as e:
+            raise RuntimeError(
+                f"[Wasm Invocation] result cast to declared return type failed: {e}"
+            ) from e
 
     udf = pandas_udf(_invoke, returnType=return_type)
     return udf.asNondeterministic()

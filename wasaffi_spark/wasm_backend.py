@@ -69,8 +69,22 @@ class WasmModule:
         self.store = wasmtime.Store(self.engine)
         self.instance = wasmtime.Instance(self.store, self.module, [])
         exports = self.instance.exports(self.store)
-        self._memory = exports["memory"]
+        # Validate the wasmedge-bindgen ABI surface at load time so a
+        # non-conforming module fails with ModuleLoadError at CREATE
+        # FUNCTION, not with a raw TypeError at first invoke.
+        self._memory = exports.get("memory")
+        if self._memory is None:
+            raise ModuleLoadError(
+                f"wasm module {path!r} exports no linear 'memory' "
+                "(required by the wasmedge-bindgen ABI)"
+            )
         self._allocate = exports.get("allocate") or exports.get("__wbindgen_malloc")
+        if self._allocate is None:
+            raise ModuleLoadError(
+                f"wasm module {path!r} exports neither 'allocate' nor "
+                "'__wbindgen_malloc'; cannot pass byte payloads into guest "
+                "memory (wasmedge-bindgen allocate convention required)"
+            )
         self._deallocate = exports.get("deallocate")
         self._exports = exports
 
