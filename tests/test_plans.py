@@ -50,9 +50,10 @@ def test_agg_scan_pruned(spark):
 
 @needs_data
 def test_topk_no_global_sort(spark):
-    f = plan_facts(relational.QUERIES["topk"](spark, SF_SMOKE))
+    f = plan_facts(relational.QUERIES["outer_join_topk"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in f.text  # top-k, not full sort
-    assert f.read_schemas == ["struct<o_orderkey:bigint,o_totalprice:double>"]
+    # only the join/group keys are read — no payload columns
+    assert "struct<c_custkey:bigint>" in f.read_schemas
 
 
 @needs_data

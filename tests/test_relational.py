@@ -20,20 +20,16 @@ def test_catalog_well_formed():
     # every oracle key refers to a registered query
     assert set(relational.ORACLE) <= set(relational.QUERIES)
     # approx aggregates are deliberately rows-only
-    assert "approx_distinct" in relational.QUERIES
-    assert "approx_distinct" not in relational.ORACLE
+    assert "approx_aggs" in relational.QUERIES
+    assert "approx_aggs" not in relational.ORACLE
 
 
 @needs_data
-def test_scan_count(spark):
-    [row] = relational.QUERIES["scan_count"](spark, SF_SMOKE).collect()
-    assert row["cnt"] == 6000
-
-
-@needs_data
-def test_cross_join(spark):
-    [row] = relational.QUERIES["cross_join"](spark, SF_SMOKE).collect()
-    assert row["cnt"] == 25
+def test_scan_and_cross_counts(spark):
+    [row] = relational.QUERIES["subqueries_cte"](spark, SF_SMOKE).collect()
+    assert row["lineitem_cnt"] == 6000  # scan count(*)
+    assert row["region_pairs"] == 25  # region × region cross join
+    assert 0 <= row["cnt"] <= 1500
 
 
 @needs_data
@@ -44,21 +40,45 @@ def test_agg_pricing_shape(spark):
 
 
 @needs_data
-def test_topk_ordering(spark):
-    rows = relational.QUERIES["topk"](spark, SF_SMOKE).collect()
-    prices = [r["o_totalprice"] for r in rows]
-    assert prices == sorted(prices, reverse=True)
-    assert len(rows) == 10
+def test_outer_join_topk_ordering(spark):
+    rows = relational.QUERIES["outer_join_topk"](spark, SF_SMOKE).collect()
+    counts = [r["order_cnt"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert len(rows) == 20
 
 
 @needs_data
-def test_window_rownum_partitions(spark):
-    rows = relational.QUERIES["window_rownum"](spark, SF_SMOKE).collect()
+def test_window_fns_partitions(spark):
+    rows = relational.QUERIES["window_fns"](spark, SF_SMOKE).collect()
     seen: dict[int, int] = {}
+    prev_ok: dict[int, int | None] = {}
+    running: dict[int, float] = {}
     for r in rows:
         expected = seen.get(r["o_custkey"], 0) + 1
         assert r["rn"] == expected
         seen[r["o_custkey"]] = expected
+        # lag follows the same order as rn
+        assert r["prev_ok"] == prev_ok.get(r["o_custkey"])
+        prev_ok[r["o_custkey"]] = r["o_orderkey"]
+        # running total is monotone within a partition
+        assert r["running_total"] >= running.get(r["o_custkey"], 0.0)
+        running[r["o_custkey"]] = r["running_total"]
+
+
+@needs_data
+def test_semi_anti_counts_consistent(spark):
+    [row] = relational.QUERIES["semi_anti_join"](spark, SF_SMOKE).collect()
+    n_cust = spark.table("customer").count()
+    assert 0 <= row["semi_cnt"] <= n_cust
+    assert 0 <= row["anti_cnt"] <= n_cust
+
+
+@needs_data
+def test_setops_values_branches(spark):
+    rows = relational.QUERIES["setops_values"](spark, SF_SMOKE).collect()
+    ops = {r["op"] for r in rows}
+    assert ops == {"d", "e", "i", "v"} or ops == {"d", "i", "v"}  # except may be empty
+    assert [r["nationkey"] for r in rows if r["op"] == "v"] == [98, 99]
 
 
 @needs_data
@@ -66,6 +86,16 @@ def test_udf_pow_values(spark):
     rows = relational.QUERIES["udf_pow"](spark, SF_SMOKE).collect()
     for r in rows:
         assert r["sq"] == float(r["l_linenumber"]) ** 2
+
+
+@needs_data
+def test_udf_types_values(spark):
+    rows = relational.QUERIES["udf_types"](spark, SF_SMOKE).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["emb_len"] > 0
+        assert r["l2"] >= 0.0
+        assert r["idlen"] == len(str(r["vec_id"]))
 
 
 @needs_data
@@ -78,3 +108,8 @@ def test_entry_contract(spark):
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 30
+    # the whole declared set must fit the driver's 50-entry correctness
+    # window, extensions first (VERDICT r1 #1)
+    assert len(qs) <= 50
+    names = list(qs)
+    assert names.index("dedup_exact") < names.index("filter_project")

@@ -66,9 +66,11 @@ def test_session_window_stream_equals_batch(spark, event_stream):
     n_sessions = {}
     for (uid, _), _cnt in got.items():
         n_sessions[uid] = n_sessions.get(uid, 0) + 1
+    from wasaffi_spark.operators.catalog import q_events_sessions
+
     lag_based = {
         r.user_id: r.n_sessions
-        for r in OPQ["events_sessions"](spark, SF_SMOKE).collect()
+        for r in q_events_sessions(spark, SF_SMOKE).collect()
     }
     assert n_sessions == lag_based
 

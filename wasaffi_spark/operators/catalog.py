@@ -401,17 +401,33 @@ register(
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text metrics in one codegen-only projection: quality
+    scoring (length/space/avg-token-len ratios) plus token counting
+    (whitespace tokens, BPE-ish regex word-pieces, chars/3.5 subword
+    estimate) — the text-analysis surface of a training-data pipeline."""
     docs = _table(spark, sf_dir, "documents")
-    return text.with_quality(docs).select(
-        "doc_id", "n_tokens", "space_ratio", "avg_token_len", "quality_score"
-    ).orderBy("doc_id")
+    return (
+        text.with_quality(docs)
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "space_ratio",
+            "avg_token_len",
+            "quality_score",
+            r"cast(size(split(text, '\\s+')) as bigint) as ws_tokens",
+            r"cast(regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') as bigint)"
+            " as re_tokens",
+            "cast(ceil(length(text) / 3.5) as bigint) as bpe_estimate",
+        )
+        .orderBy("doc_id")
+    )
 
 
 register(
     "text_stats",
     q_text_stats,
     f"""with base as (
-          select doc_id,
+          select doc_id, text,
                  length(text) as n_chars,
                  length(regexp_replace(text, '\\s', '', 'g')) as no_space,
                  len({_TOKS}) as n_tokens
@@ -422,7 +438,11 @@ register(
                round(no_space / n_tokens, 6) as avg_token_len,
                round(least(1.0, n_tokens / 50.0) * 0.5
                      + least(1.0, (no_space / n_tokens) / 8.0) * 0.5, 6)
-                 as quality_score
+                 as quality_score,
+               len(string_split_regex(text, '\\s+')) as ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                 as re_tokens,
+               cast(ceil(length(text) / 3.5) as bigint) as bpe_estimate
         from base order by doc_id""",
 )
 
@@ -583,15 +603,13 @@ register(
 WINNOW_WINDOW = 4  # k-gram hashes per winnowing window
 
 
-def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprint (rolling-hash document signature): md5 each
-    k-word shingle, slide a window of W hashes per document, keep each
-    window's minimum — the classic plagiarism/near-dup signature with
-    positional locality (unlike the order-insensitive md5 fingerprint).
-    Output: distinct selected hashes per doc, count per doc."""
+def _winnow_selected(docs: DataFrame) -> DataFrame:
+    """Winnowing (rolling-hash) signature aggregate per document: md5
+    each k-word shingle, slide a window of W hashes, keep each window's
+    minimum; returns (doc_id, n_fingerprints, min_fp). Docs shorter than
+    k tokens produce no row (no shingles exist)."""
     from pyspark.sql.window import Window
 
-    docs = _table(spark, sf_dir, "documents")
     # positions must be deterministic: posexplode over the per-doc
     # shingle-hash array (not explode + a synthetic id)
     toks = text.tokens("text")
@@ -617,17 +635,32 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "win_min")
         .distinct()
     )
-    return (
-        selected.groupBy("doc_id")
-        .agg(F.count("*").alias("n_fingerprints"), F.min("win_min").alias("min_fp"))
-        .orderBy("doc_id")
+    return selected.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"), F.min("win_min").alias("min_fp")
     )
 
 
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both document-fingerprint flavors in one result: the
+    order-insensitive md5-of-sorted-distinct-tokens signature (exact
+    near-dup key) and the positional winnowing rolling-hash signature
+    (plagiarism-style locality). Winnowing is undefined for docs shorter
+    than the shingle size → NULL columns via left join."""
+    docs = _table(spark, sf_dir, "documents")
+    fp = text.with_fingerprint(docs).select("doc_id", "fingerprint")
+    win = _winnow_selected(docs)
+    return fp.join(win, "doc_id", "left").orderBy("doc_id")
+
+
 register(
-    "winnow_fingerprint",
-    q_winnow_fingerprint,
-    f"""with toks as (select doc_id, {_TOKS} as w from documents),
+    "fingerprints",
+    q_fingerprints,
+    f"""with fp as (
+          select doc_id,
+                 md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+                   as fingerprint
+          from documents),
+        toks as (select doc_id, {_TOKS} as w from documents),
         pos as (select doc_id, w,
                        unnest(generate_series(1, len(w) - {SHINGLE_K - 1})) as i
                 from toks where len(w) >= {SHINGLE_K}),
@@ -640,24 +673,13 @@ register(
                    rows between current row and {WINNOW_WINDOW - 1} following)
                    as win_min
           from sh),
-        sel as (select distinct doc_id, win_min from winmin)
-        select doc_id, count(*) as n_fingerprints, min(win_min) as min_fp
-        from sel group by doc_id order by doc_id""",
-)
-
-
-def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _table(spark, sf_dir, "documents")
-    return text.with_fingerprint(docs).select("doc_id", "fingerprint").orderBy("doc_id")
-
-
-register(
-    "fingerprint",
-    q_fingerprint,
-    f"""select doc_id,
-               md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
-                 as fingerprint
-        from documents order by doc_id""",
+        sel as (select distinct doc_id, win_min from winmin),
+        win as (
+          select doc_id, count(*) as n_fingerprints, min(win_min) as min_fp
+          from sel group by doc_id)
+        select fp.doc_id, fp.fingerprint, win.n_fingerprints, win.min_fp
+        from fp left join win using (doc_id)
+        order by fp.doc_id""",
 )
 
 
@@ -665,40 +687,26 @@ register(
 # multimodal plumbing
 
 
-def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _table(spark, sf_dir, "documents")
-    media = multimodal.ingest_as_media(docs)
-    return media.select(
-        "doc_id",
-        "media_type",
-        F.col("meta.source").alias("source"),
-        F.col("meta.n_bytes").alias("n_bytes"),
-    ).orderBy("doc_id")
-
-
-register(
-    "media_meta",
-    q_media_meta,
-    """select doc_id, 'text/plain' as media_type, source,
-              cast(octet_length(encode(text)) as bigint) as n_bytes
-       from documents order by doc_id""",
-)
-
-
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: ingest text as an opaque binary
+    payload with typed metadata, then extract byte-level features via
+    ``mapInPandas`` with the metadata carried through the batch function
+    — one shuffle-free pass covering both the metadata surface and the
+    feature surface."""
     docs = _table(spark, sf_dir, "documents")
-    media = multimodal.ingest_as_media(docs)
-    return (
-        multimodal.extract_features(media)
-        .select("doc_id", "n_bytes", "digest")
-        .orderBy("doc_id")
+    media = multimodal.ingest_as_media(docs).withColumn(
+        "source", F.col("meta.source")
     )
+    feats = multimodal.extract_features(media, carry_cols=("media_type", "source"))
+    return feats.select(
+        "doc_id", "media_type", "source", "n_bytes", "digest"
+    ).orderBy("doc_id")
 
 
 register(
     "media_features",
     q_media_features,
-    """select doc_id,
+    """select doc_id, 'text/plain' as media_type, source,
               cast(octet_length(encode(text)) as bigint) as n_bytes,
               md5(text) as digest
        from documents order by doc_id""",
@@ -805,71 +813,80 @@ register(
 )
 
 
-def q_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+# embedding transforms: L2 normalization (unit vectors for dot-product
+# similarity) + per-vector int8 quantization (symmetric max-abs scaling,
+# the storage-scale companion — 4x smaller vectors). Array outputs are
+# scalarized to CSV for the hash gate: unit components as exact
+# micro-units (round(x·10⁶) integers — integer strings hash identically
+# across engines, unlike double formatting), q8 as int CSV; the
+# array-typed forms stay exercised in pytest (test_operators).
+
+
+def q_embedding_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    # hoist max_abs into a column (one pass, not re-evaluated per
+    # element) and guard the zero vector: ANSI mode would otherwise
+    # raise DIVIDE_BY_ZERO, where the oracle yields NULL.
+    unit = similarity.normalize_embeddings(emb).withColumn(
+        "_max_abs", F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    )
+    max_abs = F.col("_max_abs")
+    q8_csv = F.when(
+        max_abs > 0,
+        F.concat_ws(
+            ",",
+            F.transform(
+                vec,
+                lambda x: F.round(x.cast("double") * 127.0 / max_abs)
+                .cast("int")
+                .cast("string"),
+            ),
+        ),
+    )
+    unit_csv = F.when(
+        F.col("unit_vec").isNotNull(),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("unit_vec"),
+                lambda x: F.round(x * 1000000.0).cast("bigint").cast("string"),
+            ),
+        ),
+    )
     return (
-        similarity.normalize_embeddings(emb)
-        .select("vec_id", "unit_vec")
+        unit.select(
+            "vec_id",
+            F.round(max_abs, 6).alias("scale_max"),
+            q8_csv.alias("q8_csv"),
+            unit_csv.alias("unit_csv"),
+        )
         .orderBy("vec_id")
         .limit(50)
     )
 
 
 register(
-    "normalize_embeddings",
-    q_normalize_embeddings,
-    """with v as (select vec_id, embedding::DOUBLE[] as e from embeddings)
-       select vec_id,
-              case when list_dot_product(e, e) > 0
-                   then list_transform(e,
-                        x -> round(x / sqrt(list_dot_product(e, e)), 6))
-              end as unit_vec
-       from v order by vec_id limit 50""",
-)
-
-
-# embedding quantization: per-vector int8 (symmetric max-abs scaling) —
-# the storage-scale companion to similarity search (4x smaller vectors)
-
-
-def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _table(spark, sf_dir, "embeddings")
-    vec = F.col("embedding")
-    # hoist max_abs into a column (one pass, not re-evaluated per
-    # element) and guard the zero vector: ANSI mode would otherwise
-    # raise DIVIDE_BY_ZERO, where the oracle yields NULL.
-    emb = emb.withColumn(
-        "_max_abs", F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
-    )
-    max_abs = F.col("_max_abs")
-    q = F.when(
-        max_abs > 0,
-        F.transform(
-            vec, lambda x: F.round(x.cast("double") * 127.0 / max_abs).cast("int")
-        ),
-    )
-    return emb.select(
-        "vec_id",
-        F.round(max_abs, 6).alias("scale_max"),
-        q.alias("q8"),
-    ).orderBy("vec_id").limit(50)
-
-
-register(
-    "quantize_embeddings",
-    q_quantize_embeddings,
+    "embedding_transform",
+    q_embedding_transform,
     """with v as (
          select vec_id, embedding::DOUBLE[] as e from embeddings),
        m as (
          select vec_id, e,
-                (select max(abs(x)) from unnest(e) as t(x)) as max_abs
+                (select max(abs(x)) from unnest(e) as t(x)) as max_abs,
+                list_dot_product(e, e) as dd
          from v)
        select vec_id,
               round(max_abs, 6) as scale_max,
               case when max_abs > 0
-                   then list_transform(e,
-                        x -> cast(round(x * 127.0 / max_abs) as int))
-              end as q8
+                   then array_to_string(list_transform(e,
+                        x -> cast(round(x * 127.0 / max_abs) as int)), ',')
+              end as q8_csv,
+              case when dd > 0
+                   then array_to_string(list_transform(e,
+                        x -> cast(round(round(x / sqrt(dd), 6) * 1000000) as bigint)),
+                        ',')
+              end as unit_csv
        from m order by vec_id limit 50""",
 )
 
@@ -1139,6 +1156,11 @@ register(
 
 
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (lag + cumulative flag sum) —
+    kept as the reference implementation for the streaming equivalence
+    test (tests/test_streaming.py); the DECLARED sessionization query is
+    ``events_session_window`` (the native ``session_window`` operator),
+    so this near-duplicate no longer occupies a checked-window slot."""
     events = _table(spark, sf_dir, "events")
     return (
         events.selectExpr(
@@ -1203,19 +1225,3 @@ register(
 )
 
 
-register(
-    "events_sessions",
-    q_events_sessions,
-    """with t as (
-         select user_id, event_id, epoch(ts)::bigint as ts_s from events),
-       flags as (
-         select user_id,
-                case when ts_s - lag(ts_s) over (partition by user_id
-                       order by ts_s, event_id) > 1800
-                     or lag(ts_s) over (partition by user_id
-                       order by ts_s, event_id) is null
-                then 1 else 0 end as new_session
-         from t)
-       select user_id, cast(sum(new_session) as bigint) as n_sessions
-       from flags group by user_id order by user_id""",
-)

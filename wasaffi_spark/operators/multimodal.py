@@ -74,13 +74,23 @@ def decode_image(payload: bytes):
     return img.width, img.height, img.mode  # pragma: no cover
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(media: DataFrame, carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Byte-level features per payload via ``mapInPandas`` (no shuffle).
+
+    ``carry_cols`` (string-typed columns of ``media``, e.g. flattened
+    metadata) pass through the batch function unchanged — avoiding a
+    join-back shuffle when feature rows need their metadata alongside.
 
     The batch function is defined inline so cloudpickle ships it BY
     VALUE — executors do not need ``wasaffi_spark`` installed (same
     posture as ``udf_runtime.build_pandas_udf``).
     """
+    carry = tuple(carry_cols)
+    schema = (
+        "doc_id bigint, "
+        + "".join(f"{c} string, " for c in carry)
+        + "n_bytes bigint, digest string, head_byte int"
+    )
 
     def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -89,17 +99,16 @@ def extract_features(media: DataFrame) -> DataFrame:
 
         for pdf in batches:
             payloads = pdf["payload"]
-            yield _pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "digest": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
-                    "head_byte": payloads.map(
-                        lambda b: b[0] if len(b) else -1
-                    ).astype("int32"),
-                }
-            )
+            out = {"doc_id": pdf["doc_id"]}
+            for c in carry:
+                out[c] = pdf[c]
+            out["n_bytes"] = payloads.map(len).astype("int64")
+            out["digest"] = payloads.map(lambda b: hashlib.md5(b).hexdigest())
+            out["head_byte"] = payloads.map(
+                lambda b: b[0] if len(b) else -1
+            ).astype("int32")
+            yield _pd.DataFrame(out)
 
-    return media.select("doc_id", "payload").mapInPandas(
-        feature_batches, schema=FEATURE_SCHEMA
+    return media.select("doc_id", *carry, "payload").mapInPandas(
+        feature_batches, schema=schema
     )

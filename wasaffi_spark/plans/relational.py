@@ -3,9 +3,14 @@
 The reference inherits its entire relational surface from embedded
 DataFusion v38 — every ``ctx.sql`` call routes into the full engine
 (/root/reference/wasmedge_factory/src/lib.rs:192, Cargo.toml:18). This
-module pins the equivalent Spark SQL surface, one representative query per
-capability row of SURVEY §2C, each with a DuckDB oracle for the t2
-correctness gate.
+module pins the equivalent Spark SQL surface with a DuckDB oracle per
+query for the t2 correctness gate.
+
+Round-2 consolidation: the driver's correctness harness evaluates a
+bounded window of ``queries()`` entries, so each query here exercises a
+*cluster* of SURVEY §2C capability rows (named in each docstring) rather
+than one row per entry — full surface coverage in ~20 entries instead of
+49, leaving the whole declared set inside the checked window.
 
 Conventions:
 
@@ -15,6 +20,9 @@ Conventions:
   (sum/avg of prices) are rounded at a precision far coarser than the
   accumulated FP error but far finer than the data, so Spark's partial
   aggregation and DuckDB's sequential sum hash identically.
+- No query returns an array/map/struct-typed column: the driver's
+  canonicalizer cannot hash those — collections are scalarized
+  (array_join / element access) at the output boundary.
 - Small dimension tables get explicit ``BROADCAST`` hints — at 100 TB the
   fact tables shuffle on join keys only when the dim side is genuinely
   large; region/nation/supplier/part are classic broadcast dims.
@@ -65,17 +73,11 @@ def query_no_oracle(name: str, tables: tuple[str, ...], sql: str):
     return fn
 
 
-# -- sources / scan ---------------------------------------------------------
-
-query(
-    "scan_count",
-    ("lineitem",),
-    "select count(*) as cnt from lineitem",
-)
-
-# -- projection / filter ----------------------------------------------------
+# -- projection / filter / pushdown ------------------------------------------
+# §2C rows: projection/filter (expressions, BETWEEN, boolean algebra).
 # Pushdown: the shipdate/discount predicates reach the parquet scan
-# (PushedFilters), and only 4 columns are read (ReadSchema).
+# (PushedFilters), and only 4 columns are read (ReadSchema) — asserted in
+# tests/test_plans.py.
 
 query(
     "filter_project",
@@ -87,8 +89,9 @@ query(
          and l_discount > 0.05""",
 )
 
-# -- joins ------------------------------------------------------------------
-# nation is tiny → broadcast; at 100 TB the customer side never shuffles.
+# -- joins --------------------------------------------------------------------
+# §2C rows: equi-join (hash). nation is tiny → broadcast; at 100 TB the
+# customer side never shuffles.
 
 query(
     "join_agg",
@@ -101,39 +104,40 @@ query(
        group by n_name order by n_name""",
 )
 
+# §2C rows: outer joins + sort/limit/top-k. The order-by-measure-desc +
+# limit compiles to TakeOrderedAndProject (no global sort at scale) —
+# asserted in tests/test_plans.py.
+
 query(
-    "outer_join",
+    "outer_join_topk",
     ("customer", "orders"),
     """select c_custkey, count(o_orderkey) as order_cnt
        from customer left join orders on c_custkey = o_custkey
-       group by c_custkey order by c_custkey limit 20""",
+       group by c_custkey
+       order by order_cnt desc, c_custkey limit 20""",
 )
 
+# §2C rows: semi join (EXISTS) + anti join (NOT EXISTS), as two scalar
+# subqueries so both flavors land in one checked row.
+
 query(
-    "anti_join",
+    "semi_anti_join",
     ("customer", "orders"),
-    """select count(*) as cnt from customer
-       where not exists (select 1 from orders where o_custkey = c_custkey)""",
+    """select
+         (select count(*) from customer
+          where exists (select 1 from orders
+                        where o_custkey = c_custkey and o_totalprice > 100000))
+           as semi_cnt,
+         (select count(*) from customer
+          where not exists (select 1 from orders where o_custkey = c_custkey))
+           as anti_cnt""",
 )
 
-query(
-    "semi_join",
-    ("customer", "orders"),
-    """select count(*) as cnt from customer
-       where exists (select 1 from orders
-                     where o_custkey = c_custkey and o_totalprice > 100000)""",
-)
-
-query(
-    "cross_join",
-    ("region",),
-    "select count(*) as cnt from region r1 cross join region r2",
-)
-
-# -- aggregation ------------------------------------------------------------
-# TPC-H Q1 shape. sum_qty is exact (integral doubles); price aggregates are
-# rounded (sum to 2dp on a ~1e8 magnitude, avg to 4dp) so partial-agg
-# summation order cannot flip the hash.
+# -- aggregation --------------------------------------------------------------
+# §2C row: hash aggregation, partial+final (TPC-H Q1 shape). sum_qty is
+# exact (integral doubles); price aggregates are rounded (sum to 2dp on a
+# ~1e8 magnitude, avg to 4dp) so partial-agg summation order cannot flip
+# the hash.
 
 query(
     "agg_pricing",
@@ -148,259 +152,188 @@ query(
        order by l_returnflag, l_linestatus""",
 )
 
+# §2C rows: statistical aggregates (stddev/var/min/max/count distinct)
+# and correlation/covariance — the two aggregate families cross-joined
+# (5 priorities × 3 returnflags = 15 rows; each side is a tiny aggregate,
+# so the cross join is a broadcast of grouped results, not a blow-up).
+
 query(
     "agg_stats",
-    ("orders",),
-    """select o_orderpriority,
-              round(stddev_samp(o_totalprice), 4) as sd_price,
-              round(var_samp(o_totalprice), 2) as var_price,
-              min(o_totalprice) as min_price,
-              max(o_totalprice) as max_price,
-              count(distinct o_custkey) as n_cust
-       from orders group by o_orderpriority order by o_orderpriority""",
+    ("orders", "lineitem"),
+    """select s.o_orderpriority, s.sd_price, s.var_price, s.min_price,
+              s.max_price, s.n_cust,
+              c.l_returnflag, c.qp_corr, c.qd_covar, c.li_cnt
+       from (select o_orderpriority,
+                    round(stddev_samp(o_totalprice), 4) as sd_price,
+                    round(var_samp(o_totalprice), 2) as var_price,
+                    min(o_totalprice) as min_price,
+                    max(o_totalprice) as max_price,
+                    count(distinct o_custkey) as n_cust
+             from orders group by o_orderpriority) s
+       cross join
+            (select l_returnflag,
+                    round(corr(l_quantity, l_extendedprice), 6) as qp_corr,
+                    round(covar_samp(l_quantity, l_discount), 6) as qd_covar,
+                    count(*) as li_cnt
+             from lineitem group by l_returnflag) c
+       order by s.o_orderpriority, c.l_returnflag""",
 )
 
-# correlation / covariance (the remaining SURVEY §2C agg row entries)
-query(
-    "agg_corr",
-    ("lineitem",),
-    """select l_returnflag,
-              round(corr(l_quantity, l_extendedprice), 6) as qp_corr,
-              round(covar_samp(l_quantity, l_discount), 6) as qd_covar,
-              count(*) as cnt
-       from lineitem group by l_returnflag order by l_returnflag""",
-)
+# §2C rows: histogram (fixed-width bucket arithmetic), HAVING, CASE, and
+# conditional/null functions (coalesce/nullif) in one grouped query.
 
-# fixed-width histogram via pure arithmetic (portable width_bucket)
 query(
-    "histogram",
+    "histogram_having_case",
     ("orders",),
     """select cast(floor(o_totalprice / 50000) as bigint) as bucket,
+              case when o_totalprice < 50000 then 'small'
+                   when o_totalprice < 150000 then 'medium'
+                   else 'large' end as sz,
+              coalesce(nullif(o_orderstatus, 'O'), 'X') as st,
               count(*) as cnt,
               round(min(o_totalprice), 2) as lo,
               round(max(o_totalprice), 2) as hi
-       from orders group by bucket order by bucket""",
+       from orders
+       group by bucket, sz, st
+       having count(*) >= 5
+       order by bucket, sz, st""",
 )
 
-query(
-    "having",
-    ("orders",),
-    """select o_custkey, count(*) as cnt from orders
-       group by o_custkey having count(*) >= 5 order by o_custkey""",
-)
+# §2C rows: collection aggregates — array_agg (scalarized via array_join:
+# the driver's canonicalizer cannot hash list-typed cells) and
+# listagg/string_agg; sorted for cross-engine determinism.
 
-# aggregation into collections: sorted for cross-engine determinism
-# (collect_list/list() order is execution-dependent in both engines).
 query(
-    "array_agg",
+    "collect_aggs",
     ("nation",),
     """select n_regionkey,
-              sort_array(collect_list(n_name)) as names,
-              cast(size(collect_list(n_name)) as bigint) as n
+              array_join(sort_array(collect_list(n_name)), ',') as names,
+              cast(size(collect_list(n_name)) as bigint) as n,
+              listagg(n_name, ';') within group (order by n_name) as names2
        from nation group by n_regionkey order by n_regionkey""",
     oracle="""select n_regionkey,
-              list_sort(list(n_name)) as names,
-              cast(len(list(n_name)) as bigint) as n
+              array_to_string(list_sort(list(n_name)), ',') as names,
+              cast(len(list(n_name)) as bigint) as n,
+              string_agg(n_name, ';' order by n_name) as names2
        from nation group by n_regionkey order by n_regionkey""",
 )
 
-query(
-    "string_agg",
-    ("region",),
-    """select listagg(r_name, ',') within group (order by r_name) as all_regions
-       from region""",
-    oracle="""select string_agg(r_name, ',' order by r_name) as all_regions
-       from region""",
-)
+# §2C row: approx aggregates (HLL distinct + t-digest percentiles) —
+# rows-only by design: the sketches differ across engines.
 
 query_no_oracle(
-    "approx_distinct",
-    ("orders",),
-    "select approx_count_distinct(o_custkey) as acd from orders",
-)
-
-# approx percentile (t-digest in Spark, different sketch in DuckDB) —
-# rows-only like every approx aggregate.
-query_no_oracle(
-    "approx_percentile",
+    "approx_aggs",
     ("orders",),
     """select o_orderpriority,
+              approx_count_distinct(o_custkey) as acd,
               percentile_approx(o_totalprice, 0.5) as p50,
               percentile_approx(o_totalprice, 0.95) as p95
        from orders group by o_orderpriority order by o_orderpriority""",
 )
 
-# EXPLAIN surface (SURVEY §2C) — smoke-only: returns the plan as text.
+# §2C row: EXPLAIN surface — smoke-only: returns the plan as text.
 query_no_oracle(
     "explain_smoke",
     ("lineitem",),
     "explain select count(*) from lineitem",
 )
 
-# -- grouping sets / rollup / cube -----------------------------------------
+# -- grouping sets / rollup / cube -------------------------------------------
+# §2C rows: GROUPING SETS / ROLLUP / CUBE — the explicit grouping-sets
+# form below is exactly cube(l_returnflag, l_linestatus) spelled out, and
+# rollup is the ((a,b),(a),()) subset; one query pins the whole family.
 
 query(
-    "rollup",
+    "grouping_sets",
     ("lineitem",),
-    """select l_returnflag, l_linestatus, sum(l_quantity) as sum_qty
-       from lineitem group by rollup(l_returnflag, l_linestatus)
+    """select l_returnflag, l_linestatus, sum(l_quantity) as sum_qty,
+              count(*) as cnt
+       from lineitem
+       group by grouping sets ((l_returnflag, l_linestatus),
+                               (l_returnflag), (l_linestatus), ())
        order by l_returnflag nulls first, l_linestatus nulls first""",
 )
 
-query(
-    "cube",
-    ("orders",),
-    """select o_orderstatus, o_orderpriority, count(*) as cnt
-       from orders group by cube(o_orderstatus, o_orderpriority)
-       order by o_orderstatus nulls first, o_orderpriority nulls first""",
-)
-
-# -- window functions -------------------------------------------------------
+# -- window functions ----------------------------------------------------------
+# §2C rows: ranking (ROW_NUMBER/RANK), offset (LAG), and aggregate-over-
+# frame (running sum, ROWS BETWEEN) — all four window classes, two
+# distinct window specs, one query.
 
 query(
-    "window_rownum",
+    "window_fns",
     ("orders",),
     """select o_custkey, o_orderkey,
               cast(row_number() over (partition by o_custkey
-                                 order by o_orderdate, o_orderkey) as bigint) as rn
-       from orders order by o_custkey, rn limit 100""",
-)
-
-query(
-    "window_rank_lag",
-    ("orders",),
-    """select o_custkey, o_orderkey,
-              cast(rank() over (partition by o_custkey order by o_totalprice desc,
-                           o_orderkey) as bigint) as rnk,
+                   order by o_orderdate, o_orderkey) as bigint) as rn,
+              cast(rank() over (partition by o_custkey
+                   order by o_totalprice desc, o_orderkey) as bigint) as rnk,
               lag(o_orderkey) over (partition by o_custkey
-                                    order by o_orderdate, o_orderkey) as prev_ok
-       from orders order by o_custkey, o_orderkey limit 100""",
-)
-
-query(
-    "window_frame",
-    ("orders",),
-    """select o_orderkey,
+                   order by o_orderdate, o_orderkey) as prev_ok,
               round(sum(o_totalprice) over (partition by o_custkey
                     order by o_orderdate, o_orderkey
                     rows between unbounded preceding and current row), 2)
                 as running_total
-       from orders order by o_orderkey limit 100""",
+       from orders order by o_custkey, rn limit 100""",
 )
 
-# -- sort / limit / top-k ---------------------------------------------------
-# Catalyst compiles this to TakeOrderedAndProject: no global sort at scale.
+# -- set operations / VALUES / DISTINCT ---------------------------------------
+# §2C rows: INTERSECT, EXCEPT, UNION ALL (the glue), SELECT DISTINCT, and
+# VALUES inline tables — each branch tagged so the union is hash-stable.
 
 query(
-    "topk",
-    ("orders",),
-    """select o_orderkey, o_totalprice from orders
-       order by o_totalprice desc, o_orderkey limit 10""",
-)
-
-# -- set operations ---------------------------------------------------------
-
-query(
-    "setop_intersect",
+    "setops_values",
     ("customer", "supplier"),
-    """select c_nationkey as nationkey from customer
-       intersect
-       select s_nationkey as nationkey from supplier
-       order by nationkey""",
+    """select 'd' as op, nationkey from
+         (select distinct c_nationkey as nationkey from customer) as d
+       union all
+       select 'e' as op, nationkey from
+         (select c_nationkey as nationkey from customer
+          except
+          select s_nationkey as nationkey from supplier) as e
+       union all
+       select 'i' as op, nationkey from
+         (select c_nationkey as nationkey from customer
+          intersect
+          select s_nationkey as nationkey from supplier) as i
+       union all
+       select 'v' as op, id as nationkey from
+         (values (98, 'x'), (99, 'y')) as v(id, tag)
+       order by op, nationkey""",
 )
 
-query(
-    "setop_except",
-    ("customer", "supplier"),
-    """select c_nationkey as nationkey from customer
-       except
-       select s_nationkey as nationkey from supplier
-       order by nationkey""",
-)
+# -- subqueries / CTEs / scan --------------------------------------------------
+# §2C rows: CTE, scalar subquery, IN-subquery, plus table scan-count and
+# cross join as uncorrelated scalar subqueries (region² = 25 rows only).
 
 query(
-    "union_all",
-    ("customer", "supplier"),
-    """select count(*) as cnt from (
-         select c_nationkey as nationkey from customer
-         union all
-         select s_nationkey as nationkey from supplier) u""",
-)
-
-# -- subqueries / CTEs ------------------------------------------------------
-
-query(
-    "subquery_scalar",
-    ("orders",),
-    """select o_orderkey from orders o
-       where o_totalprice > (select avg(o_totalprice) from orders)
-       order by o_orderkey limit 20""",
-)
-
-query(
-    "subquery_in",
-    ("orders", "customer"),
-    """select count(*) as cnt from orders
-       where o_custkey in (select c_custkey from customer
-                           where c_mktsegment = 'BUILDING')""",
-)
-
-query(
-    "cte",
-    ("orders",),
+    "subqueries_cte",
+    ("orders", "customer", "lineitem", "region"),
     """with big as (
          select o_custkey, sum(o_totalprice) as s
          from orders group by o_custkey)
-       select count(*) as cnt from big where s > 100000""",
+       select count(*) as cnt,
+              (select count(*) from lineitem) as lineitem_cnt,
+              (select count(*) from region r1 cross join region r2)
+                as region_pairs
+       from orders
+       where o_totalprice > (select avg(o_totalprice) from orders)
+         and o_custkey in (select c_custkey from customer
+                           where c_mktsegment = 'BUILDING')
+         and o_custkey in (select o_custkey from big where s > 100000)""",
 )
 
-query(
-    "values_inline",
-    (),
-    """select * from (values (1, 'a'), (2, 'b')) as v(id, tag) order by id""",
-)
+# -- scalar function library ---------------------------------------------------
+# §2C rows: string functions (upper/substr/length/replace/concat) and
+# math functions (sqrt/round/abs/floor/ceil) over one projection.
 
 query(
-    "distinct",
-    ("orders",),
-    "select distinct o_orderpriority from orders order by o_orderpriority",
-)
-
-# -- scalar function library ------------------------------------------------
-
-query(
-    "string_fns",
+    "scalar_fns",
     ("part",),
     """select p_partkey,
               upper(substr(p_name, 1, 5)) as pfx,
               cast(length(p_name) as bigint) as name_len,
               replace(p_brand, 'Brand', 'B') as brand_s,
-              concat(p_type, '/', p_brand) as type_brand
-       from part order by p_partkey limit 20""",
-)
-
-# date_trunc returns TIMESTAMP in Spark but DATE in DuckDB — cast both to
-# DATE so the hashed values agree.
-query(
-    "date_fns",
-    ("orders",),
-    """select cast(date_trunc('month', o_orderdate) as date) as m, count(*) as cnt
-       from orders group by m order by m""",
-)
-
-query(
-    "date_extract",
-    ("orders",),
-    """select cast(extract(year from o_orderdate) as bigint) as y,
-              cast(extract(month from o_orderdate) as bigint) as mo,
-              count(*) as cnt
-       from orders group by y, mo order by y, mo""",
-)
-
-query(
-    "math_fns",
-    ("part",),
-    """select p_partkey,
+              concat(p_type, '/', p_brand) as type_brand,
               round(sqrt(p_retailprice), 2) as sq,
               abs(p_size - 25) as sz_dist,
               floor(p_retailprice) as fl,
@@ -408,6 +341,10 @@ query(
        from part order by p_partkey limit 20""",
     # Spark floor/ceil return BIGINT; DuckDB's return DOUBLE — cast.
     oracle="""select p_partkey,
+              upper(substr(p_name, 1, 5)) as pfx,
+              cast(length(p_name) as bigint) as name_len,
+              replace(p_brand, 'Brand', 'B') as brand_s,
+              concat(p_type, '/', p_brand) as type_brand,
               round(sqrt(p_retailprice), 2) as sq,
               abs(p_size - 25) as sz_dist,
               cast(floor(p_retailprice) as bigint) as fl,
@@ -415,127 +352,77 @@ query(
        from part order by p_partkey limit 20""",
 )
 
-query(
-    "conditional_fns",
-    ("lineitem",),
-    """select coalesce(nullif(l_returnflag, 'N'), 'X') as f, count(*) as cnt
-       from lineitem group by f order by f""",
-)
+# §2C rows: date_trunc, extract, and interval arithmetic. date_trunc
+# returns TIMESTAMP in Spark but DATE in DuckDB — cast both to DATE.
 
 query(
-    "case_when",
+    "datetime_fns",
     ("orders",),
-    """select case when o_totalprice < 50000 then 'small'
-                   when o_totalprice < 150000 then 'medium'
-                   else 'large' end as bucket,
-              count(*) as cnt
-       from orders group by bucket order by bucket""",
+    """select cast(date_trunc('month', o_orderdate) as date) as m,
+              cast(extract(year from o_orderdate) as bigint) as y,
+              cast(extract(month from o_orderdate) as bigint) as mo,
+              count(*) as cnt,
+              cast(min(o_orderdate) + interval 30 day as timestamp) as first_due,
+              cast(max(o_orderdate) - interval 1 hour as timestamp) as last_m1h
+       from orders group by m, y, mo order by m""",
 )
 
-# -- pivot / unpivot --------------------------------------------------------
-# Spark's PIVOT operator; the oracle expresses the same result portably
-# as conditional aggregation.
+# -- pivot / unpivot ------------------------------------------------------------
+# §2C rows: PIVOT and UNPIVOT, composed (unpivot of the pivot — exercises
+# both operators and round-trips the reshape). coalesce: Spark PIVOT
+# yields NULL for absent combinations (and UNPIVOT drops NULL cells)
+# where conditional aggregation yields 0. The oracle expresses the same
+# result portably as conditional aggregation + union.
 
 query(
-    "pivot",
+    "pivot_unpivot",
     ("orders",),
-    # coalesce: Spark PIVOT yields NULL for absent combinations where
-    # conditional aggregation (the oracle) yields 0.
-    """select o_orderpriority,
-              coalesce(st_o, 0) as st_o,
-              coalesce(st_f, 0) as st_f,
-              coalesce(st_p, 0) as st_p
-       from (select o_orderpriority, o_orderstatus from orders)
-       pivot (count(*) for o_orderstatus in ('O' as st_o, 'F' as st_f, 'P' as st_p))
-       order by o_orderpriority""",
-    oracle="""select o_orderpriority,
-              count(*) filter (where o_orderstatus = 'O') as st_o,
-              count(*) filter (where o_orderstatus = 'F') as st_f,
-              count(*) filter (where o_orderstatus = 'P') as st_p
-       from orders group by o_orderpriority order by o_orderpriority""",
-)
-
-query(
-    "unpivot",
-    ("part",),
-    """select p_partkey, metric, val from
-         (select p_partkey, p_retailprice, cast(p_size as double) as p_size_d
-          from part)
-       unpivot (val for metric in (p_retailprice as price, p_size_d as size))
-       order by p_partkey, metric limit 40""",
-    oracle="""select p_partkey, metric, val from (
-         select p_partkey, 'price' as metric, p_retailprice as val from part
+    """select o_orderpriority, status, cnt from (
+         select o_orderpriority,
+                coalesce(st_o, 0) as st_o,
+                coalesce(st_f, 0) as st_f,
+                coalesce(st_p, 0) as st_p
+         from (select o_orderpriority, o_orderstatus from orders)
+         pivot (count(*) for o_orderstatus
+                in ('O' as st_o, 'F' as st_f, 'P' as st_p)))
+       unpivot (cnt for status in (st_o, st_f, st_p))
+       order by o_orderpriority, status""",
+    oracle="""select o_orderpriority, status, cnt from (
+         select o_orderpriority, 'st_o' as status,
+                count(*) filter (where o_orderstatus = 'O') as cnt
+         from orders group by o_orderpriority
          union all
-         select p_partkey, 'size' as metric, cast(p_size as double) as val from part)
-       order by p_partkey, metric limit 40""",
+         select o_orderpriority, 'st_f' as status,
+                count(*) filter (where o_orderstatus = 'F') as cnt
+         from orders group by o_orderpriority
+         union all
+         select o_orderpriority, 'st_p' as status,
+                count(*) filter (where o_orderstatus = 'P') as cnt
+         from orders group by o_orderpriority) u
+       order by o_orderpriority, status""",
 )
 
-# -- arrays / structs / json -----------------------------------------------
+# -- JSON / struct / map ---------------------------------------------------------
+# §2C rows: JSON path extraction (get_json_object), schema-based JSON
+# parsing (from_json → typed struct field), struct literal + field
+# access, map build + element_at — all scalarized at the output.
 
 query(
-    "array_fns",
-    ("embeddings",),
-    """select vec_id, cast(size(embedding) as int) as emb_len
-       from embeddings order by vec_id limit 10""",
-    oracle="""select vec_id, cast(len(embedding) as int) as emb_len
-       from embeddings order by vec_id limit 10""",
-)
-
-query(
-    "struct_access",
-    ("orders",),
-    """select named_struct('k', o_orderkey, 'p', o_totalprice).p as p_price
-       from orders order by o_orderkey limit 5""",
-    oracle="""select struct_pack(k := o_orderkey, p := o_totalprice).p as p_price
-       from orders order by o_orderkey limit 5""",
-)
-
-# map type: build + element_at; the oracle reduces to the underlying
-# scalar (DuckDB's map extraction semantics differ across versions).
-query(
-    "map_access",
-    ("orders",),
-    """select o_orderkey,
-              element_at(map('price', o_totalprice, 'neg', -o_totalprice),
-                         'price') as price_val
-       from orders order by o_orderkey limit 10""",
-    oracle="""select o_orderkey, o_totalprice as price_val
-       from orders order by o_orderkey limit 10""",
-)
-
-# schema-based JSON parsing (from_json → typed struct field), vs the
-# path-extraction flavor in json_extract.
-query(
-    "json_struct",
+    "json_complex",
     ("events",),
     """select event_id,
-              from_json(props, 'k int').k as k_int
+              get_json_object(props, '$.k') as k,
+              from_json(props, 'k int').k as k_int,
+              named_struct('e', event_id,
+                           'k2', get_json_object(props, '$.k')).k2 as k2,
+              element_at(map('id', event_id), 'id') as map_id
        from events order by event_id limit 20""",
-    oracle="""select event_id, (props ->> '$.k')::int as k_int
+    oracle="""select event_id,
+              props ->> '$.k' as k,
+              (props ->> '$.k')::int as k_int,
+              props ->> '$.k' as k2,
+              event_id as map_id
        from events order by event_id limit 20""",
-)
-
-# interval arithmetic on timestamps.
-query(
-    "interval_arith",
-    ("orders",),
-    """select o_orderkey,
-              o_orderdate + interval 30 day as due,
-              cast(o_orderdate - interval 1 hour as timestamp) as hour_before
-       from orders order by o_orderkey limit 20""",
-    oracle="""select o_orderkey,
-              o_orderdate + interval 30 day as due,
-              cast(o_orderdate - interval 1 hour as timestamp) as hour_before
-       from orders order by o_orderkey limit 20""",
-)
-
-query(
-    "json_extract",
-    ("events",),
-    """select event_id, get_json_object(props, '$.k') as k
-       from events order by event_id limit 10""",
-    oracle="""select event_id, props ->> '$.k' as k
-       from events order by event_id limit 10""",
 )
 
 # -- the reference's own surface: scalar UDF via CREATE FUNCTION ------------
@@ -544,18 +431,21 @@ query(
 # bit-for-bit.)
 
 
-def _q_udf_pow(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fixture_path() -> str:
     import os
 
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(repo, "fixtures", "udfs.py")
+
+
+def _q_udf_pow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..engine import Engine
 
     eng = Engine(spark)
     eng.load_tables(sf_dir, ("lineitem",))
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    udfs = os.path.join(repo, "fixtures", "udfs.py")
     eng.sql(
         "CREATE OR REPLACE FUNCTION f1(DOUBLE, DOUBLE) RETURNS DOUBLE "
-        f"LANGUAGE WASM AS '{udfs}!f1'"
+        f"LANGUAGE WASM AS '{_fixture_path()}!f1'"
     )
     return eng.sql(
         """select l_linenumber, f1(cast(l_linenumber as double), 2.0) as sq
@@ -571,17 +461,13 @@ ORACLE["udf_pow"] = (
 )
 
 
-def _fixture_path() -> str:
-    import os
-
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    return os.path.join(repo, "fixtures", "udfs.py")
-
-
-def _q_udf_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ARRAY<FLOAT> argument through the DDL-registered boundary: L2 norm
-    of each embedding (the reference only ever exercises DOUBLE —
-    SURVEY §1.2; this pins the full Arrow type lattice claim)."""
+def _q_udf_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-DOUBLE argument types through the DDL-registered boundary in
+    one query — ARRAY<FLOAT> (L2 norm) and VARCHAR → BIGINT — plus the
+    built-in array surface (size). The reference only ever exercises
+    DOUBLE (SURVEY §1.2); this pins the wider Arrow type lattice claim
+    with two functions registered from one module (the module-cache
+    sharing case, ≙ lib.rs:344-345)."""
     from ..engine import Engine
 
     eng = Engine(spark)
@@ -590,61 +476,26 @@ def _q_udf_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CREATE OR REPLACE FUNCTION emb_norm(ARRAY<FLOAT>) RETURNS DOUBLE "
         f"AS '{_fixture_path()}!emb_norm'"
     )
-    return eng.sql(
-        """select vec_id, round(emb_norm(embedding), 6) as l2
-           from embeddings order by vec_id limit 50"""
-    )
-
-
-_q_udf_array.__name__ = "q_udf_array"
-QUERIES["udf_array"] = _q_udf_array
-ORACLE["udf_array"] = (
-    """select vec_id,
-              round(sqrt(list_dot_product(embedding::DOUBLE[],
-                                          embedding::DOUBLE[])), 6) as l2
-       from embeddings order by vec_id limit 50"""
-)
-
-
-def _q_udf_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STRING → BIGINT through the DDL-registered boundary."""
-    from ..engine import Engine
-
-    eng = Engine(spark)
-    eng.load_tables(sf_dir, ("part",))
     eng.sql(
         "CREATE OR REPLACE FUNCTION str_len_upper(VARCHAR) RETURNS BIGINT "
         f"AS '{_fixture_path()}!str_len_upper'"
     )
     return eng.sql(
-        """select p_partkey, str_len_upper(p_name) as ulen
-           from part order by p_partkey limit 50"""
+        """select vec_id,
+                  cast(size(embedding) as int) as emb_len,
+                  round(emb_norm(embedding), 6) as l2,
+                  str_len_upper(cast(vec_id as string)) as idlen
+           from embeddings order by vec_id limit 50"""
     )
 
 
-_q_udf_string.__name__ = "q_udf_string"
-QUERIES["udf_string"] = _q_udf_string
-ORACLE["udf_string"] = (
-    """select p_partkey, cast(length(upper(p_name)) as bigint) as ulen
-       from part order by p_partkey limit 50"""
-)
-
-
-# BPE-ish token counting (north-star text op): regex word-piece count +
-# a chars/3.5 subword estimate — both exact cross-engine.
-query(
-    "token_counts",
-    ("documents",),
-    r"""select doc_id,
-              cast(size(split(text, '\\s+')) as bigint) as ws_tokens,
-              cast(regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') as bigint)
-                as re_tokens,
-              cast(ceil(length(text) / 3.5) as bigint) as bpe_estimate
-       from documents order by doc_id""",
-    oracle=r"""select doc_id,
-              len(string_split_regex(text, '\s+')) as ws_tokens,
-              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
-                as re_tokens,
-              cast(ceil(length(text) / 3.5) as bigint) as bpe_estimate
-       from documents order by doc_id""",
+_q_udf_types.__name__ = "q_udf_types"
+QUERIES["udf_types"] = _q_udf_types
+ORACLE["udf_types"] = (
+    """select vec_id,
+              cast(len(embedding) as int) as emb_len,
+              round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[])), 6) as l2,
+              cast(length(upper(cast(vec_id as varchar))) as bigint) as idlen
+       from embeddings order by vec_id limit 50"""
 )
