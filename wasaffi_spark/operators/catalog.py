@@ -118,6 +118,7 @@ register(
 
 
 _LAST_SIGS: list = []  # previous run's persisted signatures (see below)
+_LAST_SIGS_LOCK = __import__("threading").Lock()
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,14 +132,19 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # references the cache, so it cannot be unpersisted here; instead
     # each invocation evicts the PREVIOUS run's cache so repeated calls
     # (bench, oracle sweeps) don't accumulate pinned storage memory.
-    while _LAST_SIGS:
-        try:
-            _LAST_SIGS.pop().unpersist()
-        except Exception:
-            pass
+    # Lock-guarded: concurrent constructions in one session must not
+    # evict each other's still-referenced cache mid-build (the worst
+    # case is recomputation, not wrong results, but keep it ordered).
+    with _LAST_SIGS_LOCK:
+        while _LAST_SIGS:
+            try:
+                _LAST_SIGS.pop().unpersist()
+            except Exception:
+                pass
     sigs = dedup.minhash_signatures(docs).persist()
     sigs.count()
-    _LAST_SIGS.append(sigs)
+    with _LAST_SIGS_LOCK:
+        _LAST_SIGS.append(sigs)
     pairs = dedup.lsh_candidate_pairs(sigs)
     return dedup.minhash_jaccard_estimate(sigs, pairs).orderBy("id_a", "id_b")
 
@@ -888,6 +894,47 @@ register(
                         ',')
               end as unit_csv
        from m order by vec_id limit 50""",
+)
+
+
+# ---------------------------------------------------------------------------
+# skew-resistant join (row-level salt + replicated small side) — result
+# must be row-identical to the plain equi-join, which IS the oracle
+
+
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment through ``skew.salted_join``: the big
+    (orders) side gets a row-level salt, the customer side is replicated
+    ×salts, so a hot customer key spreads over n_salts shuffle
+    partitions. Semantically identical to the plain join — the DuckDB
+    oracle is exactly that plain join, so the hash gate proves the
+    salting transformation is lossless."""
+    from . import skew
+
+    orders = _table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    customer = _table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = skew.salted_join(orders, customer, on=["custkey"], n_salts=8)
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+register(
+    "skew_salted_join",
+    q_skew_salted_join,
+    """select c_mktsegment, count(*) as cnt,
+              round(sum(o_totalprice), 2) as sum_price
+       from orders join customer on o_custkey = c_custkey
+       group by c_mktsegment order by c_mktsegment""",
 )
 
 
