@@ -231,3 +231,33 @@ def test_media_meta_struct(docs):
 def test_decode_image_is_gated_stub():
     with pytest.raises(NotImplementedError, match="Pillow"):
         multimodal.decode_image(b"\x89PNG\r\n")
+
+
+def test_pii_redaction(spark):
+    rows = [
+        (0, "mail me at jane.doe+x@example.co.uk or visit https://a.example/path?q=1 now"),
+        (1, "call +1 (555) 123-4567 today"),
+        (2, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.with_pii_redaction(df).collect()}
+    assert (out[0].n_emails, out[0].n_urls, out[0].n_phones) == (1, 1, 0)
+    assert "<EMAIL>" in out[0].clean_text and "<URL>" in out[0].clean_text
+    assert "example.co.uk" not in out[0].clean_text
+    assert out[1].n_phones == 1 and "<PHONE>" in out[1].clean_text
+    assert out[2].clean_text == rows[2][1]  # untouched
+
+
+def test_pack_streams_bins(spark):
+    # 5 docs of 100 tokens each in one stream, budget 256:
+    # offsets 0,100,200,300,400 → bins 0,0,0,1,1
+    rows = [(i, "en", 100) for i in range(5)] + [(0, "fr", 300), (1, "fr", 10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = text.pack_streams(df, budget_tokens=256)
+    got = {(r.lang, r.doc_id): (r.stream_offset, r.pack_bin) for r in out.collect()}
+    assert [got[("en", i)] for i in range(5)] == [
+        (0, 0), (100, 0), (200, 0), (300, 1), (400, 1)
+    ]
+    # streams are independent; a doc longer than the budget still lands
+    # at its own offset's bin (it straddles — concat-and-chunk semantics)
+    assert got[("fr", 0)] == (0, 0) and got[("fr", 1)] == (300, 1)

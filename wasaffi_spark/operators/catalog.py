@@ -898,6 +898,65 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# corpus cleaning + sequence packing: PII redaction (emails/URLs/phones →
+# typed placeholders) and concat-and-chunk packing (cut each language's
+# concatenated token stream every PACK_BUDGET tokens) — the release-prep
+# and batch-layout passes of an LLM training pipeline, per-doc grain.
+
+PACK_BUDGET = 256
+
+
+def q_clean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _table(spark, sf_dir, "documents")
+    base = text.with_token_count(docs)
+    red = text.with_pii_redaction(base)
+    packed = text.pack_streams(
+        red, budget_tokens=PACK_BUDGET, stream_col="lang", order_col="doc_id"
+    )
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_emails",
+        "n_urls",
+        "n_phones",
+        F.length("clean_text").cast("bigint").alias("clean_len"),
+        "stream_offset",
+        "pack_bin",
+    ).orderBy("doc_id")
+
+
+register(
+    "clean_pack",
+    q_clean_pack,
+    f"""with base as (
+          select doc_id, lang, text,
+                 len({_TOKS}) as n_tokens
+          from documents),
+        red as (
+          select doc_id, lang, n_tokens,
+                 len(regexp_extract_all(text, '{text.EMAIL_RE}')) as n_emails,
+                 len(regexp_extract_all(text, '{text.URL_RE}')) as n_urls,
+                 len(regexp_extract_all(text, '{text.PHONE_RE}')) as n_phones,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                     '{text.EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{text.URL_RE}', '<URL>', 'g'),
+                     '{text.PHONE_RE}', '<PHONE>', 'g') as clean_text
+          from base),
+        packed as (
+          select doc_id, lang, n_emails, n_urls, n_phones,
+                 cast(length(clean_text) as bigint) as clean_len,
+                 cast(sum(n_tokens) over (partition by lang order by doc_id
+                      rows between unbounded preceding and current row)
+                      - n_tokens as bigint) as stream_offset
+          from red)
+        select doc_id, lang, n_emails, n_urls, n_phones, clean_len,
+               stream_offset,
+               cast(floor(stream_offset / {PACK_BUDGET}) as bigint) as pack_bin
+        from packed order by doc_id""",
+)
+
+
+# ---------------------------------------------------------------------------
 # skew-resistant join (row-level salt + replicated small side) — result
 # must be row-identical to the plain equi-join, which IS the oracle
 

@@ -131,3 +131,73 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col))))
     return df.withColumn("fingerprint", F.md5(canon))
+
+
+# PII patterns shared with the DuckDB oracle (catalog) — ASCII classes
+# only, so Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+
+
+def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds PII scrub columns — the data-cleaning pass every training
+    corpus needs before release: ``n_emails``/``n_urls``/``n_phones``
+    occurrence counts and ``clean_text`` with each class replaced by a
+    typed placeholder. Pure codegen column expressions (regexp_count +
+    chained regexp_replace), embarrassingly parallel, no shuffle.
+
+    Order matters: URLs are redacted before phone numbers so digit runs
+    inside URLs don't double-match; emails first since they are the
+    most specific pattern.
+    """
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return (
+        df.withColumn("n_emails", F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint"))
+        .withColumn("n_urls", F.regexp_count(t, F.lit(URL_RE)).cast("bigint"))
+        .withColumn("n_phones", F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint"))
+        .withColumn("clean_text", clean)
+    )
+
+
+def pack_streams(
+    df: DataFrame,
+    budget_tokens: int,
+    stream_col: str = "lang",
+    order_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    deterministic ``order_col`` order within each ``stream_col`` stream,
+    and the token stream is cut every ``budget_tokens`` — the classic
+    LLM pretraining packing layout (a doc may straddle two bins; bins
+    are full by construction). Adds ``stream_offset`` (tokens before
+    this doc in its stream) and ``pack_bin`` (the bin its first token
+    lands in).
+
+    Scale: one window per stream key — parallelism equals the number of
+    streams, which is the point: packing is inherently sequential WITHIN
+    a stream, so the stream key (language, shard id, source bucket) is
+    the scale knob. At 100 TB use a composite key like (lang, shard)
+    with shard = pmod(hash(doc_id), n_shards) to bound per-stream
+    volume; ordering stays deterministic per stream.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    offset = (cum - F.col(token_col)).cast("bigint")
+    return df.withColumn("stream_offset", offset).withColumn(
+        "pack_bin", F.floor(offset / F.lit(budget_tokens)).cast("bigint")
+    )
