@@ -53,6 +53,9 @@ HEADLINE = [
     "asof_join",
     "range_join",
     "tfidf",
+    # new in r2 (no r1 baseline): corpus cleaning + packing, salted join
+    "clean_pack",
+    "skew_salted_join",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or
@@ -107,15 +110,17 @@ def main() -> None:
         F.pandas_udf(lambda s: s * 2, "long")(F.col("id"))
     ).write.format("noop").mode("overwrite").save()
 
-    # Each query runs twice; the reported time is the warm run. The first
-    # run pays one-time whole-stage-codegen (janino) compilation for the
-    # query shape — a per-shape constant, not a data-proportional cost;
-    # the warm run is the number that extrapolates to cluster scale.
+    # Each query runs three times; the reported time is the best warm
+    # run. The first run pays one-time whole-stage-codegen (janino)
+    # compilation for the query shape — a per-shape constant, not a
+    # data-proportional cost — and best-of-3 also rides out host-level
+    # noise windows (measured 2× run-to-run swings on an idle box); the
+    # best warm run is the number that extrapolates to cluster scale.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
