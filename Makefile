@@ -1,0 +1,25 @@
+# ≙ the reference's Makefile shape (/root/reference/Makefile) mapped to
+# the Spark build: no compile step, so "all" is test; "wasm"-phase
+# equivalents are the oracle/bench harnesses.
+
+.PHONY: all test oracle bench example smoke
+
+all: test
+
+test:
+	python -m pytest tests/ -q
+
+# replicate the driver's t2 correctness gate locally (DuckDB oracle)
+oracle:
+	python tools/oracle_check.py
+
+# headline queries at $$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+bench:
+	python bench.py
+
+# ≙ examples/wasaffi.rs — golden values 4.0, 27.0, 256.0, 3670.684197150057
+example:
+	python examples/wasaffi.py
+
+smoke:
+	python -m pytest tests/test_engine_udf.py tests/test_ddl.py -q
