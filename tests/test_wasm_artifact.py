@@ -71,3 +71,95 @@ def test_reference_artifact_matches_backend_abi():
     assert exports.get("memory") == MEMORY_KIND
     assert exports.get("allocate") == FUNC_KIND
     assert exports.get("deallocate") == FUNC_KIND
+
+
+I32 = 0x7F
+
+
+def wasm_func_signatures(path: str) -> dict[str, tuple[tuple[int, ...], tuple[int, ...]]]:
+    """Export name → (param valtypes, result valtypes) for exported
+    functions, resolved through the type/import/function sections."""
+    data = open(path, "rb").read()
+    i = 8
+    types: list[tuple[tuple[int, ...], tuple[int, ...]]] = []
+    n_imported_funcs = 0
+    func_type_idx: list[int] = []
+    exports: dict[str, int] = {}
+    while i < len(data):
+        sec_id = data[i]
+        i += 1
+        size, i = _leb128(data, i)
+        j = i
+        if sec_id == 1:  # type section: vector of 0x60 functypes
+            n, j = _leb128(data, j)
+            for _ in range(n):
+                assert data[j] == 0x60
+                j += 1
+                np_, j = _leb128(data, j)
+                params = tuple(data[j : j + np_])
+                j += np_
+                nr, j = _leb128(data, j)
+                results = tuple(data[j : j + nr])
+                j += nr
+                types.append((params, results))
+        elif sec_id == 2:  # import section: count imported funcs (kind 0)
+            n, j = _leb128(data, j)
+            for _ in range(n):
+                ln, j = _leb128(data, j)
+                j += ln
+                ln, j = _leb128(data, j)
+                j += ln
+                kind = data[j]
+                j += 1
+                if kind == 0:
+                    _, j = _leb128(data, j)
+                    n_imported_funcs += 1
+                elif kind in (1, 2):  # table/memory: limits
+                    flags = data[j]
+                    j += 1
+                    _, j = _leb128(data, j)
+                    if flags & 1:
+                        _, j = _leb128(data, j)
+                else:  # global: valtype + mutability
+                    j += 2
+        elif sec_id == 3:  # function section: type index per local func
+            n, j = _leb128(data, j)
+            for _ in range(n):
+                ti, j = _leb128(data, j)
+                func_type_idx.append(ti)
+        elif sec_id == 7:
+            n, j = _leb128(data, j)
+            for _ in range(n):
+                ln, j = _leb128(data, j)
+                name = data[j : j + ln].decode()
+                j += ln
+                kind = data[j]
+                j += 1
+                idx, j = _leb128(data, j)
+                if kind == FUNC_KIND:
+                    exports[name] = idx
+        i += size
+    out = {}
+    for name, idx in exports.items():
+        local = idx - n_imported_funcs
+        if 0 <= local < len(func_type_idx):
+            out[name] = types[func_type_idx[local]]
+    return out
+
+
+def test_reference_artifact_bindgen_signatures():
+    """Pin the wasmedge-bindgen low-level calling convention the backend
+    assumes in ``WasmModule._call_bytes``: guest UDFs take
+    (ptr: i32, len: i32) and return one i32 (pointer to the
+    [status, ptr, len] result struct); ``allocate`` takes a size and
+    returns a pointer. Static check — execution needs wasmtime."""
+    sigs = wasm_func_signatures(ARTIFACT)
+    for fn in ("f1", "f_return_error", "f_return_arrow_error", "f_panic"):
+        params, results = sigs[GUEST_PREFIX + fn]
+        assert params == (I32, I32), fn  # (payload ptr, payload len)
+        assert results == (I32,), fn  # result-struct pointer
+    params, results = sigs["allocate"]
+    assert params == (I32,) and results == (I32,)
+    params, results = sigs["deallocate"]
+    assert results == ()  # frees; bindgen variants take (ptr[, size])
+    assert params in ((I32,), (I32, I32))
