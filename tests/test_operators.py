@@ -261,3 +261,20 @@ def test_pack_streams_bins(spark):
     # streams are independent; a doc longer than the budget still lands
     # at its own offset's bin (it straddles — concat-and-chunk semantics)
     assert got[("fr", 0)] == (0, 0) and got[("fr", 1)] == (300, 1)
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    from wasaffi_spark.operators import pipeline
+
+    rows = [(i, "en" if i % 2 else "fr") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    frac = {"en": 0.2, "fr": 0.8}
+    s1 = {r.doc_id for r in pipeline.stratified_sample(df, frac).collect()}
+    s2 = {r.doc_id for r in pipeline.stratified_sample(df, frac).collect()}
+    assert s1 == s2  # hash-bernoulli: bit-for-bit reproducible
+    en = sum(1 for i in s1 if i % 2)
+    fr = sum(1 for i in s1 if not i % 2)
+    assert 60 <= en <= 140  # ~20% of 500
+    assert 340 <= fr <= 460  # ~80% of 500
+    # default fraction excludes unlisted strata entirely at 0.0
+    assert pipeline.stratified_sample(df, {"en": 0.2}).where("lang='fr'").count() == 0

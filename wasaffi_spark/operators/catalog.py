@@ -796,26 +796,61 @@ ORACLE["pipeline_train_set"] = ORACLE["pipeline_train_set"].replace(
 )
 
 
+# corpus-mixing fractions for the stratified-sampling leg of train_split:
+# downsample dominant English, keep all French, quarter the rest.
+STRATA_FRACTIONS = {"en": 0.5, "fr": 1.0}
+STRATA_DEFAULT = 0.25
+
+
 def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split counts PLUS the per-split
+    yield of a stratified sample (hash-bernoulli per language stratum —
+    the corpus-mixing knob): both legs share the md5 bucket expression,
+    so the whole result is reproducible and SQL-expressible."""
+    from . import pipeline as pipe
+
     docs = _table(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", split_label("doc_id").alias("split"))
+    labeled = docs.select("doc_id", "lang", split_label("doc_id").alias("split"))
+    totals = labeled.groupBy("split").agg(F.count("*").alias("cnt"))
+    sampled = (
+        pipe.stratified_sample(
+            labeled, STRATA_FRACTIONS, default_fraction=STRATA_DEFAULT
+        )
         .groupBy("split")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.count("*").alias("sampled_cnt"))
+    )
+    return (
+        totals.join(sampled, "split", "left")
+        .select(
+            "split",
+            "cnt",
+            F.coalesce("sampled_cnt", F.lit(0)).cast("bigint").alias("sampled_cnt"),
+        )
         .orderBy("split")
     )
 
+
+_STRATA_PCT_CASE = "case " + " ".join(
+    f"when lang = '{s}' then {int(round(f * 100))}"
+    for s, f in sorted(STRATA_FRACTIONS.items())
+) + f" else {int(round(STRATA_DEFAULT * 100))} end"
 
 register(
     "train_split",
     q_train_split,
     f"""with b as (
-         select doc_id, {_ORACLE_BUCKET} as bucket from documents)
-       select case when bucket < 80 then 'train'
-                   when bucket < 90 then 'val'
-                   else 'test' end as split,
-              count(*) as cnt
-       from b group by split order by split""",
+         select doc_id, lang, {_ORACLE_BUCKET} as bucket from documents),
+       lab as (
+         select doc_id, bucket,
+                case when bucket < 80 then 'train'
+                     when bucket < 90 then 'val'
+                     else 'test' end as split,
+                {_STRATA_PCT_CASE} as pct
+         from b)
+       select split, count(*) as cnt,
+              cast(sum(case when bucket < pct then 1 else 0 end) as bigint)
+                as sampled_cnt
+       from lab group by split order by split""",
 )
 
 

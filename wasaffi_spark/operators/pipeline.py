@@ -41,6 +41,34 @@ def split_label(id_col: str = "doc_id", seed: str = SPLIT_SEED) -> Column:
     return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
 
 
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = SPLIT_SEED,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the corpus-mixing knob of a
+    training pipeline (e.g. keep 100% of low-resource languages, 10% of
+    the dominant one). Hash-bernoulli per row: keep where
+    ``md5(seed || id)``'s 0-99 bucket < fraction×100, so the sample is
+    reproducible across runs, engines, and cluster sizes (unlike
+    ``df.sampleBy``, whose RNG is partitioning-dependent), and is
+    SQL-expressible for the oracle.
+
+    Scale: a codegen-only filter — no shuffle, prunes at the scan when
+    ``stratum_col`` is a partition column.
+    """
+    b = split_bucket(id_col, seed)
+    pct: Column = F.lit(int(round(default_fraction * 100)))
+    for stratum, frac in sorted(fractions.items()):
+        pct = F.when(F.col(stratum_col) == stratum, int(round(frac * 100))).otherwise(
+            pct
+        )
+    return df.where(b < pct)
+
+
 def training_set(
     docs: DataFrame,
     chunk_tokens: int = 32,
