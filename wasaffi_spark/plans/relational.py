@@ -334,19 +334,37 @@ query(
               cast(length(p_name) as bigint) as name_len,
               replace(p_brand, 'Brand', 'B') as brand_s,
               concat(p_type, '/', p_brand) as type_brand,
+              regexp_extract(p_name, '([a-z]+)', 1) as first_word,
+              lpad(p_brand, 12, '_') as brand_pad,
+              split_part(p_type, ' ', 1) as type_head,
+              cast(instr(p_name, 'a') as bigint) as a_pos,
+              trim(concat(' ', p_name, ' ')) as trimmed,
               round(sqrt(p_retailprice), 2) as sq,
+              round(ln(p_retailprice), 6) as ln_price,
+              round(exp(p_size / 100.0), 6) as exp_sz,
               abs(p_size - 25) as sz_dist,
+              pmod(p_size, 7) as sz_mod,
               floor(p_retailprice) as fl,
               ceil(p_retailprice) as ce
        from part order by p_partkey limit 20""",
     # Spark floor/ceil return BIGINT; DuckDB's return DOUBLE — cast.
+    # Spark instr/pmod ↔ DuckDB strpos/x%y (non-negative for positive
+    # divisor either way).
     oracle="""select p_partkey,
               upper(substr(p_name, 1, 5)) as pfx,
               cast(length(p_name) as bigint) as name_len,
               replace(p_brand, 'Brand', 'B') as brand_s,
               concat(p_type, '/', p_brand) as type_brand,
+              regexp_extract(p_name, '([a-z]+)', 1) as first_word,
+              lpad(p_brand, 12, '_') as brand_pad,
+              split_part(p_type, ' ', 1) as type_head,
+              cast(strpos(p_name, 'a') as bigint) as a_pos,
+              trim(concat(' ', p_name, ' ')) as trimmed,
               round(sqrt(p_retailprice), 2) as sq,
+              round(ln(p_retailprice), 6) as ln_price,
+              round(exp(p_size / 100.0), 6) as exp_sz,
               abs(p_size - 25) as sz_dist,
+              p_size % 7 as sz_mod,
               cast(floor(p_retailprice) as bigint) as fl,
               cast(ceil(p_retailprice) as bigint) as ce
        from part order by p_partkey limit 20""",
