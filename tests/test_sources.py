@@ -92,3 +92,73 @@ def test_copy_roundtrip(engine, tmp_path):
     )
     [row] = engine.sql("select count(*) as cnt from region_json").collect()
     assert row["cnt"] == 5
+
+
+def test_parse_arrow_format():
+    stmt = parse_function_ddl(
+        "CREATE EXTERNAL TABLE t STORED AS ARROW LOCATION '/x/t.arrow'"
+    )
+    assert isinstance(stmt, CreateExternalTableStmt) and stmt.format == "arrow"
+    stmt = parse_function_ddl("COPY t TO '/tmp/out' STORED AS ARROW")
+    assert isinstance(stmt, CopyToStmt) and stmt.format == "arrow"
+
+
+@needs_data
+def test_arrow_ipc_roundtrip(engine, tmp_path):
+    """COPY ... STORED AS ARROW → CREATE EXTERNAL TABLE ... STORED AS
+    ARROW round-trips values, across multiple partitions (one IPC file
+    per partition) and overwrite re-runs."""
+    engine.load_tables(SF_SMOKE, ("nation",))
+    out = str(tmp_path / "nation_arrow")
+    engine.sql(f"COPY (select n_nationkey, n_name from nation) TO '{out}' STORED AS ARROW")
+    engine.sql(f"CREATE EXTERNAL TABLE nat_arrow STORED AS ARROW LOCATION '{out}'")
+    rows = engine.sql(
+        "select n_nationkey, n_name from nat_arrow order by n_nationkey"
+    ).collect()
+    assert [r["n_nationkey"] for r in rows] == list(range(25))
+
+    # overwrite: second COPY replaces, never appends
+    engine.sql(
+        "COPY (select n_nationkey, n_name from nation where n_nationkey < 5) "
+        f"TO '{out}' STORED AS ARROW"
+    )
+    engine.sql(f"CREATE EXTERNAL TABLE nat_arrow2 STORED AS ARROW LOCATION '{out}'")
+    [row] = engine.sql("select count(*) as cnt from nat_arrow2").collect()
+    assert row["cnt"] == 5
+
+
+@needs_data
+def test_arrow_ipc_multi_partition_and_empty(spark, tmp_path):
+    from wasaffi_spark.sources.arrow_ipc import read_arrow_ipc, write_arrow_ipc
+
+    df = spark.range(0, 1000, 1, 8).selectExpr("id", "cast(id * 2 as double) as v")
+    out = str(tmp_path / "multi")
+    write_arrow_ipc(df, out)
+    files = [f for f in os.listdir(out) if f.endswith(".arrow")]
+    assert len(files) == 8  # one IPC file per partition — distributed sink
+    back = read_arrow_ipc(spark, out)
+    assert back.count() == 1000
+    [row] = back.selectExpr("sum(v) as s").collect()
+    assert row["s"] == float(sum(2 * i for i in range(1000)))
+
+    # empty frame round-trips its schema
+    out2 = str(tmp_path / "empty")
+    write_arrow_ipc(df.where("id < 0"), out2)
+    back2 = read_arrow_ipc(spark, out2)
+    assert back2.count() == 0 and back2.columns == ["id", "v"]
+
+
+@needs_data
+def test_arrow_ipc_stream_framing(spark, tmp_path):
+    """The reader accepts the IPC *stream* framing too (feather/stream
+    files produced by other writers)."""
+    import pyarrow as pa
+
+    tbl = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    path = str(tmp_path / "s.arrows")
+    with pa.ipc.new_stream(path, tbl.schema) as w:
+        w.write_table(tbl)
+    from wasaffi_spark.sources.arrow_ipc import read_arrow_ipc
+
+    df = read_arrow_ipc(spark, path)
+    assert sorted(r["a"] for r in df.collect()) == [1, 2, 3]

@@ -194,7 +194,7 @@ class CreateExternalTableStmt:
     surface the reference inherits — SURVEY §2C sources row)."""
 
     name: str
-    format: str  # parquet | csv | json
+    format: str  # parquet | csv | json | arrow
     location: str
     header: bool = False
     if_not_exists: bool = False
@@ -225,7 +225,7 @@ def parse_function_ddl(sql: str) -> EngineStmt:
     m = _EXTERNAL_TABLE_RE.match(sql)
     if m:
         fmt = m.group("format").lower()
-        if fmt not in ("parquet", "csv", "json"):
+        if fmt not in ("parquet", "csv", "json", "arrow"):
             raise FunctionDefinitionError(
                 f"unsupported external table format: {fmt!r}"
             )
@@ -240,7 +240,7 @@ def parse_function_ddl(sql: str) -> EngineStmt:
     m = _COPY_TO_RE.match(sql)
     if m:
         fmt = (m.group("format") or "parquet").lower()
-        if fmt not in ("parquet", "csv", "json"):
+        if fmt not in ("parquet", "csv", "json", "arrow"):
             raise FunctionDefinitionError(f"unsupported COPY format: {fmt!r}")
         return CopyToStmt(
             source=m.group("source"),

@@ -188,6 +188,10 @@ class Engine:
             df = self.spark.read.csv(
                 stmt.location, header=stmt.header, inferSchema=True
             )
+        elif stmt.format == "arrow":
+            from .sources.arrow_ipc import read_arrow_ipc
+
+            df = read_arrow_ipc(self.spark, stmt.location)
         else:
             df = self.spark.read.json(stmt.location)
         self.register(stmt.name, df)
@@ -200,6 +204,11 @@ class Engine:
             df = self.spark.sql(src[1:-1])
         else:
             df = self.spark.table(src)
+        if stmt.format == "arrow":
+            from .sources.arrow_ipc import write_arrow_ipc
+
+            write_arrow_ipc(df, stmt.location)
+            return self._empty_result()
         writer = df.write.mode("overwrite")
         if stmt.format == "csv":
             writer.option("header", True).csv(stmt.location)

@@ -1089,6 +1089,11 @@ _COPY_DIR: str | None = None
 
 
 def q_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink/source parity through the engine DDL, both file formats the
+    reference's embedded engine ships providers for (SURVEY §2C sources
+    row): parquet AND Arrow IPC.  Each format is written by ``COPY TO``
+    and read back by ``CREATE EXTERNAL TABLE``; the two round-trips are
+    joined so one value-hash covers both paths."""
     import tempfile
 
     from ..engine import Engine
@@ -1101,20 +1106,32 @@ def q_copy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _COPY_DIR is None:
         _COPY_DIR = tempfile.mkdtemp(prefix="wasaffi_copy_")
     out = os.path.join(_COPY_DIR, "nation_out")
+    out_a = os.path.join(_COPY_DIR, "nation_out_arrow")
     eng.sql(f"COPY (select n_nationkey, n_name, n_regionkey from nation) TO '{out}'")
+    eng.sql(
+        "COPY (select n_nationkey, n_name from nation) "
+        f"TO '{out_a}' STORED AS ARROW"
+    )
     eng.sql(
         f"CREATE EXTERNAL TABLE nation_roundtrip STORED AS PARQUET LOCATION '{out}'"
     )
+    eng.sql(
+        f"CREATE EXTERNAL TABLE nation_rt_arrow STORED AS ARROW LOCATION '{out_a}'"
+    )
     return eng.sql(
-        "select n_nationkey, n_name, n_regionkey from nation_roundtrip "
-        "order by n_nationkey"
+        """select p.n_nationkey, p.n_name, p.n_regionkey,
+                  a.n_name as n_name_arrow
+           from nation_roundtrip p
+           join nation_rt_arrow a using (n_nationkey)
+           order by p.n_nationkey"""
     )
 
 
 register(
     "copy_roundtrip",
     q_copy_roundtrip,
-    """select n_nationkey, n_name, n_regionkey from nation order by n_nationkey""",
+    """select n_nationkey, n_name, n_regionkey, n_name as n_name_arrow
+       from nation order by n_nationkey""",
 )
 
 
