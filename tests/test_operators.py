@@ -278,3 +278,44 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     assert 340 <= fr <= 460  # ~80% of 500
     # default fraction excludes unlisted strata entirely at 0.0
     assert pipeline.stratified_sample(df, {"en": 0.2}).where("lang='fr'").count() == 0
+
+
+def test_ngram_guard_short_docs(spark):
+    """Docs shorter than n tokens yield NO grams (sequence(1, negative)
+    would otherwise count down and fabricate reversed-slice grams)."""
+    from wasaffi_spark.operators import decontam
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    out = df.select(
+        "doc_id", F.size(decontam.word_ngrams("text", 3)).alias("n")
+    ).collect()
+    assert {r["doc_id"]: r["n"] for r in out} == {1: 3, 2: 0, 3: 0}
+
+
+def test_contamination_hits_and_decontaminate(spark):
+    from wasaffi_spark.operators import decontam
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here none shared at all"),
+            (3, "quick brown fox appears again quick brown fox twice"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "we saw the quick brown fox yesterday")],
+        "doc_id long, text string",
+    )
+    hits = {
+        r["doc_id"]: r["hits"]
+        for r in decontam.contamination_hits(train, eval_set, n=3).collect()
+    }
+    # doc 1 shares "the quick brown" + "quick brown fox"; doc 3 shares
+    # "quick brown fox" (counted once though it occurs twice); doc 2 clean
+    assert hits == {1: 2, 3: 1}
+
+    kept = decontam.decontaminate(train, eval_set, n=3).collect()
+    assert [r["doc_id"] for r in kept] == [2]

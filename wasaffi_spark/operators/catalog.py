@@ -408,12 +408,13 @@ register(
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text metrics in one codegen-only projection: quality
-    scoring (length/space/avg-token-len ratios) plus token counting
+    scoring (length/space/avg-token-len ratios), token counting
     (whitespace tokens, BPE-ish regex word-pieces, chars/3.5 subword
-    estimate) — the text-analysis surface of a training-data pipeline."""
+    estimate) and marker-word language ID — the per-document
+    text-analysis surface of a training-data pipeline, zero shuffles."""
     docs = _table(spark, sf_dir, "documents")
     return (
-        text.with_quality(docs)
+        text.with_lang_guess(text.with_quality(docs))
         .selectExpr(
             "doc_id",
             "n_tokens",
@@ -424,10 +425,16 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             r"cast(regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') as bigint)"
             " as re_tokens",
             "cast(ceil(length(text) / 3.5) as bigint) as bpe_estimate",
+            "lang_guess",
         )
         .orderBy("doc_id")
     )
 
+
+_MARKER_CASE = "case " + " ".join(
+    f"when list_contains({_TOKS}, '{m}') then '{lang}'"
+    for m, lang in text.LANG_MARKERS
+) + " else 'und' end"
 
 register(
     "text_stats",
@@ -448,31 +455,47 @@ register(
                len(string_split_regex(text, '\\s+')) as ws_tokens,
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
                  as re_tokens,
-               cast(ceil(length(text) / 3.5) as bigint) as bpe_estimate
+               cast(ceil(length(text) / 3.5) as bigint) as bpe_estimate,
+               {_MARKER_CASE} as lang_guess
         from base order by doc_id""",
 )
 
 
-def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+DECONTAM_N = 6  # short synthetic docs (~30 words); production uses 8-13
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-train-document count of distinct
+    word n-grams shared with a deterministic held-out eval slice
+    (doc_id % 17 == 3). The train-side gram explosion never shuffles —
+    filtering happens in the gram semi-join (AQE broadcasts the small
+    distinct eval-gram side), and the hit count aggregates post-join
+    matches only. See ``operators/decontam.py`` for the 100 TB notes."""
+    from . import decontam
+
     docs = _table(spark, sf_dir, "documents")
+    eval_set = docs.where(F.pmod(F.col("doc_id"), F.lit(17)) == 3)
+    train = docs.where(F.pmod(F.col("doc_id"), F.lit(17)) != 3)
     return (
-        text.with_lang_guess(docs)
-        .groupBy("lang_guess")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy("lang_guess")
+        decontam.contamination_hits(train, eval_set, n=DECONTAM_N)
+        .orderBy("doc_id")
     )
 
 
-_MARKER_CASE = "case " + " ".join(
-    f"when list_contains({_TOKS}, '{m}') then '{lang}'"
-    for m, lang in text.LANG_MARKERS
-) + " else 'und' end"
-
 register(
-    "lang_guess",
-    q_lang_guess,
-    f"""select {_MARKER_CASE} as lang_guess, count(*) as cnt
-        from documents group by lang_guess order by lang_guess""",
+    "decontaminate",
+    q_decontaminate,
+    f"""with toks as (select doc_id, {_TOKS} as t from documents),
+        grams as (select doc_id,
+                         array_to_string(t[i:i+{DECONTAM_N - 1}], ' ') as gram
+                  from toks,
+                       unnest(generate_series(1, len(t) - {DECONTAM_N - 1})) as u(i)),
+        eval_grams as (select distinct gram from grams where doc_id % 17 = 3),
+        hits as (select g.doc_id, count(distinct g.gram) as hits
+                 from grams g join eval_grams e using (gram)
+                 where g.doc_id % 17 <> 3
+                 group by g.doc_id)
+        select doc_id, hits from hits order by doc_id""",
 )
 
 
