@@ -319,3 +319,27 @@ def test_contamination_hits_and_decontaminate(spark):
 
     kept = decontam.decontaminate(train, eval_set, n=3).collect()
     assert [r["doc_id"] for r in kept] == [2]
+
+
+def test_repetition_stats(spark):
+    """Gopher-style repetition features; bigram mode comes from the
+    in-row sorted-run aggregate, not an explode shuffle."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # bigrams: ab,ba,ab,ba,ab → top "a b"×3/5
+            (2, "x y z w"),            # all unique: top 1/3
+            (3, "q"),                  # no bigrams → NULL
+            (4, "r r r r"),            # dup 3/4; "r r"×3/3
+        ],
+        "doc_id long, text string",
+    )
+    from wasaffi_spark.operators import text as t
+
+    rows = {
+        r["doc_id"]: (r["dup_word_frac"], r["top_bigram_frac"])
+        for r in t.with_repetition(df).collect()
+    }
+    assert rows[1] == (round(1 - 2 / 6, 6), 0.6)
+    assert rows[2] == (0.0, round(1 / 3, 6))
+    assert rows[3] == (0.0, None)
+    assert rows[4] == (0.75, 1.0)

@@ -410,11 +410,13 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document text metrics in one codegen-only projection: quality
     scoring (length/space/avg-token-len ratios), token counting
     (whitespace tokens, BPE-ish regex word-pieces, chars/3.5 subword
-    estimate) and marker-word language ID — the per-document
-    text-analysis surface of a training-data pipeline, zero shuffles."""
+    estimate), marker-word language ID, and Gopher-style repetition
+    features (in-row sorted-run bigram mode — no explode shuffle) — the
+    per-document text-analysis surface of a training-data pipeline,
+    zero shuffles."""
     docs = _table(spark, sf_dir, "documents")
     return (
-        text.with_lang_guess(text.with_quality(docs))
+        text.with_repetition(text.with_lang_guess(text.with_quality(docs)))
         .selectExpr(
             "doc_id",
             "n_tokens",
@@ -426,6 +428,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as re_tokens",
             "cast(ceil(length(text) / 3.5) as bigint) as bpe_estimate",
             "lang_guess",
+            "dup_word_frac",
+            "top_bigram_frac",
         )
         .orderBy("doc_id")
     )
@@ -443,9 +447,16 @@ register(
           select doc_id, text,
                  length(text) as n_chars,
                  length(regexp_replace(text, '\\s', '', 'g')) as no_space,
+                 {_TOKS} as t,
                  len({_TOKS}) as n_tokens
-          from documents)
-        select doc_id,
+          from documents),
+        bg as (select doc_id, gram, count(*) as c
+               from (select doc_id, array_to_string(t[i:i+1], ' ') as gram
+                     from base, unnest(generate_series(1, len(t) - 1)) as u(i))
+               group by doc_id, gram),
+        bstat as (select doc_id, max(c) as top_c, sum(c) as n_bg
+                  from bg group by doc_id)
+        select base.doc_id,
                cast(n_tokens as int) as n_tokens,
                round((n_chars - no_space) / n_chars, 6) as space_ratio,
                round(no_space / n_tokens, 6) as avg_token_len,
@@ -456,8 +467,11 @@ register(
                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
                  as re_tokens,
                cast(ceil(length(text) / 3.5) as bigint) as bpe_estimate,
-               {_MARKER_CASE} as lang_guess
-        from base order by doc_id""",
+               {_MARKER_CASE} as lang_guess,
+               round(1.0 - len(list_distinct(t)) / n_tokens, 6) as dup_word_frac,
+               round(top_c / n_bg, 6) as top_bigram_frac
+        from base left join bstat on base.doc_id = bstat.doc_id
+        order by base.doc_id""",
 )
 
 

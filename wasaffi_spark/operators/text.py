@@ -140,6 +140,55 @@ URL_RE = r"https?://[^\s]+"
 PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
 
 
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds Gopher-style repetition features, entirely shuffle-free:
+
+    - ``dup_word_frac``: fraction of tokens that are repeats of an
+      earlier token (``1 - distinct/total``) — the word-level analogue
+      of Gopher's duplicate-line fraction.
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over total bigrams (Gopher rule: drop when the top 2-gram covers
+      too much of the document).
+
+    The bigram mode is found WITHOUT an explode + groupBy shuffle: sort
+    the bigram array, then one ``aggregate`` pass tracks the longest run
+    of equal adjacent elements — O(n log n) per row inside codegen, so
+    the operator stays embarrassingly parallel at any corpus size and
+    document length (a 100 k-token doc costs one in-row sort, not a
+    corpus-wide shuffle of exploded grams). NULL (not 0) on documents
+    too short to have bigrams, matching SQL division semantics.
+    """
+    toks = tokens(text_col)
+    n_toks = F.size(toks)
+    dup_frac = F.round(
+        F.lit(1.0) - F.try_divide(F.size(F.array_distinct(toks)), n_toks), 6
+    )
+    starts = F.sequence(F.lit(1), n_toks - 1)
+    bigrams = F.when(
+        n_toks >= 2,
+        F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_count = F.aggregate(
+        F.array_sort(bigrams), acc0, step, lambda acc: acc["best"]
+    )
+    top_frac = F.round(F.try_divide(top_count, F.size(bigrams)), 6)
+    return df.withColumn("dup_word_frac", dup_frac).withColumn(
+        "top_bigram_frac", top_frac
+    )
+
+
 def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds PII scrub columns — the data-cleaning pass every training
     corpus needs before release: ``n_emails``/``n_urls``/``n_phones``
