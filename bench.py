@@ -53,9 +53,11 @@ HEADLINE = [
     "asof_join",
     "range_join",
     "tfidf",
-    # new in r2 (no r1 baseline): corpus cleaning + packing, salted join
+    # new in r2 (no r1 baseline): corpus cleaning + packing, salted
+    # join, eval-set decontamination
     "clean_pack",
     "skew_salted_join",
+    "decontaminate",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or
@@ -65,6 +67,18 @@ R1_NAME = {
     "outer_join_topk": "topk",  # r2 adds the outer join + aggregation
     "subqueries_cte": "subquery_scalar",  # r2 adds IN-subqueries + CTE + scalars
     "events_session_window": "events_sessions",  # native session_window variant
+}
+
+# Queries whose r2 shape computes strictly MORE than the r1 row it is
+# compared against — a time increase here is capability growth, not a
+# regression of the same work. Carried into the output JSON so the
+# per-query budget comparison stays honest in both directions.
+R2_WIDENED = {
+    "text_stats": (
+        "r2 adds lang_guess + Gopher repetition features "
+        "(dup_word_frac via array_distinct, top_bigram_frac via in-row "
+        "sorted-run mode) — ~2.5x the r1 feature set in the same slot"
+    ),
 }
 
 # BENCH_r01.json per-query seconds (sf0.1, local[32]) — the frozen baseline.
@@ -131,7 +145,13 @@ def main() -> None:
         name: R1_TIMES.get(R1_NAME.get(name, name)) for name in HEADLINE
     }
     regressions = {
-        name: {"r1": baseline[name], "now": t}
+        name: {
+            "r1": baseline[name],
+            "now": t,
+            **(
+                {"widened": R2_WIDENED[name]} if name in R2_WIDENED else {}
+            ),
+        }
         for name, t in timings.items()
         if baseline.get(name) is not None and t > 2.0 * baseline[name]
     }

@@ -412,18 +412,26 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (whitespace tokens, BPE-ish regex word-pieces, chars/3.5 subword
     estimate), marker-word language ID, and Gopher-style repetition
     features (in-row sorted-run bigram mode — no explode shuffle) — the
-    per-document text-analysis surface of a training-data pipeline,
-    zero shuffles."""
-    docs = _table(spark, sf_dir, "documents")
+    per-document text-analysis surface of a training-data pipeline.
+    Every feature is an in-row expression; the one repartition below
+    only spreads the single-file local input across cores (at cluster
+    scale the scan itself is already wide) — the repetition features'
+    per-row sort is the priciest step and must not sit on one task."""
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents")).withColumn(
+        "_toks", text.tokens("text")
+    )
+    docs = text.with_quality(docs, toks_col="_toks")
+    docs = text.with_lang_guess(docs, toks_col="_toks")
+    docs = text.with_repetition(docs, toks_col="_toks")
     return (
-        text.with_repetition(text.with_lang_guess(text.with_quality(docs)))
-        .selectExpr(
+        docs.selectExpr(
             "doc_id",
             "n_tokens",
             "space_ratio",
             "avg_token_len",
             "quality_score",
-            r"cast(size(split(text, '\\s+')) as bigint) as ws_tokens",
+            # lower() shifts no token boundaries: ws count == |_toks|
+            "cast(size(_toks) as bigint) as ws_tokens",
             r"cast(regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]') as bigint)"
             " as re_tokens",
             "cast(ceil(length(text) / 3.5) as bigint) as bpe_estimate",
@@ -487,7 +495,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches only. See ``operators/decontam.py`` for the 100 TB notes."""
     from . import decontam
 
-    docs = _table(spark, sf_dir, "documents")
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
     eval_set = docs.where(F.pmod(F.col("doc_id"), F.lit(17)) == 3)
     train = docs.where(F.pmod(F.col("doc_id"), F.lit(17)) != 3)
     return (

@@ -203,44 +203,60 @@ def simhash(
     """48-bit SimHash per document over distinct tokens.
 
     Per token, md5 hex chars supply 4 bits each; each bit votes ±1; the
-    signature sets bit ``j`` where the vote sum is positive. One explode +
-    one groupBy shuffle; everything else is arithmetic on hex digits
-    (``instr`` into a hex alphabet), so the DuckDB oracle matches exactly.
+    signature sets bit ``j`` where the vote sum is positive.
+
+    ZERO shuffles: a document's vote sums need only its own tokens, so
+    the whole signature is computed in-row with higher-order functions —
+    ``array_distinct`` for the token set, one ``aggregate`` pass summing
+    per-token lane-packed bit votes — instead of the explode → distinct
+    → groupBy pipeline (two corpus-sized shuffles of exploded tokens).
+    At 100 TB the exploded form shuffles ~30× the corpus bytes; this
+    form shuffles nothing and scales with input partitioning alone
+    (``_fan_out`` only spreads a narrow input across cores).
+
+    Lane packing: the 4 bits of one hex digit accumulate in 4
+    independent 16-bit lanes of ONE bigint (bit b of digit d adds
+    1<<(16*b)), so the accumulator is ``hex_digits`` bigints instead of
+    4×``hex_digits`` ints. Lane capacity 16 bits ⇒ valid to 32767
+    distinct tokens per document (highest lane stays below 2^63).
     """
-    tok = (
-        _fan_out(df)
-        .select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
-        .where(F.col("tok") != "")
-        .distinct()
-        .withColumn("th", F.md5(F.col("tok")))
+    toks_arr = F.array_remove(F.array_distinct(tokens(text_col)), "")
+    ths = F.transform(toks_arr, lambda t: F.md5(t))
+
+    def token_lanes(th: Column) -> Column:
+        """array<bigint>[hex_digits]: this token's packed ±0/1 bit votes
+        (ones only; the ±1 vote is reconstructed from the ones count)."""
+        def one_digit(d: Column) -> Column:
+            digit = F.instr(F.lit("0123456789abcdef"), th.substr(d + 1, F.lit(1))) - 1
+            lanes: Column = F.lit(0).cast("bigint")
+            for b in range(4):
+                bit = (F.floor(digit / (2**b)) % 2).cast("bigint")
+                lanes = lanes + bit * F.lit(1 << (16 * b)).cast("bigint")
+            return lanes
+
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(hex_digits - 1)), one_digit
+        )
+
+    zeros = F.array_repeat(F.lit(0).cast("bigint"), hex_digits)
+    packed = F.aggregate(
+        ths, zeros, lambda acc, th: F.zip_with(acc, token_lanes(th), lambda a, b: a + b)
     )
-    # Lane-packed popcounts: the 4 bits of one hex digit accumulate in 4
-    # independent 16-bit lanes of ONE bigint sum (bit b of digit d adds
-    # 1<<(16*b)), so the aggregation is 12 packed sums + a count instead
-    # of 48 sums — 4× fewer agg expressions, smaller codegen, same
-    # shuffle. Lane capacity: 16 bits ⇒ valid for up to 32767 distinct
-    # tokens per document (highest lane must stay below 2^63); far above
-    # any real document, asserted nowhere hot.
-    packed = []
-    for d in range(hex_digits):
-        digit = F.instr(
-            F.lit("0123456789abcdef"), F.substring(F.col("th"), d + 1, 1)
-        ) - F.lit(1)
-        lanes: Column = F.lit(0).cast("bigint")
-        for b in range(4):
-            bit = (F.floor(digit / (2**b)) % 2).cast("bigint")
-            lanes = lanes + bit * F.lit(1 << (16 * b)).cast("bigint")
-        packed.append(F.sum(lanes).alias(f"p{d}"))
-    agg = tok.groupBy(id_col).agg(F.count("*").alias("_n"), *packed)
+    n = F.size(toks_arr)
+    base = _fan_out(df).select(
+        F.col(id_col), n.alias("_n"), packed.alias("_p")
+    )
     # bit j set ⟺ ones_j > n/2 ⟺ vote sum (2·ones−n) > 0
     sig: Column = F.lit(0).cast("bigint")
     for d in range(hex_digits):
         for b in range(4):
-            ones = F.shiftrightunsigned(F.col(f"p{d}"), 16 * b) % F.lit(1 << 16)
+            ones = F.shiftrightunsigned(
+                F.element_at(F.col("_p"), d + 1), 16 * b
+            ) % F.lit(1 << 16)
             sig = sig + F.when(
                 ones * 2 > F.col("_n"), F.lit(2 ** (d * 4 + b)).cast("bigint")
             ).otherwise(F.lit(0).cast("bigint"))
-    return agg.select(F.col(id_col), sig.alias("simhash"))
+    return base.where(F.col("_n") > 0).select(F.col(id_col), sig.alias("simhash"))
 
 
 # -- exact n-gram (token-set) Jaccard with blocking -------------------------

@@ -18,8 +18,14 @@ from pyspark.sql import functions as F
 TOKEN_PATTERN = r"\s+"
 
 
-def tokens(text_col: str = "text") -> Column:
-    """Lower-cased whitespace tokens."""
+def tokens(text_col: str = "text", toks_col: str | None = None) -> Column:
+    """Lower-cased whitespace tokens; ``toks_col`` names an existing
+    pre-split array column to reuse (one regex split shared by every
+    feature instead of one per feature — at corpus scale tokenization
+    is the dominant per-row cost and Catalyst does not always CSE
+    identical split() trees across independent withColumn chains)."""
+    if toks_col is not None:
+        return F.col(toks_col)
     return F.split(F.lower(F.col(text_col)), TOKEN_PATTERN)
 
 
@@ -28,7 +34,9 @@ def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_tokens", F.size(tokens(text_col)).cast("int"))
 
 
-def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_quality(
+    df: DataFrame, text_col: str = "text", toks_col: str | None = None
+) -> DataFrame:
     """Adds quality features + a composite ``quality_score`` in [0,1].
 
     Components (all exact integer/length arithmetic, so the score is
@@ -39,7 +47,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     text = F.col(text_col)
     n_chars = F.length(text)
     no_space = F.length(F.regexp_replace(text, r"\s", ""))
-    n_tokens = F.size(tokens(text_col))
+    n_tokens = F.size(tokens(text_col, toks_col))
     # try_divide: Spark 4 runs ANSI mode by default, where n/0 raises —
     # an empty document must yield NULL features (matching the SQL
     # oracle's NULL semantics), not kill the job.
@@ -64,8 +72,10 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 LANG_MARKERS = (("the", "en"), ("le", "fr"), ("der", "de"), ("el", "es"), ("的", "zh"))
 
 
-def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
-    toks = tokens(text_col)
+def with_lang_guess(
+    df: DataFrame, text_col: str = "text", toks_col: str | None = None
+) -> DataFrame:
+    toks = tokens(text_col, toks_col)
     expr: Column = F.lit("und")
     for marker, lang in reversed(LANG_MARKERS):
         expr = F.when(F.array_contains(toks, marker), lang).otherwise(expr)
@@ -140,7 +150,9 @@ URL_RE = r"https?://[^\s]+"
 PHONE_RE = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
 
 
-def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_repetition(
+    df: DataFrame, text_col: str = "text", toks_col: str | None = None
+) -> DataFrame:
     """Adds Gopher-style repetition features, entirely shuffle-free:
 
     - ``dup_word_frac``: fraction of tokens that are repeats of an
@@ -151,14 +163,21 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
       too much of the document).
 
     The bigram mode is found WITHOUT an explode + groupBy shuffle: sort
-    the bigram array, then one ``aggregate`` pass tracks the longest run
-    of equal adjacent elements — O(n log n) per row inside codegen, so
-    the operator stays embarrassingly parallel at any corpus size and
-    document length (a 100 k-token doc costs one in-row sort, not a
-    corpus-wide shuffle of exploded grams). NULL (not 0) on documents
-    too short to have bigrams, matching SQL division semantics.
+    the bigram array in-row, find the run boundaries (positions where
+    the sorted value changes), and take the max gap between consecutive
+    boundaries — O(n log n) per row, so the operator stays
+    embarrassingly parallel at any corpus size and document length (a
+    100 k-token doc costs one in-row sort, not a corpus-wide shuffle of
+    exploded grams). NULL (not 0) on documents too short to have
+    bigrams, matching SQL division semantics.
+
+    The sorted array and the boundary array are MATERIALIZED as interim
+    columns (``_rep_sorted``/``_rep_bounds``) on purpose: referencing an
+    inline expression tree from a lambda re-evaluates the whole tree per
+    element (measured 200× slower — O(n² log n)); a column reference
+    makes ``element_at`` O(1).
     """
-    toks = tokens(text_col)
+    toks = tokens(text_col, toks_col)
     n_toks = F.size(toks)
     dup_frac = F.round(
         F.lit(1.0) - F.try_divide(F.size(F.array_distinct(toks)), n_toks), 6
@@ -168,24 +187,32 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_toks >= 2,
         F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, 2))),
     ).otherwise(F.array().cast("array<string>"))
-    acc0 = F.struct(
-        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    df = df.withColumn("_rep_sorted", F.array_sort(bigrams))
+    s = F.col("_rep_sorted")
+    n = F.size(s)
+    # n == 0 must short-circuit: sequence(1, 0) counts DOWN to [1, 0]
+    # and element_at(s, 0) raises under ANSI semantics.
+    df = df.withColumn(
+        "_rep_bounds",
+        F.when(
+            n >= 1,
+            F.filter(
+                F.sequence(F.lit(1), n),
+                lambda i: (i == 1)
+                | (F.element_at(s, i) != F.element_at(s, i - 1)),
+            ),
+        ).otherwise(F.array().cast("array<integer>")),
     )
-
-    def step(acc, x):
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.greatest(acc["best"], run).alias("best"),
-        )
-
-    top_count = F.aggregate(
-        F.array_sort(bigrams), acc0, step, lambda acc: acc["best"]
-    )
-    top_frac = F.round(F.try_divide(top_count, F.size(bigrams)), 6)
-    return df.withColumn("dup_word_frac", dup_frac).withColumn(
-        "top_bigram_frac", top_frac
+    b = F.col("_rep_bounds")
+    ends = F.concat(F.slice(b, 2, F.greatest(F.size(b) - 1, F.lit(0))), F.array(n + 1))
+    top_count = F.when(
+        n >= 1, F.array_max(F.zip_with(ends, b, lambda e, s0: e - s0))
+    ).otherwise(F.lit(None).cast("int"))
+    top_frac = F.round(F.try_divide(top_count, n), 6)
+    return (
+        df.withColumn("dup_word_frac", dup_frac)
+        .withColumn("top_bigram_frac", top_frac)
+        .drop("_rep_sorted", "_rep_bounds")
     )
 
 
