@@ -129,3 +129,62 @@ def test_stateful_user_stats(spark, event_stream):
         ).collect()
     }
     assert got == want
+
+
+@needs_data
+def test_streaming_decontamination_equals_batch(spark):
+    """Stream-static semi-join decontamination: the streamed contaminated
+    id set must equal the batch operator's."""
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators import decontam
+    from wasaffi_spark.sources.parquet import read_parquet
+    from wasaffi_spark.streaming import documents as sdocs
+
+    docs = read_parquet(spark, os.path.join(SF_SMOKE, "documents.parquet"))
+    eval_set = docs.where(F.pmod(F.col("doc_id"), F.lit(17)) == 3)
+    train = docs.where(F.pmod(F.col("doc_id"), F.lit(17)) != 3)
+    batch_ids = {
+        r["doc_id"]
+        for r in decontam.contamination_hits(train, eval_set, n=6).collect()
+    }
+    assert batch_ids, "fixture should produce at least one contaminated doc"
+
+    eval_grams = eval_set.select(
+        F.explode(decontam.word_ngrams("text", 6)).alias("gram")
+    )
+    stream = sdocs.read_documents_stream(spark, SF_SMOKE).where(
+        F.pmod(F.col("doc_id"), F.lit(17)) != 3
+    )
+    from wasaffi_spark.streaming.events import run_to_memory
+
+    run_to_memory(
+        sdocs.contaminated_ids_stream(stream, eval_grams, n=6),
+        "contam_ids",
+        output_mode="append",
+    )
+    stream_ids = {
+        r["doc_id"] for r in spark.sql("select doc_id from contam_ids").collect()
+    }
+    assert stream_ids == batch_ids
+
+
+@needs_data
+def test_streaming_quality_filter(spark):
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators import text as t
+    from wasaffi_spark.sources.parquet import read_parquet
+    from wasaffi_spark.streaming import documents as sdocs
+    from wasaffi_spark.streaming.events import run_to_memory
+
+    docs = read_parquet(spark, os.path.join(SF_SMOKE, "documents.parquet"))
+    batch_n = t.with_quality(docs).where("n_tokens >= 20").count()
+    run_to_memory(
+        sdocs.quality_filter_stream(
+            sdocs.read_documents_stream(spark, SF_SMOKE), min_tokens=20
+        ).select("doc_id"),
+        "quality_docs",
+        output_mode="append",
+    )
+    assert spark.sql("select count(*) c from quality_docs").collect()[0]["c"] == batch_n

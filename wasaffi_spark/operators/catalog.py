@@ -696,11 +696,18 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-insensitive md5-of-sorted-distinct-tokens signature (exact
     near-dup key) and the positional winnowing rolling-hash signature
     (plagiarism-style locality). Winnowing is undefined for docs shorter
-    than the shingle size → NULL columns via left join."""
-    docs = _table(spark, sf_dir, "documents")
+    than the shingle size → NULL columns via left join. Also carries the
+    corpus-frequency quality score (``text.corpus_freq_score`` — the
+    CCNet-style unigram proxy, exact integer arithmetic)."""
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
     fp = text.with_fingerprint(docs).select("doc_id", "fingerprint")
     win = _winnow_selected(docs)
-    return fp.join(win, "doc_id", "left").orderBy("doc_id")
+    score = text.corpus_freq_score(docs)
+    return (
+        fp.join(win, "doc_id", "left")
+        .join(score, "doc_id", "left")
+        .orderBy("doc_id")
+    )
 
 
 register(
@@ -727,9 +734,16 @@ register(
         sel as (select distinct doc_id, win_min from winmin),
         win as (
           select doc_id, count(*) as n_fingerprints, min(win_min) as min_fp
-          from sel group by doc_id)
-        select fp.doc_id, fp.fingerprint, win.n_fingerprints, win.min_fp
+          from sel group by doc_id),
+        tokexp as (select doc_id, unnest({_TOKS}) as tok from documents),
+        tokf as (select doc_id, tok from tokexp where tok <> ''),
+        freq as (select tok, count(*) as freq from tokf group by tok),
+        score as (select doc_id, round(avg(freq), 6) as avg_tok_freq
+                  from tokf join freq using (tok) group by doc_id)
+        select fp.doc_id, fp.fingerprint, win.n_fingerprints, win.min_fp,
+               score.avg_tok_freq
         from fp left join win using (doc_id)
+                left join score using (doc_id)
         order by fp.doc_id""",
 )
 

@@ -143,6 +143,38 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(canon))
 
 
+def corpus_freq_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id_col, ``avg_tok_freq``) — mean corpus-wide occurrence count of
+    each document's tokens: the CCNet-style LM quality proxy with a
+    unigram "model" trained on the corpus itself (docs dominated by
+    rare/garbage tokens score low; docs of common words score high).
+
+    Determinism: the score is an exact integer sum / integer count with
+    ONE double division at the end — no float summation order anywhere —
+    so Spark and the SQL oracle agree bit-for-bit. (A log-probability
+    variant would sum doubles in shuffle order; that is why the proxy
+    uses raw counts.)
+
+    Scale: the corpus unigram table is a groupBy(token) aggregate
+    (map-side partial); the score join is a plain equi-join on token —
+    AQE broadcasts the vocabulary when it fits and shuffle-hash-joins
+    when it doesn't (never an unconditional broadcast of an O(vocab)
+    side). One further groupBy(doc) for the mean.
+    """
+    tok = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    freq = tok.groupBy("tok").agg(F.count("*").alias("freq"))
+    return (
+        tok.join(freq, "tok")
+        .groupBy(id_col)
+        .agg(F.round(F.avg("freq"), 6).alias("avg_tok_freq"))
+    )
+
+
 # PII patterns shared with the DuckDB oracle (catalog) — ASCII classes
 # only, so Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
