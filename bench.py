@@ -133,8 +133,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
+        # Sub-second queries are dominated by host noise (measured 2×
+        # swings); give them more attempts so best-of-N converges on
+        # the true cost. Long queries keep 3 (noise is proportionally
+        # irrelevant and extra runs are expensive).
+        r1 = R1_TIMES.get(R1_NAME.get(name, name))
+        attempts = 5 if (r1 is not None and r1 < 1.0) else 3
         best = float("inf")
-        for _ in range(3):
+        for _ in range(attempts):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
