@@ -248,6 +248,18 @@ def test_pii_redaction(spark):
     assert out[2].clean_text == rows[2][1]  # untouched
 
 
+def test_pii_counts_follow_redaction_precedence(spark):
+    """A digit run inside a URL is redacted as part of the URL, so it
+    must NOT be counted as a phone; counts equal placeholders inserted."""
+    df = spark.createDataFrame(
+        [(0, "visit https://t.co/12345678901 now")], "doc_id long, text string"
+    )
+    [r] = text.with_pii_redaction(df).collect()
+    assert (r.n_emails, r.n_urls, r.n_phones) == (0, 1, 0)
+    assert r.clean_text == "visit <URL> now"
+    assert "<PHONE>" not in r.clean_text
+
+
 def test_pack_streams_bins(spark):
     # 5 docs of 100 tokens each in one stream, budget 256:
     # offsets 0,100,200,300,400 → bins 0,0,0,1,1
@@ -343,3 +355,13 @@ def test_repetition_stats(spark):
     assert rows[2] == (0.0, round(1 / 3, 6))
     assert rows[3] == (0.0, None)
     assert rows[4] == (0.75, 1.0)
+
+
+def test_extract_features_carries_nonstring_types(spark, docs):
+    media = multimodal.ingest_as_media(docs).withColumn(
+        "n_bytes_meta", F.col("meta.n_bytes")
+    )
+    out = multimodal.extract_features(media, carry_cols=("n_bytes_meta",))
+    assert dict(out.dtypes)["n_bytes_meta"] == "bigint"
+    [r] = out.where("doc_id = 0").collect()
+    assert r["n_bytes_meta"] == r["n_bytes"]

@@ -843,6 +843,7 @@ register(
 # the bucket expression and seed live in operators.pipeline and are
 # interpolated into every oracle that uses them.
 
+from .pipeline import SAMPLE_SEED as _SAMPLE_SEED  # noqa: E402
 from .pipeline import SPLIT_SEED, split_label  # noqa: E402
 
 _ORACLE_BUCKET = (
@@ -864,50 +865,53 @@ STRATA_DEFAULT = 0.25
 def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split counts PLUS the per-split
     yield of a stratified sample (hash-bernoulli per language stratum —
-    the corpus-mixing knob): both legs share the md5 bucket expression,
-    so the whole result is reproducible and SQL-expressible."""
+    the corpus-mixing knob). The sample hashes with its OWN seed
+    (``pipeline.SAMPLE_SEED``), independent of the split bucket, and
+    both legs fold into ONE conditional aggregation — one scan, one
+    shuffle, no join."""
     from . import pipeline as pipe
 
     docs = _table(spark, sf_dir, "documents")
-    labeled = docs.select("doc_id", "lang", split_label("doc_id").alias("split"))
-    totals = labeled.groupBy("split").agg(F.count("*").alias("cnt"))
-    sampled = (
-        pipe.stratified_sample(
-            labeled, STRATA_FRACTIONS, default_fraction=STRATA_DEFAULT
-        )
-        .groupBy("split")
-        .agg(F.count("*").alias("sampled_cnt"))
+    bp: F.Column = F.lit(int(round(STRATA_DEFAULT * 10000)))
+    for stratum, frac in sorted(STRATA_FRACTIONS.items()):
+        bp = F.when(F.col("lang") == stratum, int(round(frac * 10000))).otherwise(bp)
+    labeled = docs.select(
+        split_label("doc_id").alias("split"),
+        (pipe.sample_bucket("doc_id") < bp).cast("long").alias("kept"),
     )
     return (
-        totals.join(sampled, "split", "left")
-        .select(
-            "split",
-            "cnt",
-            F.coalesce("sampled_cnt", F.lit(0)).cast("bigint").alias("sampled_cnt"),
-        )
+        labeled.groupBy("split")
+        .agg(F.count("*").alias("cnt"), F.sum("kept").alias("sampled_cnt"))
         .orderBy("split")
     )
 
 
-_STRATA_PCT_CASE = "case " + " ".join(
-    f"when lang = '{s}' then {int(round(f * 100))}"
+_STRATA_BP_CASE = "case " + " ".join(
+    f"when lang = '{s}' then {int(round(f * 10000))}"
     for s, f in sorted(STRATA_FRACTIONS.items())
-) + f" else {int(round(STRATA_DEFAULT * 100))} end"
+) + f" else {int(round(STRATA_DEFAULT * 10000))} end"
+
+_ORACLE_SAMPLE_BUCKET = (
+    "cast(('0x' || substr(md5('" + _SAMPLE_SEED + "' || doc_id), 1, 5))::int"
+    " as int) % 10000"
+)
 
 register(
     "train_split",
     q_train_split,
     f"""with b as (
-         select doc_id, lang, {_ORACLE_BUCKET} as bucket from documents),
+         select doc_id, lang, {_ORACLE_BUCKET} as bucket,
+                {_ORACLE_SAMPLE_BUCKET} as sbucket
+         from documents),
        lab as (
-         select doc_id, bucket,
+         select doc_id, bucket, sbucket,
                 case when bucket < 80 then 'train'
                      when bucket < 90 then 'val'
                      else 'test' end as split,
-                {_STRATA_PCT_CASE} as pct
+                {_STRATA_BP_CASE} as bp
          from b)
        select split, count(*) as cnt,
-              cast(sum(case when bucket < pct then 1 else 0 end) as bigint)
+              cast(sum(case when sbucket < bp then 1 else 0 end) as bigint)
                 as sampled_cnt
        from lab group by split order by split""",
 )
@@ -1027,10 +1031,19 @@ register(
                  len({_TOKS}) as n_tokens
           from documents),
         red as (
+          -- counts follow redaction precedence: each class is counted
+          -- on the text with earlier classes already redacted, so n_*
+          -- equals the placeholders actually inserted
           select doc_id, lang, n_tokens,
                  len(regexp_extract_all(text, '{text.EMAIL_RE}')) as n_emails,
-                 len(regexp_extract_all(text, '{text.URL_RE}')) as n_urls,
-                 len(regexp_extract_all(text, '{text.PHONE_RE}')) as n_phones,
+                 len(regexp_extract_all(
+                     regexp_replace(text, '{text.EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{text.URL_RE}')) as n_urls,
+                 len(regexp_extract_all(
+                     regexp_replace(regexp_replace(text,
+                         '{text.EMAIL_RE}', '<EMAIL>', 'g'),
+                         '{text.URL_RE}', '<URL>', 'g'),
+                     '{text.PHONE_RE}')) as n_phones,
                  regexp_replace(regexp_replace(regexp_replace(text,
                      '{text.EMAIL_RE}', '<EMAIL>', 'g'),
                      '{text.URL_RE}', '<URL>', 'g'),

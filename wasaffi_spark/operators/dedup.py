@@ -223,16 +223,26 @@ def simhash(
     toks_arr = F.array_remove(F.array_distinct(tokens(text_col)), "")
     ths = F.transform(toks_arr, lambda t: F.md5(t))
 
+    # The 16 possible packed lane values, one per hex-digit value —
+    # a FOLDABLE literal array (ConstantFolding collapses it to one
+    # Literal), so each digit costs one substr+instr and one
+    # element_at instead of four re-evaluations of the digit subtree
+    # (HOF lambdas are interpreted: no subexpression elimination).
+    lane_lut = F.array(
+        *[
+            F.lit(
+                sum(((v >> b) & 1) << (16 * b) for b in range(4))
+            ).cast("bigint")
+            for v in range(16)
+        ]
+    )
+
     def token_lanes(th: Column) -> Column:
         """array<bigint>[hex_digits]: this token's packed ±0/1 bit votes
         (ones only; the ±1 vote is reconstructed from the ones count)."""
         def one_digit(d: Column) -> Column:
-            digit = F.instr(F.lit("0123456789abcdef"), th.substr(d + 1, F.lit(1))) - 1
-            lanes: Column = F.lit(0).cast("bigint")
-            for b in range(4):
-                bit = (F.floor(digit / (2**b)) % 2).cast("bigint")
-                lanes = lanes + bit * F.lit(1 << (16 * b)).cast("bigint")
-            return lanes
+            pos = F.instr(F.lit("0123456789abcdef"), th.substr(d + 1, F.lit(1)))
+            return F.element_at(lane_lut, pos)
 
         return F.transform(
             F.sequence(F.lit(0), F.lit(hex_digits - 1)), one_digit

@@ -32,8 +32,6 @@ MEDIA_SCHEMA = (
     "meta struct<source:string, n_bytes:bigint>"
 )
 
-FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, digest string, head_byte int"
-
 
 def ingest_as_media(
     df: DataFrame, payload_from: str = "text", id_col: str = "doc_id"
@@ -77,9 +75,10 @@ def decode_image(payload: bytes):
 def extract_features(media: DataFrame, carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Byte-level features per payload via ``mapInPandas`` (no shuffle).
 
-    ``carry_cols`` (string-typed columns of ``media``, e.g. flattened
-    metadata) pass through the batch function unchanged — avoiding a
-    join-back shuffle when feature rows need their metadata alongside.
+    ``carry_cols`` (any columns of ``media``, e.g. flattened metadata)
+    pass through the batch function unchanged with their ACTUAL types —
+    avoiding a join-back shuffle when feature rows need their metadata
+    alongside.
 
     The batch function is defined inline so cloudpickle ships it BY
     VALUE — executors do not need ``wasaffi_spark`` installed (same
@@ -88,7 +87,9 @@ def extract_features(media: DataFrame, carry_cols: tuple[str, ...] = ()) -> Data
     carry = tuple(carry_cols)
     schema = (
         "doc_id bigint, "
-        + "".join(f"{c} string, " for c in carry)
+        + "".join(
+            f"{c} {media.schema[c].dataType.simpleString()}, " for c in carry
+        )
         + "n_bytes bigint, digest string, head_byte int"
     )
 

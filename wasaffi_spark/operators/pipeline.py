@@ -22,6 +22,12 @@ from . import dedup, text
 
 QUALITY_THRESHOLD = 0.5
 SPLIT_SEED = "split-v1"
+# Sampling MUST hash with a different seed than the split: with a shared
+# seed the keep-filter and the split label are functions of the SAME
+# bucket, so e.g. a 50% sample is exactly buckets 0-49 — a strict subset
+# of train, with zero val/test documents sampled. Independent seeds make
+# the two decisions statistically independent per document.
+SAMPLE_SEED = "sample-v1"
 
 
 def split_bucket(id_col: str = "doc_id", seed: str = SPLIT_SEED) -> Column:
@@ -41,32 +47,58 @@ def split_label(id_col: str = "doc_id", seed: str = SPLIT_SEED) -> Column:
     return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
 
 
+def sample_bucket(id_col: str = "doc_id", seed: str = SAMPLE_SEED) -> Column:
+    """Deterministic 0-9999 bucket (basis points) from md5(seed || id) —
+    the sampling counterpart of :func:`split_bucket`, with a finer
+    resolution (0.01%) and its OWN seed so samples are independent of
+    split labels. Interpolated into the DuckDB oracles; change in
+    lockstep. (5 hex chars = 20 bits mod 10000 carries a ~0.005%
+    bucket-size bias — irrelevant for corpus mixing, and the price of
+    staying exactly SQL-expressible.)"""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col))), 1, 5), 16, 10
+        ).cast("int")
+        % 10000
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float],
     stratum_col: str = "lang",
     id_col: str = "doc_id",
-    seed: str = SPLIT_SEED,
+    seed: str = SAMPLE_SEED,
     default_fraction: float = 0.0,
 ) -> DataFrame:
     """Deterministic per-stratum sampling — the corpus-mixing knob of a
     training pipeline (e.g. keep 100% of low-resource languages, 10% of
     the dominant one). Hash-bernoulli per row: keep where
-    ``md5(seed || id)``'s 0-99 bucket < fraction×100, so the sample is
-    reproducible across runs, engines, and cluster sizes (unlike
+    ``md5(seed || id)``'s 0-9999 bucket < fraction×10000, so the sample
+    is reproducible across runs, engines, and cluster sizes (unlike
     ``df.sampleBy``, whose RNG is partitioning-dependent), and is
-    SQL-expressible for the oracle.
+    SQL-expressible for the oracle. Fractions quantize to basis points
+    (0.01% resolution); a nonzero fraction below 0.005% would silently
+    keep nothing, so it raises instead.
 
     Scale: a codegen-only filter — no shuffle, prunes at the scan when
     ``stratum_col`` is a partition column.
     """
-    b = split_bucket(id_col, seed)
-    pct: Column = F.lit(int(round(default_fraction * 100)))
+
+    def to_bp(frac: float) -> int:
+        bp = int(round(frac * 10000))
+        if bp == 0 and frac > 0:
+            raise ValueError(
+                f"fraction {frac} is below the 1-basis-point resolution; "
+                "it would keep nothing"
+            )
+        return bp
+
+    b = sample_bucket(id_col, seed)
+    bp: Column = F.lit(to_bp(default_fraction))
     for stratum, frac in sorted(fractions.items()):
-        pct = F.when(F.col(stratum_col) == stratum, int(round(frac * 100))).otherwise(
-            pct
-        )
-    return df.where(b < pct)
+        bp = F.when(F.col(stratum_col) == stratum, to_bp(frac)).otherwise(bp)
+    return df.where(b < bp)
 
 
 def training_set(

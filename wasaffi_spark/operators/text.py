@@ -257,20 +257,24 @@ def with_pii_redaction(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Order matters: URLs are redacted before phone numbers so digit runs
     inside URLs don't double-match; emails first since they are the
-    most specific pattern.
+    most specific pattern. The counts follow the SAME precedence — each
+    class is counted on the text with the earlier classes already
+    redacted — so ``n_*`` equals the number of placeholders actually
+    inserted (counting on the raw text would report a phone "match"
+    inside a URL that the redaction never touches).
     """
     t = F.col(text_col)
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
-        ),
-        PHONE_RE,
-        "<PHONE>",
-    )
+    after_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    after_url = F.regexp_replace(after_email, URL_RE, "<URL>")
+    clean = F.regexp_replace(after_url, PHONE_RE, "<PHONE>")
     return (
         df.withColumn("n_emails", F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint"))
-        .withColumn("n_urls", F.regexp_count(t, F.lit(URL_RE)).cast("bigint"))
-        .withColumn("n_phones", F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint"))
+        .withColumn(
+            "n_urls", F.regexp_count(after_email, F.lit(URL_RE)).cast("bigint")
+        )
+        .withColumn(
+            "n_phones", F.regexp_count(after_url, F.lit(PHONE_RE)).cast("bigint")
+        )
         .withColumn("clean_text", clean)
     )
 

@@ -71,7 +71,13 @@ def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
     """Distributed Arrow IPC scan: one task per file decodes with
     pyarrow and yields pandas frames (Arrow-native both sides of the
     worker boundary). Column pruning happens at decode (cheap — IPC is
-    columnar); predicate evaluation is Spark-side."""
+    columnar); predicate evaluation is Spark-side.
+
+    File-size ceiling: the ``binaryFile`` source refuses files above
+    ``spark.sql.sources.binaryFile.maxLength`` (Int.MaxValue ≈ 2 GB),
+    and one task holds one file's decoded columns — keep IPC files at
+    the conventional 128 MB-1 GB (the same sizing discipline every
+    whole-file format needs)."""
     arrow_schema = sniff_schema(path)
     spark_schema = T.StructType(
         [
@@ -103,15 +109,30 @@ def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
 
 def write_arrow_ipc(df: DataFrame, path: str) -> None:
     """Distributed Arrow IPC write: each partition streams its record
-    batches into one ``part-*.arrow`` file (IPC *file* framing) from
-    inside its task. Empty partitions write nothing; an empty DataFrame
-    still writes one schema-only file so reads round-trip.
+    batches into one ``part-<partition>.arrow`` file (IPC *file*
+    framing) from inside its task. Empty partitions write nothing; an
+    empty DataFrame still writes one schema-only file so reads
+    round-trip.
 
-    Overwrite semantics (like ``df.write.mode("overwrite")``): any
-    Arrow files already under ``path`` are removed first, so a re-run
-    can't mix old and new parts."""
+    Filesystem scope: ``path`` must be a filesystem every executor AND
+    the driver can reach — local mode, NFS/FUSE mounts, or any POSIX
+    shared store. (An object store would need a Hadoop-committer-backed
+    sink instead; that is out of scope for this DDL surface.)
+
+    Task-retry safety: each task writes to a hidden temp name and
+    ``os.rename``s into the deterministic per-partition final name on
+    success (atomic on POSIX). A retried/speculative attempt overwrites
+    the SAME final name rather than adding a duplicate part, and a
+    crashed attempt leaves only a ``.tmp-`` file, which overwrite
+    cleanup removes.
+
+    Overwrite semantics (like ``df.write.mode("overwrite")``): Arrow
+    part files and stale temps already under ``path`` are removed
+    first, so a re-run can't mix old and new parts."""
     os.makedirs(path, exist_ok=True)
-    for stale in glob.glob(os.path.join(path, "part-*.arrow")):
+    for stale in glob.glob(os.path.join(path, "part-*.arrow")) + glob.glob(
+        os.path.join(path, ".tmp-*")
+    ):
         os.remove(stale)
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -122,19 +143,24 @@ def write_arrow_ipc(df: DataFrame, path: str) -> None:
         import uuid as _uuid
 
         import pyarrow as _pa
+        from pyspark import TaskContext
 
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        final = _os.path.join(path, f"part-{pid:05d}.arrow")
+        tmp = _os.path.join(path, f".tmp-{pid:05d}-{_uuid.uuid4().hex}")
         writer = None
-        fname = _os.path.join(path, f"part-{_uuid.uuid4().hex}.arrow")
         n = 0
         for batch in batches:
             if writer is None:
-                writer = _pa.ipc.new_file(fname, batch.schema)
+                writer = _pa.ipc.new_file(tmp, batch.schema)
             writer.write_batch(batch)
             n += batch.num_rows
         if writer is not None:
             writer.close()
+            _os.rename(tmp, final)  # atomic commit; retries overwrite
         yield _pa.RecordBatch.from_pylist(
-            [{"file": fname, "rows": n}],
+            [{"file": final, "rows": n}],
             schema=_pa.schema([("file", _pa.string()), ("rows", _pa.int64())]),
         )
 

@@ -26,14 +26,19 @@ from ..operators.decontam import word_ngrams
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the documents parquet (schema sniffed from a
-    one-off batch read; the streaming file source needs it up front)."""
+    one-off batch read; the streaming file source needs it up front).
+
+    The streaming file source REQUIRES a directory ('basePath must be a
+    directory'). When the table is itself a parquet directory
+    (``part-*.parquet`` inside — Spark's own write layout), stream it
+    directly; when it is a single bare file (this fixture's layout),
+    stream the parent with a filename glob."""
     path = os.path.join(sf_dir, "documents.parquet")
     schema = spark.read.parquet(path).schema
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
 
 
 def contaminated_ids_stream(

@@ -43,13 +43,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # normalizes either way.
         spark.conf.set(NANOS_AS_LONG, "true")
     schema = spark.read.parquet(path).schema
-    # the streaming file source wants a directory: stream the sf_dir with
-    # a glob filter selecting just the events file
-    df = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # the streaming file source wants a directory; a bare-file table is
+    # streamed via its parent + filename glob, a directory table (Spark's
+    # own part-*.parquet layout) directly — the glob would match nothing
+    # against part filenames.
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        df = reader.parquet(path)
+    else:
+        df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     for c in ns_cols:
         # exact integer division — see sources/parquet.py
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
