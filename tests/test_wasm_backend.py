@@ -53,3 +53,28 @@ def test_wasm_factory_is_gated():
     )
     with pytest.raises(ModuleLoadError, match="wasmtime"):
         WasmFunctionFactory().create(stmt)
+
+
+def test_wasm_e2e_golden_when_runtime_present():
+    """End-to-end execution of the reference's prebuilt guest module
+    (wasm_function.wasm!f1 — pow) against its own golden values
+    (≙ wasmedge_factory/src/lib.rs:199-208). Runs whenever a wasmtime
+    runtime is importable; skip-marked in environments without one
+    (this container cannot install it — the structural ABI checks in
+    test_wasm_artifact.py cover the loadable halves there)."""
+    pytest.importorskip("wasmtime")
+    import os
+
+    wasm = "/root/reference/wasm_function.wasm"
+    if not os.path.exists(wasm):
+        pytest.skip("reference wasm artifact not present")
+    from wasaffi_spark.wasm_backend import WasmModule
+
+    mod = WasmModule(wasm)
+    f1 = mod.get_udf("f1")
+    args = [
+        pa.array([2.0, 3.0, 4.0, 5.0], pa.float64()),
+        pa.array([2.0, 3.0, 4.0, 5.1], pa.float64()),
+    ]
+    out = f1(args)
+    assert out.to_pylist() == [4.0, 27.0, 256.0, 3670.684197150057]
