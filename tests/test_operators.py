@@ -365,3 +365,65 @@ def test_extract_features_carries_nonstring_types(spark, docs):
     assert dict(out.dtypes)["n_bytes_meta"] == "bigint"
     [r] = out.where("doc_id = 0").collect()
     assert r["n_bytes_meta"] == r["n_bytes"]
+
+
+def test_incremental_dedup(spark):
+    seen = spark.createDataFrame(
+        [(0, BASE), (1, DISTINCT)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, BASE),       # already ingested → dropped
+            (11, NEAR_DUP),   # fresh
+            (12, NEAR_DUP),   # dup within the new batch → min id kept
+            (13, DISTINCT),   # already ingested → dropped
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.incremental_dedup(new, seen).collect()
+    )
+    assert kept == [11]
+
+    # hash-table state variant: same result from exact_dedup_keys output
+    state = dedup.exact_dedup_keys(seen).select("text_hash")
+    kept2 = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_dedup(new, state, seen_is_hashes=True).collect()
+    )
+    assert kept2 == [11]
+
+
+def test_incremental_dedup_matches_catalog_view(spark):
+    """new_keep_id in the dedup_exact query = incremental_dedup survivors
+    (seen snapshot = source 'src0')."""
+    rows = [
+        (0, BASE, "en", "src0", len(BASE)),
+        (1, NEAR_DUP, "en", "src1", len(NEAR_DUP)),
+        (2, BASE, "en", "src1", len(BASE)),
+        (3, DISTINCT, "en", "src1", len(DISTINCT)),
+        (4, DISTINCT, "en", "src1", len(DISTINCT)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    survivors = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_dedup(
+            docs.where("source <> 'src0'"), docs.where("source = 'src0'")
+        ).collect()
+    )
+    from wasaffi_spark.operators.catalog import QUERIES
+
+    docs.createOrReplaceTempView("documents")
+    h = F.md5(F.col("text"))
+    seen = (F.col("source") == "src0").cast("long")
+    view = (
+        docs.groupBy(h.alias("text_hash"))
+        .agg(
+            F.sum(seen).alias("n_seen"),
+            F.min(F.when(F.col("source") != "src0", F.col("doc_id"))).alias("m"),
+        )
+        .where("n_seen = 0")
+    )
+    assert survivors == sorted(r["m"] for r in view.collect())

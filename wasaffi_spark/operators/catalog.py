@@ -85,15 +85,48 @@ _BUCKETS_CTE = "buckets as (\n  " + "\n  union all ".join(
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keys over the corpus, plus the incremental-snapshot
+    view of the same hashes: treating source='src0' as the
+    already-ingested corpus, ``n_seen``/``n_new`` split each hash's
+    copies by snapshot and ``new_keep_id`` is the id that
+    ``dedup.incremental_dedup`` would keep (NULL when the text already
+    exists in the seen snapshot — checked equivalent by pytest)."""
     docs = _table(spark, sf_dir, "documents")
-    return dedup.exact_dedup_keys(docs).orderBy("text_hash")
+    h = F.md5(F.col("text"))
+    seen = (F.col("source") == "src0").cast("long")
+    return (
+        docs.groupBy(h.alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+            F.sum(seen).alias("n_seen"),
+            F.sum(1 - seen).alias("n_new"),
+            F.min(F.when(F.col("source") != "src0", F.col("doc_id"))).alias(
+                "_min_new"
+            ),
+        )
+        .select(
+            "text_hash",
+            "keep_id",
+            "n_copies",
+            "n_seen",
+            "n_new",
+            F.when(F.col("n_seen") == 0, F.col("_min_new")).alias("new_keep_id"),
+        )
+        .orderBy("text_hash")
+    )
 
 
 register(
     "dedup_exact",
     q_dedup_exact,
     """select md5(text) as text_hash, min(doc_id) as keep_id,
-              count(*) as n_copies
+              count(*) as n_copies,
+              sum(case when source = 'src0' then 1 else 0 end) as n_seen,
+              sum(case when source = 'src0' then 0 else 1 end) as n_new,
+              case when sum(case when source = 'src0' then 1 else 0 end) = 0
+                   then min(case when source <> 'src0' then doc_id end)
+              end as new_keep_id
        from documents group by text_hash order by text_hash""",
 )
 

@@ -68,6 +68,37 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keys, on=id_col, how="left_semi")
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seen_is_hashes: bool = False,
+) -> DataFrame:
+    """Cross-snapshot dedup: the rows of ``new_docs`` whose text appears
+    neither in the already-ingested ``seen`` corpus nor earlier in the
+    new batch itself — the shape every recurring crawl ingest needs
+    (dedupe crawl N against crawls 1..N-1 without re-reading them).
+
+    ``seen`` is either a document frame or (``seen_is_hashes=True``) a
+    frame with a ``text_hash`` column — at scale the ingested-corpus
+    state should be KEPT as the 16-byte-hash table (the natural output
+    of ``exact_dedup_keys``), so each new snapshot joins against
+    O(distinct docs)·16 bytes of state, never against corpus text.
+    Shuffles: one anti-join on the hash + exact_dedup's groupBy — both
+    carry (hash, id)-sized rows, not documents.
+    """
+    if seen_is_hashes:
+        seen_hashes = seen.select("text_hash").distinct()
+    else:
+        seen_hashes = seen.select(
+            F.md5(F.col(text_col)).alias("text_hash")
+        ).distinct()
+    hashed = new_docs.withColumn("text_hash", F.md5(F.col(text_col)))
+    fresh = hashed.join(seen_hashes, "text_hash", "left_anti").drop("text_hash")
+    return exact_dedup(fresh, text_col, id_col)
+
+
 # -- shingling / MinHash ----------------------------------------------------
 
 
