@@ -97,3 +97,34 @@ def test_codegen_present(spark):
     assert f.codegen_stages >= 1
     # and the aggregation is partial+final (map-side combine before shuffle)
     assert "partial_sum" in f.text
+
+
+@needs_data
+def test_simhash_is_shuffle_free(spark):
+    """r2 rewrite contract: the in-row simhash has NO aggregation
+    exchange — the only Exchange is the narrow-input fan-out
+    repartition (RoundRobin), never a hash partitioning."""
+    from wasaffi_spark.operators.catalog import QUERIES as OPQ
+
+    f = plan_facts(OPQ["simhash"](spark, SF_SMOKE).orderBy("doc_id"))
+    import re
+
+    hash_exchanges = re.findall(r"Arguments: hashpartitioning", f.text)
+    assert not hash_exchanges, f.text[:2000]
+    assert "roundrobin" in f.text.lower()  # the deliberate fan-out
+
+
+@needs_data
+def test_decontaminate_train_side_never_shuffles(spark):
+    """Scale contract: the train-side gram explosion streams into the
+    semi-join probe with no Exchange between its scan and the join, and
+    the eval-gram side broadcasts."""
+    from wasaffi_spark.operators.catalog import QUERIES as OPQ
+
+    f = plan_facts(OPQ["decontaminate"](spark, SF_SMOKE))
+    assert f.broadcast_joins >= 1 and f.sortmerge_joins == 0
+    # exactly three hash exchanges exist, and all are accounted for by
+    # the SMALL sides: eval-gram distinct (1) + the two-phase
+    # count-distinct over post-join matches (2). The train-side explode
+    # contributes NONE — it streams into the broadcast probe.
+    assert f.text.count("Arguments: hashpartitioning") == 3, f.text[-3000:]
