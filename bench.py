@@ -75,9 +75,10 @@ R1_NAME = {
 # per-query budget comparison stays honest in both directions.
 R2_WIDENED = {
     "text_stats": (
-        "r2 adds lang_guess + Gopher repetition features "
-        "(dup_word_frac via array_distinct, top_bigram_frac via in-row "
-        "sorted-run mode) — ~2.5x the r1 feature set in the same slot"
+        "r2 adds lang_guess, Gopher repetition features (dup_word_frac, "
+        "top_bigram_frac via in-row sorted-run mode) and Dolma-style "
+        "intra-doc repetition removal (dedup_ws_text) — ~3x the r1 "
+        "feature set in the same slot"
     ),
 }
 

@@ -427,3 +427,13 @@ def test_incremental_dedup_matches_catalog_view(spark):
         .where("n_seen = 0")
     )
     assert survivors == sorted(r["m"] for r in view.collect())
+
+
+def test_dedup_lines(spark):
+    doc = "alpha beta\ngamma\nalpha beta\ndelta\ngamma\nalpha beta"
+    df = spark.createDataFrame([(1, doc), (2, "solo")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in text.dedup_lines(df).collect()}
+    assert rows[1]["dedup_text"] == "alpha beta\ngamma\ndelta"
+    assert (rows[1]["n_lines"], rows[1]["n_unique_lines"]) == (6, 3)
+    assert rows[2]["dedup_text"] == "solo"
+    assert (rows[2]["n_lines"], rows[2]["n_unique_lines"]) == (1, 1)

@@ -456,6 +456,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = text.with_quality(docs, toks_col="_toks")
     docs = text.with_lang_guess(docs, toks_col="_toks")
     docs = text.with_repetition(docs, toks_col="_toks")
+    # intra-document repetition REMOVAL (Dolma-style): the fixture docs
+    # are single-line, so the hash gate exercises the word-separator
+    # form; the newline/paragraph form is pytest-covered.
+    docs = text.dedup_lines(docs, out_col="dedup_ws_text", sep=" ").drop(
+        "n_lines", "n_unique_lines"
+    )
     return (
         docs.selectExpr(
             "doc_id",
@@ -471,6 +477,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang_guess",
             "dup_word_frac",
             "top_bigram_frac",
+            "dedup_ws_text",
         )
         .orderBy("doc_id")
     )
@@ -510,8 +517,19 @@ register(
                cast(ceil(length(text) / 3.5) as bigint) as bpe_estimate,
                {_MARKER_CASE} as lang_guess,
                round(1.0 - len(list_distinct(t)) / n_tokens, 6) as dup_word_frac,
-               round(top_c / n_bg, 6) as top_bigram_frac
-        from base left join bstat on base.doc_id = bstat.doc_id
+               round(top_c / n_bg, 6) as top_bigram_frac,
+               dd.dedup_ws_text
+        from base
+        left join bstat on base.doc_id = bstat.doc_id
+        left join (
+          select doc_id, string_agg(w, ' ' order by fi) as dedup_ws_text
+          from (select doc_id, w, min(i) as fi
+                from (select doc_id, sw[i] as w, i
+                      from (select doc_id, string_split(text, ' ') as sw
+                            from documents) s,
+                           unnest(generate_series(1, len(sw))) as u(i))
+                group by doc_id, w)
+          group by doc_id) dd on base.doc_id = dd.doc_id
         order by base.doc_id""",
 )
 

@@ -143,6 +143,39 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(canon))
 
 
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "dedup_text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Intra-document repetition removal (Dolma-style paragraph dedup):
+    keep only the FIRST occurrence of each line/paragraph within a
+    document, preserving original order; adds ``out_col`` plus
+    ``n_lines``/``n_unique_lines`` for repetition auditing.
+
+    In-row only — split, first-occurrence filter, re-join — so the
+    operator is embarrassingly parallel with no shuffle at any corpus
+    size. The first-occurrence test is ``array_position(lines, x) == i``
+    over a MATERIALIZED lines column (the HOF-lambda rule: an inline
+    tree would re-evaluate the split per element); array_position is
+    O(n) per element → O(n²) per doc in the worst case, fine for the
+    ≤10⁴ paragraphs real documents have.
+    """
+    df = df.withColumn("_dl_lines", F.split(F.col(text_col), F.lit(sep)))
+    lines = F.col("_dl_lines")
+    n = F.size(lines)
+    kept = F.filter(
+        lines, lambda x, i: F.array_position(lines, x) == i + F.lit(1)
+    )
+    return (
+        df.withColumn(out_col, F.array_join(kept, sep))
+        .withColumn("n_lines", n.cast("int"))
+        .withColumn("n_unique_lines", F.size(F.array_distinct(lines)).cast("int"))
+        .drop("_dl_lines")
+    )
+
+
 def corpus_freq_score(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
