@@ -218,18 +218,37 @@ query(
        from nation group by n_regionkey order by n_regionkey""",
 )
 
-# §2C row: approx aggregates (HLL distinct + t-digest percentiles) —
-# rows-only by design: the sketches differ across engines.
+# §2C row: approx aggregates (HLL distinct + t-digest percentiles),
+# widened with the mergeable DataSketches surface (operators/sketches.py:
+# HLL / theta / KLL sketch tables that roll up without rescanning data —
+# the shard-then-union pattern a 100 TB corpus needs). Rows-only by
+# design: sketch estimators differ across engines.
 
-query_no_oracle(
-    "approx_aggs",
-    ("orders",),
-    """select o_orderpriority,
-              approx_count_distinct(o_custkey) as acd,
-              percentile_approx(o_totalprice, 0.5) as p50,
-              percentile_approx(o_totalprice, 0.95) as p95
-       from orders group by o_orderpriority order by o_orderpriority""",
-)
+
+def _approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+
+    _load(spark, sf_dir, "orders")
+    native = spark.sql(
+        """select o_orderpriority,
+                  approx_count_distinct(o_custkey) as acd,
+                  percentile_approx(o_totalprice, 0.5) as p50,
+                  percentile_approx(o_totalprice, 0.95) as p95
+           from orders group by o_orderpriority"""
+    )
+    sk = sketches.sketch_table(
+        spark.table("orders"), "o_orderpriority", "o_custkey", "o_totalprice"
+    )
+    per_group = (
+        sketches.estimate_per_group(sk)
+        .withColumnRenamed("p50", "kll_p50")
+        .withColumnRenamed("p95", "kll_p95")
+    )
+    return native.join(per_group, "o_orderpriority").orderBy("o_orderpriority")
+
+
+_approx_aggs.__name__ = "q_approx_aggs"
+QUERIES["approx_aggs"] = _approx_aggs
 
 # §2C row: EXPLAIN surface — smoke-only: returns the plan as text.
 query_no_oracle(
