@@ -74,6 +74,12 @@ R1_NAME = {
 # regression of the same work. Carried into the output JSON so the
 # per-query budget comparison stays honest in both directions.
 R2_WIDENED = {
+    "window_fns": (
+        "r1's window_rownum computed ROW_NUMBER over one window spec; r2 "
+        "merges the rank/lag/frame queries into this slot — four window "
+        "functions over two distinct orderings (one extra in-partition "
+        "sort pass; still a single Exchange, pinned by the plan test)"
+    ),
     "text_stats": (
         "r2 adds lang_guess, Gopher repetition features (dup_word_frac, "
         "top_bigram_frac via in-row sorted-run mode) and Dolma-style "
