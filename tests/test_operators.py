@@ -437,3 +437,37 @@ def test_dedup_lines(spark):
     assert (rows[1]["n_lines"], rows[1]["n_unique_lines"]) == (6, 3)
     assert rows[2]["dedup_text"] == "solo"
     assert (rows[2]["n_lines"], rows[2]["n_unique_lines"]) == (1, 1)
+
+
+def test_linear_text_score(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the analysis of the data and the research"),
+            (2, "click here to buy your free casino prize"),
+            (3, "zzz qqq xxx"),  # fully out-of-vocabulary
+        ],
+        "doc_id long, text string",
+    )
+    w = spark.createDataFrame(
+        list(text.DEFAULT_QUALITY_WEIGHTS), "tok string, w double"
+    )
+    rows = {r["doc_id"]: r for r in text.linear_text_score(df, w).collect()}
+    assert rows[1]["lin_score"] > 0.5 > rows[2]["lin_score"]
+    # OOV tokens contribute zero weight -> logit 0, sigmoid exactly 0.5
+    assert rows[3]["logit"] == 0.0 and rows[3]["lin_score"] == 0.5
+    assert 0.0 < rows[2]["lin_score"] < rows[3]["lin_score"]
+
+
+def test_linear_text_score_broadcasts_model(spark):
+    df = spark.createDataFrame([(1, "the end")], "doc_id long, text string")
+    w = spark.createDataFrame(
+        list(text.DEFAULT_QUALITY_WEIGHTS), "tok string, w double"
+    )
+    plan = (
+        text.linear_text_score(df, w)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the model side must broadcast (it is KB-sized by construction);
+    # the only exchange is the per-document aggregation
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1

@@ -30,7 +30,7 @@ def test_stream_is_streaming(event_stream):
 
 @needs_data
 def test_tumbling_stream_equals_batch(spark, event_stream):
-    from wasaffi_spark.operators.catalog import QUERIES as OPQ
+    from wasaffi_spark.operators.catalog import q_events_tumbling
 
     stream_ops.run_to_memory(
         stream_ops.tumbling_counts(event_stream), "tumbling_test"
@@ -41,7 +41,7 @@ def test_tumbling_stream_equals_batch(spark, event_stream):
     }
     want = {
         (r.hour_start, r.event_type): (r.cnt, r.sum_value)
-        for r in OPQ["events_tumbling"](spark, SF_SMOKE).collect()
+        for r in q_events_tumbling(spark, SF_SMOKE).collect()
     }
     assert got == want
 

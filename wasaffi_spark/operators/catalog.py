@@ -1264,6 +1264,12 @@ register(
 
 
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts by event type — kept as the batch
+    reference for the streaming equivalence test
+    (tests/test_streaming.py); the DECLARED query for this capability is
+    ``events_rollup``, whose grouping sets include the (day, hour,
+    event_type) resolution, so this no longer occupies a checked-window
+    slot."""
     events = _table(spark, sf_dir, "events")
     return (
         events.groupBy(
@@ -1283,14 +1289,6 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    "events_tumbling",
-    q_events_tumbling,
-    """select cast(date_trunc('hour', ts) as timestamp) as hour_start,
-              event_type, count(*) as cnt,
-              round(sum(value), 2) as sum_value
-       from events group by 1, 2 order by 1, 2""",
-)
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1402,38 +1400,32 @@ register(
 )
 
 
-def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style multi-resolution rollup: day and day+hour
-    aggregates in ONE pass via GROUPING SETS (Spark computes the partial
-    aggregates map-side; one shuffle serves every resolution)."""
-    events = _table(spark, sf_dir, "events")
-    events.createOrReplaceTempView("events")
-    return spark.sql(
-        """with base as (
-             select cast(date_trunc('day', ts) as timestamp) as day,
-                    cast(date_trunc('hour', ts) as timestamp) as hour,
-                    value
-             from events)
-           select day, hour, count(*) as cnt, round(sum(value), 2) as sum_value
-           from base
-           group by grouping sets ((day), (day, hour))
-           order by day, hour nulls first"""
-    )
-
-
-register(
-    "events_rollup",
-    q_events_rollup,
-    """with base as (
+_ROLLUP_SQL = """with base as (
          select cast(date_trunc('day', ts) as timestamp) as day,
                 cast(date_trunc('hour', ts) as timestamp) as hour,
-                value
+                event_type, value
          from events)
-       select day, hour, count(*) as cnt, round(sum(value), 2) as sum_value
+       select day, hour, event_type,
+              count(*) as cnt, round(sum(value), 2) as sum_value
        from base
-       group by grouping sets ((day), (day, hour))
-       order by day, hour nulls first""",
-)
+       group by grouping sets ((day), (day, hour), (day, hour, event_type))
+       order by day, hour nulls first, event_type nulls first"""
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: day, day+hour, and
+    day+hour+event_type aggregates in ONE pass via GROUPING SETS (Spark
+    computes the partial aggregates map-side; one shuffle serves every
+    resolution). The finest level IS the tumbling-1h-by-type aggregate,
+    so this query also carries the tumbling-window capability row (the
+    standalone shape stays as q_events_tumbling for the streaming
+    equivalence test)."""
+    events = _table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events")
+    return spark.sql(_ROLLUP_SQL)
+
+
+register("events_rollup", q_events_rollup, _ROLLUP_SQL)
 
 
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1506,3 +1498,48 @@ register(
 )
 
 
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear bag-of-words quality classifier (fastText / logistic
+    family): mean token weight through a sigmoid, model-as-data applied
+    via broadcast join (operators/text.py::linear_text_score). The toy
+    weight table stands in for a trained model; swapping in a real one
+    changes no plan shape. Docs below 0.5 are the filter candidates."""
+    docs = _table(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        list(text.DEFAULT_QUALITY_WEIGHTS), "tok string, w double"
+    )
+    scored = text.linear_text_score(docs, weights)
+    return scored.withColumn(
+        "keep", (F.col("lin_score") >= 0.5).cast("boolean")
+    ).orderBy("doc_id")
+
+
+register(
+    "quality_score",
+    q_quality_score,
+    r"""with w(tok, w) as (
+          select tok, cast(w as double) from (values
+            ('the', 0.9), ('and', 0.7), ('of', 0.6), ('to', 0.5),
+            ('with', 0.5), ('however', 1.2), ('therefore', 1.2),
+            ('because', 1.0), ('analysis', 0.8), ('research', 0.8),
+            ('study', 0.6), ('data', 0.5), ('click', -1.5),
+            ('subscribe', -1.5), ('buy', -1.2), ('free', -1.0),
+            ('winner', -1.3), ('prize', -1.3), ('casino', -2.0),
+            ('viagra', -2.5)) as v(tok, w)),
+        tok as (
+          select doc_id, unnest(string_split_regex(lower(text), '\s+')) as tok
+          from documents),
+        tokf as (select doc_id, tok from tok where tok <> ''),
+        per_doc as (
+          select t.doc_id,
+                 sum(coalesce(w.w, 0.0)) as w_sum,
+                 count(*) as n_tok
+          from tokf t left join w using (tok) group by t.doc_id)
+        select doc_id,
+               round(w_sum / n_tok, 6) as logit,
+               round(1.0 / (1.0 + exp(-(w_sum / n_tok))), 6) as lin_score,
+               (round(1.0 / (1.0 + exp(-(w_sum / n_tok))), 6) >= 0.5) as keep
+        from per_doc order by doc_id""",
+)

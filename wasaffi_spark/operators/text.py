@@ -346,3 +346,53 @@ def pack_streams(
     return df.withColumn("stream_offset", offset).withColumn(
         "pack_bin", F.floor(offset / F.lit(budget_tokens)).cast("bigint")
     )
+
+
+# A linear text classifier is a (token → weight) table plus a bias: the
+# fastText / logistic-regression family used industrially to score
+# document quality at corpus scale. The MODEL is data, not code — so
+# applying it is a broadcast join, and swapping models never changes the
+# plan. Default toy model: fluent-English function words vote up,
+# engagement-bait vocabulary votes down.
+DEFAULT_QUALITY_WEIGHTS: tuple[tuple[str, float], ...] = (
+    ("the", 0.9), ("and", 0.7), ("of", 0.6), ("to", 0.5), ("with", 0.5),
+    ("however", 1.2), ("therefore", 1.2), ("because", 1.0),
+    ("analysis", 0.8), ("research", 0.8), ("study", 0.6), ("data", 0.5),
+    ("click", -1.5), ("subscribe", -1.5), ("buy", -1.2), ("free", -1.0),
+    ("winner", -1.3), ("prize", -1.3), ("casino", -2.0), ("viagra", -2.5),
+)
+
+
+def linear_text_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bias: float = 0.0,
+) -> DataFrame:
+    """Apply a linear bag-of-words classifier: mean token weight
+    (out-of-vocabulary tokens contribute 0, fastText-style averaging)
+    through a sigmoid → ``lin_score`` in (0,1), plus the raw logit.
+
+    ``weights`` has columns (tok, w). Scale: the model is KB–MB sized
+    regardless of corpus size → explicit broadcast is safe and correct
+    (unlike a vocabulary-statistics frame); the only shuffle is the
+    per-document sum. Explode + join + aggregate all stay in codegen.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    ).where(F.col("tok") != "")
+    per_doc = (
+        toks.join(F.broadcast(weights), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("w"), F.lit(0.0))).alias("w_sum"),
+            F.count(F.lit(1)).alias("n_tok"),
+        )
+    )
+    logit = F.lit(bias) + F.col("w_sum") / F.col("n_tok")
+    return per_doc.select(
+        F.col(id_col),
+        F.round(logit, 6).alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("lin_score"),
+    )
