@@ -1,12 +1,13 @@
 """Structural parity check against the reference's prebuilt WASM module.
 
-Without a WASM runtime in this environment, the backend's ABI
-assumptions can still be validated against the real artifact the
-reference ships (/root/reference/wasm_function.wasm): a minimal parser
-over the binary's export section (WASM spec §5.5.10) confirms the
-symbol convention (`__wasm_udf_<name>`, /root/reference/wasmedge_factory
-/src/udf.rs:52) and the wasmedge-bindgen allocate/deallocate entry
-points that `wasaffi_spark.wasm_backend` binds.
+A minimal parser over the binary's export section (WASM spec §5.5.10)
+confirms the symbol convention (`__wasm_udf_<name>`,
+/root/reference/wasmedge_factory/src/udf.rs:52) and the
+wasmedge-bindgen allocate/deallocate entry points that
+`wasaffi_spark.wasm_backend` binds. These static checks complement the
+EXECUTED end-to-end tests in test_wasm_backend.py (the bundled
+pure-Python interpreter runs the artifact for real); they remain useful
+as fast, runtime-independent pins of the export surface.
 """
 
 from __future__ import annotations
@@ -149,15 +150,16 @@ def wasm_func_signatures(path: str) -> dict[str, tuple[tuple[int, ...], tuple[in
 
 def test_reference_artifact_bindgen_signatures():
     """Pin the wasmedge-bindgen low-level calling convention the backend
-    assumes in ``WasmModule._call_bytes``: guest UDFs take
-    (ptr: i32, len: i32) and return one i32 (pointer to the
-    [status, ptr, len] result struct); ``allocate`` takes a size and
-    returns a pointer. Static check — execution needs wasmtime."""
+    binds (verified by EXECUTION in test_wasm_backend.py): guest UDFs
+    take (params_ptr: i32, params_count: i32) — params_ptr points to a
+    [ptr, len] pair per Vec<u8> argument — and return one i32 pointer
+    to the packed [status: u8][p1: u32][p2: u32] result header;
+    ``allocate`` takes a size and returns a pointer."""
     sigs = wasm_func_signatures(ARTIFACT)
     for fn in ("f1", "f_return_error", "f_return_arrow_error", "f_panic"):
         params, results = sigs[GUEST_PREFIX + fn]
-        assert params == (I32, I32), fn  # (payload ptr, payload len)
-        assert results == (I32,), fn  # result-struct pointer
+        assert params == (I32, I32), fn  # (params ptr, params count)
+        assert results == (I32,), fn  # result-header pointer
     params, results = sigs["allocate"]
     assert params == (I32,) and results == (I32,)
     params, results = sigs["deallocate"]

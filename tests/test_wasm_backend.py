@@ -1,22 +1,34 @@
 """WASM-backend ABI tests.
 
-wasmtime is not installed in this environment, so the VM path is gated
-(asserted below); the Arrow-IPC pack/unpack halves of the ABI —
-byte-compatible with the reference's ``pack_array``/``to_ipc``/
-``from_ipc`` (/root/reference/wasm_udf/src/lib.rs:12-43) — are pure
-pyarrow and tested directly."""
+The Arrow-IPC pack/unpack halves of the ABI are byte-compatible with the
+reference's ``pack_array``/``to_ipc``/``from_ipc``
+(/root/reference/wasm_udf/src/lib.rs:12-43) and tested directly. The
+execution half runs END-TO-END against the reference's prebuilt guest
+through the bundled pure-Python interpreter
+(:mod:`wasaffi_spark.wasm_interp`) — no compiled runtime needed — and
+is pinned to the reference's own golden values and error strings
+(wasmedge_factory/src/lib.rs:199-208, 227-306).
+"""
 
 from __future__ import annotations
+
+import os
 
 import pyarrow as pa
 import pytest
 
-from pyspark.sql import types as T
+from wasaffi_spark.errors import (
+    ModuleLoadError,
+    WasmInvocationError,
+    WasmInvocationPanic,
+)
+from wasaffi_spark.wasm_backend import WasmModule, pack_arrays, unpack_result
 
-from wasaffi_spark.ddl import CreateFunctionStmt
-from wasaffi_spark.errors import ModuleLoadError
-from wasaffi_spark.factory import WasmFunctionFactory
-from wasaffi_spark.wasm_backend import pack_arrays, unpack_result
+ARTIFACT = "/root/reference/wasm_function.wasm"
+
+needs_artifact = pytest.mark.skipif(
+    not os.path.exists(ARTIFACT), reason="reference wasm artifact not present"
+)
 
 
 def test_ipc_roundtrip():
@@ -38,43 +50,78 @@ def test_unpack_takes_column_zero():
     assert out.to_pylist() == [1, 2, 3]
 
 
-def test_wasm_factory_is_gated():
-    try:
-        import wasmtime  # noqa: F401
-
-        pytest.skip("wasmtime installed; gating not applicable")
-    except ImportError:
-        pass
-    stmt = CreateFunctionStmt(
-        name="f1",
-        arg_types=(T.DoubleType(),),
-        return_type=T.DoubleType(),
-        definition="mod.wasm!f1",
-    )
-    with pytest.raises(ModuleLoadError, match="wasmtime"):
-        WasmFunctionFactory().create(stmt)
+def test_missing_module_is_load_error():
+    with pytest.raises(ModuleLoadError):
+        WasmModule("/nonexistent/mod.wasm")
 
 
-def test_wasm_e2e_golden_when_runtime_present():
-    """End-to-end execution of the reference's prebuilt guest module
-    (wasm_function.wasm!f1 — pow) against its own golden values
-    (≙ wasmedge_factory/src/lib.rs:199-208). Runs whenever a wasmtime
-    runtime is importable; skip-marked in environments without one
-    (this container cannot install it — the structural ABI checks in
-    test_wasm_artifact.py cover the loadable halves there)."""
-    pytest.importorskip("wasmtime")
-    import os
-
-    wasm = "/root/reference/wasm_function.wasm"
-    if not os.path.exists(wasm):
+@pytest.fixture(scope="module")
+def guest():
+    if not os.path.exists(ARTIFACT):
         pytest.skip("reference wasm artifact not present")
-    from wasaffi_spark.wasm_backend import WasmModule
+    return WasmModule(ARTIFACT)
 
-    mod = WasmModule(wasm)
-    f1 = mod.get_udf("f1")
-    args = [
-        pa.array([2.0, 3.0, 4.0, 5.0], pa.float64()),
-        pa.array([2.0, 3.0, 4.0, 5.1], pa.float64()),
-    ]
-    out = f1(args)
+
+GOLDEN_ARGS = [
+    pa.array([2.0, 3.0, 4.0, 5.0], pa.float64()),
+    pa.array([2.0, 3.0, 4.0, 5.1], pa.float64()),
+]
+
+
+@needs_artifact
+def test_e2e_golden_values(guest):
+    """≙ the reference's own assertion (wasmedge_factory/src/lib.rs:199-208)."""
+    out = guest.get_udf("f1")(GOLDEN_ARGS)
     assert out.to_pylist() == [4.0, 27.0, 256.0, 3670.684197150057]
+
+
+@needs_artifact
+def test_e2e_error_protocol(guest):
+    """≙ lib.rs:227-246: Err(String) surfaces with the exact message."""
+    with pytest.raises(WasmInvocationError, match="wasm function returned error"):
+        guest.get_udf("f_return_error")(GOLDEN_ARGS)
+
+
+@needs_artifact
+def test_e2e_arrow_error_protocol(guest):
+    """≙ lib.rs:249-269 (ArrowError mapped to its display string)."""
+    with pytest.raises(WasmInvocationError, match="Divide by zero error"):
+        guest.get_udf("f_return_arrow_error")(GOLDEN_ARGS)
+
+
+@needs_artifact
+def test_e2e_panic_traps_and_instance_survives(guest):
+    """A guest panic traps (≙ udf.rs:95); the module stays usable after
+    (≙ lib.rs:297-306 — which the reference itself #[ignore]s)."""
+    with pytest.raises(WasmInvocationPanic):
+        guest.get_udf("f_panic")(GOLDEN_ARGS)
+    out = guest.get_udf("f1")([pa.array([9.0]), pa.array([2.0])])
+    assert out.to_pylist() == [81.0]
+
+
+@needs_artifact
+def test_e2e_missing_symbol(guest):
+    with pytest.raises(ModuleLoadError, match="__wasm_udf_nope"):
+        guest.get_udf("nope")
+
+
+@needs_artifact
+def test_e2e_through_sql(spark, engine):
+    """CREATE FUNCTION over the real .wasm artifact, invoked from SQL —
+    the reference's full pipeline (examples/wasaffi.rs:18-27), with the
+    guest executing inside Spark's executor Python workers."""
+    engine.register(
+        "wasm_t",
+        spark.createDataFrame(
+            [(2.0, 2.0), (3.0, 3.0), (4.0, 4.0), (5.0, 5.1)], "a double, b double"
+        ),
+    )
+    engine.sql(
+        "CREATE OR REPLACE FUNCTION f1_wasm(DOUBLE, DOUBLE) RETURNS DOUBLE "
+        f"LANGUAGE WASM AS '{ARTIFACT}!f1'"
+    )
+    rows = engine.sql(
+        "select f1_wasm(a, b) as f from wasm_t order by a"
+    ).collect()
+    assert [r.f for r in rows] == [4.0, 27.0, 256.0, 3670.684197150057]
+    engine.sql("DROP FUNCTION f1_wasm")

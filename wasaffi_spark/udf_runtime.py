@@ -77,8 +77,9 @@ def load_module(resolved_path: str) -> Any:
     """Load (with process-global caching) a function module from a path.
 
     ≙ ``wasm_model_cache_or_load`` (/root/reference/wasmedge_factory/src/lib.rs:79-100).
-    ``.py`` modules load via importlib; ``.wasm`` modules load through the
-    wasmtime backend (:mod:`wasaffi_spark.wasm_backend`).
+    ``.py`` modules load via importlib; ``.wasm`` modules load through
+    :mod:`wasaffi_spark.wasm_backend` (wasmtime when importable, else
+    the bundled pure-Python interpreter).
     """
     with _CACHE_LOCK:
         mod = _MODULE_CACHE.get(resolved_path)
@@ -150,6 +151,12 @@ def build_pandas_udf(
     arrow_arg_types = [to_arrow_type(t) for t in arg_types]
     arrow_ret = to_arrow_type(return_type)
     is_wasm = module_path.endswith(".wasm")
+    # Captured by value into the closure: lets a local-mode executor (or
+    # any worker sharing the driver's filesystem) import the package even
+    # when the driver process found it via a sys.path entry the workers
+    # don't inherit. On a real cluster this path won't exist and the
+    # normal --py-files import is used instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     def _invoke(*cols: pd.Series) -> pd.Series:
         import hashlib
@@ -173,7 +180,12 @@ def build_pandas_udf(
             except Exception:
                 pass
         if is_wasm:
-            from wasaffi_spark.udf_runtime import load_module
+            try:
+                from wasaffi_spark.udf_runtime import load_module
+            except ImportError:
+                if os.path.isdir(os.path.join(pkg_root, "wasaffi_spark")):
+                    sys.path.insert(0, pkg_root)
+                from wasaffi_spark.udf_runtime import load_module
 
             fn = load_module(path).get_udf(method)
         else:

@@ -1,4 +1,4 @@
-"""Real-WASM module backend (wasmtime), speaking the reference's ABI.
+"""Real-WASM module backend, speaking the reference's ABI.
 
 The reference guest exports ``__wasm_udf_<name>(payload: Vec<u8>) ->
 Result<Vec<u8>, String>`` where payload/result are Arrow IPC streams of
@@ -6,14 +6,32 @@ the packed argument batch / single-column result batch
 (/root/reference/wasm_udf/src/lib.rs:51-67, pack/unpack at lib.rs:12-43),
 bound through wasmedge-bindgen's allocate/call convention.
 
-wasmtime is not installed in this environment; the backend is gated on
-import and the ABI shim below implements the bytes-in/bytes-out calling
-convention used by wasmedge-bindgen (params packed as
-(pointer, length) pairs through guest ``allocate``/``deallocate``).
+Execution vehicle: wasmtime when importable, else the bundled
+pure-Python interpreter (:mod:`wasaffi_spark.wasm_interp`) — slower by
+orders of magnitude but sufficient for parity tests and small batches;
+the production UDF path remains the Arrow-vectorized ``.py`` backend.
+
+wasmedge-bindgen calling convention (verified EMPIRICALLY against the
+reference's prebuilt guest, not assumed — see
+tests/test_wasm_artifact.py::test_e2e_golden_values):
+
+- host: ``buf = allocate(len(payload))``; write payload at ``buf``
+  (the guest takes ownership of ``buf`` — it is freed guest-side, so a
+  fresh buffer is required per call);
+- host: ``params = allocate(8)``; write ``[buf: u32][len: u32]``;
+- call ``__wasm_udf_<name>(params, 1) -> ret``;
+- at ``ret`` (packed, unaligned): ``[status: u8][p1: u32][p2: u32]``;
+- status != 0 → Err: the UTF-8 error string is at ``(p1, len=p2)``;
+- status == 0 → Ok: ``p1`` points to ``p2`` value descriptors of
+  ``[ptr: u32][type_tag: u32][len: u32][cap: u32]`` — for
+  ``Vec<u8>`` (type_tag 21) the result bytes are at ``(ptr, len)``;
+- a guest panic reaches the host as a trap (``unreachable``), and the
+  instance remains usable afterwards (≙ lib.rs:297-306).
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Callable
 
 import pyarrow as pa
@@ -48,6 +66,88 @@ def unpack_result(payload: bytes) -> pa.Array:
     return batch.column(0)
 
 
+class _InterpRuntime:
+    """Pure-Python interpreter runtime (always available)."""
+
+    trap_type = None  # set in __init__
+
+    def __init__(self, path: str):
+        from . import wasm_interp
+
+        self.trap_type = wasm_interp.Trap
+        try:
+            module = wasm_interp.parse_module(open(path, "rb").read())
+            self.inst = wasm_interp.Instance(module)
+        except (wasm_interp.WasmError, OSError) as e:
+            raise ModuleLoadError(f"cannot load {path!r}: {e}") from e
+        self.exports = set(self.inst.exports)
+
+    def call(self, symbol: str, payload: bytes):
+        inst = self.inst
+        buf = inst.invoke("allocate", len(payload))
+        inst.write_mem(buf, payload)
+        params = inst.invoke("allocate", 8)
+        inst.write_mem(params, struct.pack("<II", buf, len(payload)))
+        try:
+            ret = inst.invoke(symbol, params, 1)
+        finally:
+            inst.invoke("deallocate", params, 8)
+        status = inst.read_mem(ret, 1)[0]
+        p1, p2 = struct.unpack("<II", inst.read_mem(ret + 1, 8))
+        if status != 0:
+            return inst.read_mem(p1, p2).decode("utf-8", errors="replace")
+        vptr, _tag, vlen = struct.unpack("<3I", inst.read_mem(p1, 12))
+        return inst.read_mem(vptr, vlen)
+
+
+class _WasmtimeRuntime:
+    """wasmtime runtime (preferred when the package is importable)."""
+
+    def __init__(self, path: str):
+        import wasmtime
+
+        self.trap_type = wasmtime.Trap
+        engine = wasmtime.Engine()
+        module = wasmtime.Module.from_file(engine, path)
+        self.store = wasmtime.Store(engine)
+        self.instance = wasmtime.Instance(self.store, module, [])
+        ex = self.instance.exports(self.store)
+        self._mem = ex.get("memory")
+        self._allocate = ex.get("allocate")
+        self._deallocate = ex.get("deallocate")
+        self._ex = ex
+        self.exports = set()
+        try:
+            self.exports = {k for k in ex}  # wasmtime exposes mapping-ish
+        except TypeError:
+            pass
+
+    def has(self, name: str) -> bool:
+        return self._ex.get(name) is not None
+
+    def call(self, symbol: str, payload: bytes):
+        store, mem = self.store, self._mem
+        fn = self._ex.get(symbol)
+        buf = self._allocate(store, len(payload))
+        mem.write(store, payload, buf)
+        params = self._allocate(store, 8)
+        mem.write(store, struct.pack("<II", buf, len(payload)), params)
+        try:
+            ret = fn(store, params, 1)
+        finally:
+            self._deallocate(store, params, 8)
+        head = bytes(mem.read(store, ret, ret + 9))
+        status = head[0]
+        p1, p2 = struct.unpack("<II", head[1:9])
+        if status != 0:
+            return bytes(mem.read(store, p1, p1 + p2)).decode(
+                "utf-8", errors="replace"
+            )
+        desc = bytes(mem.read(store, p1, p1 + 16))
+        vptr, _tag, vlen = struct.unpack("<3I", desc[:12])
+        return bytes(mem.read(store, vptr, vptr + vlen))
+
+
 class WasmModule:
     """A loaded ``.wasm`` module exposing reference-ABI UDFs.
 
@@ -57,70 +157,44 @@ class WasmModule:
     """
 
     def __init__(self, path: str):
+        self.path = path
         try:
-            import wasmtime
-        except ImportError as e:  # gated dependency
-            raise ModuleLoadError(
-                f"cannot load {path!r}: the 'wasmtime' package is not installed"
-            ) from e
-        self._wasmtime = wasmtime
-        self.engine = wasmtime.Engine()
-        self.module = wasmtime.Module.from_file(self.engine, path)
-        self.store = wasmtime.Store(self.engine)
-        self.instance = wasmtime.Instance(self.store, self.module, [])
-        exports = self.instance.exports(self.store)
+            import wasmtime  # noqa: F401
+
+            self._rt = _WasmtimeRuntime(path)
+        except ImportError:
+            self._rt = _InterpRuntime(path)
         # Validate the wasmedge-bindgen ABI surface at load time so a
         # non-conforming module fails with ModuleLoadError at CREATE
-        # FUNCTION, not with a raw TypeError at first invoke.
-        self._memory = exports.get("memory")
-        if self._memory is None:
-            raise ModuleLoadError(
-                f"wasm module {path!r} exports no linear 'memory' "
-                "(required by the wasmedge-bindgen ABI)"
-            )
-        self._allocate = exports.get("allocate") or exports.get("__wbindgen_malloc")
-        if self._allocate is None:
-            raise ModuleLoadError(
-                f"wasm module {path!r} exports neither 'allocate' nor "
-                "'__wbindgen_malloc'; cannot pass byte payloads into guest "
-                "memory (wasmedge-bindgen allocate convention required)"
-            )
-        self._deallocate = exports.get("deallocate")
-        self._exports = exports
+        # FUNCTION, not with a raw error at first invoke.
+        for required in ("memory", "allocate", "deallocate"):
+            if not self._has_export(required):
+                raise ModuleLoadError(
+                    f"wasm module {path!r} does not export {required!r} "
+                    "(wasmedge-bindgen ABI required)"
+                )
+
+    def _has_export(self, name: str) -> bool:
+        rt = self._rt
+        if isinstance(rt, _InterpRuntime):
+            if name == "memory":
+                return True  # parse would have failed without a memory
+            return name in rt.exports
+        return rt.has(name)
 
     def get_udf(self, method: str) -> Callable[[list[pa.Array]], pa.Array]:
         symbol = GUEST_PREFIX + method  # ≙ udf.rs:52
-        fn = self._exports.get(symbol)
-        if fn is None:
+        if not self._has_export(symbol):
             raise ModuleLoadError(f"wasm module does not export {symbol!r}")
 
         def call(arrays: list[pa.Array]) -> pa.Array:
             payload = pack_arrays(arrays)
             try:
-                out = self._call_bytes(fn, payload)
-            except self._wasmtime.Trap as e:  # ≙ udf.rs:95
+                out = self._rt.call(symbol, payload)
+            except self._rt.trap_type as e:  # guest panic/trap (≙ udf.rs:95)
                 raise WasmInvocationPanic(str(e)) from e
             if isinstance(out, str):  # guest returned Err(String)
                 raise WasmInvocationError(out)
             return unpack_result(out)
 
         return call
-
-    # wasmedge-bindgen convention: write bytes into guest memory via
-    # allocate(), call f(ptr, len), read (ok, ptr, len) result triple.
-    def _call_bytes(self, fn, payload: bytes):
-        store, mem = self.store, self._memory
-        ptr = self._allocate(store, len(payload))
-        mem.write(store, payload, ptr)
-        ret = fn(store, ptr, len(payload))
-        # bindgen returns a pointer to a result struct:
-        # [status: i32][ptr: i32][len: i32]
-        import struct
-
-        status, rptr, rlen = struct.unpack("<iii", mem.read(store, ret, ret + 12))
-        data = bytes(mem.read(store, rptr, rptr + rlen))
-        if self._deallocate is not None:
-            self._deallocate(store, rptr, rlen)
-        if status != 0:
-            return data.decode("utf-8", errors="replace")
-        return data
