@@ -8,9 +8,11 @@ SessionContext::new()                       | SparkSession.builder...
   .with_function_factory(WasmFunctionFactory)| Engine(spark, function_factory=...)
 Float64Array columns a, b                   | createDataFrame(..., "a double, b double")
 ctx.register_batch("t", batch)              | eng.register("t", df)
-CREATE FUNCTION ... AS 'wasm_function.wasm!f1' | ... AS 'fixtures/udfs.py!f1'
-    (a prebuilt .wasm module would work through the wasmtime backend —
-     'path/to/module.wasm!f1' — when wasmtime is installed)
+CREATE FUNCTION ... AS 'wasm_function.wasm!f1' | the SAME prebuilt .wasm when
+                                              | present (runs through wasmtime
+                                              | or the bundled pure-Python
+                                              | interpreter), else the Python
+                                              | parity fixture 'udfs.py!f1'
 ctx.sql(...).show()                         | eng.sql(...).show()
 
 Expected output (the reference's golden values, lib.rs:199-208):
@@ -51,12 +53,17 @@ def main() -> None:
     eng.register("t", df)
 
     # ≙ CREATE FUNCTION ... LANGUAGE WASM AS 'wasm_function.wasm!f1'
-    #   (wasaffi.rs:18-25); the module here is the Python parity fixture
-    module = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "fixtures",
-        "udfs.py",
-    )
+    #   (wasaffi.rs:18-25). Use the reference's actual prebuilt guest
+    #   module when it is present (executed by wasmtime if importable,
+    #   else by wasaffi_spark.wasm_interp); fall back to the Python
+    #   parity fixture otherwise.
+    module = "/root/reference/wasm_function.wasm"
+    if not os.path.exists(module):
+        module = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "fixtures",
+            "udfs.py",
+        )
     eng.sql(
         "CREATE FUNCTION f1(DOUBLE, DOUBLE) RETURNS DOUBLE "
         f"LANGUAGE WASM AS '{module}!f1'"
