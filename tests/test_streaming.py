@@ -188,3 +188,35 @@ def test_streaming_quality_filter(spark):
         output_mode="append",
     )
     assert spark.sql("select count(*) c from quality_docs").collect()[0]["c"] == batch_n
+
+
+@needs_data
+def test_sketch_distinct_stream_equals_batch(spark, event_stream):
+    """The streaming HLL sketch estimate must equal the batch estimate
+    over the same data — the mergeability property under micro-batched
+    partial aggregation (what keeps state O(windows) at any cardinality)."""
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    stream_ops.run_to_memory(
+        stream_ops.sketch_distinct_counts(event_stream), "sketch_test"
+    )
+    got = {
+        r.hour_start: (r.distinct_users, r.cnt)
+        for r in spark.table("sketch_test").collect()
+    }
+    events = read_parquet(spark, f"{SF_SMOKE}/events.parquet")
+    want = {
+        r.hour_start: (r.distinct_users, r.cnt)
+        for r in events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias(
+                "distinct_users"
+            ),
+            F.count("*").alias("cnt"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "distinct_users", "cnt")
+        .collect()
+    }
+    assert got == want

@@ -150,6 +150,29 @@ def stateful_user_stats(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def sketch_distinct_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Continuous approximate distinct-user counts per tumbling hour via
+    mergeable HLL sketches (operators/sketches.py is the batch analog).
+
+    The sketch aggregate is ALGEBRAIC — Spark keeps one KB-sized sketch
+    per window in the state store and merges each micro-batch's partial
+    into it, so state size is O(windows), never O(distinct users). The
+    same sketch bytes could be emitted instead of the estimate and
+    rolled up across days later without reprocessing the stream.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias(
+                "distinct_users"
+            ),
+            F.count("*").alias("cnt"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "distinct_users", "cnt")
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon —
     ``dropDuplicatesWithinWatermark`` bounds the dedup state store by
