@@ -471,3 +471,29 @@ def test_linear_text_score_broadcasts_model(spark):
     # the only exchange is the per-document aggregation
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_mixture_resample(spark):
+    from wasaffi_spark.operators import pipeline as pipe
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.01/documents.parquet")
+    weights = {"en": 0.6, "de": 0.3, "fr": 0.1}
+    out = pipe.mixture_resample(docs, weights)
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    # only weighted domains survive
+    assert set(got) <= set(weights)
+    total = sum(got.values())
+    # output mixture tracks the target within hash-sampling noise
+    for d, w in weights.items():
+        assert abs(got[d] / total - w) < 0.05, (d, got, total)
+    # the binding domain (largest n_d/w_d deficit) is kept ~whole
+    n_d = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    binding = min(weights, key=lambda d: n_d.get(d, 0) / weights[d])
+    assert got[binding] >= 0.99 * n_d[binding]
+    # deterministic: same input -> identical sample
+    again = pipe.mixture_resample(docs, weights)
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+    assert out.count() == again.count()

@@ -117,3 +117,50 @@ def training_set(
     kept = scored.where(F.col("quality_score") >= quality_threshold)
     chunks = text.chunk_documents(kept, chunk_tokens=chunk_tokens, overlap=overlap)
     return chunks.withColumn("split", split_label("doc_id", split_seed))
+
+
+def mixture_resample(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = SAMPLE_SEED,
+) -> DataFrame:
+    """Downsample each domain so the OUTPUT follows the target mixture —
+    the data-mixing step of a pretraining pipeline (e.g. cap web text at
+    60%, keep code at 25%, books at 15%).
+
+    Solves for the largest output size that needs no upsampling:
+    ``T = min_d(n_d / w_d)``, then keeps ``w_d·T / n_d`` of each domain
+    via the shared deterministic hash-bernoulli bucket
+    (:func:`sample_bucket`), so results are reproducible across runs and
+    cluster layouts. Domains absent from ``weights`` are dropped.
+
+    Scale: the per-domain count aggregate is O(domains) rows and is
+    explicitly broadcast back onto the corpus — one count shuffle plus a
+    codegen filter; the corpus itself never shuffles. Fractions
+    quantize to basis points (sample_bucket resolution); a target that
+    implies a keep-fraction under 0.01% keeps nothing for that domain.
+    """
+    w_rows = [(d, float(w)) for d, w in sorted(weights.items())]
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(w_rows, f"{domain_col} string, w double")
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_d"))
+    joined = counts.join(w_df, domain_col)
+    t_max = joined.agg(F.min(F.col("n_d") / F.col("w")).alias("t_max"))
+    frac = (
+        joined.crossJoin(t_max)
+        .select(
+            domain_col,
+            F.least(
+                F.lit(10000),
+                F.round(F.col("w") * F.col("t_max") / F.col("n_d") * 10000),
+            )
+            .cast("int")
+            .alias("keep_bp"),
+        )
+    )
+    b = sample_bucket(id_col, seed)
+    return df.join(F.broadcast(frac), domain_col).where(b < F.col("keep_bp")).drop(
+        "keep_bp"
+    )
