@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""End-to-end LLM training-data pipeline over the fixture corpus.
+
+The engine's capstone flow — every stage is a declarative DataFrame
+transformation from ``wasaffi_spark.operators``, so Catalyst sees ONE
+plan per output and the whole pipeline scales by partitioning, not by
+driver orchestration:
+
+    load → PII-redact → exact dedup → near-dedup (MinHash-LSH clusters,
+    keep best per cluster) → decontaminate vs an eval set → quality
+    gate (heuristics + linear classifier) → domain mixture → split →
+    chunk → sharded parquet write (+ corpus stats via sketches)
+
+Run: python examples/training_pipeline.py [sf_dir] [out_dir]
+Defaults: /root/testdata/sf0.001, /tmp/wasaffi_training_set
+"""
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from wasaffi_spark.conf import recommended_builder
+from wasaffi_spark.operators import decontam, dedup, graph, pipeline, sketches, text
+from wasaffi_spark.sources.parquet import read_parquet
+
+MIX = {"en": 0.5, "de": 0.3, "fr": 0.2}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/wasaffi_training_set"
+    spark = (
+        recommended_builder(master="local[8]", cpus=8, app_name="training-pipeline")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = read_parquet(spark, os.path.join(sf_dir, "documents.parquet"))
+    n0 = docs.count()
+
+    # 1. PII redaction (typed placeholders, codegen regexp chain)
+    docs = (
+        text.with_pii_redaction(docs)
+        .withColumn("text", F.col("clean_text"))
+        .drop("clean_text")
+    )
+
+    # 2. exact dedup (content-hash groupBy, deterministic winner)
+    docs = dedup.exact_dedup(docs)
+    n_exact = docs.count()
+
+    # 3. near-dedup: MinHash-LSH candidate pairs → connected components
+    #    → keep the longest document per duplicate cluster
+    pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs))
+    comp = graph.connected_components(pairs)  # (node, component)
+    clustered = docs.join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.desc(F.length("text")), F.asc("doc_id")
+    )
+    docs = (
+        clustered.withColumn(
+            "rk",
+            F.when(F.col("component").isNull(), F.lit(1)).otherwise(
+                F.row_number().over(w)
+            ),
+        )
+        .where("rk = 1")
+        .drop("component", "rk")
+    )
+    n_near = docs.count()
+
+    # 4. decontamination: drop docs sharing 6-gram shingles with the
+    #    held-out eval slice (stand-in for a benchmark suite)
+    eval_set = read_parquet(spark, os.path.join(sf_dir, "documents.parquet")).where(
+        F.pmod("doc_id", F.lit(17)) == 3
+    )
+    hits = decontam.contamination_hits(docs, eval_set, n=6).select("doc_id")
+    docs = docs.join(hits, "doc_id", "left_anti")
+    n_clean = docs.count()
+
+    # 5. quality gate: heuristic features AND the linear classifier
+    weights = spark.createDataFrame(
+        list(text.DEFAULT_QUALITY_WEIGHTS), "tok string, w double"
+    )
+    scored = text.with_quality(docs).join(
+        text.linear_text_score(docs, weights), "doc_id"
+    )
+    docs = scored.where(
+        (F.col("quality_score") >= 0.3) & (F.col("lin_score") >= 0.35)
+    )
+    n_q = docs.count()
+
+    # 6. domain mixture + deterministic split + chunking
+    mixed = pipeline.mixture_resample(docs, MIX)
+    chunks = text.chunk_documents(mixed, chunk_tokens=64, overlap=8).withColumn(
+        "split", pipeline.split_label("doc_id")
+    )
+
+    # 7. sharded write, partitioned by split (partition pruning for
+    #    downstream readers; maxRecordsPerFile bounds shard size)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    (
+        chunks.write.mode("overwrite")
+        .option("maxRecordsPerFile", 100_000)
+        .partitionBy("split")
+        .parquet(out_dir)
+    )
+
+    # 8. corpus report from ONE sketch pass over the output
+    out = read_parquet(spark, out_dir).withColumn(
+        "chunk_tokens", F.size(F.split("chunk_text", r"\s+"))
+    )
+    sk = sketches.sketch_table(out, "split", "doc_id", "chunk_tokens")
+    print(f"\ndocs: {n0} → exact-dedup {n_exact} → near-dedup {n_near}"
+          f" → decontaminated {n_clean} → quality-kept {n_q}")
+    print("output chunks by split (distinct docs + token quantiles):")
+    sketches.estimate_per_group(sk).orderBy("split").show(truncate=False)
+    print(f"written to {out_dir}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
