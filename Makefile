@@ -2,7 +2,7 @@
 # the Spark build: no compile step, so "all" is test; "wasm"-phase
 # equivalents are the oracle/bench harnesses.
 
-.PHONY: all test oracle bench example smoke
+.PHONY: all test oracle bench example pipeline-example smoke
 
 all: test
 
@@ -20,6 +20,10 @@ bench:
 # ≙ examples/wasaffi.rs — golden values 4.0, 27.0, 256.0, 3670.684197150057
 example:
 	python examples/wasaffi.py
+
+# the full LLM training-data flow at sf0.001 -> /tmp/wasaffi_training_set
+pipeline-example:
+	python examples/training_pipeline.py
 
 smoke:
 	python -m pytest tests/test_engine_udf.py tests/test_ddl.py -q
