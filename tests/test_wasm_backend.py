@@ -125,3 +125,19 @@ def test_e2e_through_sql(spark, engine):
     ).collect()
     assert [r.f for r in rows] == [4.0, 27.0, 256.0, 3670.684197150057]
     engine.sql("DROP FUNCTION f1_wasm")
+
+
+@needs_artifact
+def test_e2e_null_divergence(guest):
+    """SURVEY §1.2: the reference guest declares non-nullable schemas, so
+    a NULL argument makes it panic (arrow-rs unwrap on the validity
+    mismatch) — confirmed here by execution. The engine's .py parity
+    fixture deliberately diverges (propagates NULLs); this test is the
+    empirical record of what the reference actually does."""
+    with pytest.raises(WasmInvocationPanic):
+        guest.get_udf("f1")(
+            [
+                pa.array([2.0, None, 4.0], pa.float64()),
+                pa.array([2.0, 3.0, 2.0], pa.float64()),
+            ]
+        )
