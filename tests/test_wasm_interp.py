@@ -165,3 +165,82 @@ def test_reference_artifact_loads():
     inst.write_mem(p, b"x" * 256)
     assert inst.read_mem(p, 256) == b"x" * 256
     inst.invoke("deallocate", p, 256)
+
+
+# -- property tests: interpreter arithmetic vs a Python reference model
+
+
+from hypothesis import given, settings, strategies as st
+
+_i32 = st.integers(min_value=0, max_value=0xFFFFFFFF)
+_i64 = st.integers(min_value=0, max_value=(1 << 64) - 1)
+
+
+def _sgn(v, bits):
+    return v - (1 << bits) if v & (1 << (bits - 1)) else v
+
+
+@st.composite
+def _i32_pairs(draw):
+    return draw(_i32), draw(_i32)
+
+
+_I32_BINOPS = {
+    0x6A: lambda a, b: (a + b) & 0xFFFFFFFF,
+    0x6B: lambda a, b: (a - b) & 0xFFFFFFFF,
+    0x6C: lambda a, b: (a * b) & 0xFFFFFFFF,
+    0x71: lambda a, b: a & b,
+    0x72: lambda a, b: a | b,
+    0x73: lambda a, b: a ^ b,
+    0x74: lambda a, b: (a << (b % 32)) & 0xFFFFFFFF,
+    0x75: lambda a, b: (_sgn(a, 32) >> (b % 32)) & 0xFFFFFFFF,
+    0x76: lambda a, b: a >> (b % 32),
+}
+
+
+@settings(max_examples=200, deadline=None)
+@given(_i32_pairs(), st.sampled_from(sorted(_I32_BINOPS)))
+def test_i32_binops_match_model(pair, op):
+    a, b = pair
+    inst = _module(I32 + I32, I32, bytes([0x20, 0x00, 0x20, 0x01, op]))
+    assert inst.invoke("f", a, b) == _I32_BINOPS[op](a, b)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_i32, _i32)
+def test_i32_divmod_match_model(a, b):
+    if b == 0:
+        return
+    sa, sb = _sgn(a, 32), _sgn(b, 32)
+    if sa == -(2**31) and sb == -1:
+        return
+    inst = _module(I32 + I32, I32, b"\x20\x00\x20\x01\x6d")
+    q = abs(sa) // abs(sb)
+    if (sa < 0) != (sb < 0):
+        q = -q
+    assert inst.invoke("f", a, b) == q & 0xFFFFFFFF
+    inst = _module(I32 + I32, I32, b"\x20\x00\x20\x01\x6f")
+    assert inst.invoke("f", a, b) == (sa - sb * q) & 0xFFFFFFFF
+
+
+@settings(max_examples=100, deadline=None)
+@given(_i64, st.integers(min_value=0, max_value=127))
+def test_i64_rot_inverse(v, n):
+    # rotl then rotr by the same count is the identity
+    body_l = b"\x20\x00\x20\x01\x89"
+    body_r = b"\x20\x00\x20\x01\x8a"
+    il = _module(I64 + I64, I64, body_l)
+    ir = _module(I64 + I64, I64, body_r)
+    assert ir.invoke("f", il.invoke("f", v, n), n) == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=0xFFFFFFFF))
+def test_clz_ctz_popcnt_model(v):
+    for op, model in (
+        (0x67, lambda x: 32 - x.bit_length() if x else 32),
+        (0x68, lambda x: (x & -x).bit_length() - 1 if x else 32),
+        (0x69, lambda x: x.bit_count()),
+    ):
+        inst = _module(I32, I32, bytes([0x20, 0x00, op]))
+        assert inst.invoke("f", v) == model(v)
