@@ -58,24 +58,26 @@ def main() -> None:
     #    → keep the longest document per duplicate cluster
     pairs = dedup.lsh_candidate_pairs(dedup.minhash_signatures(docs))
     comp = graph.connected_components(pairs)  # (node, component)
+    # Rank ONLY the clustered docs (the graph is a tiny fraction of the
+    # corpus) and union the untouched majority back: ranking everything
+    # would funnel all component-NULL rows through one window partition.
     clustered = docs.join(
-        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "inner"
     )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("component").orderBy(
         F.desc(F.length("text")), F.asc("doc_id")
     )
-    docs = (
-        clustered.withColumn(
-            "rk",
-            F.when(F.col("component").isNull(), F.lit(1)).otherwise(
-                F.row_number().over(w)
-            ),
-        )
+    keepers = (
+        clustered.withColumn("rk", F.row_number().over(w))
         .where("rk = 1")
         .drop("component", "rk")
     )
+    singles = docs.join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left_anti"
+    )
+    docs = singles.unionByName(keepers)
     n_near = docs.count()
 
     # 4. decontamination: drop docs sharing 6-gram shingles with the

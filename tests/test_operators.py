@@ -469,7 +469,7 @@ def test_linear_text_score_broadcasts_model(spark):
     )
     # the model side must broadcast (it is KB-sized by construction);
     # the only exchange is the per-document aggregation
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
 
 

@@ -141,3 +141,25 @@ def test_e2e_null_divergence(guest):
                 pa.array([2.0, 3.0, 2.0], pa.float64()),
             ]
         )
+
+
+@needs_artifact
+def test_e2e_no_result_buffer_leak(guest):
+    """The module is cached per worker and called once per Arrow batch:
+    result buffers must be freed after reading or guest linear memory
+    grows without bound.  50 success + 20 error calls must leave memory
+    flat (the interp runtime exposes the memory size directly)."""
+    rt = guest._rt
+    if not hasattr(rt, "inst"):
+        pytest.skip("memory introspection needs the interp runtime")
+    udf = guest.get_udf("f1")
+    err = guest.get_udf("f_return_error")
+    udf(GOLDEN_ARGS)  # warm the allocator
+    before = len(rt.inst.mem)
+    for _ in range(50):
+        out = udf(GOLDEN_ARGS)
+    assert out.to_pylist() == [4.0, 27.0, 256.0, 3670.684197150057]
+    for _ in range(20):
+        with pytest.raises(WasmInvocationError):
+            err(GOLDEN_ARGS)
+    assert len(rt.inst.mem) == before

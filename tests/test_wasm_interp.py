@@ -244,3 +244,29 @@ def test_clz_ctz_popcnt_model(v):
     ):
         inst = _module(I32, I32, bytes([0x20, 0x00, op]))
         assert inst.invoke("f", v) == model(v)
+
+
+def test_br_to_function_label_returns():
+    # `br 0` with no open blocks targets the implicit function label:
+    # must act as return, not IndexError.
+    inst = _module(I32, I32, b"\x20\x00\x0c\x00")  # local.get 0; br 0
+    assert inst.invoke("f", 42) == 42
+    # br_if 0 at top level: nonzero arg returns the arg, zero falls through
+    body = b"\x20\x00\x20\x00\x0d\x00\x1a\x41\xe3\x00"  # lg0 lg0 br_if0 drop i32.const 99
+    inst = _module(I32, I32, body)
+    assert inst.invoke("f", 7) == 7
+    assert inst.invoke("f", 0) == 99
+    # br_table whose default arm is the function label
+    body = b"\x20\x00\x41\x00\x0e\x00\x00"  # lg0; i32.const 0; br_table [] 0
+    inst = _module(I32, I32, body)
+    assert inst.invoke("f", 11) == 11
+
+
+def test_f32_overflow_rounds_to_infinity():
+    # f32.demote_f64 of an out-of-range double is +/-inf per spec,
+    # not a Python OverflowError.
+    F32 = b"\x7d"
+    inst = _module(F64, F32, b"\x20\x00\xb6")  # local.get 0; f32.demote_f64
+    assert inst.invoke("f", 1e300) == float("inf")
+    assert inst.invoke("f", -1e300) == float("-inf")
+    assert inst.invoke("f", 1.5) == 1.5

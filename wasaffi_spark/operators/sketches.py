@@ -68,17 +68,7 @@ def rollup_estimates(sketches: DataFrame, quantiles=(0.5, 0.95)) -> DataFrame:
         F.kll_merge_agg_double("kll").alias("kll"),
         F.sum("rows").alias("rows"),
     )
-    return merged.select(
-        "rows",
-        F.hll_sketch_estimate("hll").alias("distinct_hll"),
-        F.round(F.theta_sketch_estimate("theta"), 1).alias("distinct_theta"),
-        *[
-            F.kll_sketch_get_quantile_double("kll", F.lit(q)).alias(
-                f"p{int(q * 100)}"
-            )
-            for q in quantiles
-        ],
-    )
+    return estimate_per_group(merged, quantiles)
 
 
 def sketch_overlap(

@@ -81,6 +81,7 @@ class _InterpRuntime:
         except (wasm_interp.WasmError, OSError) as e:
             raise ModuleLoadError(f"cannot load {path!r}: {e}") from e
         self.exports = set(self.inst.exports)
+        self.has_memory = self.inst.m.has_memory
 
     def call(self, symbol: str, payload: bytes):
         inst = self.inst
@@ -92,12 +93,25 @@ class _InterpRuntime:
             ret = inst.invoke(symbol, params, 1)
         finally:
             inst.invoke("deallocate", params, 8)
+        # Read then FREE everything the guest handed back: the module is
+        # cached for the worker's lifetime and called once per Arrow
+        # batch, so unfreed result buffers grow linear memory until
+        # allocate fails.  (Rust's wasm dlmalloc ignores the size arg of
+        # dealloc, so the len/cap distinction below is belt-and-braces.)
         status = inst.read_mem(ret, 1)[0]
         p1, p2 = struct.unpack("<II", inst.read_mem(ret + 1, 8))
-        if status != 0:
-            return inst.read_mem(p1, p2).decode("utf-8", errors="replace")
-        vptr, _tag, vlen = struct.unpack("<3I", inst.read_mem(p1, 12))
-        return inst.read_mem(vptr, vlen)
+        try:
+            if status != 0:
+                out = inst.read_mem(p1, p2).decode("utf-8", errors="replace")
+                inst.invoke("deallocate", p1, p2)
+                return out
+            vptr, _tag, vlen, vcap = struct.unpack("<4I", inst.read_mem(p1, 16))
+            out = inst.read_mem(vptr, vlen)
+            inst.invoke("deallocate", vptr, vcap)
+            inst.invoke("deallocate", p1, p2 * 16)
+            return out
+        finally:
+            inst.invoke("deallocate", ret, 9)
 
 
 class _WasmtimeRuntime:
@@ -139,13 +153,21 @@ class _WasmtimeRuntime:
         head = bytes(mem.read(store, ret, ret + 9))
         status = head[0]
         p1, p2 = struct.unpack("<II", head[1:9])
-        if status != 0:
-            return bytes(mem.read(store, p1, p1 + p2)).decode(
-                "utf-8", errors="replace"
-            )
-        desc = bytes(mem.read(store, p1, p1 + 16))
-        vptr, _tag, vlen = struct.unpack("<3I", desc[:12])
-        return bytes(mem.read(store, vptr, vptr + vlen))
+        try:
+            if status != 0:
+                out = bytes(mem.read(store, p1, p1 + p2)).decode(
+                    "utf-8", errors="replace"
+                )
+                self._deallocate(store, p1, p2)
+                return out
+            desc = bytes(mem.read(store, p1, p1 + 16))
+            vptr, _tag, vlen, vcap = struct.unpack("<4I", desc)
+            out = bytes(mem.read(store, vptr, vptr + vlen))
+            self._deallocate(store, vptr, vcap)
+            self._deallocate(store, p1, p2 * 16)
+            return out
+        finally:
+            self._deallocate(store, ret, 9)
 
 
 class WasmModule:
@@ -160,10 +182,13 @@ class WasmModule:
         self.path = path
         try:
             import wasmtime  # noqa: F401
-
-            self._rt = _WasmtimeRuntime(path)
         except ImportError:
             self._rt = _InterpRuntime(path)
+        else:
+            try:
+                self._rt = _WasmtimeRuntime(path)
+            except Exception as e:  # missing/corrupt file, bad module
+                raise ModuleLoadError(f"cannot load {path!r}: {e}") from e
         # Validate the wasmedge-bindgen ABI surface at load time so a
         # non-conforming module fails with ModuleLoadError at CREATE
         # FUNCTION, not with a raw error at first invoke.
@@ -178,7 +203,9 @@ class WasmModule:
         rt = self._rt
         if isinstance(rt, _InterpRuntime):
             if name == "memory":
-                return True  # parse would have failed without a memory
+                # The memory section is optional in a valid module; the
+                # ABI requires one, so check the parsed module itself.
+                return rt.has_memory
             return name in rt.exports
         return rt.has(name)
 

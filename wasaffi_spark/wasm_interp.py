@@ -115,6 +115,7 @@ class Module:
         self.table: list[int | None] = []
         self.mem_initial = 0
         self.mem_max = None
+        self.has_memory = False
         self.globals: list[tuple[str, bool, object]] = []  # (vt, mut, init)
         self.exports: dict[str, tuple[int, int]] = {}  # name -> (kind, idx)
         self.data: list[tuple[int | None, bytes]] = []  # (offset|None=passive, bytes)
@@ -161,6 +162,7 @@ def parse_module(data: bytes) -> Module:
         elif sid == 5:  # memory
             for _ in range(r.uleb()):
                 flags = r.u8()
+                m.has_memory = True
                 m.mem_initial = r.uleb()
                 if flags & 1:
                     m.mem_max = r.uleb()
@@ -388,7 +390,12 @@ def _s64(v: int) -> int:
     return v - 0x10000000000000000 if v & 0x8000000000000000 else v
 
 def _f32(v: float) -> float:
-    return struct.unpack("<f", struct.pack("<f", v))[0]
+    # struct.pack raises OverflowError for finite doubles beyond f32 range;
+    # the spec demands rounding to +/-infinity instead.
+    try:
+        return struct.unpack("<f", struct.pack("<f", v))[0]
+    except OverflowError:
+        return float("inf") if v > 0 else float("-inf")
 
 def _idiv(a: int, b: int) -> int:  # truncating signed division
     q = abs(a) // abs(b)
@@ -600,7 +607,11 @@ class Instance:
                 # Pop the `imm` frames ABOVE the target; the target frame
                 # itself survives: a loop branch re-enters its body, a
                 # block branch jumps to the block's `end` marker, which
-                # pops the frame when executed.
+                # pops the frame when executed. Depth == len(ctrl) targets
+                # the implicit function label: acts as return (results are
+                # already on top of the stack, caller slices them off).
+                if imm >= len(ctrl):
+                    break
                 target, height, arity, is_loop = ctrl[-1 - imm]
                 if arity:
                     vals = stack[len(stack) - arity :]
@@ -614,6 +625,8 @@ class Instance:
             elif op == 0x0E:  # br_table
                 k = stack.pop()
                 d = imm[k] if k < len(imm) - 1 else imm[-1]
+                if d >= len(ctrl):  # function-label arm: return
+                    break
                 target, height, arity, is_loop = ctrl[-1 - d]
                 if arity:
                     vals = stack[len(stack) - arity :]
