@@ -12,6 +12,8 @@ from pyspark.sql import functions as F
 
 from wasaffi_spark.operators import dedup, multimodal, similarity, text
 
+from .conftest import SF_SMOKE
+
 BASE = (
     "the quick brown fox jumps over the lazy dog while the cat watches "
     "from the warm window sill and the birds sing in the garden"
@@ -497,3 +499,76 @@ def test_mixture_resample(spark):
     again = pipe.mixture_resample(docs, weights)
     assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
     assert out.count() == again.count()
+
+
+def test_paragraph_dedup_matches_duckdb_oracle(spark):
+    """Cross-doc paragraph dedup vs an exact DuckDB replica: keep the
+    globally-first occurrence of each paragraph, blanks always survive,
+    documents reassemble in order."""
+    import duckdb
+
+    from wasaffi_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "alpha beta\ncommon para\n\ntail one"),
+        (2, "common para\nunique two"),
+        (3, "alpha beta\ncommon para"),  # fully duplicated -> empty doc
+        (4, ""),  # empty doc: one blank paragraph, kept
+        (5, "unique five\nunique five"),  # intra-doc dup also removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = sorted(
+        tuple(r) for r in paragraph_dedup(df).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs(doc_id BIGINT, text VARCHAR)"
+    )
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM docs),
+            paras AS (
+              SELECT doc_id, i - 1 AS pos, ps[i] AS para
+              FROM d, unnest(generate_series(1, len(ps))) AS t(i)
+            ),
+            flagged AS (
+              SELECT doc_id, pos, para,
+                row_number() OVER (
+                  PARTITION BY CASE WHEN trim(para) <> '' THEN md5(para)
+                                    ELSE '_blank:' || doc_id || ':' || pos END
+                  ORDER BY doc_id, pos) = 1 AS kept
+              FROM paras
+            )
+            SELECT doc_id,
+              coalesce(string_agg(para, chr(10) ORDER BY pos)
+                       FILTER (WHERE kept), '') AS dedup_text,
+              count(*)::INT AS n_paras,
+              coalesce(sum(CASE WHEN kept THEN 1 ELSE 0 END), 0)::INT
+                AS n_kept_paras
+            FROM flagged GROUP BY doc_id
+            """
+        ).fetchall()
+    )
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[3][1] == ""  # fully-duplicated doc empties out
+    assert by_id[1][3] == 4  # first doc keeps everything incl. blank
+
+
+def test_paragraph_dedup_real_corpus(spark):
+    """Smoke on the driver-generated documents table: idempotent sizes."""
+    from wasaffi_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = paragraph_dedup(docs)
+    agg = out.selectExpr(
+        "count(*) AS n",
+        "sum(n_paras) AS total",
+        "sum(n_kept_paras) AS kept",
+    ).collect()[0]
+    assert agg.n == docs.count()
+    assert 0 < agg.kept <= agg.total

@@ -360,3 +360,68 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# -- cross-document paragraph dedup ----------------------------------------
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "dedup_text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level dedup (RefinedWeb / Dolma style).
+
+    Splits every document into paragraphs, keeps only the globally FIRST
+    occurrence of each distinct paragraph (ordered by ``(doc_id, pos)``
+    — deterministic), and reassembles each document from its surviving
+    paragraphs in original order. The cross-document sibling of
+    :func:`wasaffi_spark.operators.text.dedup_lines` (which is
+    intra-document only). Output: ``(id_col, out_col, n_paras,
+    n_kept_paras)`` — join back on ``id_col`` for other columns.
+
+    Whitespace-only paragraphs are structure, not content: each gets a
+    unique key so it is always kept (this also avoids a skewed
+    all-blanks hash partition).
+
+    Scale: exactly two shuffles — one on the paragraph hash (window
+    ``row_number`` picks the keeper; partial-agg-free but each paragraph
+    row moves once), one on ``doc_id`` to reassemble. Paragraph rows ∝
+    corpus lines; no quadratic term anywhere. Known skew: a boilerplate
+    paragraph repeated 10⁹ times lands in one hash partition — at 100 TB
+    pre-drop ultra-hot hashes (count > K ⇒ delete ALL copies, the
+    RefinedWeb boilerplate rule) before the window, trading exactness of
+    "keep first" for bounded partitions.
+    """
+    from pyspark.sql.window import Window
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "para"),
+    )
+    h = F.when(
+        F.trim(F.col("para")) != "",
+        F.md5(F.col("para")),
+    ).otherwise(F.concat_ws(":", F.lit("_blank"), F.col(id_col), F.col("pos")))
+    paras = paras.withColumn("_h", h)
+    w = Window.partitionBy("_h").orderBy(id_col, "pos")
+    paras = paras.withColumn("_kept", F.row_number().over(w) == 1)
+    agg = paras.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "para", "_kept"))).alias("_ps"),
+        F.count("*").alias("n_paras"),
+        F.sum(F.col("_kept").cast("int")).alias("n_kept_paras"),
+    )
+    kept_text = F.array_join(
+        F.transform(
+            F.filter(F.col("_ps"), lambda s: s["_kept"]), lambda s: s["para"]
+        ),
+        sep,
+    )
+    return agg.select(
+        F.col(id_col),
+        kept_text.alias(out_col),
+        F.col("n_paras").cast("int").alias("n_paras"),
+        F.col("n_kept_paras").cast("int").alias("n_kept_paras"),
+    )
