@@ -85,6 +85,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: _utc(fn) for name, fn in out.items()}
 
 
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Operators beyond the driver's 50-entry correctness window —
+    hash-checked locally by tools/oracle_check.py (see ORACLE_SWEEP
+    reports) and pinned by pytest, but not part of the declared driver
+    set. NOT called by the driver."""
+    from wasaffi_spark.operators import catalog as op_catalog
+
+    return {name: _utc(fn) for name, fn in op_catalog.EXTRA_QUERIES.items()}
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    """DuckDB oracles for ``extra_queries()``. NOT called by the driver."""
+    from wasaffi_spark.operators import catalog as op_catalog
+
+    return dict(op_catalog.EXTRA_ORACLE)
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable oracle for each hash-checkable query; keys absent
     here get the driver's weaker rows-only check (approx aggregates,

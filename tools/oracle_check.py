@@ -87,6 +87,11 @@ def main():
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # local-only extras: hash-checked here even though the driver's
+    # 50-entry window never sees them
+    if hasattr(entrymod, "extra_queries"):
+        queries.update(entrymod.extra_queries())
+        oracles.update(entrymod.extra_oracle_sql())
     results = {}
     for name, fn in queries.items():
         if only and name not in only:
