@@ -572,3 +572,22 @@ def test_paragraph_dedup_real_corpus(spark):
     ).collect()[0]
     assert agg.n == docs.count()
     assert 0 < agg.kept <= agg.total
+
+
+def test_gopher_filter_rules(spark):
+    """Each rule fires on its engineered document; clean text keeps."""
+    rows = [
+        (1, "short"),  # 1 token -> too_few_tokens (+ bad_avg_token_len? len 5 ok)
+        (2, "spam " * 20),  # one word repeated -> dup_words + top_bigram
+        (3, "the quick brown fox jumps over a lazy dog near the river bank today"),
+        (4, "a b c d e f g h i j"),  # 10 tokens of len 1 -> bad_avg_token_len
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in text.gopher_filter(df).collect()}
+    assert "too_few_tokens" in got[1]["drop_reasons"]
+    assert "dup_words" in got[2]["drop_reasons"]
+    assert "top_bigram" in got[2]["drop_reasons"]
+    assert got[3]["keep"] and got[3]["drop_reasons"] == ""
+    assert "bad_avg_token_len" in got[4]["drop_reasons"]
+    # one-token doc: top_bigram_frac is NULL -> rule must NOT fire
+    assert "top_bigram" not in got[1]["drop_reasons"]

@@ -1598,3 +1598,62 @@ register_extra(
                  as n_kept_paras
         from flagged group by doc_id order by doc_id""",
 )
+
+
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite document filter with per-rule drop
+    reasons (operators/text.py::gopher_filter) — the corpus-curation
+    gate a training pipeline runs between text stats and dedup. All
+    in-row expressions; the fan-out only spreads the local single-file
+    scan."""
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    return text.gopher_filter(docs).orderBy("doc_id")
+
+
+register_extra(
+    "gopher_filter",
+    q_gopher_filter,
+    f"""with base as (
+          select doc_id, text,
+                 length(text) as n_chars,
+                 length(regexp_replace(text, '\\s', '', 'g')) as no_space,
+                 {_TOKS} as t,
+                 len({_TOKS}) as n_tokens
+          from documents),
+        bg as (select doc_id, gram, count(*) as c
+               from (select doc_id, array_to_string(t[i:i+1], ' ') as gram
+                     from base, unnest(generate_series(1, len(t) - 1)) as u(i))
+               group by doc_id, gram),
+        bstat as (select doc_id, max(c) as top_c, sum(c) as n_bg
+                  from bg group by doc_id),
+        feat as (
+          select base.doc_id,
+                 cast(n_tokens as int) as n_tokens,
+                 round((n_chars - no_space) / n_chars, 6) as space_ratio,
+                 round(no_space / n_tokens, 6) as avg_token_len,
+                 round(1.0 - len(list_distinct(t)) / n_tokens, 6)
+                   as dup_word_frac,
+                 round(top_c / n_bg, 6) as top_bigram_frac
+          from base left join bstat on base.doc_id = bstat.doc_id)
+        select doc_id, n_tokens, space_ratio, avg_token_len,
+               dup_word_frac, top_bigram_frac,
+               concat_ws(',',
+                 case when n_tokens < 8 then 'too_few_tokens' end,
+                 case when n_tokens > 100000 then 'too_many_tokens' end,
+                 case when avg_token_len < 2.0 or avg_token_len > 12.0
+                      then 'bad_avg_token_len' end,
+                 case when space_ratio > 0.5 then 'high_space_ratio' end,
+                 case when dup_word_frac > 0.3 then 'dup_words' end,
+                 case when top_bigram_frac > 0.18 then 'top_bigram' end)
+                 as drop_reasons,
+               (concat_ws(',',
+                 case when n_tokens < 8 then 'too_few_tokens' end,
+                 case when n_tokens > 100000 then 'too_many_tokens' end,
+                 case when avg_token_len < 2.0 or avg_token_len > 12.0
+                      then 'bad_avg_token_len' end,
+                 case when space_ratio > 0.5 then 'high_space_ratio' end,
+                 case when dup_word_frac > 0.3 then 'dup_words' end,
+                 case when top_bigram_frac > 0.18 then 'top_bigram' end)
+                 = '') as keep
+        from feat order by doc_id""",
+)

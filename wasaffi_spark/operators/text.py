@@ -396,3 +396,65 @@ def linear_text_score(
         F.round(logit, 6).alias("logit"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("lin_score"),
     )
+
+
+# Gopher-style composite filter thresholds (Rae et al. 2021 shapes; the
+# exact numbers are corpus-tunable parameters, not constants of nature).
+GOPHER_DEFAULTS = {
+    "min_tokens": 8,
+    "max_tokens": 100_000,
+    "min_avg_token_len": 2.0,
+    "max_avg_token_len": 12.0,
+    "max_space_ratio": 0.5,
+    "max_dup_word_frac": 0.3,
+    "max_top_bigram_frac": 0.18,
+}
+
+
+def gopher_filter(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds: float,
+) -> DataFrame:
+    """Composite rule-based document filter (Gopher §A1.1 family): every
+    rule evaluated per document, ``drop_reasons`` = comma-joined names of
+    the rules that fired (deterministic order), ``keep`` = none fired.
+
+    Keeping the *reasons* (not just a boolean) is the production shape —
+    corpus curation iterates on per-rule firing rates, so the filter must
+    report which rule killed a document. All features come from
+    :func:`with_quality` / :func:`with_repetition` (shared ``_toks``
+    split, in-row expressions, zero shuffles); a rule whose feature is
+    NULL (e.g. ``top_bigram_frac`` on a one-token doc) does not fire, in
+    both Spark and the SQL oracle (CASE-on-NULL → skipped by concat_ws).
+    """
+    th = {**GOPHER_DEFAULTS, **thresholds}
+    docs = df.withColumn("_toks", tokens(text_col))
+    docs = with_quality(docs, text_col, toks_col="_toks")
+    docs = with_repetition(docs, text_col, toks_col="_toks")
+    rules = (
+        ("too_few_tokens", F.col("n_tokens") < th["min_tokens"]),
+        ("too_many_tokens", F.col("n_tokens") > th["max_tokens"]),
+        (
+            "bad_avg_token_len",
+            (F.col("avg_token_len") < th["min_avg_token_len"])
+            | (F.col("avg_token_len") > th["max_avg_token_len"]),
+        ),
+        ("high_space_ratio", F.col("space_ratio") > th["max_space_ratio"]),
+        ("dup_words", F.col("dup_word_frac") > th["max_dup_word_frac"]),
+        ("top_bigram", F.col("top_bigram_frac") > th["max_top_bigram_frac"]),
+    )
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return docs.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("space_ratio"),
+        F.col("avg_token_len"),
+        F.col("dup_word_frac"),
+        F.col("top_bigram_frac"),
+        reasons.alias("drop_reasons"),
+        (reasons == "").alias("keep"),
+    )
