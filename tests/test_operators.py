@@ -591,3 +591,25 @@ def test_gopher_filter_rules(spark):
     assert "bad_avg_token_len" in got[4]["drop_reasons"]
     # one-token doc: top_bigram_frac is NULL -> rule must NOT fire
     assert "top_bigram" not in got[1]["drop_reasons"]
+
+
+def test_global_shuffle_deterministic_and_dense(spark):
+    """Shard/pos are pure functions of (seed, id): invariant to input
+    partitioning; positions are dense 1..n per shard; seed re-shuffles."""
+    from wasaffi_spark.operators import pipeline
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: (r.shard, r.shard_pos)
+         for r in pipeline.global_shuffle(df, n_shards=8).collect()}
+    b = {r.doc_id: (r.shard, r.shard_pos)
+         for r in pipeline.global_shuffle(df.repartition(13), n_shards=8).collect()}
+    assert a == b
+    shards = {}
+    for shard, pos in a.values():
+        assert 0 <= shard < 8
+        shards.setdefault(shard, []).append(pos)
+    for poss in shards.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    c = {r.doc_id: (r.shard, r.shard_pos)
+         for r in pipeline.global_shuffle(df, n_shards=8, seed="v2").collect()}
+    assert c != a  # a new seed is a new global order

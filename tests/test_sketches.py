@@ -73,3 +73,41 @@ def test_sketch_table_single_shuffle(spark):
     sk = sketches.sketch_table(orders, "o_orderpriority", "o_custkey", "o_totalprice")
     plan = sketches.estimate_per_group(sk)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_countmin_overestimates_only_and_exact_when_wide(spark):
+    from wasaffi_spark.operators import sketches
+
+    words = [f"w{i % 7}" for i in range(140)] + ["rare"]
+    df = spark.createDataFrame([(w,) for w in words], "item string")
+    exact = {r.item: r.cnt for r in df.groupBy("item").agg(
+        F.count("*").alias("cnt")
+    ).collect()}
+    # narrow sketch: estimates may collide but NEVER undercount
+    narrow = sketches.countmin_table(df, "item", depth=2, width=4)
+    est_n = {r.item: r.cm_est for r in sketches.countmin_query(
+        narrow, df, depth=2, width=4).collect()}
+    assert all(est_n[w] >= exact[w] for w in exact)
+    # wide sketch: no collisions among 8 items -> exact
+    wide = sketches.countmin_table(df, "item", depth=4, width=4096)
+    est_w = {r.item: r.cm_est for r in sketches.countmin_query(
+        wide, df, depth=4, width=4096).collect()}
+    assert est_w == exact
+    # absent item estimates 0 (left join path)
+    ghost = spark.createDataFrame([("never-seen",)], "item string")
+    got = sketches.countmin_query(wide, ghost).collect()
+    assert got[0].cm_est == 0
+
+
+def test_countmin_merge_equals_whole(spark):
+    from wasaffi_spark.operators import sketches
+
+    a = spark.createDataFrame([(f"w{i % 5}",) for i in range(50)], "item string")
+    b = spark.createDataFrame([(f"w{i % 9}",) for i in range(90)], "item string")
+    merged = sketches.countmin_merge(
+        sketches.countmin_table(a, "item"), sketches.countmin_table(b, "item")
+    )
+    whole = sketches.countmin_table(a.unionByName(b), "item")
+    m = {(r.r, r.c): r.cnt for r in merged.collect()}
+    w = {(r.r, r.c): r.cnt for r in whole.collect()}
+    assert m == w  # cell-exact mergeability, not just estimate-close

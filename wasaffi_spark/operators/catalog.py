@@ -1657,3 +1657,84 @@ register_extra(
                  = '') as keep
         from feat order by doc_id""",
 )
+
+
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle/sharding for training order
+    (operators/pipeline.py::global_shuffle): shard + within-shard
+    position as a pure function of (seed, doc_id). One shuffle."""
+    from . import pipeline
+
+    docs = _table(spark, sf_dir, "documents")
+    return (
+        pipeline.global_shuffle(docs, n_shards=16)
+        .select("doc_id", "shard", "shard_pos")
+        .orderBy("doc_id")
+    )
+
+
+register_extra(
+    "global_shuffle",
+    q_global_shuffle,
+    """with h as (
+         select doc_id, md5('shuffle-v1' || doc_id) as hh from documents)
+       select doc_id,
+              cast(('0x' || substr(hh, 1, 6))::bigint % 16 as int) as shard,
+              row_number() over (
+                partition by ('0x' || substr(hh, 1, 6))::bigint % 16
+                order by hh, doc_id) as shard_pos
+       from h order by doc_id""",
+)
+
+
+def q_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for the corpus's top-20
+    tokens vs their exact counts (operators/sketches.py). Deterministic
+    md5 hashing makes the sketch itself exactly reproducible — the
+    oracle replicates every cell, not just the query shape."""
+    from . import sketches
+
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(text.tokens("text")).alias("item")
+    ).where(F.col("item") != "")
+    sketch = sketches.countmin_table(toks, "item")
+    exact = toks.groupBy("item").agg(F.count("*").alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "item").limit(20)
+    est = sketches.countmin_query(sketch, top)
+    return (
+        top.join(est, "item")
+        .select("item", "exact_cnt", F.col("cm_est").cast("bigint").alias("cm_est"))
+        .orderBy(F.desc("exact_cnt"), "item")
+    )
+
+
+register_extra(
+    "countmin_tokens",
+    q_countmin_tokens,
+    f"""with tok as (
+          select unnest({_TOKS}) as item from documents),
+        tokf as (select item from tok where item <> ''),
+        cells as (
+          select r,
+                 cast(('0x' || substr(md5('cm-v1:' || r || ':' || item), 1, 6))::bigint
+                      % 2048 as int) as c,
+                 count(*) as cnt
+          from tokf, unnest(generate_series(0, 3)) as g(r)
+          group by 1, 2),
+        exact as (select item, count(*) as exact_cnt from tokf group by item),
+        top20 as (select item, exact_cnt from exact
+                  order by exact_cnt desc, item limit 20),
+        probes as (select item, exact_cnt, r
+                   from top20, unnest(generate_series(0, 3)) as g(r)),
+        est as (
+          select p.item, p.exact_cnt,
+                 min(coalesce(cells.cnt, 0)) as cm_est
+          from probes p left join cells
+            on cells.r = p.r
+           and cells.c = cast(('0x' || substr(md5('cm-v1:' || p.r || ':' || p.item), 1, 6))::bigint
+                              % 2048 as int)
+          group by 1, 2)
+        select item, exact_cnt, cm_est
+        from est order by exact_cnt desc, item""",
+)

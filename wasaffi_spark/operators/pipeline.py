@@ -164,3 +164,44 @@ def mixture_resample(
     return df.join(F.broadcast(frac), domain_col).where(b < F.col("keep_bp")).drop(
         "keep_bp"
     )
+
+
+SHUFFLE_SEED = "shuffle-v1"
+
+
+def global_shuffle(
+    df: DataFrame,
+    n_shards: int = 1024,
+    id_col: str = "doc_id",
+    seed: str = SHUFFLE_SEED,
+) -> DataFrame:
+    """Deterministic corpus shuffle + sharding — the reproducible
+    "shuffle the corpus" step before writing training shards. Adds
+    ``shard`` (md5-hash bucket of the id) and ``shard_pos`` (1-based
+    position within the shard, ordered by the same hash), so the
+    training order is a pure function of (seed, ids): stable across
+    runs, engines, partitioning, and cluster size — unlike
+    ``df.orderBy(rand())``, which is neither reproducible nor
+    restartable. Changing ``seed`` re-shuffles globally.
+
+    Scale: ONE shuffle (on ``shard``) and a per-shard sort; parallelism
+    = ``n_shards``, so size shards to the cluster (10k+ at 100 TB — a
+    shard is a training file, md5 keeps them uniform). Writing is
+    ``.repartition("shard").sortWithinPartitions("shard_pos")`` →
+    partitioned parquet with no further movement. The 24-bit hash
+    prefix → shard modulo carries the same negligible bias as
+    :func:`sample_bucket` (price of staying SQL-expressible).
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col)))
+    df = df.withColumn("_gs_h", h)
+    shard = (
+        F.conv(F.substring(F.col("_gs_h"), 1, 6), 16, 10).cast("bigint")
+        % n_shards
+    ).cast("int")
+    df = df.withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy("_gs_h", id_col)
+    return df.withColumn(
+        "shard_pos", F.row_number().over(w).cast("bigint")
+    ).drop("_gs_h")

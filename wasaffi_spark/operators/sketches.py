@@ -17,7 +17,7 @@ rows-only at the driver's correctness gate by design.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _SKETCH_COLS = ("hll", "theta", "kll")
@@ -92,4 +92,80 @@ def sketch_overlap(
         F.round(
             F.theta_sketch_estimate(F.theta_difference("l", "r")), 1
         ).alias("left_only_est"),
+    )
+
+
+# -- count-min sketch -------------------------------------------------------
+# Unlike the DataSketches binaries above, this sketch is built from
+# deterministic md5 hashing, so it is exactly reproducible across
+# engines and gets a full DuckDB oracle (catalog: countmin_tokens).
+
+CM_SEED = "cm-v1"
+CM_DEPTH = 4
+CM_WIDTH = 2048
+
+
+def _cm_col(width: int) -> Column:
+    """Column index for (r, item): 24-bit md5 prefix mod width."""
+    h = F.md5(F.concat_ws(":", F.lit(CM_SEED), F.col("r"), F.col("item")))
+    return (F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint") % width).cast(
+        "int"
+    )
+
+
+def countmin_table(
+    df: DataFrame, item_col: str, depth: int = CM_DEPTH, width: int = CM_WIDTH
+) -> DataFrame:
+    """Count-min sketch as a ``(r, c, cnt)`` cell table — approximate
+    frequencies for a stream/corpus too large to count exactly. Point
+    estimates overcount only (min over ``depth`` salted hash rows);
+    error ≤ 2N/width with prob 1−2^−depth.
+
+    The sketch is ≤ depth×width rows REGARDLESS of corpus size — that is
+    the 100 TB story: one explode (×depth, in-row) + one groupBy with
+    map-side partials; persist the KB-sized cell table, never rescan.
+    Merging shards/days = summing cells (:func:`countmin_merge`), exact
+    by construction, so daily sketches roll up to months for free."""
+    items = df.select(F.col(item_col).cast("string").alias("item"))
+    cells = items.select(
+        "item", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    )
+    return (
+        cells.groupBy(F.col("r"), _cm_col(width).alias("c"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def countmin_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two cell tables built with the same (depth, width): cell
+    sums. merge(sketch(X), sketch(Y)) == sketch(X ⊎ Y) exactly (pinned
+    by test) — the mergeability that makes per-shard sketching safe."""
+    return (
+        a.unionByName(b)
+        .groupBy("r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def countmin_query(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    item_col: str = "item",
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-estimate frequencies for a candidate item set:
+    ``min`` over the item's ``depth`` cells (0 if any cell is absent).
+    The sketch side is ≤ depth×width rows → AQE broadcasts it; the probe
+    is explode(×depth) + broadcast join + groupBy(item), so querying
+    scales with the candidate set, not the corpus."""
+    cand = candidates.select(
+        F.col(item_col).cast("string").alias("item")
+    ).distinct()
+    probes = cand.select(
+        "item", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    ).withColumn("c", _cm_col(width))
+    joined = probes.join(sketch, ["r", "c"], "left")
+    return joined.groupBy("item").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est")
     )
