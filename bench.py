@@ -58,6 +58,12 @@ HEADLINE = [
     "clean_pack",
     "skew_salted_join",
     "decontaminate",
+    # new in r2, local-only extra queries (beyond the driver's 50-entry
+    # window; hash-checked by tools/oracle_check.py)
+    "paragraph_dedup",
+    "gopher_filter",
+    "global_shuffle",
+    "countmin_tokens",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or
@@ -117,6 +123,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entrymod.queries()
+    queries.update(entrymod.extra_queries())
     # warm up JVM + the Python worker pool once, outside the timed region
     # (workers are long-lived in production; their fork cost is not a
     # per-query cost); touch real data pages with a column aggregate

@@ -220,3 +220,39 @@ def test_sketch_distinct_stream_equals_batch(spark, event_stream):
         .collect()
     }
     assert got == want
+
+
+def test_countmin_stream_equals_batch(spark, event_stream):
+    """Streamed count-min cells must equal the batch sketch over the
+    same events bit-for-bit (algebraic merge across micro-batches), and
+    querying the streamed cells gives exact counts for the low-cardinality
+    event_type column."""
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators import sketches
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    stream_ops.run_to_memory(
+        stream_ops.countmin_cells_stream(event_stream), "cm_stream_test"
+    )
+    streamed = spark.table("cm_stream_test")
+    events = read_parquet(spark, f"{SF_SMOKE}/events.parquet")
+    batch = sketches.countmin_table(
+        events.select(F.col("event_type").alias("item")), "item"
+    )
+    got = {(r.r, r.c): r.cnt for r in streamed.collect()}
+    want = {(r.r, r.c): r.cnt for r in batch.collect()}
+    assert got == want
+    est = {
+        r.item: r.cm_est
+        for r in sketches.countmin_query(
+            streamed, events.select(F.col("event_type").alias("item"))
+        ).collect()
+    }
+    exact = {
+        r.item: r.cnt
+        for r in events.groupBy(F.col("event_type").alias("item"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert est == exact  # 5 event types << width: no collisions

@@ -195,3 +195,25 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     )
     q.awaitTermination()
     return q
+
+
+def countmin_cells_stream(
+    events: DataFrame, item_col: str = "event_type"
+) -> DataFrame:
+    """Continuous count-min sketch maintenance over a stream: the state
+    IS the ≤ depth×width cell table (operators/sketches.py), regardless
+    of stream cardinality — the bounded-state twin of the HLL leg above,
+    but for FREQUENCIES instead of distincts. Each micro-batch's cell
+    partials merge by addition (algebraic aggregate), so the streamed
+    table equals the batch ``countmin_table`` over the same data exactly
+    (pinned by test); query it any time with ``countmin_query``."""
+    from ..operators import sketches
+
+    items = events.select(F.col(item_col).cast("string").alias("item"))
+    cells = items.select(
+        "item",
+        F.explode(F.sequence(F.lit(0), F.lit(sketches.CM_DEPTH - 1))).alias("r"),
+    )
+    return cells.groupBy(
+        F.col("r"), sketches._cm_col(sketches.CM_WIDTH).alias("c")
+    ).agg(F.count("*").alias("cnt"))
