@@ -502,11 +502,13 @@ def test_mixture_resample(spark):
 
 
 def test_paragraph_dedup_matches_duckdb_oracle(spark):
-    """Cross-doc paragraph dedup vs an exact DuckDB replica: keep the
-    globally-first occurrence of each paragraph, blanks always survive,
-    documents reassemble in order."""
+    """Cross-doc paragraph dedup vs the REGISTERED catalog oracle (no
+    duplicated SQL): keep the globally-first occurrence of each
+    paragraph, blanks always survive, NULL text behaves as an empty
+    document, documents reassemble in order."""
     import duckdb
 
+    from wasaffi_spark.operators.catalog import EXTRA_ORACLE
     from wasaffi_spark.operators.dedup import paragraph_dedup
 
     rows = [
@@ -515,48 +517,33 @@ def test_paragraph_dedup_matches_duckdb_oracle(spark):
         (3, "alpha beta\ncommon para"),  # fully duplicated -> empty doc
         (4, ""),  # empty doc: one blank paragraph, kept
         (5, "unique five\nunique five"),  # intra-doc dup also removed
+        (6, None),  # NULL text: empty doc, NOT dropped from the output
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
-    got = sorted(
-        tuple(r) for r in paragraph_dedup(df).collect()
-    )
+    got = sorted(tuple(r) for r in paragraph_dedup(df).collect())
 
     con = duckdb.connect()
-    con.execute(
-        "CREATE TABLE docs(doc_id BIGINT, text VARCHAR)"
-    )
-    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
     want = sorted(
-        tuple(r)
-        for r in con.execute(
-            """
-            WITH d AS (SELECT doc_id, string_split(text, chr(10)) AS ps FROM docs),
-            paras AS (
-              SELECT doc_id, i - 1 AS pos, ps[i] AS para
-              FROM d, unnest(generate_series(1, len(ps))) AS t(i)
-            ),
-            flagged AS (
-              SELECT doc_id, pos, para,
-                row_number() OVER (
-                  PARTITION BY CASE WHEN trim(para) <> '' THEN md5(para)
-                                    ELSE '_blank:' || doc_id || ':' || pos END
-                  ORDER BY doc_id, pos) = 1 AS kept
-              FROM paras
-            )
-            SELECT doc_id,
-              coalesce(string_agg(para, chr(10) ORDER BY pos)
-                       FILTER (WHERE kept), '') AS dedup_text,
-              count(*)::INT AS n_paras,
-              coalesce(sum(CASE WHEN kept THEN 1 ELSE 0 END), 0)::INT
-                AS n_kept_paras
-            FROM flagged GROUP BY doc_id
-            """
-        ).fetchall()
+        tuple(r) for r in con.execute(EXTRA_ORACLE["paragraph_dedup"]).fetchall()
     )
     assert got == want
     by_id = {r[0]: r for r in got}
     assert by_id[3][1] == ""  # fully-duplicated doc empties out
     assert by_id[1][3] == 4  # first doc keeps everything incl. blank
+    assert by_id[6] == (6, "", 1, 1)  # NULL text present as empty doc
+
+
+def test_paragraph_dedup_literal_separator(spark):
+    """sep is a literal, not a regex: '.' must split on dots only."""
+    from wasaffi_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, "alpha.beta"), (2, "beta.gamma")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r.dedup_text for r in paragraph_dedup(df, sep=".").collect()}
+    assert got == {1: "alpha.beta", 2: "gamma"}
 
 
 def test_paragraph_dedup_real_corpus(spark):
@@ -613,3 +600,14 @@ def test_global_shuffle_deterministic_and_dense(spark):
     c = {r.doc_id: (r.shard, r.shard_pos)
          for r in pipeline.global_shuffle(df, n_shards=8, seed="v2").collect()}
     assert c != a  # a new seed is a new global order
+
+
+def test_gopher_filter_null_text_dropped(spark):
+    """A NULL-text document must NOT pass the gate (all features NULL)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "the quick brown fox jumps over a lazy dog today ok")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in text.gopher_filter(df).collect()}
+    assert got[1].keep is False and got[1].drop_reasons == "null_text"
+    assert got[2].keep is True

@@ -128,3 +128,64 @@ def test_decontaminate_train_side_never_shuffles(spark):
     # count-distinct over post-join matches (2). The train-side explode
     # contributes NONE — it streams into the broadcast probe.
     assert f.text.count("Arguments: hashpartitioning") == 3, f.text[-3000:]
+
+
+@needs_data
+def test_paragraph_dedup_two_hash_exchanges(spark):
+    """Scale contract: exactly two hash shuffles (paragraph-hash window
+    + doc reassembly), scan pruned to (doc_id, text), partial
+    aggregation before the reassembly exchange."""
+    import re
+
+    from wasaffi_spark.operators.catalog import EXTRA_QUERIES
+
+    f = plan_facts(EXTRA_QUERIES["paragraph_dedup"](spark, SF_SMOKE))
+    hash_exchanges = re.findall(r"Arguments: hashpartitioning", f.text)
+    assert len(hash_exchanges) == 2, f.text[:2000]
+    assert any("doc_id" in s and "text" in s for s in f.read_schemas)
+
+
+@needs_data
+def test_gopher_filter_shuffle_free(spark):
+    """The composite gate is in-row only: no hash exchange anywhere
+    (the only Exchange is the deliberate narrow-input fan-out)."""
+    import re
+
+    from wasaffi_spark.operators.catalog import EXTRA_QUERIES
+
+    f = plan_facts(EXTRA_QUERIES["gopher_filter"](spark, SF_SMOKE).limit(10))
+    assert not re.findall(r"Arguments: hashpartitioning", f.text), f.text[:2000]
+
+
+@needs_data
+def test_global_shuffle_single_exchange(spark):
+    """One hash exchange (on the shard key) — the window sort reuses
+    the same partitioning; no second shuffle."""
+    import re
+
+    from wasaffi_spark.operators.catalog import EXTRA_QUERIES
+
+    from wasaffi_spark.operators import pipeline
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, f"{SF_SMOKE}/documents.parquet")
+    f = plan_facts(pipeline.global_shuffle(docs, n_shards=16))
+    assert len(re.findall(r"Arguments: hashpartitioning", f.text)) == 1, f.text[:2000]
+
+
+@needs_data
+def test_countmin_sketch_partial_agg(spark):
+    """The cell build is one hash exchange with map-side partial counts
+    (the sketch reduce never sees raw items)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators import sketches, text
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, f"{SF_SMOKE}/documents.parquet")
+    toks = docs.select(F.explode(text.tokens("text")).alias("item"))
+    f = plan_facts(sketches.countmin_table(toks, "item"))
+    assert len(re.findall(r"Arguments: hashpartitioning", f.text)) == 1, f.text[:2000]
+    assert "partial_count" in f.text

@@ -85,13 +85,11 @@ def test_countmin_overestimates_only_and_exact_when_wide(spark):
     ).collect()}
     # narrow sketch: estimates may collide but NEVER undercount
     narrow = sketches.countmin_table(df, "item", depth=2, width=4)
-    est_n = {r.item: r.cm_est for r in sketches.countmin_query(
-        narrow, df, depth=2, width=4).collect()}
+    est_n = {r.item: r.cm_est for r in sketches.countmin_query(narrow, df).collect()}
     assert all(est_n[w] >= exact[w] for w in exact)
     # wide sketch: no collisions among 8 items -> exact
     wide = sketches.countmin_table(df, "item", depth=4, width=4096)
-    est_w = {r.item: r.cm_est for r in sketches.countmin_query(
-        wide, df, depth=4, width=4096).collect()}
+    est_w = {r.item: r.cm_est for r in sketches.countmin_query(wide, df).collect()}
     assert est_w == exact
     # absent item estimates 0 (left join path)
     ghost = spark.createDataFrame([("never-seen",)], "item string")
@@ -111,3 +109,15 @@ def test_countmin_merge_equals_whole(spark):
     m = {(r.r, r.c): r.cnt for r in merged.collect()}
     w = {(r.r, r.c): r.cnt for r in whole.collect()}
     assert m == w  # cell-exact mergeability, not just estimate-close
+
+
+def test_countmin_mismatched_merge_raises(spark):
+    """Merging sketches with different (depth, width) must raise, not
+    silently undercount."""
+    import pytest
+
+    a = spark.createDataFrame([("x",)], "item string")
+    sk1 = sketches.countmin_table(a, "item", depth=2, width=4)
+    sk2 = sketches.countmin_table(a, "item", depth=4, width=2048)
+    with pytest.raises(Exception, match="different \\(depth, width\\)"):
+        sketches.countmin_merge(sk1, sk2).collect()

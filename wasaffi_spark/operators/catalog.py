@@ -1578,7 +1578,8 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 register_extra(
     "paragraph_dedup",
     q_paragraph_dedup,
-    r"""with d as (select doc_id, string_split(text, chr(10)) as ps
+    r"""with d as (select doc_id,
+                         string_split(coalesce(text, ''), chr(10)) as ps
                   from documents),
         paras as (
           select doc_id, i - 1 as pos, ps[i] as para
@@ -1628,6 +1629,7 @@ register_extra(
                   from bg group by doc_id),
         feat as (
           select base.doc_id,
+                 (base.text is null) as null_text,
                  cast(n_tokens as int) as n_tokens,
                  round((n_chars - no_space) / n_chars, 6) as space_ratio,
                  round(no_space / n_tokens, 6) as avg_token_len,
@@ -1638,6 +1640,7 @@ register_extra(
         select doc_id, n_tokens, space_ratio, avg_token_len,
                dup_word_frac, top_bigram_frac,
                concat_ws(',',
+                 case when null_text then 'null_text' end,
                  case when n_tokens < 8 then 'too_few_tokens' end,
                  case when n_tokens > 100000 then 'too_many_tokens' end,
                  case when avg_token_len < 2.0 or avg_token_len > 12.0
@@ -1647,6 +1650,7 @@ register_extra(
                  case when top_bigram_frac > 0.18 then 'top_bigram' end)
                  as drop_reasons,
                (concat_ws(',',
+                 case when null_text then 'null_text' end,
                  case when n_tokens < 8 then 'too_few_tokens' end,
                  case when n_tokens > 100000 then 'too_many_tokens' end,
                  case when avg_token_len < 2.0 or avg_token_len > 12.0

@@ -397,9 +397,19 @@ def paragraph_dedup(
     """
     from pyspark.sql.window import Window
 
+    # \Q...\E: sep is a LITERAL separator (the DuckDB oracle's
+    # string_split is literal too) — without quoting, sep='.' or '|'
+    # would be a regex that shreds every document. NULL text behaves as
+    # an empty document (one blank paragraph, kept) instead of silently
+    # vanishing from the output.
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "para"),
+        F.posexplode(
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit("\\Q" + sep + "\\E"),
+            )
+        ).alias("pos", "para"),
     )
     h = F.when(
         F.trim(F.col("para")) != "",

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Column
 
 from . import dedup, text
+from .hashing import md5_prefix_int
 
 QUALITY_THRESHOLD = 0.5
 SPLIT_SEED = "split-v1"
@@ -35,11 +36,8 @@ def split_bucket(id_col: str = "doc_id", seed: str = SPLIT_SEED) -> Column:
     hash-bernoulli split expression (also interpolated into the DuckDB
     oracles; change it in lockstep)."""
     return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col))), 1, 4), 16, 10
-        ).cast("int")
-        % 100
-    )
+        md5_prefix_int(F.md5(F.concat(F.lit(seed), F.col(id_col))), 4) % 100
+    ).cast("int")
 
 
 def split_label(id_col: str = "doc_id", seed: str = SPLIT_SEED) -> Column:
@@ -56,11 +54,8 @@ def sample_bucket(id_col: str = "doc_id", seed: str = SAMPLE_SEED) -> Column:
     bucket-size bias — irrelevant for corpus mixing, and the price of
     staying exactly SQL-expressible.)"""
     return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col))), 1, 5), 16, 10
-        ).cast("int")
-        % 10000
-    )
+        md5_prefix_int(F.md5(F.concat(F.lit(seed), F.col(id_col))), 5) % 10000
+    ).cast("int")
 
 
 def stratified_sample(
@@ -196,10 +191,7 @@ def global_shuffle(
 
     h = F.md5(F.concat(F.lit(seed), F.col(id_col)))
     df = df.withColumn("_gs_h", h)
-    shard = (
-        F.conv(F.substring(F.col("_gs_h"), 1, 6), 16, 10).cast("bigint")
-        % n_shards
-    ).cast("int")
+    shard = (md5_prefix_int(F.col("_gs_h"), 6) % n_shards).cast("int")
     df = df.withColumn("shard", shard)
     w = Window.partitionBy("shard").orderBy("_gs_h", id_col)
     return df.withColumn(

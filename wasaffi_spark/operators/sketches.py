@@ -105,21 +105,25 @@ CM_DEPTH = 4
 CM_WIDTH = 2048
 
 
-def _cm_col(width: int) -> Column:
+def _cm_col(width: Column | int) -> Column:
     """Column index for (r, item): 24-bit md5 prefix mod width."""
+    from .hashing import md5_prefix_int
+
     h = F.md5(F.concat_ws(":", F.lit(CM_SEED), F.col("r"), F.col("item")))
-    return (F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint") % width).cast(
-        "int"
-    )
+    return (md5_prefix_int(h, 6) % width).cast("int")
 
 
 def countmin_table(
     df: DataFrame, item_col: str, depth: int = CM_DEPTH, width: int = CM_WIDTH
 ) -> DataFrame:
-    """Count-min sketch as a ``(r, c, cnt)`` cell table — approximate
-    frequencies for a stream/corpus too large to count exactly. Point
-    estimates overcount only (min over ``depth`` salted hash rows);
-    error ≤ 2N/width with prob 1−2^−depth.
+    """Count-min sketch as a ``(r, c, cnt, depth, width)`` cell table —
+    approximate frequencies for a stream/corpus too large to count
+    exactly. Point estimates overcount only (min over ``depth`` salted
+    hash rows); error ≤ 2N/width with prob 1−2^−depth. The build
+    parameters ride along as literal columns so downstream query/merge
+    derive them from the sketch itself — a sketch probed with the wrong
+    (depth, width) would silently UNDERcount, so the parameters are
+    data, never a caller-supplied default.
 
     The sketch is ≤ depth×width rows REGARDLESS of corpus size — that is
     the 100 TB story: one explode (×depth, in-row) + one groupBy with
@@ -133,39 +137,68 @@ def countmin_table(
     return (
         cells.groupBy(F.col("r"), _cm_col(width).alias("c"))
         .agg(F.count("*").alias("cnt"))
+        .select(
+            "r", "c", "cnt",
+            F.lit(depth).alias("depth"), F.lit(width).alias("width"),
+        )
+    )
+
+
+def _cm_params(cells: DataFrame) -> DataFrame:
+    """One-row (depth, width) frame derived from a cell table, with a
+    plan-embedded ``assert_true`` that the table is not a mix of
+    incompatible sketches (the failure mode is silent undercounting)."""
+    agg = cells.agg(
+        F.min("depth").alias("_d0"), F.max("depth").alias("_d1"),
+        F.min("width").alias("_w0"), F.max("width").alias("_w1"),
+    )
+    ok = (F.col("_d0") == F.col("_d1")) & (F.col("_w0") == F.col("_w1"))
+    # the guard lives INSIDE the kept `depth` column — a dropped
+    # assert_true column would be pruned by the optimizer and never run
+    guarded_depth = F.when(ok, F.col("_d0")).otherwise(
+        F.raise_error(
+            F.lit("count-min cells mix different (depth, width) sketches")
+        ).cast("int")
+    )
+    return agg.select(
+        guarded_depth.alias("depth"), F.col("_w0").alias("width")
     )
 
 
 def countmin_merge(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Merge two cell tables built with the same (depth, width): cell
-    sums. merge(sketch(X), sketch(Y)) == sketch(X ⊎ Y) exactly (pinned
-    by test) — the mergeability that makes per-shard sketching safe."""
-    return (
-        a.unionByName(b)
-        .groupBy("r", "c")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+    """Merge two cell tables: cell sums. merge(sketch(X), sketch(Y)) ==
+    sketch(X ⊎ Y) exactly (pinned by test) — the mergeability that makes
+    per-shard sketching safe. Merging sketches built with different
+    (depth, width) raises at execution instead of silently undercounting."""
+    u = a.unionByName(b)
+    merged = u.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+    return merged.crossJoin(F.broadcast(_cm_params(u)))
 
 
 def countmin_query(
     sketch: DataFrame,
     candidates: DataFrame,
     item_col: str = "item",
-    depth: int = CM_DEPTH,
-    width: int = CM_WIDTH,
 ) -> DataFrame:
-    """Point-estimate frequencies for a candidate item set:
-    ``min`` over the item's ``depth`` cells (0 if any cell is absent).
-    The sketch side is ≤ depth×width rows → AQE broadcasts it; the probe
-    is explode(×depth) + broadcast join + groupBy(item), so querying
-    scales with the candidate set, not the corpus."""
+    """Point-estimate frequencies for a candidate item set: ``min`` over
+    the item's ``depth`` cells (0 if any cell is absent). (depth, width)
+    come FROM the sketch's own columns — probing with mismatched
+    parameters is therefore impossible by construction. The sketch side
+    is ≤ depth×width rows → AQE broadcasts it; the probe is
+    explode(×depth) + broadcast join + groupBy(item), so querying scales
+    with the candidate set, not the corpus."""
     cand = candidates.select(
         F.col(item_col).cast("string").alias("item")
     ).distinct()
-    probes = cand.select(
-        "item", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
-    ).withColumn("c", _cm_col(width))
-    joined = probes.join(sketch, ["r", "c"], "left")
+    probes = (
+        cand.crossJoin(F.broadcast(_cm_params(sketch)))
+        .select(
+            "item", "width",
+            F.explode(F.sequence(F.lit(0), F.col("depth") - 1)).alias("r"),
+        )
+        .withColumn("c", _cm_col(F.col("width")))
+    )
+    joined = probes.join(sketch.select("r", "c", "cnt"), ["r", "c"], "left")
     return joined.groupBy("item").agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est")
     )

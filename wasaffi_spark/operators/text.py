@@ -162,7 +162,11 @@ def dedup_lines(
     O(n) per element → O(n²) per doc in the worst case, fine for the
     ≤10⁴ paragraphs real documents have.
     """
-    df = df.withColumn("_dl_lines", F.split(F.col(text_col), F.lit(sep)))
+    # \Q...\E: treat sep as a literal separator, not a regex (sep='.'
+    # would otherwise split on every character)
+    df = df.withColumn(
+        "_dl_lines", F.split(F.col(text_col), F.lit("\\Q" + sep + "\\E"))
+    )
     lines = F.col("_dl_lines")
     n = F.size(lines)
     kept = F.filter(
@@ -434,6 +438,10 @@ def gopher_filter(
     docs = with_quality(docs, text_col, toks_col="_toks")
     docs = with_repetition(docs, text_col, toks_col="_toks")
     rules = (
+        # NULL text first: every feature below is NULL for it, so no
+        # other rule can fire — without this floor a document with no
+        # text at all would sail through the gate as keep=true.
+        ("null_text", F.col(text_col).isNull()),
         ("too_few_tokens", F.col("n_tokens") < th["min_tokens"]),
         ("too_many_tokens", F.col("n_tokens") > th["max_tokens"]),
         (

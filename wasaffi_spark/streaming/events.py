@@ -206,14 +206,9 @@ def countmin_cells_stream(
     but for FREQUENCIES instead of distincts. Each micro-batch's cell
     partials merge by addition (algebraic aggregate), so the streamed
     table equals the batch ``countmin_table`` over the same data exactly
-    (pinned by test); query it any time with ``countmin_query``."""
+    (pinned by test); query it any time with ``countmin_query``. The
+    batch builder works unchanged on a streaming frame (groupBy-agg in
+    complete mode), so this is a one-line delegation by design."""
     from ..operators import sketches
 
-    items = events.select(F.col(item_col).cast("string").alias("item"))
-    cells = items.select(
-        "item",
-        F.explode(F.sequence(F.lit(0), F.lit(sketches.CM_DEPTH - 1))).alias("r"),
-    )
-    return cells.groupBy(
-        F.col("r"), sketches._cm_col(sketches.CM_WIDTH).alias("c")
-    ).agg(F.count("*").alias("cnt"))
+    return sketches.countmin_table(events, item_col)
