@@ -51,8 +51,17 @@ def main() -> None:
     )
 
     # 2. exact dedup (content-hash groupBy, deterministic winner)
-    docs = dedup.exact_dedup(docs)
+    docs = dedup.exact_dedup(docs).persist()
     n_exact = docs.count()
+
+    # 2b. cross-document paragraph dedup (RefinedWeb-style): swap text
+    #     for its globally-deduped form; drop docs left with no content
+    paras = dedup.paragraph_dedup(docs)
+    docs = (
+        docs.drop("text")
+        .join(paras.select("doc_id", F.col("dedup_text").alias("text")), "doc_id")
+        .where(F.length(F.trim("text")) > 0)
+    ).persist()
 
     # 3. near-dedup: MinHash-LSH candidate pairs → connected components
     #    → keep the longest document per duplicate cluster
@@ -77,7 +86,7 @@ def main() -> None:
     singles = docs.join(
         comp.withColumnRenamed("node", "doc_id"), "doc_id", "left_anti"
     )
-    docs = singles.unionByName(keepers)
+    docs = singles.unionByName(keepers).persist()
     n_near = docs.count()
 
     # 4. decontamination: drop docs sharing 6-gram shingles with the
@@ -86,19 +95,32 @@ def main() -> None:
         F.pmod("doc_id", F.lit(17)) == 3
     )
     hits = decontam.contamination_hits(docs, eval_set, n=6).select("doc_id")
-    docs = docs.join(hits, "doc_id", "left_anti")
+    docs = docs.join(hits, "doc_id", "left_anti").persist()
     n_clean = docs.count()
 
-    # 5. quality gate: heuristic features AND the linear classifier
+    # 5. quality gate: Gopher composite rules (with per-rule firing
+    #    report — the corpus-curation feedback loop), heuristic score,
+    #    AND the linear classifier. Repetition thresholds are relaxed
+    #    for the synthetic word-salad fixture; real corpora use defaults.
+    gate = text.gopher_filter(
+        docs, min_tokens=5, max_dup_word_frac=0.95, max_top_bigram_frac=0.5
+    )
+    rule_counts = (
+        gate.where("not keep")
+        .select(F.explode(F.split("drop_reasons", ",")).alias("rule"))
+        .groupBy("rule").count().orderBy(F.desc("count"))
+    )
     weights = spark.createDataFrame(
         list(text.DEFAULT_QUALITY_WEIGHTS), "tok string, w double"
     )
-    scored = text.with_quality(docs).join(
-        text.linear_text_score(docs, weights), "doc_id"
+    scored = (
+        text.with_quality(docs)
+        .join(gate.where("keep").select("doc_id"), "doc_id")
+        .join(text.linear_text_score(docs, weights), "doc_id")
     )
     docs = scored.where(
         (F.col("quality_score") >= 0.3) & (F.col("lin_score") >= 0.35)
-    )
+    ).persist()
     n_q = docs.count()
 
     # 6. domain mixture + deterministic split + chunking
@@ -107,11 +129,21 @@ def main() -> None:
         "split", pipeline.split_label("doc_id")
     )
 
-    # 7. sharded write, partitioned by split (partition pruning for
-    #    downstream readers; maxRecordsPerFile bounds shard size)
+    # 7. deterministic global shuffle (training order is a pure function
+    #    of the seed) + sharded write partitioned by split (partition
+    #    pruning for downstream readers; maxRecordsPerFile bounds files)
+    chunks = pipeline.global_shuffle(
+        chunks.withColumn(
+            "chunk_uid", F.concat_ws(":", "doc_id", "chunk_id")
+        ),
+        n_shards=8,
+        id_col="chunk_uid",
+    ).drop("chunk_uid")
     shutil.rmtree(out_dir, ignore_errors=True)
     (
-        chunks.write.mode("overwrite")
+        chunks.repartition("shard")
+        .sortWithinPartitions("shard_pos")
+        .write.mode("overwrite")
         .option("maxRecordsPerFile", 100_000)
         .partitionBy("split")
         .parquet(out_dir)
@@ -124,6 +156,8 @@ def main() -> None:
     sk = sketches.sketch_table(out, "split", "doc_id", "chunk_tokens")
     print(f"\ndocs: {n0} → exact-dedup {n_exact} → near-dedup {n_near}"
           f" → decontaminated {n_clean} → quality-kept {n_q}")
+    print("gopher rule firings among dropped docs:")
+    rule_counts.show(truncate=False)
     print("output chunks by split (distinct docs + token quantiles):")
     sketches.estimate_per_group(sk).orderBy("split").show(truncate=False)
     print(f"written to {out_dir}")

@@ -60,3 +60,57 @@ def test_pack_streams_invariants(spark, token_counts, budget):
         assert r.pack_bin >= prev_bin  # bins are monotone in stream order
         prev_bin = r.pack_bin
         cum += n
+
+
+# paragraphs drawn from a SMALL pool so cross-document duplicates are
+# overwhelmingly likely (the interesting case for global dedup)
+para = st.sampled_from(["alpha beta", "common text", "gamma", "delta e", ""])
+doc = st.lists(para, min_size=1, max_size=5).map("\n".join)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(doc, min_size=1, max_size=6))
+def test_paragraph_dedup_properties(spark, texts):
+    """Checked against a plain-Python model of the spec:
+    - every document survives (row conservation);
+    - the multiset of kept non-blank paragraphs == the SET of distinct
+      non-blank paragraphs in the corpus (each kept exactly once,
+      at its globally-first (doc_id, pos));
+    - blanks are all kept;
+    - idempotence: a second pass removes nothing.
+    """
+    from wasaffi_spark.operators.dedup import paragraph_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+
+    assert set(out) == {i for i, _ in rows}
+    # python model: first-occurrence scan in (doc_id, pos) order
+    seen: set[str] = set()
+    model: dict[int, list[str]] = {}
+    for i, t in rows:
+        keep = []
+        for p in t.split("\n"):
+            if p.strip() == "":
+                keep.append(p)
+            elif p not in seen:
+                seen.add(p)
+                keep.append(p)
+        model[i] = keep
+    for i, t in rows:
+        assert out[i].dedup_text == "\n".join(model[i])
+        assert out[i].n_paras == len(t.split("\n"))
+        assert out[i].n_kept_paras == len(model[i])
+    # idempotence on the deduped corpus
+    again = {
+        r.doc_id: r.dedup_text
+        for r in paragraph_dedup(
+            spark.createDataFrame(
+                [(i, out[i].dedup_text) for i, _ in rows],
+                "doc_id bigint, text string",
+            )
+        ).collect()
+    }
+    for i, _ in rows:
+        assert again[i] == out[i].dedup_text
