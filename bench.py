@@ -64,6 +64,8 @@ HEADLINE = [
     "gopher_filter",
     "global_shuffle",
     "countmin_tokens",
+    "group_sample",
+    "ngram_lang",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -611,3 +611,48 @@ def test_gopher_filter_null_text_dropped(spark):
     got = {r.doc_id: r for r in text.gopher_filter(df).collect()}
     assert got[1].keep is False and got[1].drop_reasons == "null_text"
     assert got[2].keep is True
+
+
+def test_group_sample_n_fixed_size_and_deterministic(spark):
+    from wasaffi_spark.operators import pipeline
+
+    df = (
+        spark.range(0, 300)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") < 200, "en")
+            .when(F.col("doc_id") < 297, "de")
+            .otherwise("fr"),  # only 3 rows: group smaller than n
+        )
+    )
+    out = pipeline.group_sample_n(df, n=10, group_col="lang")
+    sizes = {r.lang: r.c for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert sizes == {"en": 10, "de": 10, "fr": 3}  # min(n, |group|)
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(
+        tuple(r)
+        for r in pipeline.group_sample_n(df.repartition(7), n=10, group_col="lang").collect()
+    )
+    assert a == b  # layout-independent
+
+
+def test_ngram_lang_id(spark):
+    rows = [
+        (1, "the king and the queen are singing in the morning"),
+        (2, "le chat est sur le toit avec les oiseaux de la ville"),
+        (3, "der hund und die katze schlafen in der schule nicht"),
+        (4, "xyz"),  # no profile trigram -> und with score 0
+        (5, ""),  # shorter than a trigram -> und
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: (r.lang_pred, r.lang_score) for r in text.ngram_lang_id(df).collect()}
+    assert got[1][0] == "en" and got[1][1] > 0
+    assert got[2][0] == "fr"
+    assert got[3][0] == "de"
+    assert got[4] == ("und", 0)
+    assert got[5] == ("und", 0)
+    # determinism across layouts
+    again = {r.doc_id: (r.lang_pred, r.lang_score)
+             for r in text.ngram_lang_id(df.repartition(5)).collect()}
+    assert again == got

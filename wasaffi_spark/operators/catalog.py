@@ -1742,3 +1742,71 @@ register_extra(
         select item, exact_cnt, cm_est
         from est order by exact_cnt desc, item""",
 )
+
+
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size deterministic per-language sample
+    (operators/pipeline.py::group_sample_n): exactly min(7, |lang|)
+    docs per language, reproducible across runs/layouts."""
+    from . import pipeline
+
+    docs = _table(spark, sf_dir, "documents")
+    return (
+        pipeline.group_sample_n(docs, n=7)
+        .select("doc_id", "lang", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    )
+
+
+register_extra(
+    "group_sample",
+    q_group_sample,
+    """select doc_id, lang, sample_rank
+       from (select doc_id, lang,
+                    row_number() over (
+                      partition by lang
+                      order by md5('sample-v1' || doc_id), doc_id)
+                      as sample_rank
+             from documents)
+       where sample_rank <= 7
+       order by lang, sample_rank""",
+)
+
+
+def q_ngram_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram language ID (operators/text.py::ngram_lang_id):
+    profile-weighted trigram votes, integer scores, argmax with
+    deterministic ties."""
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    return text.ngram_lang_id(docs).orderBy("doc_id")
+
+
+_PROFILE_VALUES = ", ".join(
+    f"('{lang}', '{gram}', {w})" for lang, gram, w in text.DEFAULT_LANG_PROFILES
+)
+
+register_extra(
+    "ngram_lang",
+    q_ngram_lang,
+    f"""with profiles(plang, gram, w) as (values {_PROFILE_VALUES}),
+        d as (select doc_id, lower(text) as lt from documents),
+        grams as (
+          select doc_id, substr(lt, i, 3) as gram
+          from d, unnest(generate_series(1, len(lt) - 2)) as u(i)
+          where len(lt) >= 3),
+        scores as (
+          select g.doc_id, p.plang, sum(p.w)::bigint as score
+          from grams g join profiles p on g.gram = p.gram
+          group by 1, 2),
+        winners as (
+          select doc_id, plang, score,
+                 row_number() over (
+                   partition by doc_id order by score desc, plang) as rk
+          from scores)
+        select docs.doc_id,
+               coalesce(w.plang, 'und') as lang_pred,
+               coalesce(w.score, 0)::bigint as lang_score
+        from documents docs
+        left join (select * from winners where rk = 1) w using (doc_id)
+        order by docs.doc_id""",
+)

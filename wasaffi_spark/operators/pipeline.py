@@ -197,3 +197,34 @@ def global_shuffle(
     return df.withColumn(
         "shard_pos", F.row_number().over(w).cast("bigint")
     ).drop("_gs_h")
+
+
+def group_sample_n(
+    df: DataFrame,
+    n: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = SAMPLE_SEED,
+) -> DataFrame:
+    """Deterministic fixed-SIZE per-group sample — the reservoir-sample
+    shape (exactly ``min(n, |group|)`` rows per group) but reproducible:
+    rows rank within each group by ``md5(seed || id)`` (uniform, layout-
+    independent) and the first ``n`` survive. Complements
+    :func:`stratified_sample`, which fixes the FRACTION instead of the
+    size. Adds ``sample_rank`` (1-based, stable under re-runs).
+
+    Scale: one shuffle on ``group_col``; the window sorts each group, so
+    a billion-row group means sorting a billion rows to keep n. At that
+    shape pre-filter with :func:`sample_bucket` to ~10n survivors first
+    (hash-threshold ≈ 10n/|group| keeps the true top-n with overwhelming
+    probability since rank order IS hash order), then rank exactly —
+    same two-phase trick as TakeOrderedAndProject.
+    """
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col)))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n)
+    )

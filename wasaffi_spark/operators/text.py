@@ -466,3 +466,82 @@ def gopher_filter(
         reasons.alias("drop_reasons"),
         (reasons == "").alias("keep"),
     )
+
+
+# Char-trigram language profiles (lang, trigram, weight). Weights are
+# INTEGERS on purpose: per-document scores are integer sums, so Spark
+# and the SQL oracle agree exactly (double sums would be shuffle-order
+# sensitive). A real deployment swaps in profiles trained on labeled
+# text — the operator shape (model-as-data broadcast join) is identical.
+DEFAULT_LANG_PROFILES: tuple[tuple[str, str, int], ...] = (
+    ("en", "the", 20), ("en", " th", 15), ("en", "ing", 12),
+    ("en", "and", 12), ("en", " of", 10), ("en", "ed ", 8),
+    ("fr", "le ", 15), ("fr", " de", 14), ("fr", "ion", 10),
+    ("fr", "eau", 12), ("fr", "que", 8), ("fr", "les", 10),
+    ("de", "der", 16), ("de", "sch", 16), ("de", "ein", 13),
+    ("de", "ich", 13), ("de", "und", 15), ("de", "die", 12),
+    ("es", "el ", 13), ("es", " la", 12), ("es", "los", 12),
+    ("es", "ión", 12), ("es", "ado", 10), ("es", " es", 10),
+)
+
+
+def ngram_lang_id(
+    df: DataFrame,
+    profiles: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Char-trigram language identification — the n-gram upgrade of the
+    marker-word :func:`with_lang_guess`. Every overlapping character
+    trigram votes with its profile weight; the language with the highest
+    integer score wins (ties break lexicographically); documents
+    matching no profile trigram get ``und``.
+
+    Output: ``(id_col, lang_pred, lang_score)``.
+
+    Scale: trigram extraction is in-row (materialized lowered column —
+    the HOF-lambda rule); the profile table is KB-sized at any corpus
+    size → explicit broadcast is safe by construction; one
+    groupBy(doc, lang) + an argmax window over ≤ |langs| rows per doc.
+    """
+    if profiles is None:
+        profiles = df.sparkSession.createDataFrame(
+            list(DEFAULT_LANG_PROFILES), "plang string, gram string, w int"
+        )
+    from pyspark.sql.window import Window
+
+    d = df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_lt"))
+    t = F.col("_lt")
+    starts = F.when(
+        F.length(t) >= 3, F.sequence(F.lit(1), F.length(t) - 2)
+    ).otherwise(F.array().cast("array<integer>"))
+    grams = d.select(
+        F.col(id_col),
+        F.explode(F.transform(starts, lambda s: t.substr(s, F.lit(3)))).alias(
+            "gram"
+        ),
+    )
+    scores = (
+        grams.join(F.broadcast(profiles), "gram")
+        .groupBy(id_col, "plang")
+        .agg(F.sum("w").cast("bigint").alias("score"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("plang"))
+    winners = (
+        scores.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col(id_col),
+            F.col("plang").alias("lang_pred"),
+            F.col("score").alias("lang_score"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(winners, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
+            F.coalesce("lang_score", F.lit(0)).cast("bigint").alias("lang_score"),
+        )
+    )
