@@ -66,6 +66,7 @@ HEADLINE = [
     "countmin_tokens",
     "group_sample",
     "ngram_lang",
+    "semantic_dedup",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -656,3 +656,37 @@ def test_ngram_lang_id(spark):
     again = {r.doc_id: (r.lang_pred, r.lang_score)
              for r in text.ngram_lang_id(df.repartition(5)).collect()}
     assert again == got
+
+
+def test_semantic_dedup_keep_first(spark):
+    from wasaffi_spark.operators import similarity
+
+    # 1 and 5 are near-identical (cos ≈ 1); 7 is 5's exact negative
+    # (cos = -1, never a dup); the rest are axis-orthogonal.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.999, 0.001, 0.0, 0.0]),
+        (7, [-0.999, -0.001, 0.0, 0.0]),
+        (9, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    # k_seeds=1: a single cluster, so the keep-first rule is isolated
+    # from codebook granularity (with k>1 a near-dup pair may land in
+    # different clusters and both survive — SemDeDup's documented
+    # recall/granularity trade-off, exercised by the oracle query).
+    out = similarity.semantic_dedup(df, k_seeds=1, threshold=0.9)
+    got = {r.vec_id: (r.cluster, r.keep) for r in out.collect()}
+    assert set(got) == {1, 3, 5, 7, 9}  # one row per vector
+    assert got[5][1] is False  # near-dup of lower id 1
+    assert got[1][1] is True  # keeper (lowest id in the near-dup pair)
+    assert got[7][1] is True  # negative vector: cosine -1, not a dup
+    assert len({c for c, _ in got.values()}) == 1  # one cluster
+    # determinism across physical layouts
+    again = {
+        r.vec_id: (r.cluster, r.keep)
+        for r in similarity.semantic_dedup(
+            df.repartition(4), k_seeds=1, threshold=0.9
+        ).collect()
+    }
+    assert again == got

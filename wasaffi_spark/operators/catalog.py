@@ -1810,3 +1810,51 @@ register_extra(
         left join (select * from winners where rk = 1) w using (doc_id)
         order by docs.doc_id""",
 )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.py::
+    semantic_dedup): hash-sampled 16-seed codebook, argmax-cosine
+    assignment, keep-first drop at cosine ≥ 0.4 within the cluster
+    (threshold tuned to the synthetic corpus where max pair cosine
+    ≈ 0.51 — the rule must actually fire)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    return (
+        similarity.semantic_dedup(emb, k_seeds=16, threshold=0.4)
+        .orderBy("vec_id")
+    )
+
+
+register_extra(
+    "semantic_dedup",
+    q_semantic_dedup,
+    """with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        ranked as (
+          select vec_id, v,
+                 row_number() over (
+                   order by md5('semdedup-v1' || vec_id), vec_id) as rk
+          from e),
+        seeds as (select vec_id as sid, v as sv from ranked where rk <= 16),
+        scored as (
+          select e.vec_id, s.sid,
+                 round(list_cosine_similarity(e.v, s.sv), 6) as cs
+          from e, seeds s),
+        assign as (
+          select vec_id, sid as cluster from (
+            select vec_id, sid,
+                   row_number() over (
+                     partition by vec_id order by cs desc, sid) as rk
+            from scored) t
+          where rk = 1),
+        av as (select a.vec_id, a.cluster, e.v
+               from assign a join e on a.vec_id = e.vec_id),
+        dups as (
+          select distinct b.vec_id
+          from av a join av b on a.cluster = b.cluster
+          where a.vec_id < b.vec_id
+            and round(list_cosine_similarity(a.v, b.v), 6) >= 0.4)
+        select a.vec_id, a.cluster,
+               (d.vec_id is null) as keep
+        from assign a left join dups d on a.vec_id = d.vec_id
+        order by a.vec_id""",
+)

@@ -246,3 +246,89 @@ def neardup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k_seeds: int = 16,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "semdedup-v1",
+) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (cluster, then drop
+    within-cluster near-duplicates; Abbas et al. 2023): returns one row
+    per input vector as ``(id_col, cluster, keep)``.
+
+    1. **Codebook**: the ``k_seeds`` vectors with the smallest
+       ``md5(seed || id)`` act as coarse centroids — a deterministic,
+       layout-independent hash sample (global top-k =
+       TakeOrderedAndProject, no full shuffle). A production run swaps
+       in trained k-means centroids (:func:`ivf_topk`'s quantizer)
+       without touching the remaining stages; the hash-sampled codebook
+       keeps the operator oracle-checkable.
+    2. **Assignment**: broadcast the codebook, score every vector
+       against all k seeds, keep the argmax-cosine seed (ties → lower
+       seed id) via ``max_by`` — an aggregate with map-side partial
+       merge, so the shuffle carries one row per vector, not k.
+    3. **Keep-first near-dup rule**: self-join within the cluster only;
+       a vector is dropped when any LOWER-id vector in the same cluster
+       has cosine ≥ ``threshold``. Same rule as :func:`neardup_pairs`
+       but blocked by codebook cells instead of sign-LSH, so cluster
+       granularity (and the quadratic term) is tuned by ``k_seeds``,
+       independent of the embedding's sign pattern.
+
+    Scale: stages shuffle on ``id`` (size N) and ``cluster`` (size N);
+    the pair join is Σ|cluster|² — at 100 TB raise ``k_seeds`` so
+    N/k stays bounded (SemDeDup's own knob). Zero vectors (cosine
+    NaN) are assumed absent upstream (:func:`normalize_embeddings`
+    drops them to NULL).
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    seeds = (
+        corpus.select(
+            F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"), h.alias("_h")
+        )
+        .orderBy(F.col("_h").asc(), F.col("sid").asc())
+        .limit(k_seeds)
+        .drop("_h")
+    )
+    scored = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(seeds))
+        .select(
+            id_col,
+            vec_col,
+            "sid",
+            F.round(cosine(F.col(vec_col), F.col("sv")), 6).alias("cs"),
+        )
+    )
+    assign = scored.groupBy(id_col).agg(
+        F.max_by(
+            "sid", F.struct(F.col("cs").alias("cs"), (-F.col("sid")).alias("ns"))
+        ).alias("cluster"),
+        F.any_value(vec_col).alias(vec_col),  # constant within the group
+    )
+    a = assign.select(
+        F.col(id_col).alias("_ida"), "cluster", F.col(vec_col).alias("_va")
+    )
+    b = assign.select(
+        F.col(id_col).alias("_idb"), "cluster", F.col(vec_col).alias("_vb")
+    )
+    dups = (
+        a.join(b, "cluster")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assign.select(id_col, "cluster")
+        .join(dups, id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )
