@@ -67,6 +67,7 @@ HEADLINE = [
     "group_sample",
     "ngram_lang",
     "semantic_dedup",
+    "inverted_index",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

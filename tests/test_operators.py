@@ -690,3 +690,27 @@ def test_semantic_dedup_keep_first(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_inverted_index_postings(spark):
+    rows = [
+        (10, " b a b"),  # leading space: empty token holds position 1
+        (2, "a c"),
+        (1, "c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.tok: r for r in text.inverted_index(df).collect()}
+    # 'b' at positions 2 and 4 of doc 10 (leading '' occupies pos 1,
+    # excluded from postings but holding its slot)
+    assert out["b"].postings == "10:2|4"
+    assert out["b"].doc_freq == 1 and out["b"].total_freq == 2
+    # docs ascend numerically (2 before 10 would break under string sort)
+    assert out["a"].postings == "2:1;10:3"
+    assert out["c"].postings == "1:1;2:2"
+    assert text.inverted_index(df, min_df=2).count() == 2  # a, c
+    # determinism across layouts
+    again = {
+        r.tok: r.postings
+        for r in text.inverted_index(df.repartition(5)).collect()
+    }
+    assert again == {t: r.postings for t, r in out.items()}

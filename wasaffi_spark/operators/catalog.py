@@ -1858,3 +1858,38 @@ register_extra(
         from assign a left join dups d on a.vec_id = d.vec_id
         order by a.vec_id""",
 )
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (operators/text.py::inverted_index):
+    term -> (doc_freq, total_freq, "doc:pos|pos;doc:pos" postings),
+    min_df prunes the hapax tail so the checked output stays bounded."""
+    docs = _table(spark, sf_dir, "documents")
+    return (
+        text.inverted_index(docs, min_df=40)
+        .orderBy("tok")
+        .select("tok", "doc_freq", "total_freq", "postings")
+    )
+
+
+register_extra(
+    "inverted_index",
+    q_inverted_index,
+    r"""with toks as (
+          select doc_id, string_split_regex(lower(text), '\s+') as t
+          from documents),
+        pos as (
+          select doc_id, i as pos, t[i] as tok
+          from toks, unnest(generate_series(1, len(t))) as u(i)),
+        perdoc as (
+          select tok, doc_id, count(*) as tf,
+                 string_agg(pos::varchar, '|' order by pos) as plist
+          from pos where tok <> '' group by tok, doc_id),
+        pertok as (
+          select tok, count(*) as doc_freq, sum(tf)::bigint as total_freq,
+                 string_agg(doc_id || ':' || plist, ';' order by doc_id)
+                   as postings
+          from perdoc group by tok)
+        select tok, doc_freq, total_freq, postings from pertok
+        where doc_freq >= 40 order by tok""",
+)

@@ -545,3 +545,64 @@ def ngram_lang_id(
             F.coalesce("lang_score", F.lit(0)).cast("bigint").alias("lang_score"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Inverted-index construction — the classic distributed text-index
+    build: one row per token with its document frequency, total
+    frequency, and a scalarized postings list
+    ``"doc:pos1|pos2;doc:pos"`` (docs ascending, 1-based positions in
+    the whitespace-split token array, empties excluded but holding
+    their position).
+
+    Two shuffles: ``(token, doc)`` for per-document position lists,
+    then ``token`` for the merge — the exact map/reduce shape search
+    engines shard by term. Scale notes: ``min_df`` prunes the hapax
+    tail (typically >40 % of vocabulary); stopword-class tokens produce
+    postings strings proportional to corpus size, so a production build
+    shards hot terms by (term, doc-range) before the final merge — at
+    that point the posting payload should also move from a display
+    string to ``array<struct<doc,positions>>``.
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col)).alias("_p0", "tok"),
+    ).where(F.col("tok") != "")
+    per_doc = (
+        exploded.groupBy("tok", id_col)
+        .agg(
+            F.count("*").alias("_tf"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.col("_p0") + 1)),
+                    lambda p: p.cast("string"),
+                ),
+                "|",
+            ).alias("_plist"),
+        )
+    )
+    entry = F.struct(
+        F.col(id_col),
+        F.concat_ws(":", F.col(id_col).cast("string"), F.col("_plist")).alias(
+            "_e"
+        ),
+    )
+    return (
+        per_doc.groupBy("tok")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.sum("_tf").alias("total_freq"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(entry)), lambda s: s["_e"]
+                ),
+                ";",
+            ).alias("postings"),
+        )
+        .where(F.col("doc_freq") >= min_df)
+    )
