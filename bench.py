@@ -68,6 +68,7 @@ HEADLINE = [
     "ngram_lang",
     "semantic_dedup",
     "inverted_index",
+    "pmi_bigrams",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

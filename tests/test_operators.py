@@ -714,3 +714,21 @@ def test_inverted_index_postings(spark):
         for r in text.inverted_index(df.repartition(5)).collect()
     }
     assert again == {t: r.postings for t, r in out.items()}
+
+
+def test_pmi_bigrams_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id bigint, text string"
+    )
+    out = {
+        (r.w1, r.w2): (r.pair_count, r.pmi)
+        for r in text.pmi_bigrams(df, min_count=1).collect()
+    }
+    # unigrams a:3 b:2 c:1 (Nu=6); bigrams (a,b):2 (a,c):1 (Nb=3)
+    # pmi(a,b) = ln(2*36 / (3*3*2)) = ln(4); pmi(a,c) = ln(36/9) = ln(4)
+    assert out[("a", "b")] == (2, round(math.log(4.0), 6))
+    assert out[("a", "c")] == (1, round(math.log(4.0), 6))
+    assert set(out) == {("a", "b"), ("a", "c")}
+    assert text.pmi_bigrams(df, min_count=2).count() == 1

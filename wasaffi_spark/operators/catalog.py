@@ -1893,3 +1893,45 @@ register_extra(
         select tok, doc_freq, total_freq, postings from pertok
         where doc_freq >= 40 order by tok""",
 )
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction (operators/text.py::pmi_bigrams): top
+    bigrams by pointwise mutual information, min_count floor so the
+    estimate is stable."""
+    docs = _table(spark, sf_dir, "documents")
+    return (
+        text.pmi_bigrams(docs, min_count=30)
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(50)
+        .select("w1", "w2", "pair_count", "pmi")
+    )
+
+
+register_extra(
+    "pmi_bigrams",
+    q_pmi_bigrams,
+    r"""with toks as (
+          select string_split_regex(lower(text), '\s+') as t from documents),
+        uni as (
+          select w, count(*) as c from (
+            select unnest(t) as w from toks) u
+          where w <> '' group by w),
+        bg as (
+          select t[i] as w1, t[i + 1] as w2, count(*) as pair_count
+          from toks, unnest(generate_series(1, len(t) - 1)) as u(i)
+          where t[i] <> '' and t[i + 1] <> ''
+          group by 1, 2),
+        totals as (
+          select (select sum(c) from uni) as nu,
+                 (select sum(pair_count) from bg) as nb)
+        select w1, w2, pair_count,
+               round(ln((pair_count::double * nu * nu)
+                        / (nb::double * c1.c * c2.c)), 6) as pmi
+        from bg
+        join uni c1 on bg.w1 = c1.w
+        join uni c2 on bg.w2 = c2.w
+        cross join totals
+        where pair_count >= 30
+        order by pmi desc, w1, w2 limit 50""",
+)

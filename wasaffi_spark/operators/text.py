@@ -606,3 +606,74 @@ def inverted_index(
         )
         .where(F.col("doc_freq") >= min_df)
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation extraction: pointwise mutual information over
+    adjacent token bigrams, ``pmi = ln(P(w1,w2) / (P(w1)·P(w2)))`` with
+    ``P(w1,w2) = c12/N_bigrams`` and ``P(w) = c(w)/N_unigrams``.
+    Returns ``(w1, w2, pair_count, pmi)`` for pairs seen at least
+    ``min_count`` times.
+
+    The ratio is evaluated as ONE double expression
+    ``(c12·Nu·Nu)/(Nb·c1·c2)`` (not a sum of logs) so engines agree
+    bit-for-bit before the defensive round; numerators stay in doubles
+    to dodge bigint overflow at corpus scale.
+
+    Scale: two counting shuffles (bigrams, unigrams) with map-side
+    combine; the unigram join is plain equi-join on the token — O(vocab)
+    build side, so it is left to AQE rather than broadcast-hinted (the
+    tfidf lesson); corpus totals ride along as a 1-row cross join inside
+    the same plan (no driver-side count()).
+    """
+    toks = df.select(tokens(text_col).alias("_t"))
+    uni = (
+        toks.select(F.explode("_t").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.size(F.col("_t"))
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("_t"), 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+                F.slice(F.col("_t"), 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    big = (
+        pairs.where((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_count"))
+    )
+    totals = uni.agg(F.sum("c").alias("nu")).crossJoin(
+        big.agg(F.sum("pair_count").alias("nb"))
+    )
+    c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    ratio = (
+        F.col("pair_count").cast("double")
+        * F.col("nu").cast("double")
+        * F.col("nu").cast("double")
+    ) / (
+        F.col("nb").cast("double")
+        * F.col("c1").cast("double")
+        * F.col("c2").cast("double")
+    )
+    return (
+        big.where(F.col("pair_count") >= min_count)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(F.log(ratio), 6).alias("pmi"),
+        )
+    )
