@@ -69,6 +69,7 @@ HEADLINE = [
     "semantic_dedup",
     "inverted_index",
     "pmi_bigrams",
+    "bloom_dedup",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

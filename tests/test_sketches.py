@@ -121,3 +121,51 @@ def test_countmin_mismatched_merge_raises(spark):
     sk2 = sketches.countmin_table(a, "item", depth=4, width=2048)
     with pytest.raises(Exception, match="different \\(depth, width\\)"):
         sketches.countmin_merge(sk1, sk2).collect()
+
+
+def test_bloom_no_false_negatives_and_definite_absence(spark):
+    from wasaffi_spark.operators import sketches
+
+    seen = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(200)], "item string"
+    )
+    bloom = sketches.bloom_table(seen, "item")
+    assert bloom.count() <= sketches.BF_WORDS
+    cand = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(150, 250)]  # 50 seen + 50 new
+        , "item string"
+    )
+    got = {r.item: r.maybe_present for r in sketches.bloom_probe(bloom, cand).collect()}
+    # the contract: every seen item MUST probe true (no false negatives)
+    assert all(got[f"item-{i}"] for i in range(150, 200))
+    # and with 200 items in 65536 bits most new items probe false
+    new_hits = sum(got[f"item-{i}"] for i in range(200, 250))
+    assert new_hits <= 5
+
+
+def test_bloom_merge_equals_whole(spark):
+    from wasaffi_spark.operators import sketches
+
+    a = spark.createDataFrame([(f"a{i}",) for i in range(50)], "item string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(50)], "item string")
+    whole = sketches.bloom_table(a.union(b), "item")
+    merged = sketches.bloom_merge(
+        sketches.bloom_table(a, "item"), sketches.bloom_table(b, "item")
+    )
+    w = {r.word: r.bits for r in whole.collect()}
+    m = {r.word: r.bits for r in merged.collect()}
+    assert w == m  # bitwise-identical: merge(bloom(X), bloom(Y)) == bloom(X∪Y)
+
+
+def test_bloom_mismatched_merge_raises(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from wasaffi_spark.operators import sketches
+
+    a = spark.createDataFrame([("x",)], "item string")
+    with pytest.raises(SparkRuntimeException):
+        sketches.bloom_merge(
+            sketches.bloom_table(a, "item", words=1024),
+            sketches.bloom_table(a, "item", words=2048),
+        ).collect()

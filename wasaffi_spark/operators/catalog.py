@@ -1935,3 +1935,71 @@ register_extra(
         where pair_count >= 30
         order by pmi desc, w1, w2 limit 50""",
 )
+
+
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup (operators/sketches.py::
+    bloom_*): build a 2048-word filter over the md5(text) hashes of an
+    even-doc_id 'previous snapshot', probe every document, and emit the
+    exact answer alongside — maybe_present=false is definite absence
+    (no exact lookup needed); the true-slice is confirmed exactly. The
+    filter's false positives are deterministic (md5 bit positions), so
+    the oracle reproduces them bit-for-bit."""
+    from . import sketches
+
+    docs = _table(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("item")
+    )
+    bloom = sketches.bloom_table(seen, "item")
+    cand = docs.select("doc_id", F.md5("text").alias("item"))
+    probed = sketches.bloom_probe(bloom, cand)
+    exact = seen.distinct().withColumn("_seen", F.lit(True))
+    return (
+        cand.join(probed, "item")
+        .join(exact, "item", "left")
+        .select(
+            "doc_id",
+            "maybe_present",
+            F.coalesce("_seen", F.lit(False)).alias("seen_exact"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register_extra(
+    "bloom_dedup",
+    q_bloom_dedup,
+    """with seen as (
+          select md5(text) as item from documents where doc_id % 2 = 0),
+        cand as (select doc_id, md5(text) as item from documents),
+        cells as (
+          select ('0x' || substr(md5('bf-v1:' || r || ':' || item), 1, 6))::bigint
+                   % 65536 as p
+          from seen, unnest(generate_series(0, 3)) as g(r)),
+        bloomt as (
+          select cast(p // 32 as int) as word,
+                 bit_or(1::bigint << cast(p % 32 as int)) as bits
+          from cells group by 1),
+        probes as (
+          select item,
+                 ('0x' || substr(md5('bf-v1:' || r || ':' || item), 1, 6))::bigint
+                   % 65536 as p
+          from (select distinct item from cand),
+               unnest(generate_series(0, 3)) as g(r)),
+        pw as (select item, cast(p // 32 as int) as word,
+                      1::bigint << cast(p % 32 as int) as m
+               from probes),
+        hits as (
+          select item,
+                 bool_and(coalesce(b.bits, 0) & m = m) as maybe_present
+          from pw left join bloomt b using (word)
+          group by item),
+        exact as (select distinct item from seen)
+        select c.doc_id, h.maybe_present,
+               (e.item is not null) as seen_exact
+        from cand c
+        join hits h using (item)
+        left join exact e using (item)
+        order by c.doc_id""",
+)

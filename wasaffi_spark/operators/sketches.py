@@ -202,3 +202,120 @@ def countmin_query(
     return joined.groupBy("item").agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter as a mergeable bit-word table. Like the count-min cells
+# above, bit positions come from deterministic md5 hashing, so the
+# filter contents — including its false positives — are exactly
+# reproducible across engines and get a full DuckDB oracle
+# (catalog: bloom_dedup). The 100 TB use: a KB-sized "have we seen this
+# hash" prefilter for incremental dedup — probe the filter first, pay
+# the exact anti-join against the full seen-state only for the
+# maybe-present slice (false-positive rate × new volume).
+
+BF_SEED = "bf-v1"
+BF_K = 4  # hash functions
+BF_WORDS = 2048  # 32-bit words → m = 65536 bits
+BF_WORD_BITS = 32  # 32 (not 64): 1 << 31 still fits a bigint unsigned,
+#                    so Spark and SQL engines agree without sign games
+
+
+def _bf_pos(words: Column | int) -> Column:
+    """Bit position for (r, item): 24-bit md5 prefix mod (words*32)."""
+    from .hashing import md5_prefix_int
+
+    h = F.md5(F.concat_ws(":", F.lit(BF_SEED), F.col("r"), F.col("item")))
+    m_bits = (F.lit(words) if isinstance(words, int) else words) * BF_WORD_BITS
+    return md5_prefix_int(h, 6) % m_bits
+
+
+def bloom_table(
+    df: DataFrame, item_col: str, k: int = BF_K, words: int = BF_WORDS
+) -> DataFrame:
+    """Bloom filter as a ``(word, bits, k, words)`` table: ≤ ``words``
+    rows regardless of corpus size. One in-row explode (×k) + one
+    groupBy(word) with map-side partial ``bit_or`` — same build shape as
+    :func:`countmin_table`. Parameters ride along as literal columns
+    (self-describing, like the count-min cells: probing with foreign
+    parameters would silently mis-answer, so they are data)."""
+    items = df.select(F.col(item_col).cast("string").alias("item"))
+    cells = items.select(
+        "item", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("r")
+    )
+    # F.shiftleft takes a literal shift count, so the per-row shift goes
+    # through expr() over a named position column
+    mask = F.expr(f"shiftleft(1L, cast(_p % {BF_WORD_BITS} as int))")
+    return (
+        cells.select(_bf_pos(words).alias("_p"))
+        .select(
+            F.shiftright(F.col("_p"), 5).cast("int").alias("word"),
+            mask.alias("_m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("_m").alias("bits"))
+        .select(
+            "word", "bits", F.lit(k).alias("k"), F.lit(words).alias("words")
+        )
+    )
+
+
+def _bf_params(bloom: DataFrame) -> DataFrame:
+    """One-row (k, words) frame with the mixed-filter guard embedded in
+    the kept column (the count-min `_cm_params` pattern)."""
+    agg = bloom.agg(
+        F.min("k").alias("_k0"), F.max("k").alias("_k1"),
+        F.min("words").alias("_w0"), F.max("words").alias("_w1"),
+    )
+    ok = (F.col("_k0") == F.col("_k1")) & (F.col("_w0") == F.col("_w1"))
+    guarded_k = F.when(ok, F.col("_k0")).otherwise(
+        F.raise_error(
+            F.lit("bloom words mix different (k, words) filters")
+        ).cast("int")
+    )
+    return agg.select(guarded_k.alias("k"), F.col("_w0").alias("words"))
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of the underlying sets = per-word ``bit_or`` of the
+    tables; merge(bloom(X), bloom(Y)) == bloom(X ∪ Y) exactly (pinned by
+    test) — per-shard/per-day filters roll up for free."""
+    u = a.unionByName(b)
+    merged = u.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    return merged.crossJoin(F.broadcast(_bf_params(u)))
+
+
+def bloom_probe(
+    bloom: DataFrame, candidates: DataFrame, item_col: str = "item"
+) -> DataFrame:
+    """Membership probe: ``(item, maybe_present)`` per distinct
+    candidate. ``maybe_present = false`` is DEFINITE absence (the dedup
+    fast path); ``true`` is present-or-false-positive (≈ (set bits /
+    m)^k), to be confirmed by the exact anti-join on that slice only.
+    (k, words) come from the filter's own columns; the filter side is ≤
+    ``words`` rows → AQE broadcasts it, so probing scales with the
+    candidate set, not the corpus."""
+    cand = candidates.select(
+        F.col(item_col).cast("string").alias("item")
+    ).distinct()
+    probes = (
+        cand.crossJoin(F.broadcast(_bf_params(bloom)))
+        .select(
+            "item", "words",
+            F.explode(F.sequence(F.lit(0), F.col("k") - 1)).alias("r"),
+        )
+        .select(
+            "item",
+            _bf_pos(F.col("words")).alias("_p"),
+        )
+        .select(
+            "item",
+            F.shiftright(F.col("_p"), 5).cast("int").alias("word"),
+            F.expr(f"shiftleft(1L, cast(_p % {BF_WORD_BITS} as int))").alias(
+                "_m"
+            ),
+        )
+    )
+    joined = probes.join(bloom.select("word", "bits"), "word", "left")
+    hit = F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("_m")) == F.col("_m")
+    return joined.groupBy("item").agg(F.min(hit).alias("maybe_present"))
