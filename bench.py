@@ -70,6 +70,7 @@ HEADLINE = [
     "inverted_index",
     "pmi_bigrams",
     "bloom_dedup",
+    "merge_upsert",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

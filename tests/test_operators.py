@@ -732,3 +732,26 @@ def test_pmi_bigrams_hand_computed(spark):
     assert out[("a", "c")] == (1, round(math.log(4.0), 6))
     assert set(out) == {("a", "b"), ("a", "c")}
     assert text.pmi_bigrams(df, min_count=2).count() == 1
+
+
+def test_merge_upsert_branches(spark):
+    from wasaffi_spark.operators import merge as merge_ops
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "id bigint, name string, extra int",
+    )
+    # update 1, delete 2 (flag<0), insert 9; 3 untouched; 'extra' is
+    # target-only and must survive updates / be NULL on inserts
+    source = spark.createDataFrame(
+        [(1, "a2", 5), (2, "b2", -1), (9, "z", 7)],
+        "id bigint, name string, flag int",
+    )
+    out = merge_ops.merge_upsert(
+        target, source, ["id"], delete_condition=F.col("src_flag") < 0
+    )
+    got = {r.id: (r.name, r.extra) for r in out.collect()}
+    assert got == {1: ("a2", 10), 3: ("c", 30), 9: ("z", None)}
+    assert [f.name for f in out.schema.fields] == ["id", "name", "extra"]
+    with pytest.raises(ValueError):
+        merge_ops.merge_upsert(target, source.drop("id"), ["id"])

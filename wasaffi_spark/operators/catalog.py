@@ -2003,3 +2003,73 @@ register_extra(
         left join exact e using (item)
         order by c.doc_id""",
 )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over plain tables (operators/merge.py): updates
+    (custkey < 500 get +100 acctbal, 'updated' segment), inserts
+    (custkey+1000000 clones of custkey < 10), and deletes (matched rows
+    whose new balance is still negative) in one full-outer-join plan.
+    Inserts carry NULL for target-only columns (c_nationkey)."""
+    from . import merge as merge_ops
+
+    cust = _table(spark, sf_dir, "customer")
+    upd = (
+        cust.where(F.col("c_custkey") < 500)
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+            F.lit("updated").alias("c_mktsegment"),
+        )
+    )
+    ins = cust.where(F.col("c_custkey") < 10).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.round(F.col("c_acctbal"), 2).alias("c_acctbal"),
+        F.lit("inserted").alias("c_mktsegment"),
+    )
+    source = upd.unionByName(ins)
+    merged = merge_ops.merge_upsert(
+        cust,
+        source,
+        keys=["c_custkey"],
+        delete_condition=F.col("src_c_acctbal") < 0,
+    )
+    return (
+        merged.select(
+            "c_custkey",
+            "c_nationkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "c_mktsegment",
+        )
+        .orderBy("c_custkey")
+    )
+
+
+register_extra(
+    "merge_upsert",
+    q_merge_upsert,
+    """with upd as (
+          select c_custkey, round(c_acctbal + 100, 2) as c_acctbal,
+                 'updated' as c_mktsegment
+          from customer where c_custkey < 500),
+        ins as (
+          select c_custkey + 1000000 as c_custkey,
+                 round(c_acctbal, 2) as c_acctbal,
+                 'inserted' as c_mktsegment
+          from customer where c_custkey < 10),
+        src as (select * from upd union all select * from ins),
+        j as (
+          select t.c_custkey as tk, s.c_custkey as sk,
+                 t.c_nationkey, t.c_acctbal as t_bal, t.c_mktsegment as t_com,
+                 s.c_acctbal as s_bal, s.c_mktsegment as s_com
+          from customer t full outer join src s
+            on t.c_custkey = s.c_custkey)
+        select coalesce(tk, sk) as c_custkey,
+               c_nationkey,
+               round(case when sk is not null then s_bal else t_bal end, 2)
+                 as acctbal,
+               case when sk is not null then s_com else t_com end as c_mktsegment
+        from j
+        where not (tk is not null and sk is not null and s_bal < 0)
+        order by c_custkey""",
+)
