@@ -71,6 +71,7 @@ HEADLINE = [
     "pmi_bigrams",
     "bloom_dedup",
     "merge_upsert",
+    "pagerank",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

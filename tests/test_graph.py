@@ -34,3 +34,20 @@ def test_cycle_and_edge_direction_irrelevant(spark):
 def test_self_loop(spark):
     got = cc(spark, [(4, 4), (4, 8)])
     assert got == {4: 4, 8: 4}
+
+
+def test_pagerank_hand_computed(spark):
+    from wasaffi_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("c", "a")], "src string, dst string"
+    )
+    got = {r.node: r.r for r in graph.pagerank(edges, iterations=2).collect()}
+    # iter1: a=150000+85%·2e6=1850000, b=150000+85%·1e6=1000000, c=150000
+    # iter2: a=150000+85%·1150000=1127500, b=150000+85%·1850000=1722500
+    assert got == {"a": 1127500, "b": 1722500, "c": 150000}
+    again = {
+        r.node: r.r
+        for r in graph.pagerank(edges.repartition(4), iterations=2).collect()
+    }
+    assert again == got  # bigint arithmetic: layout-independent, bit-exact

@@ -2073,3 +2073,56 @@ register_extra(
         where not (tk is not null and sk is not null and s_bal < 0)
         order by c_custkey""",
 )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.py::pagerank) over the
+    undirected supplier↔part supply graph from lineitem, 3 iterations;
+    bigint micro-unit arithmetic makes the iterative result
+    hash-verifiable (double PageRank is not)."""
+    from . import graph
+
+    li = _table(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    )
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return (
+        graph.pagerank(edges, iterations=3)
+        .orderBy(F.desc("r"), F.asc("node"))
+        .limit(30)
+        .select("node", "r")
+    )
+
+
+_PR_ITER = """,
+        r{i} as (
+          select n.node, 150000 + (85 * coalesce(s.s, 0)) // 100 as r
+          from nodes n left join (
+            select e.dst as node, sum(p.r // o.od) as s
+            from edges e
+            join r{prev} p on e.src = p.node
+            join outdeg o on e.src = o.src
+            group by e.dst) s on n.node = s.node)"""
+
+register_extra(
+    "pagerank",
+    q_pagerank,
+    """with fwd as (
+          select distinct 's' || l_suppkey as src, 'p' || l_partkey as dst
+          from lineitem),
+        edges as (
+          select src, dst from fwd
+          union
+          select dst, src from fwd),
+        nodes as (
+          select distinct src as node from edges
+          union
+          select distinct dst from edges),
+        outdeg as (select src, count(*) as od from edges group by src),
+        r0 as (select node, 1000000::bigint as r from nodes)"""
+    + "".join(_PR_ITER.format(i=i, prev=i - 1) for i in (1, 2, 3))
+    + """
+        select node, r from r3 order by r desc, node limit 30""",
+)

@@ -77,3 +77,59 @@ def connected_components(
             "iterations; raise max_iterations (graph diameter exceeds the cap)"
         )
     return labels.select(F.col("a").alias("node"), F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+    checkpoint_interval: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank in integer micro-units — the second
+    iterative-graph operator next to :func:`connected_components`
+    (GraphX/Pregel shape: per round one join + one grouped sum).
+
+    All arithmetic is bigint: ranks start at ``scale``; an edge carries
+    ``r(u) div outdeg(u)``; the new rank is
+    ``(100-damping_pct)·scale div 100 + damping_pct·Σcontrib div 100``.
+    Integer sums are ORDER-INDEPENDENT, so the result is bit-exact
+    across partitionings and engines — double-based PageRank cannot be
+    hash-verified, this one can. Mass leaks at dangling nodes (the
+    simple variant) and to div-truncation; fine for ranking, documented
+    for parity.
+
+    Scale: per iteration, one equi-join of edges with ranks on ``src``
+    (shuffle ∝ |E|) and one grouped sum on ``dst`` (map-side partials);
+    ``localCheckpoint`` every ``checkpoint_interval`` rounds truncates
+    lineage (the iterative-Spark pitfall). Returns ``(node, r)`` for
+    every node incident to an edge.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("r"))
+    for i in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"), F.expr("r div od").alias("c"))
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+            ).cast("bigint").alias("r"),
+        )
+        if (i + 1) % checkpoint_interval == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint()
+    return ranks
