@@ -72,6 +72,8 @@ HEADLINE = [
     "bloom_dedup",
     "merge_upsert",
     "pagerank",
+    "funnel",
+    "cohort_retention",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -755,3 +755,56 @@ def test_merge_upsert_branches(spark):
     assert [f.name for f in out.schema.fields] == ["id", "name", "extra"]
     with pytest.raises(ValueError):
         merge_ops.merge_upsert(target, source.drop("id"), ["id"])
+
+
+def test_funnel_strict_ordering(spark):
+    from wasaffi_spark.operators import funnel
+
+    rows = [
+        # u1 converts fully: view@1 click@2 purchase@3
+        (1, "view", 1.0), (1, "click", 2.0), (1, "purchase", 3.0),
+        # u2 purchased BEFORE clicking: view@1 purchase@2 click@4
+        (2, "view", 1.0), (2, "purchase", 2.0), (2, "click", 4.0),
+        # u3 clicked before viewing: click@1 view@2 → stage2 not reached
+        (3, "click", 1.0), (3, "view", 2.0),
+        # u4 never viewed
+        (4, "click", 1.0), (4, "purchase", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts double"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    f = funnel.funnel_steps(df, ["view", "click", "purchase"])
+    got = {r.user_id: (r.ts_1 is not None, r.ts_2 is not None, r.ts_3 is not None)
+           for r in f.collect()}
+    assert got == {
+        1: (True, True, True),
+        2: (True, True, False),  # click@4 after view, no purchase after
+        3: (True, False, False),
+    }
+    assert 4 not in got  # never entered the funnel
+    with pytest.raises(ValueError):
+        funnel.funnel_steps(df, [])
+
+
+def test_cohort_retention_triangle(spark):
+    import datetime
+
+    from wasaffi_spark.operators import funnel
+
+    day = lambda d: datetime.datetime(2024, 1, d)  # Jan 1 2024 is a Monday
+    rows = [
+        (1, day(1)), (1, day(8)), (1, day(16)),  # w0, w1, w2
+        (2, day(2)), (2, day(9)),                # w0, w1
+        (3, day(10)),                            # cohort week 2, w0 only
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {
+        (str(r.cohort), r.week_offset): r.users
+        for r in funnel.cohort_retention(df).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }

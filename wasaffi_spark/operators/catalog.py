@@ -2126,3 +2126,64 @@ register_extra(
     + """
         select node, r from r3 order by r desc, node limit 30""",
 )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel conversion (operators/funnel.py::
+    funnel_steps): users who viewed, then clicked strictly after the
+    first view, then purchased strictly after that click — one row of
+    stage counts (a user purchasing before clicking does not convert)."""
+    from . import funnel
+
+    events = _table(spark, sf_dir, "events")
+    f = funnel.funnel_steps(events, ["view", "click", "purchase"])
+    return f.agg(
+        F.count("ts_1").alias("n_view"),
+        F.count("ts_2").alias("n_view_click"),
+        F.count("ts_3").alias("n_view_click_purchase"),
+    )
+
+
+register_extra(
+    "funnel",
+    q_funnel,
+    """with e as (select user_id, event_type, ts from events),
+        s1 as (select user_id, min(ts) as t1 from e
+               where event_type = 'view' group by 1),
+        s2 as (select e.user_id, min(ts) as t2
+               from e join s1 using (user_id)
+               where event_type = 'click' and ts > t1 group by 1),
+        s3 as (select e.user_id, min(ts) as t3
+               from e join s2 using (user_id)
+               where event_type = 'purchase' and ts > t2 group by 1)
+        select (select count(*) from s1) as n_view,
+               (select count(*) from s2) as n_view_click,
+               (select count(*) from s3) as n_view_click_purchase""",
+)
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention triangle (operators/funnel.py::
+    cohort_retention): distinct active users per (first-activity week,
+    week offset)."""
+    from . import funnel
+
+    events = _table(spark, sf_dir, "events")
+    return funnel.cohort_retention(events).orderBy("cohort", "week_offset")
+
+
+register_extra(
+    "cohort_retention",
+    q_cohort_retention,
+    """with wk as (
+          select user_id, date_trunc('week', ts)::date as w from events),
+        firsts as (select user_id, min(w) as cohort from wk group by 1),
+        activity as (select distinct user_id, w as period from wk)
+        select f.cohort,
+               cast(date_diff('day', f.cohort, a.period) // 7 as int)
+                 as week_offset,
+               count(distinct a.user_id) as users
+        from activity a join firsts f using (user_id)
+        group by 1, 2
+        order by cohort, week_offset""",
+)
