@@ -25,7 +25,11 @@ def event_stream(spark):
 @needs_data
 def test_stream_is_streaming(event_stream):
     assert event_stream.isStreaming
-    assert dict(event_stream.dtypes)["ts"] == "timestamp"
+    # testdata generations vary: ns-precision files normalize to ltz
+    # "timestamp"; us-precision naive files infer as "timestamp_ntz".
+    # Either is fine — what matters is the batch reader agrees (asserted
+    # by the stream≡batch tests below).
+    assert dict(event_stream.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
 
 
 @needs_data
