@@ -55,6 +55,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in ns_cols:
         # exact integer division — see sources/parquet.py
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # micro-precision fixtures arrive as TIMESTAMP_NTZ (parquet
+    # isAdjustedToUTC=false + Spark's NTZ inference); watermarks demand
+    # TIMESTAMP. The session tz is pinned UTC by every caller, so the
+    # cast reinterprets the same wall-clock instant — value-preserving.
+    for fld in df.schema.fields:
+        if fld.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(fld.name, F.col(fld.name).cast("timestamp"))
     return df
 
 
