@@ -91,8 +91,12 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reports) and pinned by pytest, but not part of the declared driver
     set. NOT called by the driver."""
     from wasaffi_spark.operators import catalog as op_catalog
+    from wasaffi_spark.plans import relational
 
-    return {name: _utc(fn) for name, fn in op_catalog.EXTRA_QUERIES.items()}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(op_catalog.EXTRA_QUERIES)
+    out.update(relational.EXTRA_QUERIES)
+    return {name: _utc(fn) for name, fn in out.items()}
 
 
 def extra_oracle_sql() -> dict[str, str]:

@@ -41,7 +41,7 @@ def test_dimension_join_broadcasts(spark):
 
 @needs_data
 def test_agg_scan_pruned(spark):
-    f = plan_facts(relational.QUERIES["agg_pricing"](spark, SF_SMOKE))
+    f = plan_facts(relational.QUERIES["agg_pricing_sets"](spark, SF_SMOKE))
     [schema] = f.read_schemas
     for col in ("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"):
         assert col in schema
@@ -91,7 +91,7 @@ def test_tfidf_no_unconditional_vocab_broadcast(spark):
 
 @needs_data
 def test_codegen_present(spark):
-    df = relational.QUERIES["agg_pricing"](spark, SF_SMOKE)
+    df = relational.QUERIES["agg_pricing_sets"](spark, SF_SMOKE)
     df.collect()  # AQE: codegen ids only appear in the finalized plan
     f = plan_facts(df)
     assert f.codegen_stages >= 1
@@ -137,9 +137,9 @@ def test_paragraph_dedup_two_hash_exchanges(spark):
     aggregation before the reassembly exchange."""
     import re
 
-    from wasaffi_spark.operators.catalog import EXTRA_QUERIES
+    from wasaffi_spark.operators.catalog import QUERIES as QUERIES_OP
 
-    f = plan_facts(EXTRA_QUERIES["paragraph_dedup"](spark, SF_SMOKE))
+    f = plan_facts(QUERIES_OP["paragraph_dedup"](spark, SF_SMOKE))
     hash_exchanges = re.findall(r"Arguments: hashpartitioning", f.text)
     assert len(hash_exchanges) == 2, f.text[:2000]
     assert any("doc_id" in s and "text" in s for s in f.read_schemas)
@@ -151,9 +151,9 @@ def test_gopher_filter_shuffle_free(spark):
     (the only Exchange is the deliberate narrow-input fan-out)."""
     import re
 
-    from wasaffi_spark.operators.catalog import EXTRA_QUERIES
+    from wasaffi_spark.operators.catalog import QUERIES as QUERIES_OP
 
-    f = plan_facts(EXTRA_QUERIES["gopher_filter"](spark, SF_SMOKE).limit(10))
+    f = plan_facts(QUERIES_OP["gopher_filter"](spark, SF_SMOKE).limit(10))
     assert not re.findall(r"Arguments: hashpartitioning", f.text), f.text[:2000]
 
 

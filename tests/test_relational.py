@@ -33,10 +33,21 @@ def test_scan_and_cross_counts(spark):
 
 
 @needs_data
-def test_agg_pricing_shape(spark):
-    rows = relational.QUERIES["agg_pricing"](spark, SF_SMOKE).collect()
-    assert 1 <= len(rows) <= 6  # returnflag × linestatus combos
-    assert sum(r["cnt"] for r in rows) == 6000
+def test_agg_pricing_sets_shape(spark):
+    rows = relational.QUERIES["agg_pricing_sets"](spark, SF_SMOKE).collect()
+    # cube grains: (a,b) ≤6, (a) ≤3, (b) ≤2, () =1
+    assert 4 <= len(rows) <= 12
+    # the grand-total row counts every lineitem exactly once
+    [total] = [
+        r for r in rows if r["l_returnflag"] is None and r["l_linestatus"] is None
+    ]
+    assert total["cnt"] == 6000
+    finest = [
+        r
+        for r in rows
+        if r["l_returnflag"] is not None and r["l_linestatus"] is not None
+    ]
+    assert sum(r["cnt"] for r in finest) == 6000
 
 
 @needs_data
@@ -67,7 +78,8 @@ def test_window_fns_partitions(spark):
 
 @needs_data
 def test_semi_anti_counts_consistent(spark):
-    [row] = relational.QUERIES["semi_anti_join"](spark, SF_SMOKE).collect()
+    # semi/anti live inside subqueries_cte since the round-3 merge
+    [row] = relational.QUERIES["subqueries_cte"](spark, SF_SMOKE).collect()
     n_cust = spark.table("customer").count()
     assert 0 <= row["semi_cnt"] <= n_cust
     assert 0 <= row["anti_cnt"] <= n_cust

@@ -120,10 +120,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "dedup_exact",
     q_dedup_exact,
+    # cast(sum(...) as bigint): DuckDB's sum(INTEGER) yields HUGEINT,
+    # which a pandas-based comparator materializes as float64 ("1.0")
+    # while Spark's long stays int64 ("1") — the dedup_exact hash
+    # mismatch of CORRECTNESS_r02. Spark's sum is already BIGINT.
     """select md5(text) as text_hash, min(doc_id) as keep_id,
               count(*) as n_copies,
-              sum(case when source = 'src0' then 1 else 0 end) as n_seen,
-              sum(case when source = 'src0' then 0 else 1 end) as n_new,
+              cast(sum(case when source = 'src0' then 1 else 0 end) as bigint) as n_seen,
+              cast(sum(case when source = 'src0' then 0 else 1 end) as bigint) as n_new,
               case when sum(case when source = 'src0' then 1 else 0 end) = 0
                    then min(case when source <> 'src0' then doc_id end)
               end as new_keep_id
@@ -1575,7 +1579,7 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.paragraph_dedup(docs).orderBy("doc_id")
 
 
-register_extra(
+register(  # promoted to the driver window in round 3
     "paragraph_dedup",
     q_paragraph_dedup,
     r"""with d as (select doc_id,
@@ -1611,7 +1615,7 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_filter(docs).orderBy("doc_id")
 
 
-register_extra(
+register(  # promoted to the driver window in round 3
     "gopher_filter",
     q_gopher_filter,
     f"""with base as (
@@ -1825,7 +1829,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register_extra(
+register(  # promoted to the driver window in round 3
     "semantic_dedup",
     q_semantic_dedup,
     """with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
@@ -2124,7 +2128,8 @@ register_extra(
         r0 as (select node, 1000000::bigint as r from nodes)"""
     + "".join(_PR_ITER.format(i=i, prev=i - 1) for i in (1, 2, 3))
     + """
-        select node, r from r3 order by r desc, node limit 30""",
+        select node, cast(r as bigint) as r
+        from r3 order by r desc, node limit 30""",
 )
 
 
@@ -2169,7 +2174,14 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import funnel
 
     events = _table(spark, sf_dir, "events")
-    return funnel.cohort_retention(events).orderBy("cohort", "week_offset")
+    # cohort as TIMESTAMP, not DATE: both engines land on datetime64
+    # under a pandas comparator (DATE is datetime.date on the Spark
+    # side but datetime64 on the DuckDB side — dtype asymmetry).
+    return (
+        funnel.cohort_retention(events)
+        .withColumn("cohort", F.col("cohort").cast("timestamp"))
+        .orderBy("cohort", "week_offset")
+    )
 
 
 register_extra(
@@ -2179,7 +2191,7 @@ register_extra(
           select user_id, date_trunc('week', ts)::date as w from events),
         firsts as (select user_id, min(w) as cohort from wk group by 1),
         activity as (select distinct user_id, w as period from wk)
-        select f.cohort,
+        select cast(f.cohort as timestamp) as cohort,
                cast(date_diff('day', f.cohort, a.period) // 7 as int)
                  as week_offset,
                count(distinct a.user_id) as users

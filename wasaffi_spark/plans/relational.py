@@ -84,8 +84,8 @@ query(
     ("lineitem",),
     """select l_orderkey, l_extendedprice * (1 - l_discount) as revenue
        from lineitem
-       where l_shipdate between timestamp '1994-01-01 00:00:00'
-                            and timestamp '1994-12-31 00:00:00'
+       where l_shipdate between timestamp '1996-01-01 00:00:00'
+                            and timestamp '1996-12-31 00:00:00'
          and l_discount > 0.05""",
 )
 
@@ -117,30 +117,19 @@ query(
        order by order_cnt desc, c_custkey limit 20""",
 )
 
-# §2C rows: semi join (EXISTS) + anti join (NOT EXISTS), as two scalar
-# subqueries so both flavors land in one checked row.
-
-query(
-    "semi_anti_join",
-    ("customer", "orders"),
-    """select
-         (select count(*) from customer
-          where exists (select 1 from orders
-                        where o_custkey = c_custkey and o_totalprice > 100000))
-           as semi_cnt,
-         (select count(*) from customer
-          where not exists (select 1 from orders where o_custkey = c_custkey))
-           as anti_cnt""",
-)
-
 # -- aggregation --------------------------------------------------------------
-# §2C row: hash aggregation, partial+final (TPC-H Q1 shape). sum_qty is
-# exact (integral doubles); price aggregates are rounded (sum to 2dp on a
-# ~1e8 magnitude, avg to 4dp) so partial-agg summation order cannot flip
-# the hash.
+# §2C rows (round-3 merge, freeing window slots for promoted extension
+# queries): hash aggregation partial+final (TPC-H Q1 measures) AND the
+# GROUPING SETS / ROLLUP / CUBE family in one query — the explicit sets
+# below are cube(l_returnflag, l_linestatus) spelled out, whose
+# (l_returnflag, l_linestatus) member is exactly the Q1 grain, and
+# rollup is the ((a,b),(a),()) subset. sum_qty is exact (integral
+# doubles); price aggregates are rounded (sum to 2dp on a ~1e8
+# magnitude, avg to 4dp) so partial-agg summation order cannot flip the
+# hash at any grain.
 
 query(
-    "agg_pricing",
+    "agg_pricing_sets",
     ("lineitem",),
     """select l_returnflag, l_linestatus,
               sum(l_quantity) as sum_qty,
@@ -148,8 +137,9 @@ query(
               round(avg(l_extendedprice), 4) as avg_price,
               count(*) as cnt
        from lineitem
-       group by l_returnflag, l_linestatus
-       order by l_returnflag, l_linestatus""",
+       group by grouping sets ((l_returnflag, l_linestatus),
+                               (l_returnflag), (l_linestatus), ())
+       order by l_returnflag nulls first, l_linestatus nulls first""",
 )
 
 # §2C rows: statistical aggregates (stddev/var/min/max/count distinct)
@@ -250,28 +240,20 @@ def _approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _approx_aggs.__name__ = "q_approx_aggs"
 QUERIES["approx_aggs"] = _approx_aggs
 
-# §2C row: EXPLAIN surface — smoke-only: returns the plan as text.
-query_no_oracle(
-    "explain_smoke",
-    ("lineitem",),
-    "explain select count(*) from lineitem",
-)
+# §2C row: EXPLAIN surface — smoke-only (returns the plan as text), so a
+# driver window slot adds nothing over the local sweep: registered in the
+# extras channel (round-3 demotion; pytest + tools/oracle_check.py keep
+# running it).
+EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-# -- grouping sets / rollup / cube -------------------------------------------
-# §2C rows: GROUPING SETS / ROLLUP / CUBE — the explicit grouping-sets
-# form below is exactly cube(l_returnflag, l_linestatus) spelled out, and
-# rollup is the ((a,b),(a),()) subset; one query pins the whole family.
 
-query(
-    "grouping_sets",
-    ("lineitem",),
-    """select l_returnflag, l_linestatus, sum(l_quantity) as sum_qty,
-              count(*) as cnt
-       from lineitem
-       group by grouping sets ((l_returnflag, l_linestatus),
-                               (l_returnflag), (l_linestatus), ())
-       order by l_returnflag nulls first, l_linestatus nulls first""",
-)
+def _explain_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _load(spark, sf_dir, "lineitem")
+    return spark.sql("explain select count(*) from lineitem")
+
+
+_explain_smoke.__name__ = "q_explain_smoke"
+EXTRA_QUERIES["explain_smoke"] = _explain_smoke
 
 # -- window functions ----------------------------------------------------------
 # §2C rows: ranking (ROW_NUMBER/RANK), offset (LAG), and aggregate-over-
@@ -320,9 +302,11 @@ query(
        order by op, nationkey""",
 )
 
-# -- subqueries / CTEs / scan --------------------------------------------------
-# §2C rows: CTE, scalar subquery, IN-subquery, plus table scan-count and
-# cross join as uncorrelated scalar subqueries (region² = 25 rows only).
+# -- subqueries / CTEs / scan / semi-anti joins -------------------------------
+# §2C rows: CTE, scalar subquery, IN-subquery, table scan-count and cross
+# join as uncorrelated scalar subqueries (region² = 25 rows only), plus —
+# round-3 merge from the former semi_anti_join entry — semi join (EXISTS)
+# and anti join (NOT EXISTS) as two more scalar-count columns.
 
 query(
     "subqueries_cte",
@@ -333,7 +317,14 @@ query(
        select count(*) as cnt,
               (select count(*) from lineitem) as lineitem_cnt,
               (select count(*) from region r1 cross join region r2)
-                as region_pairs
+                as region_pairs,
+              (select count(*) from customer
+               where exists (select 1 from orders
+                             where o_custkey = c_custkey
+                               and o_totalprice > 100000)) as semi_cnt,
+              (select count(*) from customer
+               where not exists (select 1 from orders
+                                 where o_custkey = c_custkey)) as anti_cnt
        from orders
        where o_totalprice > (select avg(o_totalprice) from orders)
          and o_custkey in (select c_custkey from customer
@@ -390,12 +381,15 @@ query(
 )
 
 # §2C rows: date_trunc, extract, and interval arithmetic. date_trunc
-# returns TIMESTAMP in Spark but DATE in DuckDB — cast both to DATE.
+# returns TIMESTAMP in Spark but DATE in DuckDB — cast both to
+# TIMESTAMP (not DATE: a pandas comparator sees Spark DATE as
+# datetime.date objects but DuckDB DATE as datetime64, a dtype
+# asymmetry; TIMESTAMP lands on datetime64 from both engines).
 
 query(
     "datetime_fns",
     ("orders",),
-    """select cast(date_trunc('month', o_orderdate) as date) as m,
+    """select cast(date_trunc('month', o_orderdate) as timestamp) as m,
               cast(extract(year from o_orderdate) as bigint) as y,
               cast(extract(month from o_orderdate) as bigint) as mo,
               count(*) as cnt,
