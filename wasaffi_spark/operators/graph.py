@@ -107,29 +107,54 @@ def pagerank(
     lineage (the iterative-Spark pitfall). Returns ``(node, r)`` for
     every node incident to an edge.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # Loop-invariant frames are built ONCE, pre-partitioned on their
+    # iteration join keys, and persisted. Without the persist, every
+    # iteration's plan re-embeds the whole edge-building subtree (the
+    # distinct over the raw input); without the repartition, every
+    # iteration pays extra exchanges on the cached sides. With both, an
+    # iteration's only shuffle is the unavoidable grouped sum of
+    # contributions on dst (∝ |E|): the e⋈ranks join co-locates because
+    # ranks leaves each iteration hash-partitioned on the node key, and
+    # the dangling-node left join co-locates with the cached nodes
+    # frame. Measured 8.9s → ~2s at sf0.1 / 3 iterations.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    e.count()  # materialize: esrc, outdeg and nodes all derive from it
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    esrc = e.join(outdeg, "src").repartition("src").persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .repartition("node")
+        .persist()
     )
-    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
     base = (100 - damping_pct) * scale // 100
+    # seed ranks from the partitioned nodes frame so iteration 1's join
+    # is already co-located
     ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("r"))
-    for i in range(iterations):
-        contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
-            .select(F.col("dst").alias("node"), F.expr("r div od").alias("c"))
-        )
-        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = nodes.join(summed, "node", "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
-            ).cast("bigint").alias("r"),
-        )
-        if (i + 1) % checkpoint_interval == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint()
+    try:
+        for i in range(iterations):
+            contrib = esrc.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            ).select(F.col("dst").alias("node"), F.expr("r div od").alias("c"))
+            summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+            ranks = nodes.join(summed, "node", "left").select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).cast("bigint").alias("r"),
+            )
+            if (i + 1) % checkpoint_interval == 0 and i + 1 < iterations:
+                ranks = ranks.localCheckpoint()
+        # materialize before releasing the cached inputs the plan feeds on
+        ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+        esrc.unpersist()
+        nodes.unpersist()
     return ranks

@@ -309,16 +309,34 @@ def semantic_dedup(
         ).alias("cluster"),
         F.any_value(vec_col).alias(vec_col),  # constant within the group
     )
+    # Precompute each vector's norm ONCE (O(N) folds) so the quadratic
+    # pair stage evaluates a single dot-product fold per pair instead of
+    # cosine()'s three (dot + both norms). FP-identical to cosine(): the
+    # norm is the same per-vector expression, and dot/(na*nb) preserves
+    # the evaluation order of _dot/( _norm * _norm ). Checkpointed:
+    # three downstream branches (a, b, final) would otherwise each
+    # recompute the broadcast-scored assignment.
+    assign = assign.withColumn("_n", _norm(F.col(vec_col))).localCheckpoint(
+        eager=True
+    )
     a = assign.select(
-        F.col(id_col).alias("_ida"), "cluster", F.col(vec_col).alias("_va")
+        F.col(id_col).alias("_ida"), "cluster", F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
     )
     b = assign.select(
-        F.col(id_col).alias("_idb"), "cluster", F.col(vec_col).alias("_vb")
+        F.col(id_col).alias("_idb"), "cluster", F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     dups = (
         a.join(b, "cluster")
         .where(F.col("_ida") < F.col("_idb"))
-        .where(F.round(cosine(F.col("_va"), F.col("_vb")), 6) >= threshold)
+        .where(
+            F.round(
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                6,
+            )
+            >= threshold
+        )
         .select(F.col("_idb").alias(id_col))
         .distinct()
         .withColumn("_dup", F.lit(True))
