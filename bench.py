@@ -74,6 +74,10 @@ HEADLINE = [
     "pagerank",
     "funnel",
     "cohort_retention",
+    # new in r3: dataset versioning, time-series gap fill, corpus novelty
+    "dataset_diff",
+    "events_gapfill",
+    "novelty",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -260,3 +260,25 @@ def test_countmin_stream_equals_batch(spark, event_stream):
         .collect()
     }
     assert est == exact  # 5 event types << width: no collisions
+
+
+@needs_data
+def test_view_click_join_stream_equals_batch(spark, event_stream):
+    """Stream-stream inner join (watermarked both sides) drains to the
+    same pairs the identical expressions produce on the batch frame."""
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    stream_ops.run_to_memory(
+        stream_ops.view_click_join(event_stream), "vc_join_test", "append"
+    )
+    got = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in spark.table("vc_join_test").collect()
+    }
+    batch = read_parquet(spark, f"{SF_SMOKE}/events.parquet")
+    want = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in stream_ops.view_click_join(batch).collect()
+    }
+    assert got == want
+    assert len(want) > 0  # the fixture actually produces pairs

@@ -2199,3 +2199,118 @@ register_extra(
         group by 1, 2
         order by cohort, week_offset""",
 )
+
+# ---------------------------------------------------------------------------
+# round 3: dataset versioning, time-series gap fill, corpus novelty
+
+
+def q_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot delta (operators/diff.py::snapshot_diff): snapshot A is
+    the fixture corpus; snapshot B is a deterministic mutation of it —
+    doc_id%11==0 removed, doc_id%7==0 text-uppercased (changed),
+    doc_id%13==0 re-added under doc_id+1000000 (added). One full outer
+    join on the key classifies every id."""
+    from . import diff as diffmod
+
+    docs = _table(spark, sf_dir, "documents")
+    a = docs.select("doc_id", "text")
+    b = (
+        docs.where(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("text")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return diffmod.snapshot_diff(a, b).orderBy("doc_id")
+
+
+register_extra(
+    "dataset_diff",
+    q_dataset_diff,
+    """with b as (
+          select doc_id,
+                 case when doc_id % 7 = 0 then upper(text) else text end as text
+          from documents where doc_id % 11 <> 0
+          union all
+          select doc_id + 1000000 as doc_id, text
+          from documents where doc_id % 13 = 0)
+       select coalesce(a.doc_id, b.doc_id) as doc_id,
+              case when a.doc_id is null then 'added'
+                   when b.doc_id is null then 'removed'
+                   when a.text is distinct from b.text then 'changed'
+                   else 'unchanged' end as status
+       from documents a full outer join b on a.doc_id = b.doc_id
+       order by doc_id""",
+)
+
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill + locf resample per event_type
+    (operators/temporal.py::gapfill_hourly)."""
+    from . import temporal
+
+    events = _table(spark, sf_dir, "events")
+    return (
+        temporal.gapfill_hourly(events)
+        .withColumnRenamed("key", "event_type")
+        .orderBy("event_type", "hour")
+    )
+
+
+register_extra(
+    "events_gapfill",
+    q_events_gapfill,
+    """with hourly as (
+          select event_type, date_trunc('hour', ts) as hour,
+                 count(*) as cnt, round(sum(value), 2) as sv
+          from events group by 1, 2),
+        bounds as (
+          select date_trunc('hour', min(ts)) as lo,
+                 date_trunc('hour', max(ts)) as hi
+          from events),
+        spine as (
+          select k.event_type, unnest(generate_series(lo, hi, interval 1 hour))
+                   as hour
+          from (select distinct event_type from events) k cross join bounds)
+       select s.event_type, s.hour,
+              coalesce(h.cnt, 0) as cnt,
+              last_value(h.sv ignore nulls)
+                over (partition by s.event_type order by s.hour) as last_sum
+       from spine s
+       left join hourly h
+         on s.event_type = h.event_type and s.hour = h.hour
+       order by s.event_type, s.hour""",
+)
+
+
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-novelty scores (operators/text.py::novelty_score) over the
+    document corpus — shingle constants shared with the dedup family."""
+    docs = _table(spark, sf_dir, "documents")
+    return text.novelty_score(docs).orderBy("doc_id")
+
+
+register_extra(
+    "novelty",
+    q_novelty,
+    f"""with {_SHINGLES_CTE},
+        dfc as (select shingle, count(*) as _df from sh group by 1),
+        per as (select s.doc_id,
+                       count(*) as n_shingles,
+                       cast(sum(case when _df = 1 then 1 else 0 end) as bigint)
+                         as n_novel
+                from sh s join dfc using (shingle) group by 1)
+       select d.doc_id,
+              coalesce(per.n_shingles, 0) as n_shingles,
+              coalesce(per.n_novel, 0) as n_novel,
+              round(per.n_novel / per.n_shingles, 6) as novelty
+       from documents d left join per using (doc_id)
+       order by d.doc_id""",
+)

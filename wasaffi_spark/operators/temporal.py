@@ -145,3 +145,67 @@ def range_join_binned(
         )
         .drop("_bin")
     )
+
+
+def gapfill_hourly(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Time-series resample with gap fill (the hypertable
+    ``time_bucket_gapfill`` shape; Spark has no native equivalent):
+    aggregate to hourly buckets per series, densify every series onto
+    the full corpus-wide hourly spine, zero-fill counts and
+    forward-fill the last observed hourly sum (``locf``).
+
+    Returns ``(key, hour, cnt, last_sum)`` — cnt = 0 on gap hours,
+    last_sum = most recent non-gap hour's sum (NULL before the first
+    observation of a series).
+
+    Scale: one grouped aggregation (shuffle ∝ observed cells), a
+    broadcast of the 1-row global [min, max] bound, a spine built from
+    ``sequence``+``explode`` (rows ∝ series × hours — the DENSIFIED
+    size, which is the output size; nothing quadratic), and one window
+    pass per series for the fill. The window partitions by series key —
+    fill parallelism equals series count, the standard gap-fill layout
+    (series ≫ cores in production; densify per bounded time range, not
+    all history, if a series' hour count outgrows a partition).
+    """
+    hour = F.date_trunc("hour", F.col(ts_col))
+    hourly = (
+        events.groupBy(F.col(key_col).alias("key"), hour.alias("hour"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(val_col), 2).alias("sv"),
+        )
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("lo"),
+        F.date_trunc("hour", F.max(ts_col)).alias("hi"),
+    )
+    spine = (
+        events.select(F.col(key_col).alias("key"))
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "key",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["key", "hour"], "left")
+        .select(
+            "key",
+            "hour",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            F.last("sv", ignorenulls=True).over(w).alias("last_sum"),
+        )
+    )

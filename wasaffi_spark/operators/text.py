@@ -677,3 +677,58 @@ def pmi_bigrams(
             F.round(F.log(ratio), 6).alias("pmi"),
         )
     )
+
+
+def novelty_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Corpus-novelty score per document: the fraction of the doc's
+    DISTINCT k-word shingles that occur in no other document
+    (document-frequency 1). High score = novel content; low score =
+    boilerplate/templated text shared across the corpus — the inverse
+    signal of near-dedup, usable as a quality weight or a memorization
+    guard for eval-adjacent text.
+
+    Integer-exact by construction (counts and one final division of two
+    integers, rounded at 6dp — identical in both engines), unlike
+    log-probability LM scores whose float summation is order-sensitive.
+
+    Returns ``(id_col, n_shingles, n_novel, novelty)``; docs shorter
+    than ``k`` words have zero shingles and a NULL score.
+
+    Scale: reuses the dedup shingle fan-out (:func:`dedup.word_shingles`
+    — pre-repartitioned, md5-free here); one groupBy per shingle for
+    document frequency (map-side partials), one join back on shingle
+    (AQE decides the strategy; the df side is vocabulary-sized — never
+    broadcast-hinted, same rule as tfidf), one groupBy per doc.
+    """
+    from . import dedup
+
+    sh = (
+        dedup.word_shingles(docs.select(id_col, text_col), text_col, k)
+        .select(id_col, "shingle")
+        .distinct()
+    )
+    df_counts = sh.groupBy("shingle").agg(
+        F.count("*").alias("_df")
+    )
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).cast("bigint").alias(
+                "n_novel"
+            ),
+        )
+        .join(docs.select(id_col), id_col, "right")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )

@@ -219,3 +219,43 @@ def countmin_cells_stream(
     from ..operators import sketches
 
     return sketches.countmin_table(events, item_col)
+
+
+def view_click_join(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: every (view → click) pair for a user
+    where the click lands within ``gap`` after the view — the canonical
+    attribution join, and the one streaming shape the rest of this
+    module doesn't cover (both inputs unbounded).
+
+    Both sides carry watermarks and the join condition bounds click_ts
+    relative to view_ts, so Spark can expire join state on BOTH sides
+    (an un-bounded stream-stream join would buffer forever). State is
+    keyed by user_id — partitioned, nothing driver-side. The batch twin
+    is the same expressions on a static frame (pinned stream ≡ batch by
+    the tests).
+    """
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    if views.isStreaming:
+        views = views.withWatermark("view_ts", watermark)
+        clicks = clicks.withWatermark("click_ts", watermark)
+    return views.join(
+        clicks,
+        F.expr(
+            f"""user_id = c_user_id
+                and click_ts > view_ts
+                and click_ts <= view_ts + interval {gap}"""
+        ),
+    ).select("user_id", "view_id", "click_id", "view_ts", "click_ts")
