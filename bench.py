@@ -74,10 +74,13 @@ HEADLINE = [
     "pagerank",
     "funnel",
     "cohort_retention",
-    # new in r3: dataset versioning, time-series gap fill, corpus novelty
+    # new in r3: dataset versioning, time-series gap fill, corpus
+    # novelty, two-sided interval overlap, temperature mixture sampling
     "dataset_diff",
     "events_gapfill",
     "novelty",
+    "interval_overlap",
+    "temperature_mixture",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -105,3 +105,73 @@ def test_novelty_score_planted(spark):
     assert got[3]["novelty"] == 1.0
     # doc 4: no shingles → counts 0, score NULL
     assert got[4]["n_shingles"] == 0 and got[4]["novelty"] is None
+
+
+def test_interval_overlap_join_exact(spark):
+    mk = lambda h, m=0: datetime.datetime(2024, 1, 1, h, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [
+            (1, mk(0), mk(5)),     # overlaps r1, r2
+            (1, mk(10), mk(11)),   # overlaps r3 only at the boundary
+            (2, mk(0), mk(23, 59)),  # long interval, many bins, no match
+        ],
+        "user_id bigint, start timestamp, end timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, mk(1), mk(2), "r1"),
+            (1, mk(4, 30), mk(6), "r2"),   # partial overlap
+            (1, mk(11), mk(12), "r3"),     # closed-interval boundary touch
+            (1, mk(6), mk(7), "r4"),       # gap — no overlap
+            (3, mk(0), mk(1), "r5"),       # different key
+        ],
+        "user_id bigint, start timestamp, end timestamp, tag string",
+    )
+    from wasaffi_spark.operators.temporal import interval_overlap_join
+
+    got = sorted(
+        (r["user_id"], r["tag"])
+        for r in interval_overlap_join(
+            left, right, on="user_id",
+            left_start="start", left_end="end",
+            right_start="start", right_end="end",
+        ).collect()
+    )
+    assert got == [(1, "r1"), (1, "r2"), (1, "r3")]
+
+
+def test_interval_overlap_no_bin_duplicates(spark):
+    # an interval pair sharing many bins must still appear exactly once
+    t0 = datetime.datetime(2024, 1, 1)
+    week = datetime.timedelta(days=7)
+    left = spark.createDataFrame(
+        [(1, t0, t0 + week)], "user_id bigint, start timestamp, end timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t0, t0 + week, "x")],
+        "user_id bigint, start timestamp, end timestamp, tag string",
+    )
+    from wasaffi_spark.operators.temporal import interval_overlap_join
+
+    rows = interval_overlap_join(
+        left, right, on="user_id",
+        left_start="start", left_end="end",
+        right_start="start", right_end="end",
+    ).collect()
+    assert len(rows) == 1
+
+
+def test_temperature_mixture_keeps_rare_flattens_head(spark):
+    from wasaffi_spark.operators.pipeline import temperature_mixture
+
+    rows = [(i, "en" if i < 900 else "fr") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = temperature_mixture(docs, alpha=0.5).groupBy("lang").count()
+    counts = {r["lang"]: r["count"] for r in out.collect()}
+    # the smallest domain keeps everything
+    assert counts["fr"] == 100
+    # head domain downsampled by (100/900)^0.5 ≈ 0.333 → ~300 of 900
+    assert 240 <= counts["en"] <= 360
+    # deterministic across invocations
+    out2 = temperature_mixture(docs, alpha=0.5).groupBy("lang").count()
+    assert counts == {r["lang"]: r["count"] for r in out2.collect()}

@@ -2314,3 +2314,94 @@ register_extra(
        from documents d left join per using (doc_id)
        order by d.doc_id""",
 )
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided interval overlap join (operators/temporal.py::
+    interval_overlap_join): per-user daily activity intervals ×
+    per-user hourly error windows. Day intervals span ~24 one-hour
+    bins, so the binned-expansion + dedup path is fully exercised;
+    the oracle states the overlap predicate directly (quadratic — fine
+    as the correctness reference, never the scale path)."""
+    from . import temporal
+
+    events = _table(spark, sf_dir, "events")
+    sessions = (
+        events.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("_d"))
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+        .select("user_id", "s_start", "s_end")
+    )
+    err = (
+        events.where(F.col("event_type") == "error")
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("_h"))
+        .agg(
+            F.min("ts").alias("e_start"),
+            F.max("ts").alias("e_end"),
+            F.count("*").alias("n_err"),
+        )
+        .select("user_id", "e_start", "e_end", "n_err")
+    )
+    return temporal.interval_overlap_join(
+        sessions,
+        err,
+        on="user_id",
+        left_start="s_start",
+        left_end="s_end",
+        right_start="e_start",
+        right_end="e_end",
+    ).orderBy("user_id", "s_start", "e_start")
+
+
+register_extra(
+    "interval_overlap",
+    q_interval_overlap,
+    """with s as (
+          select user_id, date_trunc('day', ts) as d,
+                 min(ts) as s_start, max(ts) as s_end
+          from events group by 1, 2),
+        e as (
+          select user_id, date_trunc('hour', ts) as h,
+                 min(ts) as e_start, max(ts) as e_end, count(*) as n_err
+          from events where event_type = 'error' group by 1, 2)
+       select s.user_id, s_start, s_end, e_start, e_end, n_err
+       from s join e on s.user_id = e.user_id
+                    and s_start <= e_end and e_start <= s_end
+       order by s.user_id, s_start, e_start""",
+)
+
+
+TEMPERATURE_ALPHA = 0.5
+
+
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax/XLM-R-style temperature sampling over document languages
+    (operators/pipeline.py::temperature_mixture, alpha=0.5): rare
+    languages keep everything, head languages are hash-downsampled
+    toward n^alpha proportions."""
+    from . import pipeline as pipe
+
+    docs = _table(spark, sf_dir, "documents")
+    return (
+        pipe.temperature_mixture(docs, alpha=TEMPERATURE_ALPHA)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+register_extra(
+    "temperature_mixture",
+    q_temperature_mixture,
+    f"""with counts as (select lang, count(*) as n_d from documents group by 1),
+        mn as (select min(n_d) as n_min from counts),
+        frac as (
+          select lang,
+                 cast(least(10000,
+                            round(pow(n_min * 1.0 / n_d,
+                                      {1.0 - TEMPERATURE_ALPHA}) * 10000))
+                      as int) as keep_bp
+          from counts cross join mn)
+       select d.doc_id, d.lang
+       from documents d join frac using (lang)
+       where {_ORACLE_SAMPLE_BUCKET.replace("doc_id", "d.doc_id")} < keep_bp
+       order by d.doc_id""",
+)

@@ -228,3 +228,53 @@ def group_sample_n(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= n)
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.5,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = SAMPLE_SEED,
+) -> DataFrame:
+    """Temperature-based domain mixture (the multilingual-sampling rule
+    of mBERT/XLM-R/UniMax family): target weights ∝ ``n_d^alpha``,
+    flattening the natural distribution toward uniform as ``alpha → 0``
+    while never upsampling. The target mixture is DERIVED from corpus
+    counts (unlike :func:`mixture_resample`, whose weights are given),
+    so rare domains keep 100% of their rows and head domains are
+    downsampled by ``(n_min/n_d)^(1-alpha)``-shaped factors.
+
+    Derivation: want output_d ∝ n_d^alpha with keep_d ≤ 1; the binding
+    constraint is the domain maximizing n_d^alpha/n_d = n_d^(alpha-1),
+    which for alpha < 1 is the SMALLEST domain. So
+    ``keep_d = (n_min/n_d)^(1-alpha)``.
+
+    Determinism: the keep decision reuses the shared hash-bernoulli
+    bucket (:func:`sample_bucket`) at basis-point resolution; the
+    keep fraction itself is rounded to basis points so both engines
+    compute the same integer threshold.
+
+    Scale: one O(domains) count aggregate broadcast back onto the
+    corpus; the corpus itself never shuffles (codegen filter only).
+    """
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_d"))
+    n_min = counts.agg(F.min("n_d").alias("n_min"))
+    frac = (
+        counts.crossJoin(F.broadcast(n_min))
+        .select(
+            domain_col,
+            F.least(
+                F.lit(10000),
+                F.round(
+                    F.pow(F.col("n_min") / F.col("n_d"), 1.0 - alpha) * 10000
+                ),
+            )
+            .cast("int")
+            .alias("keep_bp"),
+        )
+    )
+    b = sample_bucket(id_col, seed)
+    return df.join(F.broadcast(frac), domain_col).where(b < F.col("keep_bp")).drop(
+        "keep_bp"
+    )

@@ -209,3 +209,68 @@ def gapfill_hourly(
             F.last("sv", ignorenulls=True).over(w).alias("last_sum"),
         )
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """Join two INTERVAL sets on key + time overlap
+    (``l.start <= r.end AND r.start <= l.end``, closed intervals) — the
+    two-sided generalization of :func:`range_join_binned`.
+
+    Plan shape: each interval explodes into every ``bin_seconds`` bucket
+    it covers, the join is equi on (key, bucket), the exact overlap
+    predicate filters, and a distinct on the pair identity removes the
+    multi-bucket duplicates (two intervals overlapping across k shared
+    buckets meet k times). Catalyst would otherwise plan the raw
+    inequality join as BroadcastNestedLoop — quadratic per key.
+
+    Fan-out is interval_span/bin_seconds per row: pick ``bin_seconds``
+    near the typical interval length (the standard binned-overlap
+    sizing), so fan-out stays O(1)·rows while each bucket pairs only
+    co-located intervals.
+
+    Column handling: both sides keep all their columns; right-side
+    name collisions get an ``_r`` suffix.
+    """
+    overlap = (F.col(f"_l_{left_start}") <= F.col(f"_r_{right_end}")) & (
+        F.col(f"_r_{right_start}") <= F.col(f"_l_{left_end}")
+    )
+
+    def binned(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(s)) / bin_seconds),
+                    F.floor(F.unix_timestamp(F.col(e)) / bin_seconds),
+                )
+            ),
+        )
+
+    lcols = [c for c in left.columns if c != on]
+    rcols = [c for c in right.columns if c != on]
+    l_ren = left.select(
+        on, *[F.col(c).alias(f"_l_{c}") for c in lcols]
+    )
+    r_ren = right.select(
+        on, *[F.col(c).alias(f"_r_{c}") for c in rcols]
+    )
+    lb = binned(l_ren, f"_l_{left_start}", f"_l_{left_end}")
+    rb = binned(r_ren, f"_r_{right_start}", f"_r_{right_end}")
+    joined = lb.join(rb, [on, "_bin"]).where(overlap).drop("_bin").distinct()
+    out_cols = [F.col(on)]
+    for c in lcols:
+        out_cols.append(F.col(f"_l_{c}").alias(c))
+    for c in rcols:
+        out_cols.append(
+            F.col(f"_r_{c}").alias(c if c not in lcols else f"{c}_r")
+        )
+    return joined.select(*out_cols)
