@@ -81,6 +81,7 @@ HEADLINE = [
     "novelty",
     "interval_overlap",
     "temperature_mixture",
+    "pq_codes",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -175,3 +175,37 @@ def test_temperature_mixture_keeps_rare_flattens_head(spark):
     # deterministic across invocations
     out2 = temperature_mixture(docs, alpha=0.5).groupBy("lang").count()
     assert counts == {r["lang"]: r["count"] for r in out2.collect()}
+
+
+def test_pq_encode_self_codes_and_determinism(spark):
+    import hashlib
+
+    from wasaffi_spark.operators.similarity import PQ_SEED, pq_encode
+
+    # 3 well-separated 8-dim vectors; with ≤16 vectors every vector is
+    # its own codeword, so each row's code in every subspace must be its
+    # own hash rank (m=2 subspaces of 4 dims).
+    vecs = {
+        1: [1.0, 0.0, 0.0, 0.0, 5.0, 5.0, 5.0, 5.0],
+        2: [0.0, 1.0, 0.0, 0.0, -5.0, -5.0, -5.0, -5.0],
+        3: [0.0, 0.0, 1.0, 0.0, 9.0, -9.0, 9.0, -9.0],
+    }
+    rank = {
+        vid: r
+        for r, vid in enumerate(
+            sorted(vecs, key=lambda v: (hashlib.md5(f"{PQ_SEED}{v}".encode()).hexdigest(), v))
+        )
+    }
+    df = spark.createDataFrame(
+        [(vid, v) for vid, v in vecs.items()],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in pq_encode(df, dim=8, m=2, k=16).collect()}
+    for vid in vecs:
+        assert out[vid]["c0"] == rank[vid], (vid, rank)
+        assert out[vid]["c1"] == rank[vid]
+    # determinism across invocations
+    out2 = {r["vec_id"]: r for r in pq_encode(df, dim=8, m=2, k=16).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in out2.items()
+    }

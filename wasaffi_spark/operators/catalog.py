@@ -2405,3 +2405,46 @@ register_extra(
        where {_ORACLE_SAMPLE_BUCKET.replace("doc_id", "d.doc_id")} < keep_bp
        order by d.doc_id""",
 )
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (operators/similarity.py::pq_encode)
+    for every corpus vector — 64 floats → 8 nibble codes against
+    hash-sampled subspace codebooks; distances on an integer grid so
+    the argmin is engine-exact."""
+    emb = _table(spark, sf_dir, "embeddings")
+    return similarity.pq_encode(emb).orderBy("vec_id")
+
+
+def _pq_dist_sql(j: int) -> str:
+    sub, quant = 64 // similarity.PQ_M, similarity.PQ_QUANT
+    terms = " + ".join(
+        f"power(round(v[{j * sub + i}]*{quant}) - round(sv[{j * sub + i}]*{quant}), 2)"
+        for i in range(1, sub + 1)
+    )
+    return f"cast({terms} as bigint)"
+
+
+register_extra(
+    "pq_codes",
+    q_pq_codes,
+    f"""with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        ranked as (
+          select v as sv,
+                 row_number() over (
+                   order by md5('{similarity.PQ_SEED}' || vec_id), vec_id) - 1
+                   as rank
+          from e
+          order by md5('{similarity.PQ_SEED}' || vec_id), vec_id
+          limit {similarity.PQ_K}),
+        pairs as (
+          select e.vec_id, s.rank,
+                 {", ".join(f"{_pq_dist_sql(j)} as d{j}" for j in range(similarity.PQ_M))}
+          from e cross join ranked s)
+       select vec_id,
+              {", ".join(
+                  f"cast(min(d{j} * {similarity.PQ_K} + rank) % {similarity.PQ_K} as int) as c{j}"
+                  for j in range(similarity.PQ_M)
+              )}
+       from pairs group by vec_id order by vec_id""",
+)

@@ -350,3 +350,89 @@ def semantic_dedup(
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+PQ_SEED = "pq-v1"
+PQ_M = 8
+PQ_K = 16
+PQ_QUANT = 1024
+
+
+def pq_encode(
+    corpus: DataFrame,
+    dim: int = 64,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    quant: int = PQ_QUANT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = PQ_SEED,
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al., the IVF-PQ building
+    block): split each ``dim``-vector into ``m`` subvectors, quantize
+    each against a ``k``-codeword subspace codebook, emit the code per
+    subspace — ``dim`` floats compress to ``m`` small ints (here
+    64×4 B → 8×4 bits).
+
+    Codebooks are the subvectors of the ``k`` hash-sampled seed vectors
+    (same deterministic sampling as :func:`semantic_dedup`; a
+    production run swaps in per-subspace k-means codebooks without
+    touching the plan shape). Distances are computed on
+    ``round(x·quant)`` integer grids, so every distance, the argmin,
+    and its rank tiebreak are INTEGER-EXACT — bit-identical across
+    engines and partitionings, which is what makes a PQ encoder
+    hash-verifiable at all (float L2 argmin is not, under ties).
+
+    The argmin itself is the packed-min trick: per subspace
+    ``code = min(dist·k + rank) % k`` — smallest distance wins, ties
+    break to the smallest codeword rank, no window function needed.
+
+    Scale: one broadcast of k seed vectors, a k-way fan-out (codegen
+    zip_with/aggregate folds — no Python), one groupBy per vector id
+    with map-side partial mins. Shuffle carries m small ints per
+    vector.
+    """
+    sub = dim // m
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    from pyspark.sql.window import Window
+
+    seeds = (
+        corpus.select(F.col(vec_col).alias("sv"), h.alias("_h"), F.col(id_col).alias("_sid"))
+        .orderBy("_h", "_sid")
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy("_h", "_sid")) - 1,
+        )
+        .select("sv", "rank")
+    )
+
+    def qdist(j: int):
+        a = F.slice(F.col(vec_col), j * sub + 1, sub)
+        b = F.slice(F.col("sv"), j * sub + 1, sub)
+        d = F.zip_with(
+            a,
+            b,
+            lambda x, y: (
+                F.round(x * quant).cast("long") - F.round(y * quant).cast("long")
+            ),
+        )
+        return F.aggregate(
+            F.transform(d, lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    pairs = corpus.select(id_col, vec_col).crossJoin(F.broadcast(seeds)).select(
+        id_col,
+        "rank",
+        *[qdist(j).alias(f"_d{j}") for j in range(m)],
+    )
+    return pairs.groupBy(id_col).agg(
+        *[
+            (F.min(F.col(f"_d{j}") * k + F.col("rank")) % k)
+            .cast("int")
+            .alias(f"c{j}")
+            for j in range(m)
+        ]
+    )
