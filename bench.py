@@ -82,6 +82,7 @@ HEADLINE = [
     "interval_overlap",
     "temperature_mixture",
     "pq_codes",
+    "scd2_merge",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

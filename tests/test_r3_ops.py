@@ -209,3 +209,46 @@ def test_pq_encode_self_codes_and_determinism(spark):
     assert {k: tuple(v) for k, v in out.items()} == {
         k: tuple(v) for k, v in out2.items()
     }
+
+
+def test_scd2_merge_three_branches(spark):
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators.merge import scd2_merge
+
+    t = lambda s: datetime.datetime.fromisoformat(s)  # noqa: E731
+    history = spark.createDataFrame(
+        [
+            # k=1: one closed + one current version (will change again)
+            (1, "v1", t("2023-01-01"), t("2023-06-01"), False),
+            (1, "v2", t("2023-06-01"), None, True),
+            # k=2: current, unchanged in source
+            (2, "stable", t("2023-01-01"), None, True),
+            # k=3: current, absent from source → stays open
+            (3, "lonely", t("2023-01-01"), None, True),
+        ],
+        "k bigint, val string, valid_from timestamp, valid_to timestamp, is_current boolean",
+    )
+    source = spark.createDataFrame(
+        [(1, "v3"), (2, "stable"), (4, "fresh")], "k bigint, val string"
+    )
+    load = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    out = scd2_merge(history, source, ["k"], ["val"], load)
+    rows = sorted(
+        (r["k"], r["val"], r["is_current"], r["valid_to"] is None)
+        for r in out.collect()
+    )
+    assert rows == [
+        (1, "v1", False, False),   # closed history untouched
+        (1, "v2", False, False),   # changed current → closed at load
+        (1, "v3", True, True),     # new version opens
+        (2, "stable", True, True),  # unchanged passes through
+        (3, "lonely", True, True),  # absent from source stays open
+        (4, "fresh", True, True),   # brand-new key opens
+    ]
+    # exactly one current row per live key
+    cur = out.where("is_current").groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in cur)
+    # the closed v2 row records the load timestamp
+    [v2] = [r for r in out.collect() if r["val"] == "v2"]
+    assert v2["valid_to"] == t("2024-01-01")

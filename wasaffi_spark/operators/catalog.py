@@ -2448,3 +2448,105 @@ register_extra(
               )}
        from pairs group by vec_id order by vec_id""",
 )
+
+
+def q_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history merge (operators/merge.py::scd2_merge).
+    History: every doc current since epoch T0, with doc_id%5==0 already
+    carrying one closed prior version. Source snapshot: doc_id%7==0
+    re-crawled with uppercased text (changed → close + open),
+    doc_id%11==0 arriving as brand-new keys (doc_id+1000000)."""
+    from . import merge as mergemod
+
+    docs = _table(spark, sf_dir, "documents")
+    t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    t_prior = F.to_timestamp(F.lit("2023-06-01 00:00:00"))
+    load = F.to_timestamp(F.lit("2024-07-01 00:00:00"))
+    cur = docs.select(
+        "doc_id",
+        "text",
+        t0.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    prior = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.concat(F.lit("old:"), F.col("text")).alias("text"),
+        t_prior.alias("valid_from"),
+        t0.alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    history = cur.unionByName(prior)
+    source = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .select(
+            "doc_id", F.upper(F.col("text")).alias("text")
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return (
+        mergemod.scd2_merge(
+            history, source, keys=["doc_id"], compare_cols=["text"], load_ts=load
+        )
+        .select(
+            "doc_id",
+            F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("text_md5"),
+            "valid_from",
+            "valid_to",
+            "is_current",
+        )
+        .orderBy("doc_id", "valid_from", "is_current")
+    )
+
+
+register_extra(
+    "scd2_merge",
+    q_scd2_merge,
+    """with cur as (
+          select doc_id, text,
+                 timestamp '2024-01-01 00:00:00' as valid_from,
+                 cast(null as timestamp) as valid_to,
+                 true as is_current
+          from documents),
+        prior as (
+          select doc_id, 'old:' || text as text,
+                 timestamp '2023-06-01 00:00:00' as valid_from,
+                 timestamp '2024-01-01 00:00:00' as valid_to,
+                 false as is_current
+          from documents where doc_id % 5 = 0),
+        src as (
+          select doc_id, upper(text) as text
+          from documents where doc_id % 7 = 0
+          union all
+          select doc_id + 1000000 as doc_id, text
+          from documents where doc_id % 11 = 0),
+        merged as (
+          -- closed history passes through
+          select * from prior
+          union all
+          -- unchanged current rows (no source row, or identical text)
+          select c.doc_id, c.text, c.valid_from, c.valid_to, c.is_current
+          from cur c left join src s using (doc_id)
+          where s.doc_id is null or s.text is not distinct from c.text
+          union all
+          -- changed current rows close at load time
+          select c.doc_id, c.text, c.valid_from,
+                 timestamp '2024-07-01 00:00:00' as valid_to, false
+          from cur c join src s using (doc_id)
+          where s.text is distinct from c.text
+          union all
+          -- changed keys re-open + brand-new keys open
+          select s.doc_id, s.text,
+                 timestamp '2024-07-01 00:00:00' as valid_from,
+                 cast(null as timestamp) as valid_to, true
+          from src s left join cur c using (doc_id)
+          where c.doc_id is null or s.text is distinct from c.text)
+       select doc_id, md5(coalesce(text, '')) as text_md5,
+              valid_from, valid_to, is_current
+       from merged
+       order by doc_id, valid_from, is_current""",
+)
