@@ -32,7 +32,7 @@ HEADLINE = [
     # relational core
     "agg_pricing_sets",
     "filter_project",
-    "join_agg",
+    "join_collect_aggs",
     "window_fns",
     "outer_join_topk",
     "subqueries_cte",
@@ -88,6 +88,7 @@ HEADLINE = [
 # round-1 name for each headline query (round-2 consolidation renamed or
 # widened some shapes — see plans/relational.py); value None = no r1 row.
 R1_NAME = {
+    "join_collect_aggs": "join_agg",  # r3 merges collect_aggs into the slot
     "agg_pricing_sets": "agg_pricing",  # r3 merges grouping_sets into Q1
     "window_fns": "window_rownum",  # r2 adds rank+lag+frame to the shape
     "outer_join_topk": "topk",  # r2 adds the outer join + aggregation
@@ -100,6 +101,11 @@ R1_NAME = {
 # regression of the same work. Carried into the output JSON so the
 # per-query budget comparison stays honest in both directions.
 R2_WIDENED = {
+    "join_collect_aggs": (
+        "r3 merges the collection-aggregate query into the broadcast-join "
+        "slot — same join, now with collect_set/listagg measures at the "
+        "region grain on top of the count"
+    ),
     "agg_pricing_sets": (
         "r3 merges the grouping_sets query into the Q1-measures slot — "
         "the same scan now aggregates at four grains (cube spelled out) "

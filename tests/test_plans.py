@@ -32,7 +32,7 @@ def test_filter_pushdown_reaches_scan(spark):
 
 @needs_data
 def test_dimension_join_broadcasts(spark):
-    f = plan_facts(relational.QUERIES["join_agg"](spark, SF_SMOKE))
+    f = plan_facts(relational.QUERIES["join_collect_aggs"](spark, SF_SMOKE))
     assert f.broadcast_joins >= 1
     assert f.sortmerge_joins == 0  # the fact side must not shuffle-sort
     # customer scan reads ONLY the join key (group key comes from nation)

@@ -2425,7 +2425,7 @@ def _pq_dist_sql(j: int) -> str:
     return f"cast({terms} as bigint)"
 
 
-register_extra(
+register(  # promoted to the driver window in round 3
     "pq_codes",
     q_pq_codes,
     f"""with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),

@@ -90,18 +90,31 @@ query(
 )
 
 # -- joins --------------------------------------------------------------------
-# §2C rows: equi-join (hash). nation is tiny → broadcast; at 100 TB the
-# customer side never shuffles.
+# §2C rows (round-3 merge, freeing a window slot for pq_codes): equi-join
+# (hash; nation is tiny → broadcast, at 100 TB the customer side never
+# shuffles) AND the collection-aggregate family from the former
+# collect_aggs entry — array_agg (scalarized via array_join: the driver's
+# canonicalizer cannot hash list-typed cells) and listagg/string_agg,
+# sorted for cross-engine determinism.
 
 query(
-    "join_agg",
+    "join_collect_aggs",
     ("customer", "nation"),
-    """select /*+ BROADCAST(nation) */ n_name, count(*) as cnt
+    """select /*+ BROADCAST(nation) */ n_regionkey,
+              count(*) as cust_cnt,
+              array_join(sort_array(collect_set(n_name)), ',') as names,
+              cast(size(collect_set(n_name)) as bigint) as n_nations,
+              listagg(distinct n_name, ';') within group (order by n_name)
+                as names2
        from customer join nation on c_nationkey = n_nationkey
-       group by n_name order by n_name""",
-    oracle="""select n_name, count(*) as cnt
+       group by n_regionkey order by n_regionkey""",
+    oracle="""select n_regionkey,
+              count(*) as cust_cnt,
+              array_to_string(list_sort(list(distinct n_name)), ',') as names,
+              cast(len(list(distinct n_name)) as bigint) as n_nations,
+              string_agg(distinct n_name, ';' order by n_name) as names2
        from customer join nation on c_nationkey = n_nationkey
-       group by n_name order by n_name""",
+       group by n_regionkey order by n_regionkey""",
 )
 
 # §2C rows: outer joins + sort/limit/top-k. The order-by-measure-desc +
@@ -187,25 +200,6 @@ query(
        group by bucket, sz, st
        having count(*) >= 5
        order by bucket, sz, st""",
-)
-
-# §2C rows: collection aggregates — array_agg (scalarized via array_join:
-# the driver's canonicalizer cannot hash list-typed cells) and
-# listagg/string_agg; sorted for cross-engine determinism.
-
-query(
-    "collect_aggs",
-    ("nation",),
-    """select n_regionkey,
-              array_join(sort_array(collect_list(n_name)), ',') as names,
-              cast(size(collect_list(n_name)) as bigint) as n,
-              listagg(n_name, ';') within group (order by n_name) as names2
-       from nation group by n_regionkey order by n_regionkey""",
-    oracle="""select n_regionkey,
-              array_to_string(list_sort(list(n_name)), ',') as names,
-              cast(len(list(n_name)) as bigint) as n,
-              string_agg(n_name, ';' order by n_name) as names2
-       from nation group by n_regionkey order by n_regionkey""",
 )
 
 # §2C row: approx aggregates (HLL distinct + t-digest percentiles),
