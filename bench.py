@@ -83,6 +83,7 @@ HEADLINE = [
     "temperature_mixture",
     "pq_codes",
     "scd2_merge",
+    "pq_topk",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

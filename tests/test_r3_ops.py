@@ -252,3 +252,36 @@ def test_scd2_merge_three_branches(spark):
     # the closed v2 row records the load timestamp
     [v2] = [r for r in out.collect() if r["val"] == "v2"]
     assert v2["valid_to"] == t("2024-01-01")
+
+
+def test_pq_topk_recall_vs_bruteforce(spark):
+    """ADC over 8-nibble codes is approximate; on clustered synthetic
+    data it should still place most true top-3 neighbours in its top-3
+    (codes collapse 64 dims to 8 codewords, so demand recall ≥ 0.5,
+    not perfection) — and planted exact duplicates MUST be found at
+    distance 0."""
+    import random
+
+    from wasaffi_spark.operators.similarity import brute_force_topk, pq_topk
+
+    rng = random.Random(7)
+    centers = [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(4)]
+    rows = []
+    for i in range(80):
+        c = centers[i % 4]
+        rows.append((i, [x + rng.uniform(-0.05, 0.05) for x in c]))
+    # planted exact duplicates of vectors 0..3 under new ids
+    for i in range(4):
+        rows.append((100 + i, list(rows[i][1])))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    probes = emb.where("vec_id < 4")
+
+    pq = pq_topk(probes, emb, k=3)
+    got = {(r["qid"], r["nid"]) for r in pq.collect()}
+    # each probe's exact duplicate is its nearest code-identical match
+    dup_hits = {(q, q + 100) for q in range(4)}
+    assert dup_hits <= got
+    bf = brute_force_topk(probes, emb, k=3)
+    want = {(r["qid"], r["nid"]) for r in bf.collect()}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.5, (recall, got, want)

@@ -2550,3 +2550,74 @@ register_extra(
        from merged
        order by doc_id, valid_from, is_current""",
 )
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k search over PQ codes (operators/similarity.py::
+    pq_topk): probe vectors vec_id < 8, corpus represented only by its
+    8 nibble codes; per-query m×k lookup tables broadcast so the codes
+    never shuffle. Quantized-integer distances → fully hash-checkable
+    (float ADC would not be)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    return similarity.pq_topk(probes, emb, k=ANN_K).orderBy("qid", "rank")
+
+
+def _pq_qdist_sql(j: int) -> str:
+    sub, quant = 64 // similarity.PQ_M, similarity.PQ_QUANT
+    terms = " + ".join(
+        f"power(round(qv[{j * sub + i}]*{quant}) - round(sv[{j * sub + i}]*{quant}), 2)"
+        for i in range(1, sub + 1)
+    )
+    return f"cast({terms} as bigint)"
+
+
+_PQ_M, _PQ_K = similarity.PQ_M, similarity.PQ_K
+
+register_extra(
+    "pq_topk",
+    q_pq_topk,
+    f"""with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        ranked as (
+          select v as sv,
+                 row_number() over (
+                   order by md5('{similarity.PQ_SEED}' || vec_id), vec_id) - 1
+                   as rank
+          from e
+          order by md5('{similarity.PQ_SEED}' || vec_id), vec_id
+          limit {_PQ_K}),
+        cpairs as (
+          select e.vec_id, s.rank,
+                 {", ".join(f"{_pq_dist_sql(j)} as d{j}" for j in range(_PQ_M))}
+          from e cross join ranked s),
+        codes as (
+          select vec_id as nid,
+                 {", ".join(
+                     f"cast(min(d{j} * {_PQ_K} + rank) % {_PQ_K} as int) as c{j}"
+                     for j in range(_PQ_M)
+                 )}
+          from cpairs group by vec_id),
+        q as (select vec_id as qid, v as qv from e where vec_id < {ANN_QUERY_MAX_ID}),
+        qpairs as (
+          select q.qid, s.rank,
+                 {", ".join(f"{_pq_qdist_sql(j)} as d{j}" for j in range(_PQ_M))}
+          from q cross join ranked s),
+        qd as ({" union all ".join(
+            f"select qid, rank, {j} as j, d{j} as d from qpairs" for j in range(_PQ_M)
+        )}),
+        cd as ({" union all ".join(
+            f"select nid, {j} as j, c{j} as c from codes" for j in range(_PQ_M)
+        )}),
+        adist as (
+          select qd.qid, cd.nid, cast(sum(qd.d) as bigint) as adist
+          from qd join cd on qd.j = cd.j and qd.rank = cd.c
+          group by 1, 2),
+        rankd as (
+          select qid, nid, adist,
+                 cast(row_number() over (
+                   partition by qid order by adist, nid) as int) as rank
+          from adist where qid <> nid)
+       select qid, nid, adist, rank from rankd
+       where rank <= {ANN_K}
+       order by qid, rank""",
+)

@@ -436,3 +436,100 @@ def pq_encode(
             for j in range(m)
         ]
     )
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    dim: int = 64,
+    m: int = PQ_M,
+    codebook_k: int = PQ_K,
+    quant: int = PQ_QUANT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = PQ_SEED,
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over PQ codes — the
+    search half of IVF-PQ: the corpus is represented ONLY by its
+    :func:`pq_encode` codes; each query precomputes an m×k distance
+    lookup table against the codebook, and a candidate's approximate
+    distance is m array lookups + a sum, never a d-dim float op.
+
+    Returns ``(qid, nid, adist, rank)`` — integer quantized distances
+    (same grid as pq_encode, hence engine-exact), ties on distance
+    break to the lower neighbour id.
+
+    Scale shape: codes = one pass over the corpus (pq_encode); the
+    lookup tables are built by a groupBy over Q×k broadcast-joined
+    seed pairs (rows ∝ Q·k — tiny); the search join broadcasts the
+    query tables so the corpus codes never shuffle, and each candidate
+    costs m ``element_at`` lookups inside codegen. At production scale
+    compose with the IVF cell join (:func:`ivf_topk`) so each query
+    scans one cell's codes, not the corpus.
+    """
+    sub = dim // m
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    seeds = (
+        corpus.select(
+            F.col(vec_col).alias("sv"), h.alias("_h"), F.col(id_col).alias("_sid")
+        )
+        .orderBy("_h", "_sid")
+        .limit(codebook_k)
+        .withColumn("rank", F.row_number().over(Window.orderBy("_h", "_sid")) - 1)
+        .select("sv", "rank")
+    )
+
+    def qdist(j: int):
+        a = F.slice(F.col("qv"), j * sub + 1, sub)
+        b = F.slice(F.col("sv"), j * sub + 1, sub)
+        d = F.zip_with(
+            a,
+            b,
+            lambda x, y: (
+                F.round(x * quant).cast("long") - F.round(y * quant).cast("long")
+            ),
+        )
+        return F.aggregate(
+            F.transform(d, lambda v: v * v),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    pairs = q.crossJoin(F.broadcast(seeds)).select(
+        "qid", "rank", *[qdist(j).alias(f"_d{j}") for j in range(m)]
+    )
+    # rank-ordered lookup array per (query, subspace): table_j[rank+1]
+    tables = pairs.groupBy("qid").agg(
+        *[
+            F.array_sort(
+                F.collect_list(F.struct(F.col("rank"), F.col(f"_d{j}").alias("d")))
+            ).alias(f"_t{j}")
+            for j in range(m)
+        ]
+    )
+    codes = pq_encode(
+        corpus,
+        dim=dim,
+        m=m,
+        k=codebook_k,
+        quant=quant,
+        vec_col=vec_col,
+        id_col=id_col,
+        seed=seed,
+    ).withColumnRenamed(id_col, "nid")
+    adist = None
+    for j in range(m):
+        term = F.element_at(F.col(f"_t{j}"), F.col(f"c{j}") + 1)["d"]
+        adist = term if adist is None else adist + term
+    scored = (
+        codes.join(F.broadcast(tables), F.col("qid") != F.col("nid"))
+        .select("qid", "nid", adist.alias("adist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adist").asc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "adist", "rank")
+    )
