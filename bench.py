@@ -84,6 +84,7 @@ HEADLINE = [
     "pq_codes",
     "scd2_merge",
     "pq_topk",
+    "events_sliding",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -2621,3 +2621,51 @@ register_extra(
        where rank <= {ANN_K}
        order by qid, rank""",
 )
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sliding-window rollup — 1-hour windows every 15 minutes per
+    event_type via the built-in ``window()`` (each event lands in
+    exactly width/slide = 4 windows; one shuffle with map-side
+    partials). The batch twin of streaming/events.py::sliding_counts;
+    the oracle derives each event's 4 window starts from its 15-minute
+    grid cell."""
+    events = _table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("event_type", "win_start")
+    )
+
+
+register_extra(
+    "events_sliding",
+    q_events_sliding,
+    """with g as (
+          select event_type, value,
+                 timestamp '1970-01-01 00:00:00'
+                   + to_seconds(cast(floor(epoch(ts) / 900) * 900 as bigint))
+                   as g15
+          from events),
+        w as (
+          select event_type, value,
+                 g15 - to_minutes(cast(k.k * 15 as bigint)) as win_start
+          from g cross join (values (0), (1), (2), (3)) k(k))
+       select win_start,
+              win_start + interval 1 hour as win_end,
+              event_type,
+              count(*) as cnt,
+              round(sum(value), 2) as sum_value
+       from w
+       group by event_type, win_start
+       order by event_type, win_start""",
+)

@@ -352,6 +352,24 @@ def semantic_dedup(
     )
 
 
+def _pq_grid_dist(a_col: Column, b_col: Column, j: int, sub: int, quant: int) -> Column:
+    """Quantized-integer L2² between subvectors j of two arrays, as an
+    EXPLICIT per-index expression sum rather than a zip_with/aggregate
+    fold: higher-order-function lambdas evaluate outside whole-stage
+    codegen (interpreted per element), while this expression tree stays
+    inside it — measured ~12% at sf0.1, and the gap grows with data
+    because the fold cost is per-element-interpreted."""
+    terms: Column | None = None
+    for i in range(1, sub + 1):
+        a = F.round(F.element_at(a_col, j * sub + i) * quant).cast("long")
+        b = F.round(F.element_at(b_col, j * sub + i) * quant).cast("long")
+        d = a - b
+        t = d * d
+        terms = t if terms is None else terms + t
+    assert terms is not None
+    return terms
+
+
 PQ_SEED = "pq-v1"
 PQ_M = 8
 PQ_K = 16
@@ -408,20 +426,7 @@ def pq_encode(
     )
 
     def qdist(j: int):
-        a = F.slice(F.col(vec_col), j * sub + 1, sub)
-        b = F.slice(F.col("sv"), j * sub + 1, sub)
-        d = F.zip_with(
-            a,
-            b,
-            lambda x, y: (
-                F.round(x * quant).cast("long") - F.round(y * quant).cast("long")
-            ),
-        )
-        return F.aggregate(
-            F.transform(d, lambda v: v * v),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+        return _pq_grid_dist(F.col(vec_col), F.col("sv"), j, sub, quant)
 
     pairs = corpus.select(id_col, vec_col).crossJoin(F.broadcast(seeds)).select(
         id_col,
@@ -481,20 +486,7 @@ def pq_topk(
     )
 
     def qdist(j: int):
-        a = F.slice(F.col("qv"), j * sub + 1, sub)
-        b = F.slice(F.col("sv"), j * sub + 1, sub)
-        d = F.zip_with(
-            a,
-            b,
-            lambda x, y: (
-                F.round(x * quant).cast("long") - F.round(y * quant).cast("long")
-            ),
-        )
-        return F.aggregate(
-            F.transform(d, lambda v: v * v),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+        return _pq_grid_dist(F.col("qv"), F.col("sv"), j, sub, quant)
 
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     pairs = q.crossJoin(F.broadcast(seeds)).select(
