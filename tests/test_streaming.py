@@ -282,3 +282,47 @@ def test_view_click_join_stream_equals_batch(spark, event_stream):
     }
     assert got == want
     assert len(want) > 0  # the fixture actually produces pairs
+
+
+@needs_data
+def test_incremental_dedup_sink_equals_batch_dedup(spark):
+    """foreachBatch continuous-ingest dedup accumulates exactly the
+    batch exact-dedup keeper set, regardless of micro-batch slicing
+    (maxFilesPerTrigger=1 over the fixture)."""
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.sources.parquet import read_parquet
+    from wasaffi_spark.streaming import documents as sdoc
+
+    import tempfile
+
+    # split the corpus into 3 files and stream 1 file per trigger, so
+    # the state genuinely crosses micro-batch boundaries (duplicate
+    # texts span the fixture's id range → later batches must anti-join
+    # against earlier batches' hashes)
+    src_dir = tempfile.mkdtemp(prefix="inc_src_")
+    read_parquet(spark, f"{SF_SMOKE}/documents.parquet").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    state_dir = tempfile.mkdtemp(prefix="inc_dedup_")
+    q = sdoc.incremental_dedup_sink(stream, spark, state_dir)
+    q.awaitTermination()
+    kept = spark.read.parquet(f"{state_dir}/docs")
+    # keeper semantics are first-ARRIVAL (micro-batch order), so compare
+    # the order-independent invariants against batch exact dedup:
+    # exactly one kept doc per distinct text, covering every text.
+    per_hash = kept.groupBy(F.md5("text").alias("h")).count().collect()
+    assert len(per_hash) > 0 and all(r["count"] == 1 for r in per_hash)
+    batch = read_parquet(spark, f"{SF_SMOKE}/documents.parquet")
+    want_hashes = {
+        r["h"] for r in batch.select(F.md5("text").alias("h")).distinct().collect()
+    }
+    assert {r["h"] for r in per_hash} == want_hashes
+    # and every kept (id, text) pair is a real corpus row
+    assert kept.join(batch, ["doc_id", "text"], "left_anti").count() == 0

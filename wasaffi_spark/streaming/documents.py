@@ -73,3 +73,73 @@ def quality_filter_stream(
     return with_quality(docs_stream, text_col).where(
         F.col("n_tokens") >= min_tokens
     )
+
+
+def incremental_dedup_sink(
+    docs_stream: DataFrame,
+    spark: SparkSession,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous-ingest exact dedup via ``foreachBatch``: maintain an
+    on-disk state table of O(docs)·(16-byte-hash + id); each micro-batch
+    keeps only rows whose text hash is unseen BOTH in the state and
+    within the batch (first doc_id wins, matching
+    ``dedup.exact_dedup``), appends the survivors to
+    ``<state_dir>/docs`` and their hashes to ``<state_dir>/state``.
+
+    This is the streaming face of ``dedup.incremental_dedup`` — the
+    batch operator's anti-join applied per micro-batch inside the sink.
+    ``foreachBatch`` is the escape hatch Spark provides precisely for
+    merge-style sinks the declarative API can't express; state lives in
+    files (parquet here; Delta/Iceberg in production), NOT in session
+    temp views — a foreachBatch body runs against a cloned session
+    whose view changes don't propagate back.
+
+    Scale: the anti-join shuffles on the 16-byte hash; partition the
+    state table by hash prefix so the join and the append agree on
+    layout, and compact periodically. Nothing driver-side.
+    """
+    import os
+
+    hash_schema = f"text_hash string, {id_col} bigint"
+    spark.createDataFrame([], hash_schema).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "state")
+    )
+    doc_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs_stream.schema.fields
+    )
+    spark.createDataFrame([], doc_schema).write.mode("overwrite").parquet(
+        os.path.join(state_dir, "docs")
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.sparkSession
+        state = b.read.parquet(os.path.join(state_dir, "state"))
+        hashed = batch_df.withColumn("text_hash", F.md5(F.col(text_col)))
+        firsts = (
+            hashed.join(
+                hashed.groupBy("text_hash").agg(F.min(id_col).alias("_keep")),
+                "text_hash",
+            )
+            .where(F.col(id_col) == F.col("_keep"))
+            .drop("_keep")
+        )
+        novel = firsts.join(state, "text_hash", "left_anti")
+        # materialize once: two appends below must see the SAME rows,
+        # and the second must not re-list the state dir it just grew
+        novel = novel.localCheckpoint(eager=True)
+        novel.select(batch_df.columns).write.mode("append").parquet(
+            os.path.join(state_dir, "docs")
+        )
+        novel.select("text_hash", id_col).write.mode("append").parquet(
+            os.path.join(state_dir, "state")
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
