@@ -2417,9 +2417,11 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_dist_sql(j: int) -> str:
+    # floor(x*q + 0.5) grid snap, matching similarity._pq_grid_dist
     sub, quant = 64 // similarity.PQ_M, similarity.PQ_QUANT
     terms = " + ".join(
-        f"power(round(v[{j * sub + i}]*{quant}) - round(sv[{j * sub + i}]*{quant}), 2)"
+        f"power(floor(v[{j * sub + i}]*{quant} + 0.5)"
+        f" - floor(sv[{j * sub + i}]*{quant} + 0.5), 2)"
         for i in range(1, sub + 1)
     )
     return f"cast({terms} as bigint)"
@@ -2566,7 +2568,8 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_qdist_sql(j: int) -> str:
     sub, quant = 64 // similarity.PQ_M, similarity.PQ_QUANT
     terms = " + ".join(
-        f"power(round(qv[{j * sub + i}]*{quant}) - round(sv[{j * sub + i}]*{quant}), 2)"
+        f"power(floor(qv[{j * sub + i}]*{quant} + 0.5)"
+        f" - floor(sv[{j * sub + i}]*{quant} + 0.5), 2)"
         for i in range(1, sub + 1)
     )
     return f"cast({terms} as bigint)"

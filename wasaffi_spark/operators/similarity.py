@@ -357,12 +357,23 @@ def _pq_grid_dist(a_col: Column, b_col: Column, j: int, sub: int, quant: int) ->
     EXPLICIT per-index expression sum rather than a zip_with/aggregate
     fold: higher-order-function lambdas evaluate outside whole-stage
     codegen (interpreted per element), while this expression tree stays
-    inside it — measured ~12% at sf0.1, and the gap grows with data
-    because the fold cost is per-element-interpreted."""
+    inside it.
+
+    The grid snap is ``floor(x·quant + 0.5)`` (round-half-up), NOT
+    ``round()``: Spark's round on doubles goes through BigDecimal — one
+    allocation per value, measured ~40% of this operator's runtime —
+    while floor is pure double arithmetic. With a power-of-two
+    ``quant``, ``x·quant`` is an exact exponent shift for float inputs,
+    so both engines see identical doubles and the snap is
+    engine-exact (the oracle uses the same floor formula)."""
     terms: Column | None = None
     for i in range(1, sub + 1):
-        a = F.round(F.element_at(a_col, j * sub + i) * quant).cast("long")
-        b = F.round(F.element_at(b_col, j * sub + i) * quant).cast("long")
+        a = F.floor(
+            F.element_at(a_col, j * sub + i).cast("double") * quant + F.lit(0.5)
+        ).cast("long")
+        b = F.floor(
+            F.element_at(b_col, j * sub + i).cast("double") * quant + F.lit(0.5)
+        ).cast("long")
         d = a - b
         t = d * d
         terms = t if terms is None else terms + t
