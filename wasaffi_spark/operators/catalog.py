@@ -2087,9 +2087,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import graph
 
     li = _table(spark, sf_dir, "lineitem")
+    # integer node ids (suppliers even, parts odd) — the standard
+    # dictionary-encode-before-iterating graph trick: every per-round
+    # hash/compare works on bigints instead of concatenated strings
     fwd = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        (F.col("l_suppkey") * 2).cast("bigint").alias("src"),
+        (F.col("l_partkey") * 2 + 1).cast("bigint").alias("dst"),
     )
     edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return (
@@ -2114,7 +2117,8 @@ register_extra(
     "pagerank",
     q_pagerank,
     """with fwd as (
-          select distinct 's' || l_suppkey as src, 'p' || l_partkey as dst
+          select distinct cast(l_suppkey * 2 as bigint) as src,
+                          cast(l_partkey * 2 + 1 as bigint) as dst
           from lineitem),
         edges as (
           select src, dst from fwd
