@@ -85,6 +85,8 @@ HEADLINE = [
     "scd2_merge",
     "pq_topk",
     "events_sliding",
+    "window_extended",
+    "fuzzy_pairs",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

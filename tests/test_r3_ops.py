@@ -285,3 +285,39 @@ def test_pq_topk_recall_vs_bruteforce(spark):
     want = {(r["qid"], r["nid"]) for r in bf.collect()}
     recall = len(got & want) / len(want)
     assert recall >= 0.5, (recall, got, want)
+
+
+def test_fuzzy_pairs_blocked_levenshtein(spark):
+    from wasaffi_spark.operators.linkage import fuzzy_pairs
+
+    recs = spark.createDataFrame(
+        [
+            (1, "acme corp", "b1"),
+            (2, "acme corp.", "b1"),    # dist 1 → pair
+            (3, "acme corporation", "b1"),  # dist to 1 = 7, sim 9/16 < 0.7
+            (4, "zzz totally other", "b1"),
+            (5, "acme corp", "b2"),     # same name, different block: no pair
+        ],
+        "rid bigint, name string, blk string",
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs(
+            recs, id_col="rid", name_col="name", block_cols=["blk"],
+            max_dist=5, min_sim=0.7,
+        ).collect()
+    }
+    assert got == {(1, 2, 1)}
+
+
+def test_fuzzy_pairs_sim_normalization(spark):
+    from wasaffi_spark.operators.linkage import fuzzy_pairs
+
+    recs = spark.createDataFrame(
+        [(1, "abcd", "x"), (2, "abce", "x")], "rid bigint, name string, blk string"
+    )
+    [r] = fuzzy_pairs(
+        recs, id_col="rid", name_col="name", block_cols=["blk"],
+        max_dist=5, min_sim=0.0,
+    ).collect()
+    assert r["dist"] == 1 and r["sim"] == 0.75

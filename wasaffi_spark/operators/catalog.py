@@ -2676,3 +2676,97 @@ register_extra(
        group by event_type, win_start
        order by event_type, win_start""",
 )
+
+
+def q_window_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-function families window_fns doesn't cover: ntile,
+    percent_rank, cume_dist (deterministic rationals over a total
+    order → engine-exact doubles), first/last/nth_value over explicit
+    frames. One shuffle on the partition key."""
+    orders = _table(spark, sf_dir, "orders")
+    return spark.sql(
+        """select o_custkey, o_orderkey,
+                  cast(ntile(4) over w as int) as quartile,
+                  round(percent_rank() over w, 9) as pr,
+                  round(cume_dist() over w, 9) as cd,
+                  first_value(o_orderkey) over w as first_ok,
+                  last_value(o_orderkey) over
+                    (partition by o_custkey order by o_totalprice, o_orderkey
+                     rows between unbounded preceding and unbounded following)
+                    as last_ok,
+                  nth_value(o_orderkey, 2) over
+                    (partition by o_custkey order by o_totalprice, o_orderkey
+                     rows between unbounded preceding and unbounded following)
+                    as second_ok
+           from orders
+           window w as (partition by o_custkey
+                        order by o_totalprice, o_orderkey)
+           order by o_custkey, o_orderkey limit 200"""
+    )
+
+
+register_extra(
+    "window_extended",
+    q_window_extended,
+    """select o_custkey, o_orderkey,
+              cast(ntile(4) over w as int) as quartile,
+              round(percent_rank() over w, 9) as pr,
+              round(cume_dist() over w, 9) as cd,
+              first_value(o_orderkey) over w as first_ok,
+              last_value(o_orderkey) over
+                (partition by o_custkey order by o_totalprice, o_orderkey
+                 rows between unbounded preceding and unbounded following)
+                as last_ok,
+              nth_value(o_orderkey, 2) over
+                (partition by o_custkey order by o_totalprice, o_orderkey
+                 rows between unbounded preceding and unbounded following)
+                as second_ok
+       from orders
+       window w as (partition by o_custkey
+                    order by o_totalprice, o_orderkey)
+       order by o_custkey, o_orderkey limit 200""",
+)
+
+
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record matching (operators/linkage.py::
+    fuzzy_pairs): part-name pairs within (brand, size) blocks at
+    Levenshtein ≤ 8 and normalized similarity ≥ 0.6 — the entity-
+    resolution primitive, same blocked-pairwise contract as
+    jaccard_pairs."""
+    from . import linkage
+
+    part = _table(spark, sf_dir, "part")
+    return (
+        linkage.fuzzy_pairs(
+            part,
+            id_col="p_partkey",
+            name_col="p_name",
+            block_cols=["p_brand", "p_size"],
+            max_dist=8,
+            min_sim=0.6,
+        )
+        .withColumnRenamed("id_a", "key_a")
+        .withColumnRenamed("id_b", "key_b")
+        .orderBy("key_a", "key_b")
+    )
+
+
+register_extra(
+    "fuzzy_pairs",
+    q_fuzzy_pairs,
+    """with a as (select p_brand, p_size, p_partkey as key_a,
+                        p_name as name_a from part),
+        b as (select p_brand, p_size, p_partkey as key_b,
+                     p_name as name_b from part)
+       select key_a, key_b, name_a, name_b,
+              cast(levenshtein(name_a, name_b) as int) as dist,
+              round(1 - levenshtein(name_a, name_b) * 1.0 /
+                    greatest(length(name_a), length(name_b)), 6) as sim
+       from a join b using (p_brand, p_size)
+       where key_a < key_b
+         and levenshtein(name_a, name_b) <= 8
+         and 1 - levenshtein(name_a, name_b) * 1.0 /
+               greatest(length(name_a), length(name_b)) >= 0.6
+       order by key_a, key_b""",
+)
