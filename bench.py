@@ -87,6 +87,8 @@ HEADLINE = [
     "events_sliding",
     "window_extended",
     "fuzzy_pairs",
+    "lang_top_tokens",
+    "curation_pipeline",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

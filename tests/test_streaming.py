@@ -80,7 +80,7 @@ def test_session_window_stream_equals_batch(spark, event_stream):
 
 
 @needs_data
-def test_sliding_stream_runs(spark, event_stream):
+def test_sliding_stream_equals_batch(spark, event_stream):
     stream_ops.run_to_memory(
         stream_ops.sliding_counts(event_stream), "sliding_test"
     )
@@ -93,6 +93,16 @@ def test_sliding_stream_runs(spark, event_stream):
 
     n_events = read_parquet(spark, os.path.join(SF_SMOKE, "events.parquet")).count()
     assert total == 4 * n_events
+    # and the full window×type count map equals the oracle-checked
+    # batch twin (q_events_sliding)
+    from wasaffi_spark.operators.catalog import EXTRA_QUERIES as OPEX
+
+    got = {(r.win_start, r.win_end, r.event_type): r.cnt for r in rows}
+    want = {
+        (r.win_start, r.win_end, r.event_type): r.cnt
+        for r in OPEX["events_sliding"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
 
 
 @needs_data

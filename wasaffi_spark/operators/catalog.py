@@ -2770,3 +2770,108 @@ register_extra(
                greatest(length(name_a), length(name_b)) >= 0.6
        order by key_a, key_b""",
 )
+
+
+def q_lang_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: the 5 most frequent tokens per language (count
+    desc, token asc tiebreak) — the per-group heavy-hitters pattern
+    (window row_number over grouped counts; one count shuffle + one
+    window shuffle on the group key, never a global sort)."""
+    from pyspark.sql.window import Window
+
+    docs = _table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("tok"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("lang", "tok", "cnt", F.col("rnk").cast("int").alias("rnk"))
+        .orderBy("lang", "rnk")
+    )
+
+
+register_extra(
+    "lang_top_tokens",
+    q_lang_top_tokens,
+    f"""with toks as (
+          select lang, unnest({_TOKS}) as tok from documents),
+        counts as (
+          select lang, tok, count(*) as cnt from toks
+          where tok <> '' group by 1, 2),
+        ranked as (
+          select lang, tok, cnt,
+                 cast(row_number() over (
+                   partition by lang order by cnt desc, tok) as int) as rnk
+          from counts)
+       select lang, tok, cnt, rnk from ranked
+       where rnk <= 5 order by lang, rnk""",
+)
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition — ONE declarative plan chaining three
+    corpus-assembly operators end-to-end: exact-dedup keepers →
+    temperature mixture over the survivors (alpha=0.5, language
+    domains) → deterministic global shuffle into 16 shards; reported as
+    per-(lang, shard) counts with min/max shard positions. Every stage
+    is the same code the standalone queries check; this query pins that
+    they COMPOSE (Catalyst fuses the whole chain — the dedup groupBy,
+    the mixture's count-broadcast filter, and the shard window share
+    one lineage with no materialization between stages)."""
+    from . import pipeline as pipe
+
+    docs = _table(spark, sf_dir, "documents")
+    keepers = (
+        docs.groupBy(F.md5(F.col("text")).alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    mixed = pipe.temperature_mixture(keepers, alpha=TEMPERATURE_ALPHA)
+    sharded = pipe.global_shuffle(mixed, n_shards=16)
+    return (
+        sharded.groupBy("lang", "shard")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("shard_pos").alias("min_pos"),
+            F.max("shard_pos").alias("max_pos"),
+        )
+        .orderBy("lang", "shard")
+    )
+
+
+register_extra(
+    "curation_pipeline",
+    q_curation_pipeline,
+    f"""with keepers as (
+          select k.doc_id, d.lang
+          from (select md5(text) as h, min(doc_id) as doc_id
+                from documents group by 1) k
+          join documents d on k.doc_id = d.doc_id),
+        counts as (select lang, count(*) as n_d from keepers group by 1),
+        mn as (select min(n_d) as n_min from counts),
+        frac as (
+          select lang,
+                 cast(least(10000,
+                            round(pow(n_min * 1.0 / n_d,
+                                      {1.0 - TEMPERATURE_ALPHA}) * 10000))
+                      as int) as keep_bp
+          from counts cross join mn),
+        mixed as (
+          select k.doc_id, k.lang
+          from keepers k join frac using (lang)
+          where {_ORACLE_SAMPLE_BUCKET.replace("doc_id", "k.doc_id")} < keep_bp),
+        sharded as (
+          select doc_id, lang,
+                 cast(('0x' || substr(hh, 1, 6))::bigint % 16 as int) as shard,
+                 row_number() over (
+                   partition by ('0x' || substr(hh, 1, 6))::bigint % 16
+                   order by hh, doc_id) as shard_pos
+          from (select doc_id, lang,
+                       md5('shuffle-v1' || doc_id) as hh from mixed))
+       select lang, shard, count(*) as cnt,
+              min(shard_pos) as min_pos, max(shard_pos) as max_pos
+       from sharded group by 1, 2 order by lang, shard""",
+)
