@@ -89,6 +89,7 @@ HEADLINE = [
     "fuzzy_pairs",
     "lang_top_tokens",
     "curation_pipeline",
+    "csv_json_roundtrip",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

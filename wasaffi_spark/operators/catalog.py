@@ -2875,3 +2875,73 @@ register_extra(
               min(shard_pos) as min_pos, max(shard_pos) as max_pos
        from sharded group by 1, 2 order by lang, shard""",
 )
+
+
+def q_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV and JSON sink/source parity (the text-format providers of the
+    reference's embedded engine): documents written by COPY TO ... CSV /
+    JSON, read back by CREATE EXTERNAL TABLE, aggregated per language.
+    The oracle aggregates the ORIGINAL table — so a hash match proves
+    both text formats round-trip losslessly (quoting, nulls, unicode),
+    without the oracle ever seeing the written files."""
+    import tempfile
+
+    from ..engine import Engine
+
+    eng = Engine(spark)
+    eng.load_tables(sf_dir, ("documents",))
+    global _CSVJSON_DIR
+    if _CSVJSON_DIR is None:
+        _CSVJSON_DIR = tempfile.mkdtemp(prefix="wasaffi_csvjson_")
+    out_c = os.path.join(_CSVJSON_DIR, "docs_csv")
+    out_j = os.path.join(_CSVJSON_DIR, "docs_json")
+    eng.sql(
+        "COPY (select doc_id, text, lang from documents) "
+        f"TO '{out_c}' STORED AS CSV"
+    )
+    eng.sql(
+        "COPY (select doc_id, text, lang from documents) "
+        f"TO '{out_j}' STORED AS JSON"
+    )
+    eng.sql(
+        "CREATE EXTERNAL TABLE docs_rt_csv STORED AS CSV WITH HEADER ROW "
+        f"LOCATION '{out_c}'"
+    )
+    eng.sql(
+        f"CREATE EXTERNAL TABLE docs_rt_json STORED AS JSON LOCATION '{out_j}'"
+    )
+    return eng.sql(
+        """select c.lang,
+                  c.cnt,
+                  c.text_hash_sum,
+                  j.cnt as cnt_json,
+                  j.text_hash_sum as text_hash_sum_json
+           from (select lang, count(*) as cnt,
+                        cast(sum(cast(conv(substr(md5(coalesce(text, '')), 1, 6),
+                                           16, 10) as bigint))
+                             as bigint) as text_hash_sum
+                 from docs_rt_csv group by lang) c
+           join (select lang, count(*) as cnt,
+                        cast(sum(cast(conv(substr(md5(coalesce(text, '')), 1, 6),
+                                           16, 10) as bigint))
+                             as bigint) as text_hash_sum
+                 from docs_rt_json group by lang) j
+           on c.lang = j.lang
+           order by c.lang"""
+    )
+
+
+_CSVJSON_DIR = None
+
+register_extra(
+    "csv_json_roundtrip",
+    q_csv_json_roundtrip,
+    """with agg as (
+          select lang, count(*) as cnt,
+                 cast(sum(('0x' || substr(md5(coalesce(text, '')), 1, 6))::bigint)
+                      as bigint) as text_hash_sum
+          from documents group by lang)
+       select lang, cnt, text_hash_sum,
+              cnt as cnt_json, text_hash_sum as text_hash_sum_json
+       from agg order by lang""",
+)
