@@ -90,6 +90,7 @@ HEADLINE = [
     "lang_top_tokens",
     "curation_pipeline",
     "csv_json_roundtrip",
+    "ngram_span_dedup",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -321,3 +321,42 @@ def test_fuzzy_pairs_sim_normalization(spark):
         max_dist=5, min_sim=0.0,
     ).collect()
     assert r["dist"] == 1 and r["sim"] == 0.75
+
+
+def test_ngram_span_dedup_planted(spark):
+    from wasaffi_spark.operators.dedup import ngram_span_dedup
+
+    span = "a b c d"  # the k=4 window planted in three docs
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span} tail1 tail2"),      # first occurrence: keeps span
+            (2, f"lead1 lead2 {span} x"),    # later copy: span removed
+            (3, span),                        # exactly the span: empties out
+            (4, "totally unrelated words"),   # untouched (< k or unique)
+            (5, None),                        # NULL text → empty doc
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_span_dedup(docs, k=4).collect()}
+    assert got[1]["dedup_text"] == "a b c d tail1 tail2"
+    assert got[1]["n_removed"] == 0
+    assert got[2]["dedup_text"] == "lead1 lead2 x"
+    assert got[2]["n_removed"] == 4
+    assert got[3]["dedup_text"] == "" and got[3]["n_removed"] == 4
+    assert got[4]["dedup_text"] == "totally unrelated words"
+    assert got[4]["n_removed"] == 0
+    assert got[5]["n_removed"] == 0  # NULL → single empty token, kept
+
+
+def test_ngram_span_dedup_overlapping_spans_union(spark):
+    from wasaffi_spark.operators.dedup import ngram_span_dedup
+
+    # doc 2 repeats doc 1's entire text: every k-window duplicates, all
+    # of doc 2 is covered (overlapping windows union, not double-count)
+    text = "w1 w2 w3 w4 w5 w6"
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in ngram_span_dedup(docs, k=3).collect()}
+    assert got[1]["n_removed"] == 0
+    assert got[2]["dedup_text"] == "" and got[2]["n_removed"] == 6

@@ -2945,3 +2945,60 @@ register_extra(
               cnt as cnt_json, text_hash_sum as text_hash_sum_json
        from agg order by lang""",
 )
+
+
+NGRAM_SPAN_K = 8
+
+
+def q_ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (operators/dedup.py::ngram_span_dedup,
+    Lee et al. 2022 shape at fixed k=8): corpus-duplicated 8-token
+    windows removed everywhere but their globally-first occurrence,
+    documents reassembled in order."""
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    return dedup.ngram_span_dedup(docs, k=NGRAM_SPAN_K).orderBy("doc_id")
+
+
+register_extra(
+    "ngram_span_dedup",
+    q_ngram_span_dedup,
+    f"""with toks as (
+          select doc_id,
+                 string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') as t
+          from documents),
+        base as (select doc_id, t, len(t) as n from toks),
+        grams as (
+          select doc_id, i - 1 as pos,
+                 array_to_string(t[i:i+{NGRAM_SPAN_K - 1}], ' ') as gram
+          from base, unnest(generate_series(1, n - {NGRAM_SPAN_K - 1})) as u(i)
+          where n >= {NGRAM_SPAN_K}),
+        stats as (
+          select gram, count(*) as c,
+                 min(doc_id * 1000000 + pos) as first_p
+          from grams group by gram),
+        covered as (
+          select distinct g.doc_id, g.pos + u.o as tpos
+          from grams g
+          join stats s on g.gram = s.gram
+          cross join unnest(generate_series(0, {NGRAM_SPAN_K - 1})) as u(o)
+          where s.c > 1 and g.doc_id * 1000000 + g.pos <> s.first_p),
+        pos_toks as (
+          select doc_id, n, i - 1 as tpos, t[i] as tok
+          from base, unnest(generate_series(1, n)) as u(i)),
+        surviving as (
+          select p.doc_id, p.n, p.tpos, p.tok
+          from pos_toks p
+          left join covered c on p.doc_id = c.doc_id and p.tpos = c.tpos
+          where c.doc_id is null),
+        rebuilt as (
+          select doc_id,
+                 string_agg(tok, ' ' order by tpos) as dedup_text,
+                 count(*) as kept
+          from surviving group by doc_id)
+       select b.doc_id,
+              coalesce(r.dedup_text, '') as dedup_text,
+              cast(b.n as bigint) as n_tokens,
+              cast(b.n - coalesce(r.kept, 0) as bigint) as n_removed
+       from base b left join rebuilt r on b.doc_id = r.doc_id
+       order by b.doc_id""",
+)

@@ -435,3 +435,109 @@ def paragraph_dedup(
         F.col("n_paras").cast("int").alias("n_paras"),
         F.col("n_kept_paras").cast("int").alias("n_kept_paras"),
     )
+
+
+def ngram_span_dedup(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "dedup_text",
+) -> DataFrame:
+    """Exact-substring (repeated n-gram span) deduplication — the
+    Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+    Better" shape, at fixed gram width ``k`` instead of suffix-array
+    variable length: any ``k``-token window that occurs more than once
+    ACROSS the corpus is removed everywhere except at its globally
+    first occurrence (ordered by ``(doc_id, position)``), and every
+    document is reassembled from its surviving tokens in order.
+
+    Returns ``(id_col, out_col, n_tokens, n_removed)``.
+
+    Mechanics: token positions via in-row gram construction (no
+    per-gram shuffle until the groupBy); the global first occurrence
+    per gram is the packed-min ``min(doc_id·POS_SCALE + pos)`` — one
+    bigint aggregate, engine-exact; a duplicated gram's every OTHER
+    occurrence marks its covered token span ``[pos, pos+k-1]``;
+    coverage unions in-doc (distinct positions) and surviving tokens
+    reassemble sorted by position.
+
+    Scale: shuffles are (1) groupBy gram — rows ∝ total tokens, the
+    same volume as the MinHash signature stage, (2) the coverage join
+    back on (doc, gram occurrence) — rows ∝ duplicated occurrences
+    only, (3) reassembly on doc_id. The hot-gram skew note from
+    :func:`paragraph_dedup` applies identically (pre-drop count > K
+    grams at 100 TB).
+    """
+    from pyspark.sql.window import Window  # noqa: F401  (parity with siblings)
+
+    POS_SCALE = 1_000_000  # > max tokens per doc; packed-min invariant
+    toks = df.select(
+        F.col(id_col),
+        F.split(
+            F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+        ).alias("_t"),
+    ).withColumn("_n", F.size("_t"))
+    grams = toks.select(
+        id_col,
+        "_t",
+        "_n",
+        F.explode(
+            F.when(
+                F.col("_n") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - (k - 1)),
+                    lambda i: F.struct(
+                        (i - 1).alias("pos"),
+                        F.concat_ws(" ", F.slice("_t", i, k)).alias("gram"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("g"),
+    ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+
+    packed = F.col(id_col) * POS_SCALE + F.col("pos")
+    stats = grams.groupBy("gram").agg(
+        F.count("*").alias("_c"), F.min(packed).alias("_first")
+    )
+    # every non-first occurrence of a duplicated gram covers k positions
+    covered = (
+        grams.join(stats.where(F.col("_c") > 1), "gram")
+        .where(packed != F.col("_first"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    pos_toks = toks.select(
+        id_col,
+        "_n",
+        F.posexplode(
+            F.when(F.col("_n") > 0, F.col("_t")).otherwise(F.array(F.lit("")))
+        ).alias("tpos", "tok"),
+    )
+    surviving = pos_toks.join(covered, [id_col, "tpos"], "left_anti")
+    rebuilt = surviving.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("tpos"), F.col("tok")))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias(out_col),
+        F.count("*").alias("_kept"),
+    )
+    # a fully-covered document must survive as an EMPTY doc, not vanish
+    return toks.select(id_col, "_n").join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+        F.col("_n").cast("bigint").alias("n_tokens"),
+        (F.col("_n") - F.coalesce(F.col("_kept"), F.lit(0))).cast("bigint").alias(
+            "n_removed"
+        ),
+    )
