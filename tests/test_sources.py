@@ -162,3 +162,28 @@ def test_arrow_ipc_stream_framing(spark, tmp_path):
 
     df = read_arrow_ipc(spark, path)
     assert sorted(r["a"] for r in df.collect()) == [1, 2, 3]
+
+
+@needs_data
+def test_arrow_ipc_python_datasource(spark, tmp_path):
+    """Spark 4 Python DataSource path: register the format, read the
+    distributed-written IPC directory through spark.read.format, and
+    match the original frame exactly (both framings, partition-per-file
+    parallelism)."""
+    from wasaffi_spark.sources.arrow_datasource import ArrowIpcDataSource
+    from wasaffi_spark.sources.arrow_ipc import write_arrow_ipc
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    src = read_parquet(spark, os.path.join(SF_SMOKE, "nation.parquet")).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    out = str(tmp_path / "nation_ds_arrow")
+    write_arrow_ipc(src.repartition(3), out)
+
+    spark.dataSource.register(ArrowIpcDataSource)
+    back = spark.read.format("arrow_ipc").load(out)
+    # one input partition per written file
+    assert back.rdd.getNumPartitions() == 3
+    got = sorted(tuple(r) for r in back.collect())
+    want = sorted(tuple(r) for r in src.collect())
+    assert got == want
