@@ -91,6 +91,7 @@ HEADLINE = [
     "curation_pipeline",
     "csv_json_roundtrip",
     "ngram_span_dedup",
+    "simhash_pairs",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

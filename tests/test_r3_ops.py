@@ -360,3 +360,27 @@ def test_ngram_span_dedup_overlapping_spans_union(spark):
     got = {r["doc_id"]: r for r in ngram_span_dedup(docs, k=3).collect()}
     assert got[1]["n_removed"] == 0
     assert got[2]["dedup_text"] == "" and got[2]["n_removed"] == 6
+
+
+def test_simhash_pairs_planted_neardup(spark):
+    from wasaffi_spark.operators.dedup import simhash_pairs
+
+    # deterministic fixtures (md5 end-to-end): at 300 shared tokens one
+    # extra word flips no signature bit; at 100 it flips 4 — just over
+    # the verify threshold, so that pair must be REJECTED.
+    base300 = " ".join(f"tok{i}" for i in range(300))
+    base100 = " ".join(f"tok{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [
+            (1, base300),
+            (2, base300 + " extraword"),   # hamming 0 → pair
+            (3, " ".join(f"other{i}" for i in range(300))),  # unrelated
+            (4, base100),
+            (5, base100 + " extraword"),   # hamming 4 → filtered out
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(docs).collect()}
+    assert got.get((1, 2)) == 0
+    assert (4, 5) not in got          # verify threshold enforced
+    assert (1, 3) not in got and (2, 3) not in got

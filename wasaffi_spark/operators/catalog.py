@@ -3002,3 +3002,33 @@ register_extra(
        from base b left join rebuilt r on b.doc_id = r.doc_id
        order by b.doc_id""",
 )
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup retrieval (operators/dedup.py::simhash_pairs):
+    banded signature equi-join (4×12-bit bands — pigeonhole covers
+    hamming ≤ 3) + bit_count(xor) verify."""
+    docs = _table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs).orderBy("id_a", "id_b")
+
+
+_SH_BANDS, _SH_BB = 4, 12
+
+register_extra(
+    "simhash_pairs",
+    q_simhash_pairs,
+    f"""with sig as (select doc_id, simhash from ({_simhash_oracle()})),
+        banded as ({" union all ".join(
+            f"select doc_id, simhash, {b} as band,"
+            f" (simhash >> {b * _SH_BB}) % {1 << _SH_BB} as key from sig"
+            for b in range(_SH_BANDS)
+        )}),
+        cand as (
+          select distinct a.doc_id as id_a, b.doc_id as id_b,
+                 xor(a.simhash, b.simhash) as x
+          from banded a join b_banded b
+            on a.band = b.band and a.key = b.key and a.doc_id < b.doc_id)
+       select id_a, id_b, cast(bit_count(x) as int) as hamming
+       from cand where bit_count(x) <= 3
+       order by id_a, id_b""".replace("b_banded", "banded"),
+)

@@ -541,3 +541,65 @@ def ngram_span_dedup(
             "n_removed"
         ),
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hex_digits: int = SIMHASH_HEX_DIGITS,
+) -> DataFrame:
+    """Near-duplicate candidate pairs from SimHash signatures — the
+    retrieval half of the SimHash family (Charikar / Manku et al.'s
+    web-dedup shape): split the 48-bit signature into ``bands`` equal
+    bit-bands; by pigeonhole, any pair within ``max_hamming <= bands-1``
+    bit flips agrees EXACTLY on at least one band, so candidates are
+    found with equi-joins on (band, band_key) — never an all-pairs
+    scan — then verified with ``bit_count(xor)``.
+
+    Returns ``(id_a, id_b, hamming)``, id_a < id_b, one row per pair.
+
+    Scale: same contract as MinHash-LSH banding — bucket sizes track
+    real near-dup group sizes; the verify is one xor+popcount per
+    candidate. Skewed bands (e.g. all-zero signatures from empty docs)
+    are the hot-bucket risk; cap or pre-drop degenerate signatures at
+    100 TB (same rule as lsh_candidate_pairs' max_bucket_size).
+    """
+    bits = hex_digits * 4
+    band_bits = bits // bands
+    sig = simhash(df, text_col=text_col, id_col=id_col, hex_digits=hex_digits)
+    banded = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.shiftrightunsigned(F.col("simhash"), b * band_bits)
+                        % (1 << band_bits)
+                    ).cast("bigint")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"), "band", "key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.col("_sa").bitwiseXOR(F.col("_sb")).alias("_x"))
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_x")).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
