@@ -86,11 +86,14 @@ def test_semi_anti_counts_consistent(spark):
 
 
 @needs_data
-def test_setops_values_branches(spark):
-    rows = relational.QUERIES["setops_values"](spark, SF_SMOKE).collect()
-    ops = {r["op"] for r in rows}
-    assert ops == {"d", "e", "i", "v"} or ops == {"d", "i", "v"}  # except may be empty
-    assert [r["nationkey"] for r in rows if r["op"] == "v"] == [98, 99]
+def test_reshape_setops_branches(spark):
+    rows = relational.QUERIES["reshape_setops"](spark, SF_SMOKE).collect()
+    setops = {r["k1"] for r in rows if r["src"] == "s"}
+    assert setops == {"d", "e", "i", "v"} or setops == {"d", "i", "v"}
+    assert sorted(r["v"] for r in rows if r["src"] == "s" and r["k1"] == "v") == [98, 99]
+    # the pivot leg carries every (priority, status) cell
+    pivot_k2 = {r["k2"] for r in rows if r["src"] == "p"}
+    assert pivot_k2 == {"st_o", "st_f", "st_p"}
 
 
 @needs_data

@@ -2959,7 +2959,7 @@ def q_ngram_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_span_dedup(docs, k=NGRAM_SPAN_K).orderBy("doc_id")
 
 
-register_extra(
+register(  # promoted to the driver window in round 3
     "ngram_span_dedup",
     q_ngram_span_dedup,
     f"""with toks as (

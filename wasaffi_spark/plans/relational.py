@@ -271,31 +271,6 @@ query(
        from orders order by o_custkey, rn limit 100""",
 )
 
-# -- set operations / VALUES / DISTINCT ---------------------------------------
-# §2C rows: INTERSECT, EXCEPT, UNION ALL (the glue), SELECT DISTINCT, and
-# VALUES inline tables — each branch tagged so the union is hash-stable.
-
-query(
-    "setops_values",
-    ("customer", "supplier"),
-    """select 'd' as op, nationkey from
-         (select distinct c_nationkey as nationkey from customer) as d
-       union all
-       select 'e' as op, nationkey from
-         (select c_nationkey as nationkey from customer
-          except
-          select s_nationkey as nationkey from supplier) as e
-       union all
-       select 'i' as op, nationkey from
-         (select c_nationkey as nationkey from customer
-          intersect
-          select s_nationkey as nationkey from supplier) as i
-       union all
-       select 'v' as op, id as nationkey from
-         (values (98, 'x'), (99, 'y')) as v(id, tag)
-       order by op, nationkey""",
-)
-
 # -- subqueries / CTEs / scan / semi-anti joins -------------------------------
 # §2C rows: CTE, scalar subquery, IN-subquery, table scan-count and cross
 # join as uncorrelated scalar subqueries (region² = 25 rows only), plus —
@@ -392,39 +367,80 @@ query(
        from orders group by m, y, mo order by m""",
 )
 
-# -- pivot / unpivot ------------------------------------------------------------
-# §2C rows: PIVOT and UNPIVOT, composed (unpivot of the pivot — exercises
-# both operators and round-trips the reshape). coalesce: Spark PIVOT
-# yields NULL for absent combinations (and UNPIVOT drops NULL cells)
-# where conditional aggregation yields 0. The oracle expresses the same
-# result portably as conditional aggregation + union.
+# -- pivot / unpivot / set operations / VALUES / DISTINCT ----------------------
+# §2C rows (round-3 merge, freeing a window slot for ngram_span_dedup):
+# PIVOT and UNPIVOT composed (unpivot of the pivot round-trips the
+# reshape) UNION ALL the set-operation family from the former
+# setops_values entry — INTERSECT, EXCEPT, DISTINCT and VALUES inline
+# tables, every branch tagged so the combined union is hash-stable.
+# coalesce: Spark PIVOT yields NULL for absent combinations (and UNPIVOT
+# drops NULL cells) where conditional aggregation yields 0; the oracle
+# expresses the pivot leg portably as conditional aggregation + union.
+
+_RESHAPE_SPARK = """select src, k1, k2, v from (
+         select 'p' as src, o_orderpriority as k1, status as k2,
+                cnt as v from (
+           select o_orderpriority,
+                  coalesce(st_o, 0) as st_o,
+                  coalesce(st_f, 0) as st_f,
+                  coalesce(st_p, 0) as st_p
+           from (select o_orderpriority, o_orderstatus from orders)
+           pivot (count(*) for o_orderstatus
+                  in ('O' as st_o, 'F' as st_f, 'P' as st_p)))
+         unpivot (cnt for status in (st_o, st_f, st_p))
+         union all
+         select 's' as src, 'd' as k1, '' as k2, nationkey as v from
+           (select distinct c_nationkey as nationkey from customer) as d
+         union all
+         select 's' as src, 'e' as k1, '' as k2, nationkey as v from
+           (select c_nationkey as nationkey from customer
+            except
+            select s_nationkey as nationkey from supplier) as e
+         union all
+         select 's' as src, 'i' as k1, '' as k2, nationkey as v from
+           (select c_nationkey as nationkey from customer
+            intersect
+            select s_nationkey as nationkey from supplier) as i
+         union all
+         select 's' as src, 'v' as k1, tag as k2, id as v from
+           (values (98, 'x'), (99, 'y')) as v(id, tag))
+       order by src, k1, k2, v"""
+
+_RESHAPE_ORACLE = """select src, k1, k2, v from (
+         select 'p' as src, o_orderpriority as k1, 'st_o' as k2,
+                count(*) filter (where o_orderstatus = 'O') as v
+         from orders group by o_orderpriority
+         union all
+         select 'p', o_orderpriority, 'st_f',
+                count(*) filter (where o_orderstatus = 'F')
+         from orders group by o_orderpriority
+         union all
+         select 'p', o_orderpriority, 'st_p',
+                count(*) filter (where o_orderstatus = 'P')
+         from orders group by o_orderpriority
+         union all
+         select 's', 'd', '', nationkey from
+           (select distinct c_nationkey as nationkey from customer) d
+         union all
+         select 's', 'e', '', nationkey from
+           (select c_nationkey as nationkey from customer
+            except
+            select s_nationkey as nationkey from supplier) e
+         union all
+         select 's', 'i', '', nationkey from
+           (select c_nationkey as nationkey from customer
+            intersect
+            select s_nationkey as nationkey from supplier) i
+         union all
+         select 's', 'v', tag, id from
+           (values (98, 'x'), (99, 'y')) as v(id, tag)) u
+       order by src, k1, k2, v"""
 
 query(
-    "pivot_unpivot",
-    ("orders",),
-    """select o_orderpriority, status, cnt from (
-         select o_orderpriority,
-                coalesce(st_o, 0) as st_o,
-                coalesce(st_f, 0) as st_f,
-                coalesce(st_p, 0) as st_p
-         from (select o_orderpriority, o_orderstatus from orders)
-         pivot (count(*) for o_orderstatus
-                in ('O' as st_o, 'F' as st_f, 'P' as st_p)))
-       unpivot (cnt for status in (st_o, st_f, st_p))
-       order by o_orderpriority, status""",
-    oracle="""select o_orderpriority, status, cnt from (
-         select o_orderpriority, 'st_o' as status,
-                count(*) filter (where o_orderstatus = 'O') as cnt
-         from orders group by o_orderpriority
-         union all
-         select o_orderpriority, 'st_f' as status,
-                count(*) filter (where o_orderstatus = 'F') as cnt
-         from orders group by o_orderpriority
-         union all
-         select o_orderpriority, 'st_p' as status,
-                count(*) filter (where o_orderstatus = 'P') as cnt
-         from orders group by o_orderpriority) u
-       order by o_orderpriority, status""",
+    "reshape_setops",
+    ("orders", "customer", "supplier"),
+    _RESHAPE_SPARK,
+    oracle=_RESHAPE_ORACLE,
 )
 
 # -- JSON / struct / map ---------------------------------------------------------
