@@ -189,3 +189,51 @@ def test_countmin_sketch_partial_agg(spark):
     f = plan_facts(sketches.countmin_table(toks, "item"))
     assert len(re.findall(r"Arguments: hashpartitioning", f.text)) == 1, f.text[:2000]
     assert "partial_count" in f.text
+
+
+@needs_data
+def test_pq_encode_is_codegen_with_broadcast_codebook(spark):
+    """The PQ distance grid must stay inside codegen (no Python islands,
+    no interpreted HOF hot loop can be asserted directly, but zero
+    *EvalPython nodes can) and the only join is the broadcast of the
+    k-seed codebook — the corpus never shuffles for encoding."""
+    from wasaffi_spark.operators.catalog import QUERIES as OPQ
+
+    df = OPQ["pq_codes"](spark, SF_SMOKE)
+    f = plan_facts(df)
+    assert "EvalPython" not in f.text
+    assert f.broadcast_joins >= 1
+    assert f.sortmerge_joins == 0
+
+
+@needs_data
+def test_snapshot_diff_single_join_fingerprints_scan_side(spark):
+    """One full-outer join on the key; the md5 fingerprint is computed
+    before the join (projection under the exchange), so the shuffle
+    carries (key, 32-byte hash), not documents."""
+    import re
+
+    from wasaffi_spark.operators.catalog import EXTRA_QUERIES as OPEX
+
+    f = plan_facts(OPEX["dataset_diff"](spark, SF_SMOKE))
+    # formatted plans print each node twice (tree + detail) — count the
+    # numbered detail headers
+    joins = re.findall(
+        r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", f.text
+    )
+    assert len(joins) == 1
+    assert "FullOuter" in f.text
+    # column pruning: only doc_id and text reach the scans
+    assert all("lang" not in s and "source" not in s for s in f.read_schemas)
+
+
+@needs_data
+def test_gapfill_spine_is_broadcast(spark):
+    """The 1-row bounds frame broadcasts into the spine build; the
+    series×hour spine joins the hourly aggregate without a sort-merge
+    of the raw events."""
+    from wasaffi_spark.operators.catalog import EXTRA_QUERIES as OPEX
+
+    f = plan_facts(OPEX["events_gapfill"](spark, SF_SMOKE))
+    assert f.broadcast_joins >= 1
+    assert "EvalPython" not in f.text
