@@ -92,6 +92,7 @@ HEADLINE = [
     "csv_json_roundtrip",
     "ngram_span_dedup",
     "simhash_pairs",
+    "mixture_epochs",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -384,3 +384,25 @@ def test_simhash_pairs_planted_neardup(spark):
     assert got.get((1, 2)) == 0
     assert (4, 5) not in got          # verify threshold enforced
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_mixture_epochs_upsamples_bounded(spark):
+    from wasaffi_spark.operators.pipeline import mixture_epochs
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = mixture_epochs(docs, {"big": 0.5, "small": 0.5}, max_epochs=4)
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    # equal target weights: small (100 rows) upsamples toward big's
+    # contribution but never beyond 4 epochs
+    assert counts["small"] <= 4 * 100
+    assert counts["small"] > 150  # genuinely upsampled (>1 epoch)
+    # expected proportions within quantization tolerance
+    ratio = counts["big"] / counts["small"]
+    assert 0.8 <= ratio <= 1.25 or counts["small"] == 400
+    # epoch index bounded and 1-based
+    eps = {r["epoch"] for r in out.select("epoch").distinct().collect()}
+    assert eps <= {1, 2, 3, 4} and 1 in eps
+    # deterministic
+    out2 = mixture_epochs(docs, {"big": 0.5, "small": 0.5}, max_epochs=4)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))

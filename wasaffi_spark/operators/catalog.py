@@ -3032,3 +3032,59 @@ register_extra(
        from cand where bit_count(x) <= 3
        order by id_a, id_b""".replace("b_banded", "banded"),
 )
+
+
+MIX_EPOCH_WEIGHTS = {"en": 0.35, "fr": 0.35, "de": 0.3}
+MIX_MAX_EPOCHS = 3
+
+
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-upsampling mixture (operators/pipeline.py::
+    mixture_epochs, UniMax rule): fr/de demand more than their natural
+    share, so their rows replicate across epochs (≤3) while en caps the
+    output size; per-(lang, epoch) counts make the replication pattern
+    the checked surface."""
+    from . import pipeline as pipe
+
+    docs = _table(spark, sf_dir, "documents")
+    out = pipe.mixture_epochs(
+        docs, MIX_EPOCH_WEIGHTS, max_epochs=MIX_MAX_EPOCHS
+    )
+    return (
+        out.groupBy("lang", "epoch")
+        .agg(F.count("*").alias("cnt"), F.min("doc_id").alias("min_id"))
+        .orderBy("lang", "epoch")
+    )
+
+
+_MIX_W_CASE = " ".join(
+    f"when lang = '{d}' then {w}" for d, w in sorted(MIX_EPOCH_WEIGHTS.items())
+)
+
+register_extra(
+    "mixture_epochs",
+    q_mixture_epochs,
+    f"""with w as (
+          select lang, case {_MIX_W_CASE} end as w
+          from (select distinct lang from documents)
+          where case {_MIX_W_CASE} end is not null),
+        counts as (
+          select d.lang, count(*) as n_d, any_value(w.w) as w
+          from documents d join w on d.lang = w.lang group by d.lang),
+        tm as (select min(n_d * {MIX_MAX_EPOCHS} / w) as t_max from counts),
+        rate as (
+          select lang,
+                 cast(least({MIX_MAX_EPOCHS * 10000},
+                            round(w * t_max / n_d * 10000)) as int) as rate_bp
+          from counts cross join tm),
+        expanded as (
+          select d.doc_id, d.lang,
+                 unnest(generate_series(1,
+                   rate_bp // 10000
+                   + case when {_ORACLE_SAMPLE_BUCKET.replace("doc_id", "d.doc_id")}
+                            < rate_bp % 10000 then 1 else 0 end)) as epoch
+          from documents d join rate using (lang))
+       select lang, cast(epoch as int) as epoch, count(*) as cnt,
+              min(doc_id) as min_id
+       from expanded group by 1, 2 order by lang, epoch""",
+)

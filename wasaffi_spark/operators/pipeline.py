@@ -278,3 +278,63 @@ def temperature_mixture(
     return df.join(F.broadcast(frac), domain_col).where(b < F.col("keep_bp")).drop(
         "keep_bp"
     )
+
+
+def mixture_epochs(
+    df: DataFrame,
+    weights: dict[str, float],
+    max_epochs: int = 4,
+    domain_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = SAMPLE_SEED,
+) -> DataFrame:
+    """Mixture resampling WITH bounded upsampling (the UniMax rule):
+    hit target proportions by replicating small domains up to
+    ``max_epochs`` passes over their data, instead of throwing away
+    head-domain rows to match the rarest domain
+    (:func:`mixture_resample`'s no-upsample trade).
+
+    The output size is the largest T with every domain's required rate
+    ``w_d·T/n_d ≤ max_epochs``; each row is emitted ``floor(rate)``
+    times plus one more where its deterministic hash bucket falls under
+    the fractional remainder — so expected counts match the target
+    mixture exactly and the result is a pure function of (seed, ids).
+    Rows carry an ``epoch`` index (1-based) so downstream shuffling can
+    interleave epochs (``global_shuffle`` on (id, epoch)).
+
+    Scale: the per-domain count aggregate is O(domains), broadcast back
+    onto the corpus; replication is an in-row ``sequence``+``explode``
+    (fan-out ≤ max_epochs) — the corpus never shuffles. Rates quantize
+    to basis points (sample_bucket resolution).
+    """
+    w_rows = [(d, float(w)) for d, w in sorted(weights.items())]
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(w_rows, f"{domain_col} string, w double")
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("n_d"))
+    joined = counts.join(w_df, domain_col)
+    t_max = joined.agg(
+        F.min(F.col("n_d") * max_epochs / F.col("w")).alias("t_max")
+    )
+    rate = (
+        joined.crossJoin(t_max)
+        .select(
+            domain_col,
+            F.least(
+                F.lit(max_epochs * 10000),
+                F.round(F.col("w") * F.col("t_max") / F.col("n_d") * 10000),
+            )
+            .cast("int")
+            .alias("rate_bp"),
+        )
+    )
+    b = sample_bucket(id_col, seed)
+    n_copies = (F.col("rate_bp") / 10000).cast("int") + F.when(
+        b < F.col("rate_bp") % 10000, 1
+    ).otherwise(0)
+    return (
+        df.join(F.broadcast(rate), domain_col)
+        .withColumn("_copies", n_copies)
+        .where(F.col("_copies") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_copies"))))
+        .drop("rate_bp", "_copies")
+    )
