@@ -247,3 +247,19 @@ def test_udf_over_parquet(engine):
     ).collect()
     for r in rows:
         assert r["sq"] == float(r["l_linenumber"]) ** 2
+
+
+def test_explain_analyze(spark):
+    """EXPLAIN ANALYZE parity (DataFusion has it, plain Spark does not):
+    executes the query and returns the FINAL adaptive plan
+    (isFinalPlan=true), not the pre-execution sketch."""
+    eng = Engine(spark)
+    eng.register(
+        "ea_t",
+        spark.createDataFrame([(1, "x"), (2, "y"), (1, "z")], "k int, v string"),
+    )
+    [row] = eng.sql(
+        "EXPLAIN ANALYZE select k, count(*) as c from ea_t group by k"
+    ).collect()
+    assert "HashAggregate" in row["plan"]
+    assert "isFinalPlan=true" in row["plan"]

@@ -88,6 +88,9 @@ class Engine:
     def sql(self, query: str) -> DataFrame:
         """≙ ``ctx.sql`` (lib.rs:192): intercept function DDL, else
         delegate to Spark SQL."""
+        m = re.match(r"^\s*EXPLAIN\s+ANALYZE\s+(.*)$", query, re.IGNORECASE | re.DOTALL)
+        if m:
+            return self._explain_analyze(m.group(1))
         if is_function_ddl(query):
             try:
                 stmt = parse_function_ddl(query)
@@ -113,6 +116,25 @@ class Engine:
                 return self._create_external_table(stmt)
             return self._copy_to(stmt)
         return self.spark.sql(query)
+
+    def _explain_analyze(self, inner: str) -> DataFrame:
+        """``EXPLAIN ANALYZE <query>`` parity (DataFusion supports it;
+        Spark SQL only has plain EXPLAIN): execute the query to a noop
+        sink, then return the FINAL adaptive physical plan — the one
+        with AQE's runtime re-plans and per-node metrics — as a
+        one-column frame, mirroring Spark's EXPLAIN output shape.
+
+        Executed via ``collect()`` — a sink-side write would run a
+        SEPARATE query execution and leave this one un-finalized
+        (isFinalPlan=false, no metrics). ANALYZE therefore materializes
+        the result on the driver, same as DataFusion's EXPLAIN ANALYZE
+        executes the full query; wrap the query in an aggregate when
+        analyzing something with a huge result set.
+        """
+        df = self.spark.sql(inner)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return self.spark.createDataFrame([(plan,)], "plan string")
 
     # -- function DDL ------------------------------------------------------
 
