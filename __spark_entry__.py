@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from wasaffi_spark.operators import catalog as op_catalog
     from wasaffi_spark.plans import relational
 
+    clash = set(op_catalog.QUERIES) & set(relational.QUERIES)
+    assert not clash, f"query name collision: {sorted(clash)}"
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(op_catalog.QUERIES)
     out.update(relational.QUERIES)
@@ -93,6 +95,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from wasaffi_spark.operators import catalog as op_catalog
     from wasaffi_spark.plans import relational
 
+    clash = set(op_catalog.EXTRA_QUERIES) & set(relational.EXTRA_QUERIES)
+    assert not clash, f"extra query name collision: {sorted(clash)}"
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(op_catalog.EXTRA_QUERIES)
     out.update(relational.EXTRA_QUERIES)
@@ -102,8 +106,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def extra_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for ``extra_queries()``. NOT called by the driver."""
     from wasaffi_spark.operators import catalog as op_catalog
+    from wasaffi_spark.plans import relational
 
-    return dict(op_catalog.EXTRA_ORACLE)
+    out = dict(op_catalog.EXTRA_ORACLE)
+    out.update(getattr(relational, "EXTRA_ORACLE", {}))
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

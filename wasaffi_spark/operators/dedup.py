@@ -144,6 +144,33 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def _cap_buckets(
+    buckets: DataFrame, max_bucket_size: int | None, cols: tuple[str, ...] = ("band", "key")
+) -> DataFrame:
+    """Hot-bucket safety valve shared by every banded/blocked pair
+    generator: drop buckets larger than ``max_bucket_size`` BEFORE the
+    self-join, bounding each bucket's pair fan-out at cap². A window
+    count over the bucket key — one extra pass over the bucket rows, no
+    extra shuffle beyond the one the self-join needs anyway (same key).
+    ``None`` disables the cap (exact semantics; what the oracles check).
+
+    At 100 TB this is what stops degenerate clusters — templated
+    boilerplate in LSH bands, all-zero SimHash signatures from
+    empty/near-empty docs, a mega-cell in sign-LSH — from turning a
+    banded equi-join into a quadratic hot partition.
+    """
+    if max_bucket_size is None:
+        return buckets
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*[F.col(c) for c in cols])
+    return (
+        buckets.withColumn("_bsz", F.count("*").over(w))
+        .where(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -174,15 +201,7 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    if max_bucket_size is not None:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band", "key")
-        buckets = (
-            buckets.withColumn("_bsz", F.count("*").over(w))
-            .where(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
+    buckets = _cap_buckets(buckets, max_bucket_size)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -443,6 +462,7 @@ def ngram_span_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "dedup_text",
+    pos_scale: int = 1_000_000,
 ) -> DataFrame:
     """Exact-substring (repeated n-gram span) deduplication — the
     Lee et al. 2022 "Deduplicating Training Data Makes Language Models
@@ -468,16 +488,51 @@ def ngram_span_dedup(
     only, (3) reassembly on doc_id. The hot-gram skew note from
     :func:`paragraph_dedup` applies identically (pre-drop count > K
     grams at 100 TB).
-    """
-    from pyspark.sql.window import Window  # noqa: F401  (parity with siblings)
 
-    POS_SCALE = 1_000_000  # > max tokens per doc; packed-min invariant
+    Packing invariant (GUARDED, not assumed): the packed-min key
+    ``id·pos_scale + pos`` orders (id, pos) pairs correctly only while
+    every doc has < ``pos_scale`` tokens and ``0 <= id <
+    2^63/pos_scale``. A violation used to silently corrupt which
+    occurrence counts as "first"; now the id dtype is checked up front
+    (integral only — a string id would overflow-free but mis-order) and
+    a distributed ``raise_error`` fires on the offending row. Raise
+    ``pos_scale`` for long-document corpora.
+    """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"ngram_span_dedup: {id_col} must be an integral type for the "
+            f"packed-min first-occurrence key; got {id_type.simpleString()}"
+        )
+    max_id = (1 << 63) // pos_scale - 1  # id*pos_scale + pos stays in bigint
     toks = df.select(
         F.col(id_col),
         F.split(
             F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
         ).alias("_t"),
     ).withColumn("_n", F.size("_t"))
+    bad = (
+        (F.col("_n") >= pos_scale)
+        | (F.col(id_col) < 0)
+        | (F.col(id_col) > max_id)
+    )
+    guard_err = F.raise_error(
+        F.concat(
+            F.lit(
+                f"ngram_span_dedup: packing invariant violated (need "
+                f"n_tokens < pos_scale={pos_scale} and 0 <= {id_col} <= "
+                f"{max_id}); got n_tokens="
+            ),
+            F.col("_n").cast("string"),
+            F.lit(f", {id_col}="),
+            F.col(id_col).cast("string"),
+        )
+    )
+    toks = toks.withColumn(
+        "_n", F.when(bad, guard_err.cast("int")).otherwise(F.col("_n"))
+    )
     grams = toks.select(
         id_col,
         "_t",
@@ -496,7 +551,7 @@ def ngram_span_dedup(
         ).alias("g"),
     ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
 
-    packed = F.col(id_col) * POS_SCALE + F.col("pos")
+    packed = F.col(id_col) * pos_scale + F.col("pos")
     stats = grams.groupBy("gram").agg(
         F.count("*").alias("_c"), F.min(packed).alias("_first")
     )
@@ -550,6 +605,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     hex_digits: int = SIMHASH_HEX_DIGITS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs from SimHash signatures — the
     retrieval half of the SimHash family (Charikar / Manku et al.'s
@@ -564,10 +620,25 @@ def simhash_pairs(
     Scale: same contract as MinHash-LSH banding — bucket sizes track
     real near-dup group sizes; the verify is one xor+popcount per
     candidate. Skewed bands (e.g. all-zero signatures from empty docs)
-    are the hot-bucket risk; cap or pre-drop degenerate signatures at
-    100 TB (same rule as lsh_candidate_pairs' max_bucket_size).
+    are the hot-bucket risk: ``max_bucket_size`` drops any (band, key)
+    bucket above the cap before the self-join (shared
+    :func:`_cap_buckets` valve, same contract as
+    :func:`lsh_candidate_pairs`), trading recall on degenerate clusters
+    for a cap² pair bound per bucket. ``None`` = exact semantics.
     """
     bits = hex_digits * 4
+    if bits % bands != 0:
+        raise ValueError(
+            f"simhash_pairs: bands={bands} must divide the signature width "
+            f"({hex_digits} hex digits = {bits} bits)"
+        )
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"simhash_pairs: max_hamming={max_hamming} needs bands >= "
+            f"{max_hamming + 1} (pigeonhole: a pair {max_hamming} flips apart "
+            f"only guarantees an exact band match when max_hamming <= bands-1); "
+            f"got bands={bands}"
+        )
     band_bits = bits // bands
     sig = simhash(df, text_col=text_col, id_col=id_col, hex_digits=hex_digits)
     banded = sig.select(
@@ -585,6 +656,7 @@ def simhash_pairs(
             )
         ).alias("band", "key"),
     )
+    banded = _cap_buckets(banded, max_bucket_size)
     a = banded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"), "band", "key"
     )

@@ -115,19 +115,29 @@ def bucketed_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     bits: int = SIGN_BITS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate top-k probing only the query's coarse cell.
 
     Recall < 1 by design (cell boundaries); at 100 TB this is the join
     that keeps ANN tractable: candidates ∝ N/2^bits per query, and the
     corpus can be written bucketed-by-cell so the probe is shuffle-free.
+
+    ``max_bucket_size`` drops corpus cells above the cap before the
+    probe join (the hot-bucket valve shared with the dedup family —
+    a mega-cell of near-identical/zero vectors otherwise makes every
+    query probing it scan the whole cell); capped cells lose recall,
+    nothing else changes. ``None`` = exact cell semantics (oracled).
     """
+    from .dedup import _cap_buckets
+
     q = with_cell(queries, vec_col, bits).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "cell"
     )
     c = with_cell(corpus, vec_col, bits).select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "cell"
     )
+    c = _cap_buckets(c, max_bucket_size, cols=("cell",))
     scored = (
         F.broadcast(q)
         .join(c, ["cell"])
@@ -226,10 +236,21 @@ def neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     bits: int = SIGN_BITS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold), blocked by
-    coarse cell so the pair join is per-bucket, not corpus²."""
+    coarse cell so the pair join is per-bucket, not corpus².
+
+    ``max_bucket_size`` caps the per-cell self-join at cap² pairs by
+    dropping over-full cells first (shared ``_cap_buckets`` valve;
+    ``None`` = exact, oracled semantics) — the guard the docstring
+    always promised for degenerate mega-cells (e.g. all-zero
+    embeddings from empty documents all landing in cell 0).
+    """
+    from .dedup import _cap_buckets
+
     c = with_cell(corpus, vec_col, bits)
+    c = _cap_buckets(c, max_bucket_size, cols=("cell",))
     a = c.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
     )
@@ -451,6 +472,123 @@ def pq_encode(
             .alias(f"c{j}")
             for j in range(m)
         ]
+    )
+
+
+IVF_SEED = "ivf-v1"
+
+
+def hashed_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+) -> DataFrame:
+    """Deterministic IVF coarse codebook: the ``n_cells`` corpus vectors
+    with the smallest ``md5(seed || id)`` — the same layout-independent
+    hash sample :func:`semantic_dedup` and :func:`pq_encode` use, which
+    is what keeps an IVF index oracle-checkable (trained k-means, the
+    production quantizer in :func:`ivf_topk`, is not SQL-expressible).
+    Global top-k = TakeOrderedAndProject — no full shuffle.
+    Returns ``(cell int, cv array)`` with cell = hash-order rank.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    return (
+        corpus.select(F.col(vec_col).alias("cv"), h.alias("_h"), F.col(id_col).alias("_cid"))
+        .orderBy("_h", "_cid")
+        .limit(n_cells)
+        .withColumn("cell", F.row_number().over(Window.orderBy("_h", "_cid")) - 1)
+        .select("cell", "cv")
+    )
+
+
+def ivf_assign_hashed(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_cells: int,
+    dim: int = 64,
+    quant: int = PQ_QUANT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its nearest hashed centroid — integer-grid
+    L2 (same ``floor(x·quant + 0.5)`` snap as :func:`pq_encode`, so the
+    argmin and its rank tiebreak are ENGINE-EXACT) via the packed-min
+    trick ``min(dist·n_cells + cell) % n_cells``. One broadcast of the
+    centroid frame, one groupBy(id) shuffle carrying (id, vec, cell);
+    at production scale write the corpus bucketed by ``cell`` so every
+    downstream probe join is shuffle-free.
+    Returns ``(id_col, vec_col, cell int)``.
+    """
+    d = _pq_grid_dist(F.col(vec_col), F.col("cv"), 0, dim, quant)
+    pairs = df.select(id_col, vec_col).crossJoin(F.broadcast(centroids)).select(
+        id_col, vec_col, "cell", d.alias("_d")
+    )
+    return pairs.groupBy(id_col).agg(
+        F.any_value(vec_col).alias(vec_col),
+        (F.min(F.col("_d") * n_cells + F.col("cell")) % n_cells)
+        .cast("int")
+        .alias("cell"),
+    )
+
+
+def ivf_topk_hashed(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    dim: int = 64,
+    quant: int = PQ_QUANT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+) -> DataFrame:
+    """IVF ANN with the DETERMINISTIC hash-sampled codebook — the
+    hash-checkable twin of :func:`ivf_topk` (same probe-join plan
+    shape; only the quantizer differs: hash sample here, trained
+    k-means there). Each query probes its ``n_probe`` nearest cells by
+    integer-grid L2 to the centroid; candidates join on cell id, exact
+    cosine re-scores, top-k per query.
+
+    Scale: candidates ∝ N·n_probe/n_cells per query; the corpus-side
+    assignment is one broadcast + one groupBy; the probe join
+    broadcasts the (tiny) query×probe frame so assigned corpus vectors
+    never shuffle for search.
+    """
+    cents = hashed_centroids(corpus, n_cells, vec_col, id_col, seed)
+    c = ivf_assign_hashed(
+        corpus, cents, n_cells, dim, quant, vec_col, id_col
+    ).select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "cell"
+    )
+    d = _pq_grid_dist(F.col("qv"), F.col("cv"), 0, dim, quant)
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    qd = q.crossJoin(F.broadcast(cents)).select(
+        "qid", "qv", "cell", d.alias("_d")
+    )
+    w_cell = Window.partitionBy("qid").orderBy(F.col("_d").asc(), F.col("cell").asc())
+    probes = (
+        qd.withColumn("_pr", F.row_number().over(w_cell))
+        .where(F.col("_pr") <= n_probe)
+        .select("qid", "qv", "cell")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(c, ["cell"])
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "cos_sim", "rank")
     )
 
 

@@ -227,10 +227,15 @@ def interval_overlap_join(
 
     Plan shape: each interval explodes into every ``bin_seconds`` bucket
     it covers, the join is equi on (key, bucket), the exact overlap
-    predicate filters, and a distinct on the pair identity removes the
+    predicate filters, and a dedup on the PAIR IDENTITY — per-side row
+    tags assigned before binning, not the row values — removes the
     multi-bucket duplicates (two intervals overlapping across k shared
-    buckets meet k times). Catalyst would otherwise plan the raw
-    inequality join as BroadcastNestedLoop — quadratic per key.
+    buckets meet k times). Tagging by row rather than value means two
+    identical input intervals still produce two output rows, exactly
+    like the untagged overlap join the oracle states; a whole-row
+    ``distinct()`` would silently collapse them. Catalyst would
+    otherwise plan the raw inequality join as BroadcastNestedLoop —
+    quadratic per key.
 
     Fan-out is interval_span/bin_seconds per row: pick ``bin_seconds``
     near the typical interval length (the standard binned-overlap
@@ -257,15 +262,25 @@ def interval_overlap_join(
 
     lcols = [c for c in left.columns if c != on]
     rcols = [c for c in right.columns if c != on]
+    # per-side row identity BEFORE the bin explode: each source row keeps
+    # one tag across all its bins, so (left tag, right tag) names the
+    # pair exactly once per shared bucket. monotonically_increasing_id
+    # is stable within one job (partition-indexed), which is all the
+    # dedup needs — the tags never leave the plan.
     l_ren = left.select(
         on, *[F.col(c).alias(f"_l_{c}") for c in lcols]
-    )
+    ).withColumn("_l_row", F.monotonically_increasing_id())
     r_ren = right.select(
         on, *[F.col(c).alias(f"_r_{c}") for c in rcols]
-    )
+    ).withColumn("_r_row", F.monotonically_increasing_id())
     lb = binned(l_ren, f"_l_{left_start}", f"_l_{left_end}")
     rb = binned(r_ren, f"_r_{right_start}", f"_r_{right_end}")
-    joined = lb.join(rb, [on, "_bin"]).where(overlap).drop("_bin").distinct()
+    joined = (
+        lb.join(rb, [on, "_bin"])
+        .where(overlap)
+        .dropDuplicates(["_l_row", "_r_row"])
+        .drop("_bin", "_l_row", "_r_row")
+    )
     out_cols = [F.col(on)]
     for c in lcols:
         out_cols.append(F.col(f"_l_{c}").alias(c))

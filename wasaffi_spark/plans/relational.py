@@ -239,6 +239,17 @@ QUERIES["approx_aggs"] = _approx_aggs
 # extras channel (round-3 demotion; pytest + tools/oracle_check.py keep
 # running it).
 EXTRA_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+EXTRA_ORACLE: dict[str, str] = {}
+
+
+def demote(*names: str) -> None:
+    """Move driver-window queries to the extras channel (local sweep +
+    pytest keep checking them; the driver's bounded window frees a slot).
+    Oracles travel with the query so the sweep stays a hash check."""
+    for n in names:
+        EXTRA_QUERIES[n] = QUERIES.pop(n)
+        if n in ORACLE:
+            EXTRA_ORACLE[n] = ORACLE.pop(n)
 
 
 def _explain_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:

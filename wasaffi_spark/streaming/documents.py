@@ -97,26 +97,46 @@ def incremental_dedup_sink(
     temp views — a foreachBatch body runs against a cloned session
     whose view changes don't propagate back.
 
+    Restart/replay semantics: the query checkpoints its progress
+    (``<state_dir>/_checkpoint``), existing state survives a restart
+    (init only when absent — wiping it would re-admit every duplicate),
+    and each batch writes with ``overwrite`` into a
+    ``batch_id=<n>`` partition of both tables — the standard idempotent
+    foreachBatch sink recipe: foreachBatch is at-least-once, so a
+    replayed batch simply rewrites its own partition instead of
+    appending duplicates (and a crash between the two writes is healed
+    on replay because both are recomputed from the pre-batch state,
+    which never contains the crashed batch's own partition under
+    ``batch_id >= current`` exclusion below).
+
     Scale: the anti-join shuffles on the 16-byte hash; partition the
     state table by hash prefix so the join and the append agree on
     layout, and compact periodically. Nothing driver-side.
     """
     import os
 
-    hash_schema = f"text_hash string, {id_col} bigint"
-    spark.createDataFrame([], hash_schema).write.mode("overwrite").parquet(
-        os.path.join(state_dir, "state")
-    )
-    doc_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in docs_stream.schema.fields
-    )
-    spark.createDataFrame([], doc_schema).write.mode("overwrite").parquet(
-        os.path.join(state_dir, "docs")
-    )
+    state_path = os.path.join(state_dir, "state")
+    docs_path = os.path.join(state_dir, "docs")
+    if not os.path.exists(state_path):
+        hash_schema = f"text_hash string, {id_col} bigint"
+        spark.createDataFrame([], hash_schema).write.parquet(
+            os.path.join(state_path, "batch_id=-1")
+        )
+    if not os.path.exists(docs_path):
+        doc_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in docs_stream.schema.fields
+        )
+        spark.createDataFrame([], doc_schema).write.parquet(
+            os.path.join(docs_path, "batch_id=-1")
+        )
+    stream_cols = list(docs_stream.columns)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         b = batch_df.sparkSession
-        state = b.read.parquet(os.path.join(state_dir, "state"))
+        # exclude this batch's own partition: on replay the state dir may
+        # already hold a partial/complete write from the crashed attempt
+        state = b.read.parquet(state_path).where(F.col("batch_id") < batch_id)
         hashed = batch_df.withColumn("text_hash", F.md5(F.col(text_col)))
         firsts = (
             hashed.join(
@@ -127,19 +147,19 @@ def incremental_dedup_sink(
             .drop("_keep")
         )
         novel = firsts.join(state, "text_hash", "left_anti")
-        # materialize once: two appends below must see the SAME rows,
-        # and the second must not re-list the state dir it just grew
+        # materialize once: the two writes below must see the SAME rows
         novel = novel.localCheckpoint(eager=True)
-        novel.select(batch_df.columns).write.mode("append").parquet(
-            os.path.join(state_dir, "docs")
+        novel.select(stream_cols).write.mode("overwrite").parquet(
+            os.path.join(docs_path, f"batch_id={batch_id}")
         )
-        novel.select("text_hash", id_col).write.mode("append").parquet(
-            os.path.join(state_dir, "state")
+        novel.select("text_hash", id_col).write.mode("overwrite").parquet(
+            os.path.join(state_path, f"batch_id={batch_id}")
         )
 
     return (
         docs_stream.writeStream.foreachBatch(process_batch)
         .outputMode("append")
+        .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
         .trigger(availableNow=True)
         .start()
     )
