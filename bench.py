@@ -93,6 +93,9 @@ HEADLINE = [
     "ngram_span_dedup",
     "simhash_pairs",
     "mixture_epochs",
+    # new in r4: hash-checkable IVF ANN + the composed IVF×PQ index
+    "ann_ivf",
+    "ivf_pq_topk",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

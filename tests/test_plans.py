@@ -213,9 +213,9 @@ def test_snapshot_diff_single_join_fingerprints_scan_side(spark):
     carries (key, 32-byte hash), not documents."""
     import re
 
-    from wasaffi_spark.operators.catalog import EXTRA_QUERIES as OPEX
+    from wasaffi_spark.operators.catalog import QUERIES as OPQ2
 
-    f = plan_facts(OPEX["dataset_diff"](spark, SF_SMOKE))
+    f = plan_facts(OPQ2["dataset_diff"](spark, SF_SMOKE))
     # formatted plans print each node twice (tree + detail) — count the
     # numbered detail headers
     joins = re.findall(
@@ -232,8 +232,28 @@ def test_gapfill_spine_is_broadcast(spark):
     """The 1-row bounds frame broadcasts into the spine build; the
     series×hour spine joins the hourly aggregate without a sort-merge
     of the raw events."""
-    from wasaffi_spark.operators.catalog import EXTRA_QUERIES as OPEX
+    from wasaffi_spark.operators.catalog import QUERIES as OPQ2
 
-    f = plan_facts(OPEX["events_gapfill"](spark, SF_SMOKE))
+    f = plan_facts(OPQ2["events_gapfill"](spark, SF_SMOKE))
     assert f.broadcast_joins >= 1
     assert "EvalPython" not in f.text
+
+
+@needs_data
+def test_ivf_pq_search_join_is_hash_on_cell(spark):
+    """The composed IVF×PQ query's search join must be a HASH join on
+    the probed cell id — never a full-corpus nested loop (the scan the
+    composition exists to remove). The only nested-loop nodes allowed
+    are the two bounded codebook broadcasts (corpus×16 seeds for
+    encoding, queries×16 seeds for the lookup tables)."""
+    import re
+
+    from wasaffi_spark.operators.catalog import QUERIES as OPQ
+
+    f = plan_facts(OPQ["ivf_pq_topk"](spark, SF_SMOKE))
+    nlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", f.text)
+    assert len(nlj) == 2, f"expected only the 2 codebook cross joins, got {len(nlj)}"
+    hash_joins = re.findall(r"\(\d+\) BroadcastHashJoin", f.text)
+    assert hash_joins, "search join must be a broadcast hash join"
+    assert re.search(r"keys \[1\]: \[cell#\d+", f.text), "hash join key must be cell"
+    assert "EvalPython" not in f.text  # everything stays JVM-side

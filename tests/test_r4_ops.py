@@ -214,3 +214,111 @@ def test_query_registries_disjoint_and_oracled():
     xo = entry.extra_oracle_sql()
     assert set(xo) <= set(x), "extra oracle without a matching extra query"
     assert len(q) <= 50, "driver correctness window is 50 entries"
+
+
+# ---------------------------------------------------------------------------
+# IVF hashed + IVF×PQ composition (VERDICT next-round #1/#2)
+
+
+def _toy_embeddings(spark, n=40, dim=64):
+    import math
+
+    rows = []
+    for i in range(n):
+        # deterministic pseudo-random unit-ish vectors, two loose clusters
+        base = 1.0 if i % 2 == 0 else -1.0
+        vec = [
+            round(base * math.sin(0.1 * i + 0.37 * d) + 0.01 * ((i * 7 + d) % 5), 6)
+            for d in range(dim)
+        ]
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_ivf_topk_hashed_recall_vs_bruteforce(spark):
+    from wasaffi_spark.operators.similarity import brute_force_topk, ivf_topk_hashed
+
+    emb = _toy_embeddings(spark)
+    q = emb.where(F.col("vec_id") < 4)
+    exact = {
+        (r["qid"], r["nid"]) for r in brute_force_topk(q, emb, k=3).collect()
+    }
+    approx = {
+        (r["qid"], r["nid"])
+        for r in ivf_topk_hashed(q, emb, k=3, n_cells=8, n_probe=4).collect()
+    }
+    # probing half the cells of a 2-cluster corpus must recover most of
+    # the exact neighbours
+    assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_ivf_pq_topk_equals_pq_topk_when_probing_all_cells(spark):
+    """With n_probe = codebook_k every cell is probed, so the composed
+    index degenerates to the full ADC scan — output must be IDENTICAL
+    to plain pq_topk (same integer grid, same tiebreaks)."""
+    from wasaffi_spark.operators.similarity import PQ_K, ivf_pq_topk, pq_topk
+
+    emb = _toy_embeddings(spark)
+    q = emb.where(F.col("vec_id") < 4)
+    full = sorted(map(tuple, pq_topk(q, emb, k=3).collect()))
+    composed = sorted(map(tuple, ivf_pq_topk(q, emb, k=3, n_probe=PQ_K).collect()))
+    assert composed == full
+
+
+def test_ivf_pq_topk_candidates_come_from_probed_cells_only(spark):
+    from wasaffi_spark.operators.similarity import ivf_pq_topk
+
+    emb = _toy_embeddings(spark)
+    q = emb.where(F.col("vec_id") < 4)
+    out = ivf_pq_topk(q, emb, k=40, n_probe=1).collect()
+    # with a single probed cell per query, each query's candidate count
+    # is bounded by the largest cell, strictly less than the corpus
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["qid"], 0)
+        per_q[r["qid"]] += 1
+    assert per_q and all(c < 39 for c in per_q.values())
+
+
+# ---------------------------------------------------------------------------
+# data-proportional ANN cells (VERDICT next-round #4)
+
+
+def test_auto_sign_bits_tracks_corpus_size():
+    from wasaffi_spark.operators.similarity import auto_sign_bits
+
+    assert auto_sign_bits(256 * 256) == 8          # the old constant, derived
+    assert auto_sign_bits(2 * 256 * 256) == 9      # 2x corpus -> +1 bit
+    assert auto_sign_bits(100_000_000_000) == 29   # 100B vectors stays clamped
+    assert auto_sign_bits(10) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        auto_sign_bits(0)
+
+
+def test_auto_sign_bits_bounds_cell_candidates(spark):
+    """With bits from auto_sign_bits, the LARGEST cell in a spread-out
+    corpus stays near the target occupancy instead of growing O(N)."""
+    import math
+
+    from wasaffi_spark.operators.similarity import auto_sign_bits, with_cell
+
+    n, dim, target = 4096, 16, 64
+    rows = [
+        (i, [math.sin(0.7 * i + 1.3 * d) for d in range(dim)]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    bits = auto_sign_bits(n, target_cell_size=target)
+    assert bits == 6  # 4096/64
+    sizes = [
+        r["c"]
+        for r in with_cell(emb, bits=bits)
+        .groupBy("cell")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ]
+    # sine-lattice vectors are not uniform over sign patterns, so allow
+    # generous slack — the point is O(target), not O(N)
+    assert max(sizes) < 16 * target
+    assert len(sizes) > 8

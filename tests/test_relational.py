@@ -17,11 +17,13 @@ needs_data = pytest.mark.skipif(
 
 
 def test_catalog_well_formed():
-    # every oracle key refers to a registered query
+    # every oracle key refers to a registered query (both channels)
     assert set(relational.ORACLE) <= set(relational.QUERIES)
-    # approx aggregates are deliberately rows-only
-    assert "approx_aggs" in relational.QUERIES
-    assert "approx_aggs" not in relational.ORACLE
+    assert set(relational.EXTRA_ORACLE) <= set(relational.EXTRA_QUERIES)
+    # approx aggregates are deliberately rows-only (rotated to the
+    # extras channel in r4)
+    assert "approx_aggs" in relational.EXTRA_QUERIES
+    assert "approx_aggs" not in relational.EXTRA_ORACLE
 
 
 @needs_data
@@ -87,7 +89,7 @@ def test_semi_anti_counts_consistent(spark):
 
 @needs_data
 def test_reshape_setops_branches(spark):
-    rows = relational.QUERIES["reshape_setops"](spark, SF_SMOKE).collect()
+    rows = relational.EXTRA_QUERIES["reshape_setops"](spark, SF_SMOKE).collect()
     setops = {r["k1"] for r in rows if r["src"] == "s"}
     assert setops == {"d", "e", "i", "v"} or setops == {"d", "i", "v"}
     assert sorted(r["v"] for r in rows if r["src"] == "s" and r["k1"] == "v") == [98, 99]

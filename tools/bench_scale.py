@@ -1,0 +1,231 @@
+#!/usr/bin/env python
+"""Scale-probe bench (VERDICT r3 next-round #6): measure how the
+heaviest headline queries scale when the input grows 10× beyond sf0.1
+(a synthetic sf≈1), and name the cause of anything super-linear.
+
+The scaled tables are built by replicating sf0.1 R times with
+DECORRELATED replicas — naive replication would make every document
+text 10 identical copies (cross-replica duplicate pairs would then grow
+quadratically in R by construction, measuring the data trick rather
+than the operator), so:
+
+- ``documents``: replica r rewrites every token t → "t·r{r}" (distinct
+  vocab per replica ⇒ intra-replica duplicate structure identical to
+  sf0.1, zero cross-replica gram/shingle/signature collisions);
+- ``embeddings``: replica r adds position-dependent noise
+  ``0.3·sin(1.7·i + 2.3·r)`` per dimension (keeps magnitudes realistic,
+  decorrelates replicas so near-dup/cluster structure scales linearly);
+- ``lineitem``: replica r offsets supplier/part keys (10 disjoint
+  supply graphs — pagerank's per-iteration work should scale linearly).
+
+An ideally-linear operator therefore shows ratio ≈ R (×
+parallelism-slack at this size); ratios well above R indicate a
+super-linear term, reported with its cause.
+
+Usage: python tools/bench_scale.py [--rebuild]
+Writes BENCH_SCALE.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALED = os.path.join(REPO, ".scale", "x10")
+R = 10
+
+# query name -> (named cause if super-linear growth is EXPECTED, else None)
+PROBES = {
+    "pq_topk": (
+        "flat ADC: candidates = Q×N, per-qid ranking window grows with N "
+        "— the cost ivf_pq_topk exists to remove"
+    ),
+    "ivf_pq_topk": None,
+    "pagerank": None,
+    "semantic_dedup": (
+        "Σ|cluster|² pair join with k_seeds held at 16 — SemDeDup's own "
+        "knob: k_seeds must grow with N to keep N/k bounded (see "
+        "semantic_dedup_k160 row, which scales the knob with the data)"
+    ),
+    "simhash_pairs": None,
+    "ngram_span_dedup": None,
+    "jaccard_pairs": None,
+}
+
+
+def build_scaled(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    os.makedirs(SCALED, exist_ok=True)
+
+    docs = read_parquet(spark, os.path.join(BASE, "documents.parquet"))
+    n_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = []
+    for r in range(R):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * n_doc))
+        if r > 0:
+            d = d.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda t: F.concat(t, F.lit(f"r{r}")),
+                    ),
+                    " ",
+                ),
+            )
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SCALED, "documents.parquet")
+    )
+
+    emb = read_parquet(spark, os.path.join(BASE, "embeddings.parquet"))
+    n_emb = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    parts = []
+    for r in range(R):
+        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * n_emb))
+        if r > 0:
+            e = e.withColumn(
+                "embedding",
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: (
+                        x.cast("double")
+                        + 0.3 * F.sin(1.7 * i.cast("double") + F.lit(2.3 * r))
+                    ),
+                ),
+            )
+        parts.append(e)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SCALED, "embeddings.parquet")
+    )
+
+    li = read_parquet(spark, os.path.join(BASE, "lineitem.parquet"))
+    n_supp = li.agg(F.max("l_suppkey")).collect()[0][0] + 1
+    n_part = li.agg(F.max("l_partkey")).collect()[0][0] + 1
+    parts = [
+        li.withColumn("l_suppkey", F.col("l_suppkey") + F.lit(r * n_supp))
+        .withColumn("l_partkey", F.col("l_partkey") + F.lit(r * n_part))
+        for r in range(R)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(SCALED, "lineitem.parquet")
+    )
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from wasaffi_spark.conf import recommended_builder
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        recommended_builder(
+            master=f"local[{cpus}]", cpus=cpus, app_name="wasaffi-bench-scale"
+        )
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if "--rebuild" in sys.argv and os.path.isdir(SCALED):
+        shutil.rmtree(SCALED)
+    if not os.path.isdir(os.path.join(SCALED, "documents.parquet")):
+        build_scaled(spark)
+
+    queries = entrymod.queries()
+    queries.update(entrymod.extra_queries())
+
+    # the knob-follows-the-data variant of semantic_dedup: k_seeds scales
+    # with N so Σ|cluster|² stays bounded — the comparison row that shows
+    # the quadratic term is the (documented) knob, not the operator.
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators import similarity as sim
+
+    def semantic_dedup_k160(spark, sf_dir):
+        from wasaffi_spark.sources.parquet import read_parquet
+
+        emb = read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
+        return sim.semantic_dedup(emb, k_seeds=160, threshold=0.95)
+
+    def timed(fn, sf_dir, runs=2) -> float:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    results = {}
+    for name, cause in PROBES.items():
+        fn = queries[name]
+        base = timed(fn, BASE)
+        scaled = timed(fn, SCALED)
+        ratio = round(scaled / base, 2) if base > 0 else None
+        row = {"sf0.1_sec": base, "x10_sec": scaled, "ratio": ratio}
+        if cause and ratio and ratio > 1.5 * R:
+            row["superlinear_cause"] = cause
+        elif cause:
+            row["note"] = cause
+        results[name] = row
+        print(f"  {name}: {base}s -> {scaled}s (x{ratio})", flush=True)
+
+    base = timed(semantic_dedup_k160, BASE)
+    scaled = timed(semantic_dedup_k160, SCALED)
+    results["semantic_dedup_k160"] = {
+        "sf0.1_sec": base,
+        "x10_sec": scaled,
+        "ratio": round(scaled / base, 2),
+        "note": (
+            "same operator with k_seeds=160 (knob ∝ N): bounds the "
+            "within-cluster pair join at 10× data"
+        ),
+    }
+    print(
+        f"  semantic_dedup_k160: {base}s -> {scaled}s "
+        f"(x{results['semantic_dedup_k160']['ratio']})",
+        flush=True,
+    )
+
+    with open(os.path.join(REPO, "BENCH_SCALE.json"), "w") as f:
+        json.dump(
+            {
+                "replication": R,
+                "base_dir": BASE,
+                "cpus": cpus,
+                "method": (
+                    "decorrelated 10x replication of sf0.1 (distinct vocab "
+                    "per replica; position-noise per embedding replica; "
+                    "disjoint supply graphs); best-of-2 warm runs to a noop "
+                    "sink"
+                ),
+                "queries": results,
+            },
+            f,
+            indent=1,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -400,19 +400,96 @@ register(
 )
 
 
+IVF_CELLS = 16
+IVF_PROBE = 2
+
+
+def _ivf_l2_sql(a: str, b: str, dim: int = 64) -> str:
+    """Whole-vector integer-grid L2² (DuckDB), matching
+    similarity._pq_grid_dist over the full dimension range."""
+    quant = similarity.PQ_QUANT
+    terms = " + ".join(
+        f"power(floor({a}[{i}]*{quant} + 0.5) - floor({b}[{i}]*{quant} + 0.5), 2)"
+        for i in range(1, dim + 1)
+    )
+    return f"cast({terms} as bigint)"
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with trained centroids — rows-only (k-means training is
-    not SQL-expressible); exactness of scores + recall floor are pinned
-    by tests/test_operators.py."""
+    """IVF ANN with the deterministic hash-sampled codebook
+    (operators/similarity.py::ivf_topk_hashed) — hash-oracled end to
+    end: cell assignment and probe order are integer-grid argmins, the
+    re-score is the fold-order cosine. The trained-KMeans variant
+    (ivf_topk) keeps the same plan shape and is pinned by the recall
+    pytest + the ann_ivf_trained extra (training isn't
+    SQL-expressible)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    out = similarity.ivf_topk_hashed(
+        queries, emb, k=ANN_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE
+    )
+    return out.select(
+        "qid", "nid", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
+    ).orderBy("qid", "rnk")
+
+
+register(
+    "ann_ivf",
+    q_ann_ivf,
+    f"""with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        ranked as (
+          select v as cv,
+                 row_number() over (
+                   order by md5('{similarity.IVF_SEED}' || vec_id), vec_id) - 1
+                   as cell
+          from e
+          order by md5('{similarity.IVF_SEED}' || vec_id), vec_id
+          limit {IVF_CELLS}),
+        ad as (select e.vec_id, r.cell, {_ivf_l2_sql("e.v", "r.cv")} as d
+               from e cross join ranked r),
+        assign as (
+          select vec_id,
+                 cast(min(d * {IVF_CELLS} + cell) % {IVF_CELLS} as int) as cell
+          from ad group by vec_id),
+        q as (select vec_id as qid, v as qv from e
+              where vec_id < {ANN_QUERY_MAX_ID}),
+        qd as (select q.qid, r.cell, {_ivf_l2_sql("q.qv", "r.cv")} as d
+               from q cross join ranked r),
+        probes as (
+          select qid, cell from (
+            select qid, cell,
+                   row_number() over (partition by qid order by d, cell) as pr
+            from qd) t
+          where pr <= {IVF_PROBE}),
+        cand as (select p.qid, a.vec_id as nid
+                 from probes p join assign a using (cell)),
+        scored as (
+          select c.qid, c.nid,
+                 round(list_cosine_similarity(q2.qv, e2.v), 6) as cos_sim
+          from cand c
+          join q q2 on q2.qid = c.qid
+          join e e2 on e2.vec_id = c.nid
+          where c.qid <> c.nid),
+        rankd as (
+          select qid, nid, cos_sim,
+                 row_number() over (partition by qid
+                                    order by cos_sim desc, nid) as rnk
+          from scored)
+       select qid, nid, cos_sim, rnk from rankd
+       where rnk <= {ANN_K} order by qid, rnk""",
+)
+
+
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-quantizer IVF (MLlib KMeans centroids) — rows-only
+    by nature (training is not SQL-expressible); recall vs brute force
+    is pinned in tests/test_operators.py."""
     emb = _table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
     out = similarity.ivf_topk(queries, emb, k=ANN_K, n_cells=16, n_probe=2)
     return out.select(
         "qid", "nid", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
     ).orderBy("qid", "rnk")
-
-
-register("ann_ivf", q_ann_ivf, None)
 
 
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2630,6 +2707,91 @@ register_extra(
 )
 
 
+register_extra("ann_ivf_trained", q_ann_ivf_trained, None)
+
+
+IVFPQ_PROBE = 4
+
+
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF×PQ search (operators/similarity.py::ivf_pq_topk):
+    each query's ADC scan covers only its probed cells — the
+    scale-complete ANN query VERDICT r3 asked for. Fully hash-oracled:
+    cells, codes, probe order, and ADC sums all live on the shared
+    integer grid."""
+    emb = _table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    return similarity.ivf_pq_topk(
+        probes, emb, k=ANN_K, n_probe=IVFPQ_PROBE
+    ).orderBy("qid", "rank")
+
+
+_PQ_TOTAL = " + ".join(f"d{j}" for j in range(_PQ_M))
+
+register(
+    "ivf_pq_topk",
+    q_ivf_pq_topk,
+    f"""with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        ranked as (
+          select v as sv,
+                 row_number() over (
+                   order by md5('{similarity.PQ_SEED}' || vec_id), vec_id) - 1
+                   as rank
+          from e
+          order by md5('{similarity.PQ_SEED}' || vec_id), vec_id
+          limit {_PQ_K}),
+        cpairs as (
+          select e.vec_id, s.rank,
+                 {", ".join(f"{_pq_dist_sql(j)} as d{j}" for j in range(_PQ_M))}
+          from e cross join ranked s),
+        codes as (
+          select vec_id as nid,
+                 {", ".join(
+                     f"cast(min(d{j} * {_PQ_K} + rank) % {_PQ_K} as int) as c{j}"
+                     for j in range(_PQ_M)
+                 )},
+                 cast(min(({_PQ_TOTAL}) * {_PQ_K} + rank) % {_PQ_K} as int) as cell
+          from cpairs group by vec_id),
+        q as (select vec_id as qid, v as qv from e
+              where vec_id < {ANN_QUERY_MAX_ID}),
+        qpairs as (
+          select q.qid, s.rank,
+                 {", ".join(f"{_pq_qdist_sql(j)} as d{j}" for j in range(_PQ_M))}
+          from q cross join ranked s),
+        probes as (
+          select qid, cell from (
+            select qid, rank as cell,
+                   row_number() over (partition by qid
+                                      order by ({_PQ_TOTAL}), rank) as pr
+            from qpairs) t
+          where pr <= {IVFPQ_PROBE}),
+        cand as (select p.qid, c.nid
+                 from probes p join codes c using (cell)
+                 where p.qid <> c.nid),
+        qd as ({" union all ".join(
+            f"select qid, rank, {j} as j, d{j} as d from qpairs"
+            for j in range(_PQ_M)
+        )}),
+        cd as ({" union all ".join(
+            f"select nid, {j} as j, c{j} as c from codes" for j in range(_PQ_M)
+        )}),
+        adist as (
+          select ca.qid, ca.nid, cast(sum(qd.d) as bigint) as adist
+          from cand ca
+          join qd on qd.qid = ca.qid
+          join cd on cd.nid = ca.nid and cd.j = qd.j and qd.rank = cd.c
+          group by 1, 2),
+        rankd as (
+          select qid, nid, adist,
+                 cast(row_number() over (
+                   partition by qid order by adist, nid) as int) as rank
+          from adist)
+       select qid, nid, adist, rank from rankd
+       where rank <= {ANN_K}
+       order by qid, rank""",
+)
+
+
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sliding-window rollup — 1-hour windows every 15 minutes per
     event_type via the built-in ``window()`` (each event lands in
@@ -3087,4 +3249,49 @@ register_extra(
        select lang, cast(epoch as int) as epoch, count(*) as cnt,
               min(doc_id) as min_id
        from expanded group by 1, 2 order by lang, epoch""",
+)
+
+
+# ---------------------------------------------------------------------------
+# round-4 driver-window rotation (VERDICT r3 next-round #5): every
+# operator should appear in the driver's hard hash signal at least once
+# across rounds. Long-stable queries (hash-green since r1/r2, still
+# pytest- and sweep-checked as extras) cede their slots to operators
+# that had only sweep coverage. Oracles travel with the query in both
+# directions, so the local two-comparator sweep still covers ALL of them.
+
+
+def _demote(*names: str) -> None:
+    for n in names:
+        EXTRA_QUERIES[n] = QUERIES.pop(n)
+        if n in ORACLE:
+            EXTRA_ORACLE[n] = ORACLE.pop(n)
+
+
+def _promote(*names: str) -> None:
+    for n in names:
+        QUERIES[n] = EXTRA_QUERIES.pop(n)
+        if n in EXTRA_ORACLE:
+            ORACLE[n] = EXTRA_ORACLE.pop(n)
+
+
+_promote(
+    "merge_upsert",
+    "scd2_merge",
+    "pagerank",
+    "funnel",
+    "cohort_retention",
+    "dataset_diff",
+    "events_gapfill",
+    "inverted_index",
+    "pmi_bigrams",
+    "bloom_dedup",
+    "countmin_tokens",
+)
+_demote(
+    "copy_roundtrip",
+    "quality_score",
+    "embedding_transform",
+    "train_split",
+    "fingerprints",
 )

@@ -551,3 +551,18 @@ ORACLE["udf_types"] = (
               cast(length(upper(cast(vec_id as varchar))) as bigint) as idlen
        from embeddings order by vec_id limit 50"""
 )
+
+
+# round-4 driver-window rotation (see operators/catalog.py tail): these
+# relational rows have been hash-green in every round since r1 — they
+# move to the extras channel (sweep + pytest keep them green) so the
+# driver window can take never-driver-checked operators instead.
+demote(
+    "agg_stats",
+    "histogram_having_case",
+    "scalar_fns",
+    "datetime_fns",
+    "reshape_setops",
+    "json_complex",
+    "approx_aggs",
+)
