@@ -96,6 +96,12 @@ HEADLINE = [
     # new in r4: hash-checkable IVF ANN + the composed IVF×PQ index
     "ann_ivf",
     "ivf_pq_topk",
+    # new in r4: retrieval, LM quality scoring, layout, ORC, keep-best
+    "bm25_topk",
+    "lm_doc_score",
+    "zorder_cells",
+    "orc_roundtrip",
+    "cluster_canonical",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -225,7 +225,7 @@ def parse_function_ddl(sql: str) -> EngineStmt:
     m = _EXTERNAL_TABLE_RE.match(sql)
     if m:
         fmt = m.group("format").lower()
-        if fmt not in ("parquet", "csv", "json", "arrow"):
+        if fmt not in ("parquet", "csv", "json", "arrow", "orc"):
             raise FunctionDefinitionError(
                 f"unsupported external table format: {fmt!r}"
             )
@@ -240,7 +240,7 @@ def parse_function_ddl(sql: str) -> EngineStmt:
     m = _COPY_TO_RE.match(sql)
     if m:
         fmt = (m.group("format") or "parquet").lower()
-        if fmt not in ("parquet", "csv", "json", "arrow"):
+        if fmt not in ("parquet", "csv", "json", "arrow", "orc"):
             raise FunctionDefinitionError(f"unsupported COPY format: {fmt!r}")
         return CopyToStmt(
             source=m.group("source"),

@@ -214,6 +214,8 @@ class Engine:
             from .sources.arrow_ipc import read_arrow_ipc
 
             df = read_arrow_ipc(self.spark, stmt.location)
+        elif stmt.format == "orc":
+            df = self.spark.read.orc(stmt.location)
         else:
             df = self.spark.read.json(stmt.location)
         self.register(stmt.name, df)
@@ -236,6 +238,8 @@ class Engine:
             writer.option("header", True).csv(stmt.location)
         elif stmt.format == "json":
             writer.json(stmt.location)
+        elif stmt.format == "orc":
+            writer.orc(stmt.location)
         else:
             writer.parquet(stmt.location)
         return self._empty_result()

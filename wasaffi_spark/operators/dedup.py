@@ -675,3 +675,49 @@ def simhash_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def canonical_per_cluster(
+    clusters: DataFrame,
+    scored: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    cluster_col: str = "component_id",
+) -> DataFrame:
+    """Canonical-document selection — the keep-WHICH-copy policy of a
+    near-dup pipeline: given cluster labels (e.g. from
+    ``graph.connected_components`` over LSH pairs) and a quality-scored
+    corpus, keep the highest-quality member of each cluster (tiebreak:
+    lowest id) instead of the naive first-seen copy.
+
+    Returns one row per input doc: (id, cluster, quality, ``keep``).
+    Docs absent from ``clusters`` (singletons that never produced a
+    candidate pair) form their own cluster and are always kept.
+
+    One hash shuffle on the cluster key for the ranking window; the
+    quality join is id-equi and AQE-sized. At 100 TB the cluster frame
+    is the (small) pair-graph closure, not the corpus — broadcast it
+    when it fits.
+    """
+    from pyspark.sql import Window
+
+    labeled = scored.join(
+        clusters.select(
+            F.col(id_col), F.col(cluster_col).alias("_cluster")
+        ),
+        id_col,
+        "left",
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("_cluster"), F.col(id_col)).alias("cluster_id"),
+        F.col(quality_col).alias("_q"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("_q"), F.asc(id_col)
+    )
+    return labeled.select(
+        id_col,
+        "cluster_id",
+        F.col("_q").alias(quality_col),
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

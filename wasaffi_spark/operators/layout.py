@@ -1,0 +1,128 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering for
+file-level data skipping.
+
+At 100 TB a table is thousands of parquet files, and a scan's cost is
+the fraction of files whose min/max column statistics intersect the
+predicate box. Sorting by one column gives perfect skipping on that
+column and none on any other; interleaving the bits of two (or more)
+bucketized columns — the Z-order curve — gives every interleaved column
+partial locality, so 2-D box predicates prune most files (the layout
+trick behind Delta/Iceberg `OPTIMIZE ZORDER BY`).
+
+Everything here is codegen-only integer arithmetic (shift/and/or), so
+the z-value computation adds no Python or shuffle cost beyond the
+range-repartition that the rewrite needs anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bucketize(col: Column, lo, step, bits: int) -> Column:
+    """Affine-bucketize a numeric column to [0, 2^bits): floor-divide
+    the offset from ``lo`` by ``step``, clamped at the top bucket.
+    Explicit (lo, step) rather than observed min/max keeps the mapping
+    stable across snapshots — a layout key must not reshuffle the whole
+    table because one outlier row moved the observed range."""
+    b = F.floor((col - F.lit(lo)) / F.lit(step)).cast("bigint")
+    top = F.lit((1 << bits) - 1)
+    return F.greatest(F.lit(0), F.least(top, b))
+
+
+def zvalue(bx: Column, by: Column, bits: int) -> Column:
+    """Interleave two ``bits``-wide bucket ids into the 2*bits-wide
+    Morton code (x takes the odd bit positions, y the even). Pure
+    shift/and/or — whole-stage codegen folds the whole expression."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(bx, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(by, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+def zvalue_sql(bx: str, by: str, bits: int) -> str:
+    """The DuckDB/ANSI twin of :func:`zvalue` for oracle SQL."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({bx} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({by} >> {i}) & 1) << {2 * i})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    xcol: str,
+    ycol: str,
+    x_lo,
+    x_step,
+    y_lo,
+    y_step,
+    bits: int = 8,
+    num_files: int = 16,
+) -> None:
+    """Rewrite ``df`` as ``num_files`` parquet files clustered along the
+    Z-order curve of (xcol, ycol): range-repartition on the z-value
+    (contiguous curve segments per file → tight per-file min/max stats
+    on BOTH dimensions), sort within each file, drop the helper column.
+
+    One shuffle (the range repartition, with its sampling pass) — the
+    same cost as any layout rewrite; at scale run it per partition of a
+    date-partitioned table, never globally.
+    """
+    z = zvalue(
+        bucketize(F.col(xcol), x_lo, x_step, bits),
+        bucketize(F.col(ycol), y_lo, y_step, bits),
+        bits,
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_skip_fraction(
+    path: str, xcol: str, ycol: str, x_lo, x_hi, y_lo, y_hi
+) -> tuple[int, int]:
+    """(files that a [x_lo,x_hi]×[y_lo,y_hi] box scan must read, total
+    files), decided purely from parquet footer min/max statistics — the
+    same pruning a scan engine does. Driver-side footer reads only (no
+    data pages); used by tests to assert the layout actually skips."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        fx_min = fx_max = fy_min = fy_max = None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                name = c.path_in_schema
+                st = c.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                if name == xcol:
+                    fx_min = st.min if fx_min is None else min(fx_min, st.min)
+                    fx_max = st.max if fx_max is None else max(fx_max, st.max)
+                elif name == ycol:
+                    fy_min = st.min if fy_min is None else min(fy_min, st.min)
+                    fy_max = st.max if fy_max is None else max(fy_max, st.max)
+        if fx_min is None or fy_min is None:
+            hit += 1  # no stats → must read
+        elif fx_min <= x_hi and fx_max >= x_lo and fy_min <= y_hi and fy_max >= y_lo:
+            hit += 1
+    return hit, len(files)

@@ -1,0 +1,136 @@
+"""Full-text retrieval operators: BM25 ranked search over the corpus.
+
+The RAG-ingestion counterpart of the index-construction side
+(`text.inverted_index`): given a set of term queries, rank documents by
+Okapi BM25 and return the top-k per query. Everything stays in Spark
+built-ins (explode → broadcast term filter → two aggregations → one
+ranking window); the corpus-sized frames shuffle once on (token, doc)
+and once on (query, doc).
+
+Cross-engine determinism: per-term score contributions are converted to
+integer micro-units (``floor(x * 1e6 + 0.5)`` as bigint) before
+summation, so the per-(query, doc) score is an exact bigint — immune to
+float summation order — and the final ranking/tiebreak is fully
+hash-checkable against the DuckDB oracle (same trick as
+``graph.pagerank``'s micro-unit ranks). The 1e6 scale is deliberate:
+the score passes through ``ln``, where JVM ``Math.log`` and DuckDB's
+libm may disagree by 1 ulp, and the coarser scale keeps that ulp far
+from the floor boundary.
+
+100 TB posture: the query set is broadcast (real deployments batch a few
+thousand queries per pass — shard the query set across passes beyond
+that); document frequencies for the scored terms come from the corpus in
+the same pass (at scale, read them from a maintained `inverted_index`
+side table instead — the operator takes ``df_stats`` for exactly that);
+candidate sets are per-term posting lists, so hot stopword-class terms
+dominate — prune them with ``max_df_frac`` exactly as search engines
+drop stopwords from scoring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+MICRO = 1_000_000  # micro-unit scale for exact score sums (see module doc)
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Okapi BM25 top-k retrieval.
+
+    ``queries``: one row per (``query_id``, ``term``) — lower-case terms.
+    Returns (``query_id``, ``doc_id``, ``score_micro``, ``score``,
+    ``rank``) with ``rank`` ≤ k per query; ``score_micro`` is the exact
+    bigint sum of per-term micro-unit contributions, ``score`` its
+    float form (score_micro / 1e9). Deterministic tiebreak: equal
+    scores rank by ascending doc id.
+
+    IDF is the Lucene/standard form ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+    (always positive); the tf saturation term uses document length
+    normalized by the corpus mean length. ``max_df_frac`` optionally
+    drops terms appearing in more than that fraction of documents from
+    scoring (stopword pruning — the posting-list hot-key valve).
+    """
+    terms = queries.select("term").distinct()
+
+    toks = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    # document length (in tokens) — in-row, no shuffle
+    dl = docs.select(
+        F.col(id_col),
+        F.size(F.filter(tokens(text_col), lambda t: t != "")).alias("dl"),
+    )
+    # corpus totals: one 1-row aggregate, broadcast into the score expr
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("dl_sum")
+    )
+
+    # term frequencies for scored terms only: broadcast the (tiny) term
+    # set so the corpus-sized explode is filtered map-side
+    tf = (
+        toks.join(F.broadcast(terms), toks["tok"] == terms["term"], "inner")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # document frequency per scored term (exact, from the same pass);
+    # (id, term) is unique in tf so count(*) = df
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    if max_df_frac is not None:
+        scored = scored.where(
+            F.col("df") <= F.lit(max_df_frac) * F.col("n_docs")
+        )
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("dl") * F.col("n_docs") / F.col("dl_sum")
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    per_term = scored.select(
+        id_col,
+        "term",
+        F.floor(contrib * MICRO + F.lit(0.5)).cast("bigint").alias("c_micro"),
+    )
+
+    hits = (
+        per_term.join(F.broadcast(queries), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum("c_micro").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc(id_col)
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col(id_col),
+            "score_micro",
+            F.round(F.col("score_micro") / MICRO, 6).alias("score"),
+            "rank",
+        )
+    )

@@ -732,3 +732,95 @@ def novelty_score(
             F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
         )
     )
+
+
+def lm_score(
+    train: DataFrame,
+    score: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: int = 1,
+    min_count: int = 1,
+) -> DataFrame:
+    """Bigram language-model scoring — the KenLM/CCNet-family quality
+    signal: train add-alpha-smoothed bigram probabilities on ``train``,
+    score each ``score`` document (default: the training corpus itself,
+    the memorization/perplexity-bucketing setup) by its mean token
+    log-probability.
+
+    ``P(w2|w1) = (C(w1,w2) + alpha) / (C(w1) + alpha * V)`` with V the
+    training vocabulary size; unseen bigrams/contexts fall back to the
+    smoothing floor via left joins (so held-out corpora score without
+    error). Per-bigram ``ln P`` contributions are summed as integer
+    micro-units (bigint), so per-document totals are exact and
+    order-independent — fully hash-checkable cross-engine.
+
+    Output: (id, n_bigrams, logprob_micro, avg_logprob) — higher (less
+    negative) avg_logprob = more in-distribution text. Micro-units are
+    1e6-scaled (not 1e9): ``ln`` may differ by 1 ulp between the JVM and
+    the oracle engine, and the coarser scale keeps that ulp away from
+    the floor boundary.
+
+    100 TB posture: the bigram/unigram count tables are corpus-derived
+    aggregates (two shuffles over exploded bigrams); scoring is two
+    equi-joins the optimizer sizes (count tables are O(observed vocab²)
+    — prune the tail with ``min_count``; pruned bigrams score as unseen,
+    exactly how production LMs cap their n-gram tables). The scored
+    corpus shuffles once on the bigram join key.
+    """
+    if score is None:
+        score = train
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        arr = F.filter(tokens(text_col), lambda t: t != "")
+        return (
+            df.select(F.col(id_col), arr.alias("_w"))
+            .where(F.size("_w") >= 2)
+            .select(
+                id_col,
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("_w", 1, F.size("_w") - 1).alias("w1"),
+                        F.slice("_w", 2, F.size("_w") - 1).alias("w2"),
+                    )
+                ).alias("_bg"),
+            )
+            .select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+        )
+
+    tr = bigrams(train)
+    big = tr.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    if min_count > 1:
+        big = big.where(F.col("c12") >= min_count)
+    uni = (
+        train.select(F.explode(F.filter(tokens(text_col), lambda t: t != "")).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+
+    sc = bigrams(score)
+    joined = (
+        sc.join(big, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    p = (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha)) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("v")
+    )
+    micro = F.floor(F.log(p) * F.lit(1_000_000) + F.lit(0.5)).cast("bigint")
+    per_doc = joined.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(micro).alias("logprob_micro"),
+    )
+    return (
+        per_doc.join(score.select(id_col), id_col, "right")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.coalesce(F.col("logprob_micro"), F.lit(0)).alias("logprob_micro"),
+            F.round(
+                F.col("logprob_micro") / F.col("n_bigrams") / 1_000_000, 6
+            ).alias("avg_logprob"),
+        )
+    )
