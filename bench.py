@@ -102,6 +102,8 @@ HEADLINE = [
     "zorder_cells",
     "orc_roundtrip",
     "cluster_canonical",
+    "bm25_passages",
+    "dataset_manifest",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -208,3 +208,70 @@ def test_copy_format_validation_still_rejects_unknown():
 
     with pytest.raises(FunctionDefinitionError):
         parse_function_ddl("COPY t TO '/tmp/x' STORED AS AVROX")
+
+
+# ---------------------------------------------------------------------------
+# dataset manifest
+
+
+def test_dataset_manifest_localizes_change(spark):
+    from wasaffi_spark.operators.diff import dataset_manifest, manifest_diff
+
+    a = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)], "doc_id bigint, text string"
+    )
+    # one edited row, one deleted, one added
+    b = spark.createDataFrame(
+        [(i, f"text {i}" if i != 7 else "EDITED") for i in range(99)]
+        + [(500, "new row")],
+        "doc_id bigint, text string",
+    )
+    ma = dataset_manifest(a, n_shards=8)
+    mb = dataset_manifest(b, n_shards=8)
+    d = {r["shard"]: r["status"] for r in manifest_diff(ma, mb).collect()}
+    changed = [s for s, st in d.items() if st != "equal"]
+    # three touched rows live in at most three shards; the rest match
+    assert 1 <= len(changed) <= 3
+    assert len(d) - len(changed) >= 5
+
+
+def test_dataset_manifest_order_invariant(spark):
+    from wasaffi_spark.operators.diff import dataset_manifest
+
+    a = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(50)], "doc_id bigint, text string"
+    )
+    shuffled = a.orderBy(F.md5(F.col("text"))).repartition(7)
+    ra = {r["shard"]: r for r in dataset_manifest(a, n_shards=4).collect()}
+    rb = {r["shard"]: r for r in dataset_manifest(shuffled, n_shards=4).collect()}
+    assert set(ra) == set(rb)
+    for s in ra:
+        assert ra[s]["content_sig"] == rb[s]["content_sig"]
+        assert ra[s]["cnt"] == rb[s]["cnt"]
+
+
+# ---------------------------------------------------------------------------
+# BM25 over chunked passages (composition)
+
+
+def test_bm25_passages_provenance(spark):
+    from wasaffi_spark.operators.retrieval import bm25_topk
+    from wasaffi_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["filler"] * 40) + " needle needle"),
+            (2, " ".join(["filler"] * 40)),
+        ],
+        "doc_id bigint, text string",
+    )
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap=4)
+    passages = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("pid"),
+        "chunk_text",
+    )
+    q = spark.createDataFrame([("q", "needle")], "query_id string, term string")
+    rows = bm25_topk(passages, q, k=3, text_col="chunk_text", id_col="pid").collect()
+    assert rows, "needle passage must be retrieved"
+    # every hit decodes back to doc 1 (provenance survives ranking)
+    assert all(r["pid"] // 1000 == 1 for r in rows)

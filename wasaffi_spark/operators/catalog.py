@@ -3330,27 +3330,32 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERY_TERMS)
 
-register_extra(
-    "bm25_topk",
-    q_bm25_topk,
-    f"""with q(query_id, term) as (values {_BM25_VALUES}),
+
+def _bm25_sql(src: str, out_id: str, k: int) -> str:
+    """BM25 oracle SQL builder: ``src`` is a subquery yielding
+    (id, txt); the output id column is named ``out_id`` to match the
+    Spark query's ``id_col``. Mirrors retrieval.bm25_topk expression
+    for expression (see its docstring for the micro-unit rationale)."""
+    toks = r"string_split_regex(lower(txt), '\s+')"
+    return f"""with q(query_id, term) as (values {_BM25_VALUES}),
+        src as ({src}),
         tks as (
-          select doc_id, tok
-          from (select doc_id, unnest({_TOKS}) as tok from documents)
+          select id, tok
+          from (select id, unnest({toks}) as tok from src)
           where tok <> ''),
         dl as (
-          select doc_id,
-                 len(list_filter({_TOKS}, t -> t <> '')) as dl
-          from documents),
+          select id,
+                 len(list_filter({toks}, t -> t <> '')) as dl
+          from src),
         stats as (select count(*) as n_docs, sum(dl) as dl_sum from dl),
         terms as (select distinct term from q),
         tf as (
-          select t.doc_id, t.tok as term, count(*) as tf
+          select t.id, t.tok as term, count(*) as tf
           from tks t join terms s on t.tok = s.term
           group by 1, 2),
         dft as (select term, count(*) as df from tf group by term),
         contrib as (
-          select tf.doc_id, tf.term,
+          select tf.id, tf.term,
                  cast(floor(
                    ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
                    * tf.tf * (1.2 + 1.0)
@@ -3358,23 +3363,120 @@ register_extra(
                    * 1000000 + 0.5) as bigint) as c_micro
           from tf
           join dft d using (term)
-          join dl using (doc_id)
+          join dl using (id)
           cross join stats s),
         hits as (
-          select q.query_id, c.doc_id,
+          select q.query_id, c.id,
                  cast(sum(c.c_micro) as bigint) as score_micro
           from contrib c join q on c.term = q.term
           group by 1, 2),
         ranked as (
-          select query_id, doc_id, score_micro,
+          select query_id, id, score_micro,
                  cast(row_number() over (
                    partition by query_id
-                   order by score_micro desc, doc_id) as int) as rank
+                   order by score_micro desc, id) as int) as rank
           from hits)
-       select query_id, doc_id, score_micro,
+       select query_id, id as {out_id}, score_micro,
               round(score_micro / 1000000, 6) as score, rank
-       from ranked where rank <= {BM25_K}
-       order by query_id, rank""",
+       from ranked where rank <= {k}
+       order by query_id, rank"""
+
+
+register_extra(
+    "bm25_topk",
+    q_bm25_topk,
+    _bm25_sql("select doc_id as id, text as txt from documents", "doc_id", BM25_K),
+)
+
+
+BM25_PID_SCALE = 10000
+
+
+def q_bm25_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG passage retrieval — the composed pipeline: documents →
+    overlapping token chunks (text.chunk_documents, the same 32/8
+    constants as the `chunk_documents` query) → BM25 top-k over the
+    chunk corpus. Passage ids pack (doc_id, chunk_id) so provenance
+    survives ranking; the composition proves the two operators share a
+    single declarative plan (chunking never materializes)."""
+    from . import retrieval
+
+    docs = _table(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(
+        docs, chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+    passages = chunks.select(
+        (F.col("doc_id") * BM25_PID_SCALE + F.col("chunk_id")).alias("pid"),
+        "chunk_text",
+    )
+    qdf = spark.createDataFrame(
+        BM25_QUERY_TERMS, "query_id string, term string"
+    )
+    return retrieval.bm25_topk(
+        passages, qdf, k=BM25_K, text_col="chunk_text", id_col="pid"
+    ).orderBy("query_id", "rank")
+
+
+_BM25_CHUNK_SRC = f"""
+          with toks0 as (select doc_id, {_TOKS} as w from documents),
+          starts as (
+            select doc_id, w,
+                   unnest(generate_series(0,
+                     greatest(len(w) - {CHUNK_OVERLAP} - 1, 0), {_STEP})) as s
+            from toks0),
+          chunks as (
+            select doc_id,
+                   cast(s / {_STEP} as int) as chunk_id,
+                   array_to_string(w[s + 1 : s + {CHUNK_TOKENS}], ' ') as chunk_text
+            from starts)
+          select doc_id * {BM25_PID_SCALE} + chunk_id as id,
+                 chunk_text as txt
+          from chunks where chunk_text <> ''"""
+
+register_extra(
+    "bm25_passages",
+    q_bm25_passages,
+    _bm25_sql(_BM25_CHUNK_SRC, "pid", BM25_K),
+)
+
+
+MANIFEST_SHARDS = 16
+
+
+def q_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style snapshot manifest (operators/diff.py::
+    dataset_manifest): per-shard row counts + order-independent bit_xor
+    content signatures over the documents table — the O(n_shards)
+    handle that localizes a 100 TB snapshot diff to changed shards."""
+    from . import diff as dd
+
+    docs = _table(spark, sf_dir, "documents")
+    return dd.dataset_manifest(
+        docs,
+        n_shards=MANIFEST_SHARDS,
+        cols=["doc_id", "text", "lang", "source", "n_chars"],
+    ).orderBy("shard")
+
+
+register_extra(
+    "dataset_manifest",
+    q_dataset_manifest,
+    f"""with rows_h as (
+          select ('0x' || substr(md5(doc_id::varchar), 1, 6))::bigint
+                   % {MANIFEST_SHARDS} as shard,
+                 ('0x' || substr(md5(
+                    concat_ws(chr(1),
+                      coalesce(doc_id::varchar, chr(0)),
+                      coalesce(text, chr(0)),
+                      coalesce(lang, chr(0)),
+                      coalesce(source, chr(0)),
+                      coalesce(n_chars::varchar, chr(0)))), 1, 15))::bigint as h,
+                 doc_id
+          from documents)
+       select shard, count(*) as cnt,
+              cast(bit_xor(h) as bigint) as content_sig,
+              min(doc_id) as min_id, max(doc_id) as max_id
+       from rows_h group by shard order by shard""",
 )
 
 
