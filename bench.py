@@ -104,6 +104,7 @@ HEADLINE = [
     "cluster_canonical",
     "bm25_passages",
     "dataset_manifest",
+    "entity_clusters",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

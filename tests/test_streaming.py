@@ -336,3 +336,60 @@ def test_incremental_dedup_sink_equals_batch_dedup(spark):
     assert {r["h"] for r in per_hash} == want_hashes
     # and every kept (id, text) pair is a real corpus row
     assert kept.join(batch, ["doc_id", "text"], "left_anti").count() == 0
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@needs_data
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's state protocol needs google.protobuf, "
+    "not installed in this container (environment block, see COVERAGE.md)",
+)
+def test_transform_with_state_equals_batch(spark, event_stream):
+    """The Spark-4 transformWithStateInPandas twin of
+    stateful_user_stats must produce the same final per-user stats as
+    the batch aggregate (RocksDB provider set for the query's session —
+    transformWithState state layout is RocksDB-only)."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream_ops.run_to_memory(
+            stream_ops.stateful_user_stats_tws(event_stream),
+            "user_stats_tws_test",
+            output_mode="update",
+        )
+        got = {
+            r.user_id: (r.n_events, r.max_value)
+            for r in spark.table("user_stats_tws_test").collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    from wasaffi_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.load_tables(SF_SMOKE, ("events",))
+    want = {
+        r.user_id: (r.n, r.v)
+        for r in spark.sql(
+            "select user_id, count(*) as n, max(value) as v "
+            "from events group by user_id"
+        ).collect()
+    }
+    assert got == want

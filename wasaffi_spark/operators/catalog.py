@@ -3690,3 +3690,69 @@ register_extra(
                  order by n_chars desc, doc_id) = 1) as keep
        from lab order by doc_id""",
 )
+
+
+def q_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end (linkage.fuzzy_pairs →
+    graph.connected_components): blocked Levenshtein candidate pairs
+    close transitively into entity clusters — the record-linkage
+    composition (match → cluster) with cluster sizes as the checked
+    surface. Same constants as the `fuzzy_pairs` query so both stay
+    comparable."""
+    from . import graph, linkage
+
+    part = _table(spark, sf_dir, "part")
+    pairs = linkage.fuzzy_pairs(
+        part,
+        id_col="p_partkey",
+        name_col="p_name",
+        block_cols=["p_brand", "p_size"],
+        max_dist=8,
+        min_sim=0.6,
+    ).select("id_a", "id_b")
+    comp = graph.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("n_members"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("p_partkey"),
+            F.col("component").alias("entity_id"),
+            "n_members",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+register_extra(
+    "entity_clusters",
+    q_entity_clusters,
+    """with recursive a as (
+          select p_brand, p_size, p_partkey as key_a, p_name as name_a
+          from part),
+        b as (
+          select p_brand, p_size, p_partkey as key_b, p_name as name_b
+          from part),
+        pairs as (
+          select key_a as id_a, key_b as id_b
+          from a join b using (p_brand, p_size)
+          where key_a < key_b
+            and levenshtein(name_a, name_b) <= 8
+            and 1 - levenshtein(name_a, name_b) * 1.0 /
+                  greatest(length(name_a), length(name_b)) >= 0.6),
+        edges as (
+          select id_a as x, id_b as y from pairs
+          union
+          select id_b as x, id_a as y from pairs),
+        reach(x, y) as (
+          select x, y from edges
+          union
+          select r.x, e.y from reach r join edges e on r.y = e.x),
+        comp as (
+          select x as p_partkey, least(x, min(y)) as entity_id
+          from reach group by x),
+        sizes as (
+          select entity_id, count(*) as n_members from comp group by 1)
+       select c.p_partkey, c.entity_id, s.n_members
+       from comp c join sizes s using (entity_id)
+       order by c.p_partkey""",
+)
