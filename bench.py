@@ -105,6 +105,8 @@ HEADLINE = [
     "bm25_passages",
     "dataset_manifest",
     "entity_clusters",
+    "weighted_sample",
+    "quality_buckets",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

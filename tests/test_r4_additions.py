@@ -275,3 +275,53 @@ def test_bm25_passages_provenance(spark):
     assert rows, "needle passage must be retrieved"
     # every hit decodes back to doc 1 (provenance survives ranking)
     assert all(r["pid"] // 1000 == 1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (A-ES)
+
+
+def test_weighted_sample_deterministic_and_filtered(spark):
+    from wasaffi_spark.operators.pipeline import weighted_sample_n
+
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 5)) for i in range(200)] + [(999, 0.0), (998, -1.0)],
+        "doc_id bigint, w double",
+    )
+    s1 = weighted_sample_n(df, "w", 20).select("doc_id", "rank").collect()
+    s2 = weighted_sample_n(
+        df.repartition(13), "w", 20
+    ).select("doc_id", "rank").collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))  # partition-free
+    assert len(s1) == 20
+    picked = {r["doc_id"] for r in s1}
+    assert 999 not in picked and 998 not in picked  # w <= 0 excluded
+
+
+def test_weighted_sample_weight_dominance(spark):
+    from wasaffi_spark.operators.pipeline import weighted_sample_n
+
+    # one row with overwhelming weight is (for this seed, essentially
+    # always) selected: its key ln(u)/w ≈ 0, everything else « 0
+    df = spark.createDataFrame(
+        [(i, 0.001) for i in range(100)] + [(777, 1e9)],
+        "doc_id bigint, w double",
+    )
+    picked = {
+        r["doc_id"] for r in weighted_sample_n(df, "w", 5).collect()
+    }
+    assert 777 in picked
+
+
+def test_quality_buckets_cover_corpus(spark):
+    from wasaffi_spark.operators.catalog import EXTRA_QUERIES
+
+    rows = EXTRA_QUERIES["quality_buckets"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r["bucket"] for r in rows] == list(range(1, 11))
+    counts = [r["cnt"] for r in rows]
+    assert max(counts) - min(counts) <= 1  # ntile balance
+    # buckets are ordered by quality: mins must be nondecreasing
+    mins = [r["min_avg"] for r in rows]
+    assert mins == sorted(mins)

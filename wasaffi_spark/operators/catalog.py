@@ -3489,10 +3489,7 @@ def q_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lm_score(docs).orderBy("doc_id")
 
 
-register_extra(
-    "lm_doc_score",
-    q_lm_doc_score,
-    f"""with toksf as (
+_LM_CORE = f"""toksf as (
           select doc_id, list_filter({_TOKS}, t -> t <> '') as w
           from documents),
         bg as (
@@ -3518,13 +3515,112 @@ register_extra(
         per as (
           select doc_id, count(*) as n_bigrams,
                  cast(sum(m) as bigint) as lp
-          from contrib group by doc_id)
+          from contrib group by doc_id)"""
+
+register_extra(
+    "lm_doc_score",
+    q_lm_doc_score,
+    f"""with {_LM_CORE}
        select d.doc_id,
               coalesce(p.n_bigrams, 0) as n_bigrams,
               coalesce(p.lp, 0) as logprob_micro,
               round(p.lp / p.n_bigrams / 1000000, 6) as avg_logprob
        from documents d left join per p using (doc_id)
        order by d.doc_id""",
+)
+
+
+QUALITY_BUCKETS = 10
+
+
+def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing composed end-to-end: bigram-LM
+    scores → ntile deciles (ascending mean log-prob, id tiebreak) →
+    per-bucket profile. The perplexity-bucketed corpus-splitting step of
+    a curation pipeline, in one declarative plan. Docs without bigrams
+    are excluded (their mean is undefined; engines disagree on NULL
+    ordering, so the contract excludes them explicitly)."""
+    from pyspark.sql.window import Window
+
+    docs = _table(spark, sf_dir, "documents")
+    scored = text.lm_score(docs).where(F.col("n_bigrams") > 0)
+    w = Window.orderBy(F.asc("avg_logprob"), F.asc("doc_id"))
+    return (
+        scored.withColumn("bucket", F.ntile(QUALITY_BUCKETS).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("avg_logprob").alias("min_avg"),
+            F.max("avg_logprob").alias("max_avg"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+register_extra(
+    "quality_buckets",
+    q_quality_buckets,
+    f"""with {_LM_CORE},
+        scored as (
+          select doc_id, n_bigrams,
+                 round(lp / n_bigrams / 1000000, 6) as avg_logprob
+          from per where n_bigrams > 0),
+        bucketed as (
+          select doc_id, avg_logprob,
+                 cast(ntile({QUALITY_BUCKETS}) over (
+                   order by avg_logprob asc, doc_id asc) as int) as bucket
+          from scored)
+       select bucket, count(*) as cnt,
+              min(avg_logprob) as min_avg,
+              max(avg_logprob) as max_avg,
+              cast(sum(doc_id) as bigint) as id_sum
+       from bucketed group by bucket order by bucket""",
+)
+
+
+WEIGHTED_SAMPLE_N = 100
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (operators/pipeline.py::
+    weighted_sample_n, Efraimidis–Spirakis A-ES): 100 docs drawn with
+    inclusion probability ∝ n_chars — the sample-by-quality-score
+    corpus-mixing primitive, hash-checkable because u and the ranking
+    key are both md5-derived integers."""
+    from . import pipeline as pipe
+
+    docs = _table(spark, sf_dir, "documents")
+    return (
+        pipe.weighted_sample_n(docs, "n_chars", WEIGHTED_SAMPLE_N)
+        .select("doc_id", "n_chars", "key_micro", "rank")
+        .orderBy("rank")
+    )
+
+
+from .pipeline import WEIGHTED_SEED as _WSEED  # noqa: E402
+
+register_extra(
+    "weighted_sample",
+    q_weighted_sample,
+    f"""with u as (
+          select doc_id, n_chars,
+                 (('0x' || substr(md5('{_WSEED}' || doc_id),
+                    1, 6))::bigint + 1) / 16777216.0 as u
+          from documents where n_chars > 0),
+        k as (
+          select doc_id, n_chars,
+                 cast(floor(ln(u) / n_chars * 1000000 + 0.5) as bigint)
+                   as key_micro
+          from u),
+        r as (
+          select doc_id, n_chars, key_micro,
+                 cast(row_number() over (
+                   order by key_micro desc, doc_id) as int) as rank
+          from k)
+       select doc_id, n_chars, key_micro, rank
+       from r where rank <= {WEIGHTED_SAMPLE_N}
+       order by rank""",
 )
 
 

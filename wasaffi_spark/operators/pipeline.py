@@ -338,3 +338,54 @@ def mixture_epochs(
         .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("_copies"))))
         .drop("rate_bp", "_copies")
     )
+
+
+WEIGHTED_SEED = "wsample-v1"
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: str = WEIGHTED_SEED,
+) -> DataFrame:
+    """Weighted sampling without replacement — Efraimidis–Spirakis A-ES:
+    each row draws a deterministic uniform u ∈ (0, 1] from
+    md5(seed || id) and the n rows with the largest ``u^(1/w)`` are the
+    sample (inclusion probability ∝ weight, exactly the reservoir rule).
+    The corpus-mixing primitive for "sample by quality score" — the
+    weighted counterpart of :func:`group_sample_n`.
+
+    Ranked by the order-isomorphic key ``ln(u)/w`` (monotone in
+    ``u^(1/w)`` for w > 0), converted to integer micro-units so the
+    cross-engine ranking is stable; ties break by id. Rows with
+    non-positive weight are excluded (standard A-ES domain).
+
+    One top-n ranking pass (TakeOrderedAndProject when n is small —
+    never a full sort); at production scale use per-partition
+    pre-selection of n candidates then re-rank (the classic distributed
+    reservoir), which this single-window form collapses to under AQE
+    for small n.
+    """
+    u = (
+        (
+            md5_prefix_int(
+                F.md5(F.concat(F.lit(seed), F.col(id_col))), 6
+            )
+            + F.lit(1)
+        )
+        / F.lit(16777216.0)
+    )
+    key = F.floor(
+        F.log(u) / F.col(weight_col) * F.lit(1_000_000) + F.lit(0.5)
+    ).cast("bigint")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("key_micro"), F.asc(id_col))
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("key_micro", key)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= n)
+    )
