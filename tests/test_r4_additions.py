@@ -325,3 +325,68 @@ def test_quality_buckets_cover_corpus(spark):
     # buckets are ordered by quality: mins must be nondecreasing
     mins = [r["min_avg"] for r in rows]
     assert mins == sorted(mins)
+
+
+# ---------------------------------------------------------------------------
+# ANN rerank (refine stage)
+
+
+def _planted_embeddings(spark, n=200, dim=64, n_clusters=5, noise=0.15):
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    centers = rng.standard_normal((n_clusters, dim))
+    rows = [
+        (
+            i,
+            [
+                float(x)
+                for x in centers[i % n_clusters]
+                + noise * rng.standard_normal(dim)
+            ],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_ivf_pq_rerank_recovers_true_neighbours(spark):
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators import similarity as sim
+
+    emb = _planted_embeddings(spark)
+    q = emb.where(F.col("vec_id") < 4)
+    truth = {
+        (r["qid"], r["nid"])
+        for r in sim.brute_force_topk(q, emb, k=3).collect()
+    }
+    # no rerank: codes collapse inside clusters, id-tiebreak recall
+    flat = {
+        (r["qid"], r["nid"])
+        for r in sim.ivf_pq_topk(q, emb, k=3, n_probe=4).collect()
+    }
+    # rerank sized past the tie group (N/codebook_k = 200/16 ≈ 13): the
+    # refine stage must recover ≥90% of the exact neighbours
+    refined_rows = sim.ivf_pq_topk(
+        q, emb, k=3, n_probe=4, rerank=48
+    ).collect()
+    refined = {(r["qid"], r["nid"]) for r in refined_rows}
+    assert len(refined & truth) / len(truth) >= 0.9
+    assert len(refined & truth) > len(flat & truth)
+    # refine output carries exact cosine, ranked per query
+    assert {r["rank"] for r in refined_rows} == {1, 2, 3}
+    assert all("cos_sim" in r for r in refined_rows)
+
+
+def test_pq_topk_rerank_schema_and_depth(spark):
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators import similarity as sim
+
+    emb = _planted_embeddings(spark, n=100)
+    q = emb.where(F.col("vec_id") < 2)
+    out = sim.pq_topk(q, emb, k=2, rerank=20)
+    assert set(out.columns) == {"qid", "nid", "cos_sim", "rank"}
+    rows = out.collect()
+    assert all(r["rank"] <= 2 for r in rows)

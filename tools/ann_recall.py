@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""ANN accuracy/cost probe: recall@k of every approximate search
+variant against the exact brute-force ground truth, with per-variant
+wall time — the measured evidence for the accuracy↔cost ladder the
+similarity module documents (brute → sign-LSH cells → IVF → IVF-PQ).
+
+Two corpora, because recall is a property of the DATA as much as the
+index:
+
+- the fixture ``embeddings`` table: isotropic random vectors — the ANN
+  worst case (cosines concentrate near 0, neighbours are barely closer
+  than strangers, so ANY bucketing scheme gets near-chance recall;
+  sign-LSH's chance level is ~2^-bits). Reported to show the floor
+  honestly, not to grade the index.
+- a planted-cluster corpus (20 Gaussian clusters, within-cluster noise
+  « center norm): real neighbourhood structure, where an index earns
+  its keep. This is the column to read for index quality.
+
+Usage: python tools/ann_recall.py [sf_dir]
+Writes ANN_RECALL.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+K = 3
+QUERY_MAX_ID = 8
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.conf import recommended_builder
+    from wasaffi_spark.operators import similarity as sim
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        recommended_builder(
+            master=f"local[{cpus}]", cpus=cpus, app_name="wasaffi-ann-recall"
+        )
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def planted_corpus(n=2000, dim=64, n_clusters=20, noise=0.15):
+        import numpy as np
+
+        rng = np.random.default_rng(4242)
+        centers = rng.standard_normal((n_clusters, dim))
+        rows = []
+        for i in range(n):
+            v = centers[i % n_clusters] + noise * rng.standard_normal(dim)
+            rows.append((i, [float(x) for x in v]))
+        return spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>"
+        )
+
+    corpora = {
+        "isotropic_fixture": read_parquet(
+            spark, os.path.join(sf_dir, "embeddings.parquet")
+        ),
+        "planted_clusters": planted_corpus(),
+    }
+
+    out = {}
+    for corpus_name, emb in corpora.items():
+        n_corpus = emb.count()
+        queries = emb.where(F.col("vec_id") < QUERY_MAX_ID)
+        results = run_variants(sim, F, queries, emb)
+        out[corpus_name] = {"n_corpus": n_corpus, "variants": results}
+
+    with open(os.path.join(REPO, "ANN_RECALL.json"), "w") as f:
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                "k": K,
+                "n_queries": QUERY_MAX_ID,
+                "cpus": cpus,
+                "note": (
+                    "recall vs exact cosine brute force; time = best-of-2 "
+                    "warm runs to a noop sink. isotropic_fixture is the "
+                    "ANN worst case (no neighbourhood structure — "
+                    "near-chance recall expected for any bucketing); "
+                    "planted_clusters measures the index on data with "
+                    "real structure. The ladder trades recall for a "
+                    "per-query candidate set that shrinks from N (brute, "
+                    "pq_adc_flat) to N/2^bits (sign-LSH) to "
+                    "N*n_probe/n_cells (IVF, IVF-PQ)."
+                ),
+                "corpora": out,
+            },
+            f,
+            indent=1,
+        )
+    spark.stop()
+
+
+def run_variants(sim, F, queries, emb) -> dict:
+    variants = {
+        "brute_force": lambda: sim.brute_force_topk(queries, emb, k=K),
+        "sign_lsh_bucketed": lambda: sim.bucketed_topk(queries, emb, k=K),
+        "ivf_hashed_p2": lambda: sim.ivf_topk_hashed(
+            queries, emb, k=K, n_cells=16, n_probe=2
+        ),
+        "ivf_hashed_p4": lambda: sim.ivf_topk_hashed(
+            queries, emb, k=K, n_cells=16, n_probe=4
+        ),
+        "ivf_trained_p2": lambda: sim.ivf_topk(
+            queries, emb, k=K, n_cells=16, n_probe=2
+        ),
+        "pq_adc_flat": lambda: sim.pq_topk(queries, emb, k=K),
+        "pq_adc_rerank24": lambda: sim.pq_topk(queries, emb, k=K, rerank=24),
+        # rerank must cover the ADC tie group ~ N/codebook_k (see
+        # _exact_rerank docstring): 96 ≈ 2000/16 minus margin
+        "pq_adc_rerank96": lambda: sim.pq_topk(queries, emb, k=K, rerank=96),
+        "ivf_pq_p4": lambda: sim.ivf_pq_topk(queries, emb, k=K, n_probe=4),
+        "ivf_pq_p4_rerank24": lambda: sim.ivf_pq_topk(
+            queries, emb, k=K, n_probe=4, rerank=24
+        ),
+        "ivf_pq_p4_rerank96": lambda: sim.ivf_pq_topk(
+            queries, emb, k=K, n_probe=4, rerank=96
+        ),
+    }
+
+    truth = {
+        (r["qid"], r["nid"])
+        for r in variants["brute_force"]().collect()
+    }
+
+    results = {}
+    for name, fn in variants.items():
+        got = {(r["qid"], r["nid"]) for r in fn().collect()}
+        recall = round(len(got & truth) / len(truth), 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        results[name] = {"recall_at_k": recall, "sec": round(best, 3)}
+        print(f"  {name}: recall@{K}={recall} {best:.3f}s", flush=True)
+    return results
+
+
+if __name__ == "__main__":
+    main()
