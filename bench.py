@@ -107,6 +107,7 @@ HEADLINE = [
     "entity_clusters",
     "weighted_sample",
     "quality_buckets",
+    "dup_grams",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

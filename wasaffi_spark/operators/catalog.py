@@ -3852,3 +3852,80 @@ register_extra(
        from comp c join sizes s using (entity_id)
        order by c.p_partkey""",
 )
+
+
+DUPGRAM_TOPK = 20
+
+
+def q_dup_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication hot-spot report (the analysis companion of
+    ngram_span_dedup, Lee et al. 2022 §4 shape): the corpus's most
+    repeated 8-token windows — how often, in how many documents, and
+    where the globally-first copy lives. What an engineer actually
+    looks at before choosing dedup thresholds."""
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+")
+    base = docs.select("doc_id", toks.alias("_t")).where(
+        F.size("_t") >= NGRAM_SPAN_K
+    )
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - NGRAM_SPAN_K + 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("_t"), i, NGRAM_SPAN_K)
+                ),
+            )
+        ).alias("pos", "gram"),
+    )
+    w = (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(
+                F.col("doc_id") * F.lit(1_000_000) + F.col("pos")
+            ).alias("_first"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+    return (
+        w.select(
+            "gram",
+            "n_copies",
+            "n_docs",
+            (F.col("_first") / 1_000_000).cast("bigint").alias("first_doc"),
+            (F.col("_first") % 1_000_000).cast("int").alias("first_pos"),
+        )
+        .orderBy(F.desc("n_copies"), F.asc("gram"))
+        .limit(DUPGRAM_TOPK)
+    )
+
+
+register_extra(
+    "dup_grams",
+    q_dup_grams,
+    f"""with toks as (
+          select doc_id,
+                 string_split_regex(trim(lower(coalesce(text, ''))), '\\s+') as t
+          from documents),
+        base as (select doc_id, t, len(t) as n from toks
+                 where len(t) >= {NGRAM_SPAN_K}),
+        grams as (
+          select doc_id, i - 1 as pos,
+                 array_to_string(t[i:i+{NGRAM_SPAN_K - 1}], ' ') as gram
+          from base, unnest(generate_series(1, n - {NGRAM_SPAN_K - 1})) as u(i)),
+        agg as (
+          select gram, count(*) as n_copies,
+                 count(distinct doc_id) as n_docs,
+                 min(doc_id * 1000000 + pos) as first_p
+          from grams group by gram
+          having count(*) > 1)
+       select gram, n_copies, n_docs,
+              cast(first_p // 1000000 as bigint) as first_doc,
+              cast(first_p % 1000000 as int) as first_pos
+       from agg
+       order by n_copies desc, gram
+       limit {DUPGRAM_TOPK}""",
+)
