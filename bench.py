@@ -108,6 +108,11 @@ HEADLINE = [
     "weighted_sample",
     "quality_buckets",
     "dup_grams",
+    "dsir_select",
+    "fuzzy_decontaminate",
+    "domain_cap",
+    "hard_negatives",
+    "mutual_knn",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

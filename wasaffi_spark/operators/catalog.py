@@ -3253,6 +3253,252 @@ register_extra(
 
 
 # ---------------------------------------------------------------------------
+# round-4 batch 2: data-selection + fuzzy-decontamination + curation caps
+# + contrastive mining + kNN-graph — extras (driver window full), both
+# sweep comparators + pytest.
+
+DSIR_BUCKETS = 256
+DSIR_ALPHA = 1.0
+DSIR_KEEP = 100
+FUZZY_DECON_THRESHOLD = 0.25  # 3/12 agreeing minhashes
+DOMAIN_CAP = 10
+KNN_K = 2
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    bag-of-ngrams importance weights of every document against the
+    source='src0' target domain; deterministic top-N selection
+    (operators/importance.py). The corpus is scored by a broadcast join
+    against a dense 256-row log-ratio table — it never shuffles except
+    the per-doc sum."""
+    from . import importance
+
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    target = docs.where(F.col("source") == "src0")
+    out = importance.dsir_select(docs, target, n_keep=DSIR_KEEP)
+    return out.select(
+        "doc_id",
+        "n_feats",
+        "log_w",
+        F.col("rnk").cast("bigint").alias("rnk"),
+        "selected",
+    ).orderBy("doc_id")
+
+
+register_extra(
+    "dsir_select",
+    q_dsir_select,
+    f"""with tk as (
+          select doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                '\\s+'),
+                             x -> x <> '') as t
+          from documents),
+        feats as (
+          select doc_id, f from (
+            select doc_id, unnest(t) as f from tk
+            union all
+            select doc_id, t[i] || ' ' || t[i + 1] as f
+            from tk, unnest(generate_series(1, len(t) - 1)) as s(i)
+            where len(t) >= 2)),
+        fb as (select doc_id,
+                      ('0x' || substr(md5(f), 1, 8))::bigint % {DSIR_BUCKETS}
+                        as b
+               from feats),
+        tfb as (select b from fb join documents using (doc_id)
+                where source = 'src0'),
+        tc as (select b, count(*) as tc from tfb group by b),
+        rc as (select b, count(*) as rc from fb group by b),
+        tot as (select (select count(*) from tfb)::double as tt,
+                       (select count(*) from fb)::double as tr),
+        dense as (select i as b
+                  from unnest(generate_series(0, {DSIR_BUCKETS - 1})) as s(i)),
+        ratio as (
+          select b,
+                 ln((coalesce(tc, 0) + {DSIR_ALPHA})
+                    / (tt + {DSIR_ALPHA * DSIR_BUCKETS}))
+                 - ln((coalesce(rc, 0) + {DSIR_ALPHA})
+                      / (tr + {DSIR_ALPHA * DSIR_BUCKETS})) as lr
+          from dense left join tc using (b) left join rc using (b), tot),
+        perdoc as (
+          select doc_id, count(*) as n_feats, round(sum(lr), 6) as log_w
+          from fb join ratio using (b) group by doc_id),
+        ranked as (
+          select d.doc_id,
+                 coalesce(n_feats, 0) as n_feats,
+                 coalesce(log_w, 0.0) as log_w,
+                 row_number() over (order by coalesce(log_w, 0.0) desc,
+                                    d.doc_id) as rnk
+          from documents d left join perdoc using (doc_id))
+        select doc_id, n_feats, log_w, rnk, (rnk <= {DSIR_KEEP}) as selected
+        from ranked order by doc_id""",
+)
+
+
+def q_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash fuzzy decontamination (operators/decontam.py::
+    fuzzy_contamination): train docs (doc_id%17<>3) whose estimated
+    Jaccard against any eval doc (doc_id%17=3) reaches the threshold —
+    the paraphrase-robust companion of the exact n-gram `decontaminate`
+    row. Banded train↔eval equi-join; the eval side broadcasts."""
+    from . import decontam
+
+    docs = _table(spark, sf_dir, "documents")
+    eval_set = docs.where(F.pmod(F.col("doc_id"), F.lit(17)) == 3)
+    train = docs.where(F.pmod(F.col("doc_id"), F.lit(17)) != 3)
+    out = decontam.fuzzy_contamination(
+        train, eval_set, threshold=FUZZY_DECON_THRESHOLD
+    )
+    return out.orderBy("doc_id")
+
+
+def _band_key_from(alias: str, b: int) -> str:
+    cols = " || '|' || ".join(
+        f"{alias}.h{i}"
+        for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+    )
+    return f"md5({cols})"
+
+
+_FUZZY_AGREE = " + ".join(
+    f"(t.h{i} = e.h{i})::int" for i in range(NUM_PERM)
+)
+
+register_extra(
+    "fuzzy_decontaminate",
+    q_fuzzy_decontaminate,
+    f"""with {_SIG_CTE},
+        t as (select * from sig where doc_id % 17 <> 3),
+        e as (select * from sig where doc_id % 17 = 3),
+        tb as ({" union all ".join(
+            f"select t.doc_id, {b} as band, {_band_key_from('t', b)} as key from t"
+            for b in range(BANDS))}),
+        eb as ({" union all ".join(
+            f"select e.doc_id, {b} as band, {_band_key_from('e', b)} as key from e"
+            for b in range(BANDS))}),
+        cand as (select distinct tb.doc_id as tid, eb.doc_id as eid
+                 from tb join eb using (band, key)),
+        est as (
+          select c.tid,
+                 round(({_FUZZY_AGREE}) / {float(NUM_PERM)}, 6) as est
+          from cand c
+          join t on c.tid = t.doc_id
+          join e on c.eid = e.doc_id),
+        hits as (
+          select tid as doc_id,
+                 count(*) as n_eval_hits,
+                 max(est) as max_est
+          from est where est >= {FUZZY_DECON_THRESHOLD} group by tid)
+        select doc_id, n_eval_hits, max_est from hits order by doc_id""",
+)
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (C4/FineWeb curation rule; operators/
+    pipeline.py::domain_cap): keep the best `DOMAIN_CAP` docs per source
+    by n_chars (ties → doc_id). One per-domain window; WindowGroupLimit
+    keeps the hot domain bounded."""
+    from . import pipeline
+
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    out = pipeline.domain_cap(docs, cap=DOMAIN_CAP)
+    return out.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("domain_rank").cast("bigint").alias("domain_rank"),
+    ).orderBy("doc_id")
+
+
+register_extra(
+    "domain_cap",
+    q_domain_cap,
+    f"""with r as (
+          select doc_id, source, n_chars,
+                 row_number() over (partition by source
+                                    order by n_chars desc, doc_id)
+                   as domain_rank
+          from documents)
+        select doc_id, source, n_chars, domain_rank
+        from r where domain_rank <= {DOMAIN_CAP} order by doc_id""",
+)
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (operators/
+    similarity.py::hard_negative_topk): per probe query, the top-k most
+    similar OTHER-label vectors — the DPR-style negatives a retrieval
+    trainer exports next to its positives."""
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    out = similarity.hard_negative_topk(queries, emb, k=ANN_K)
+    return out.select(
+        "qid",
+        "qlabel",
+        "nid",
+        "nlabel",
+        "cos_sim",
+        F.col("rank").cast("bigint").alias("rnk"),
+    ).orderBy("qid", "rnk")
+
+
+register_extra(
+    "hard_negatives",
+    q_hard_negatives,
+    f"""with q as (select vec_id as qid, label as qlabel,
+                   embedding::DOUBLE[] as qv
+                  from embeddings where vec_id < {ANN_QUERY_MAX_ID}),
+        c as (select vec_id as nid, label as nlabel,
+                   embedding::DOUBLE[] as nv from embeddings),
+        scored as (
+          select qid, qlabel, nid, nlabel,
+                 round(list_cosine_similarity(qv, nv), 6) as cos_sim
+          from q, c where qid <> nid and qlabel <> nlabel),
+        ranked as (
+          select qid, qlabel, nid, nlabel, cos_sim,
+                 row_number() over (partition by qid
+                                    order by cos_sim desc, nid) as rnk
+          from scored)
+        select qid, qlabel, nid, nlabel, cos_sim, rnk from ranked
+        where rnk <= {ANN_K} order by qid, rnk""",
+)
+
+
+def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph over the embedding corpus (operators/
+    similarity.py::knn_edges_bucketed + mutual_knn_pairs): directed
+    within-cell top-k edges symmetrized to pairs where each endpoint is
+    in the other's top-k — the kNN-graph clustering/SemDeDup-graph
+    primitive. Candidate join is an equi-join on the sign-LSH cell."""
+    emb = _table(spark, sf_dir, "embeddings")
+    edges = similarity.knn_edges_bucketed(emb, k=KNN_K)
+    return similarity.mutual_knn_pairs(edges).orderBy("id_a", "id_b")
+
+
+register_extra(
+    "mutual_knn",
+    q_mutual_knn,
+    f"""with v as (select vec_id, embedding::DOUBLE[] as ev,
+                   {_emb_cell_sql("embedding")} as cell
+                  from embeddings),
+        scored as (
+          select a.vec_id as src, b.vec_id as dst,
+                 round(list_cosine_similarity(a.ev, b.ev), 6) as cos_sim
+          from v a join v b using (cell) where a.vec_id <> b.vec_id),
+        ranked as (
+          select src, dst, cos_sim,
+                 row_number() over (partition by src
+                                    order by cos_sim desc, dst) as rnk
+          from scored),
+        e as (select src, dst, cos_sim from ranked where rnk <= {KNN_K})
+        select a.src as id_a, a.dst as id_b, a.cos_sim
+        from e a join e b on a.src = b.dst and a.dst = b.src
+        where a.src < a.dst order by id_a, id_b""",
+)
+
+
+# ---------------------------------------------------------------------------
 # round-4 driver-window rotation (VERDICT r3 next-round #5): every
 # operator should appear in the driver's hard hash signal at least once
 # across rounds. Long-stable queries (hash-green since r1/r2, still

@@ -86,3 +86,71 @@ def decontaminate(
     join on ``id_col``)."""
     hits = contamination_hits(train, eval_set, n, id_col, text_col)
     return train.join(hits.select(id_col), id_col, "left_anti")
+
+
+def fuzzy_contamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int | None = None,
+    bands: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """MinHash NEAR-duplicate decontamination (the fuzzy companion of
+    :func:`contamination_hits` — GPT-3/Llama-style pipelines run both:
+    exact n-gram overlap catches verbatim leaks, MinHash Jaccard catches
+    paraphrased/reformatted benchmark copies that share shingles but no
+    long exact n-gram).
+
+    Per train document: the eval documents sharing at least one banded
+    LSH bucket with it, scored by estimated Jaccard (fraction of
+    agreeing minhashes); returns ``(id_col, n_eval_hits, max_est)`` for
+    every train doc whose best eval match has ``est >= threshold``.
+
+    Scale shape: signatures are one explode+groupBy per side (the eval
+    side is tiny); the candidate step is a banded EQUI-join train↔eval —
+    never all-pairs — and AQE broadcasts the eval bucket side. The
+    estimate join touches candidate pairs only. ``max_bucket_size``
+    (``None`` = exact, what the oracle checks) caps degenerate buckets
+    exactly as in :func:`..dedup.lsh_candidate_pairs`.
+    """
+    from .dedup import BANDS, NUM_PERM, _cap_buckets, band_buckets, minhash_signatures
+
+    num_perm = NUM_PERM if num_perm is None else num_perm
+    bands = BANDS if bands is None else bands
+    sig_t = minhash_signatures(train, text_col, id_col, num_perm)
+    sig_e = minhash_signatures(eval_set, text_col, id_col, num_perm)
+    bt = band_buckets(sig_t, id_col, num_perm, bands)
+    be = band_buckets(sig_e, id_col, num_perm, bands).withColumnRenamed(
+        id_col, "_eid"
+    )
+    bt = _cap_buckets(bt, max_bucket_size)
+    cand = (
+        bt.join(be, ["band", "key"])
+        .select(F.col(id_col), F.col("_eid"))
+        .distinct()
+    )
+    sa = sig_t.alias("sa")
+    sb = sig_e.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.h{i}") == F.col(f"sb.h{i}"), 1).otherwise(0)
+        for i in range(num_perm)
+    )
+    est = (
+        cand.join(sa, cand[id_col] == F.col(f"sa.{id_col}"))
+        .join(sb, cand["_eid"] == F.col(f"sb.{id_col}"))
+        .select(
+            cand[id_col].alias("_tid"),
+            F.round(agree / F.lit(float(num_perm)), 6).alias("est"),
+        )
+    )
+    return (
+        est.where(F.col("est") >= threshold)
+        .groupBy(F.col("_tid").alias(id_col))
+        .agg(
+            F.count("*").alias("n_eval_hits"),
+            F.max("est").alias("max_est"),
+        )
+    )

@@ -171,6 +171,28 @@ def _cap_buckets(
     )
 
 
+def band_buckets(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+    bands: int = BANDS,
+) -> DataFrame:
+    """(id_col, band, key) — each signature exploded into its ``bands``
+    banded LSH bucket keys (md5 of the band's hash rows). Shared by the
+    self-join pair generator below and the cross-frame fuzzy
+    decontamination join (:func:`..decontam.fuzzy_contamination`)."""
+    r = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}") for i in range(b * r, (b + 1) * r)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key"))
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -191,16 +213,7 @@ def lsh_candidate_pairs(
     ``None`` (default) disables the cap (exact LSH semantics; what the
     oracle checks).
     """
-    r = num_perm // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"h{i}") for i in range(b * r, (b + 1) * r)]
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("key"))
-        )
-    buckets = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    buckets = band_buckets(signatures, id_col, num_perm, bands)
     buckets = _cap_buckets(buckets, max_bucket_size)
     a = buckets.alias("a")
     b = buckets.alias("b")

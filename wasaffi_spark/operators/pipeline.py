@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pyspark.sql import Column
+from pyspark.sql.window import Window
 
 from . import dedup, text
 from .hashing import md5_prefix_int
@@ -388,4 +389,61 @@ def weighted_sample_n(
         .withColumn("key_micro", key)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= n)
+    )
+
+
+def domain_cap(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    order_by: tuple[str, ...] = ("n_chars",),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap (the C4/FineWeb curation rule: no single
+    domain may dominate the mixture — keep at most ``cap`` documents per
+    domain, best-first). ``order_by`` names the quality columns ranked
+    DESCENDING, ties broken by ``id_col`` ascending, so the selection is
+    deterministic and oracle-replayable.
+
+    One shuffle (the per-domain window). At 100 TB the window partitions
+    by domain — a skewed mega-domain is exactly the thing being capped,
+    and the rank early-outs after ``cap`` rows per partition under
+    WindowGroupLimit (Spark pushes ``rank <= k`` into the sort), so the
+    hot partition never materializes beyond the running top-``cap``.
+    """
+    w = Window.partitionBy(domain_col).orderBy(
+        *[F.col(c).desc() for c in order_by], F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("domain_rank", F.row_number().over(w))
+        .where(F.col("domain_rank") <= cap)
+    )
+
+
+def domain_cap_report(
+    df: DataFrame,
+    cap: int,
+    domain_col: str = "source",
+    order_by: tuple[str, ...] = ("n_chars",),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain before/after audit of :func:`domain_cap` —
+    ``(domain, n_docs, n_kept, n_dropped, min_kept_score)`` — the
+    dataset-card row a curation run records alongside the capped output.
+    Reuses the same ranked frame; one extra groupBy over O(docs) ids."""
+    ranked = df.withColumn(
+        "_r",
+        F.row_number().over(
+            Window.partitionBy(domain_col).orderBy(
+                *[F.col(c).desc() for c in order_by], F.col(id_col).asc()
+            )
+        ),
+    )
+    kept = F.col("_r") <= cap
+    first_score = F.col(order_by[0])
+    return ranked.groupBy(domain_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum((~kept).cast("long")).alias("n_dropped"),
+        F.min(F.when(kept, first_score)).alias("min_kept_score"),
     )

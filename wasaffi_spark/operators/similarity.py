@@ -876,3 +876,118 @@ def ivf_pq_topk(
     if rerank:
         return _exact_rerank(shortlist, queries, corpus, k, vec_col, id_col)
     return shortlist
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    query, the ``k`` MOST similar corpus vectors whose ``label_col``
+    DIFFERS from the query's (the classic in-batch-negatives upgrade —
+    DPR, Karpukhin et al. 2020 §5.2 "hard negatives" shape).
+
+    Exact variant: broadcast the (small) query side so the corpus never
+    shuffles; the label predicate rides the join condition so same-class
+    pairs are dropped BEFORE scoring. At corpus scale, swap the
+    broadcast NLJ for :func:`ivf_topk` probing and apply the label
+    filter on the shortlist — same output contract.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.col(label_col).alias("qlabel"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        F.col(label_col).alias("nlabel"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("qid") != F.col("nid")) & (F.col("qlabel") != F.col("nlabel")))
+        .select(
+            "qid",
+            "qlabel",
+            "nid",
+            "nlabel",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "qlabel", "nid", "nlabel", "cos_sim", "rank")
+    )
+
+
+def knn_edges_bucketed(
+    df: DataFrame,
+    k: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = SIGN_BITS,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Directed k-nearest-neighbour edges within sign-LSH cells:
+    ``(src, dst, cos_sim, rank)`` — each vector's ``k`` most similar
+    same-cell neighbours. The candidate join is an EQUI-join on the cell
+    (never all-pairs); within-cell fan-out is bounded by the cell size
+    (``auto_sign_bits`` scales cells with the corpus; ``max_bucket_size``
+    is the degenerate-cell valve, as everywhere in the pair family).
+    """
+    from .dedup import _cap_buckets
+
+    cells = with_cell(df.select(id_col, vec_col), vec_col, bits)
+    cells = _cap_buckets(cells, max_bucket_size, cols=("cell",))
+    a = cells.select(
+        F.col(id_col).alias("src"), F.col(vec_col).alias("av"), "cell"
+    )
+    b = cells.select(
+        F.col(id_col).alias("dst"), F.col(vec_col).alias("bv"), "cell"
+    )
+    scored = (
+        a.join(b, "cell")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(cosine(F.col("av"), F.col("bv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "cos_sim", "rank")
+    )
+
+
+def mutual_knn_pairs(edges: DataFrame) -> DataFrame:
+    """Undirected MUTUAL-kNN pairs (id_a < id_b): kept only when each
+    endpoint ranks the other inside its own top-k — the symmetrization
+    used by kNN-graph clustering (and SemDeDup's graph variant) to shed
+    hub vertices. Self-join on the reversed edge key; rows ∝ kN both
+    sides, so the join is linear in the edge list, never in N²."""
+    fwd = edges.select("src", "dst", "cos_sim")
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return (
+        fwd.join(rev, ["src", "dst"], "left_semi")
+        .where(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("id_a"),
+            F.col("dst").alias("id_b"),
+            "cos_sim",
+        )
+    )
