@@ -257,3 +257,52 @@ def test_ivf_pq_search_join_is_hash_on_cell(spark):
     assert hash_joins, "search join must be a broadcast hash join"
     assert re.search(r"keys \[1\]: \[cell#\d+", f.text), "hash join key must be cell"
     assert "EvalPython" not in f.text  # everything stays JVM-side
+
+
+@needs_data
+def test_dsir_scoring_join_broadcasts_ratio_table(spark):
+    """DSIR's per-document scoring join must broadcast the dense
+    O(n_buckets) log-ratio table — the corpus feature stream is only
+    ever shuffled by the final groupBy(doc_id) sum, never to be scored.
+    The ratio table's own build may shuffle (≤ n_buckets rows)."""
+    from wasaffi_spark.operators.catalog import EXTRA_QUERIES
+
+    f = plan_facts(EXTRA_QUERIES["dsir_select"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in f.text, "ratio join must broadcast"
+    assert "EvalPython" not in f.text  # feature hashing stays JVM-side
+
+
+@needs_data
+def test_mutual_knn_joins_are_equi_never_nlj(spark):
+    """kNN edges come from an equi-join on the sign-LSH cell and the
+    mutual symmetrization from an equi-semi-join on (src, dst) — a
+    nested-loop anywhere means the all-pairs scan leaked back in."""
+    from wasaffi_spark.operators.catalog import EXTRA_QUERIES
+
+    f = plan_facts(EXTRA_QUERIES["mutual_knn"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in f.text
+    assert "CartesianProduct" not in f.text
+    assert "EvalPython" not in f.text
+
+
+@needs_data
+def test_domain_cap_window_rank_is_group_limited(spark):
+    """The per-domain rank filter must push into the window sort
+    (WindowGroupLimit) so a skewed mega-domain never materializes
+    beyond its running top-cap rows."""
+    from wasaffi_spark.operators.catalog import EXTRA_QUERIES
+
+    f = plan_facts(EXTRA_QUERIES["domain_cap"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in f.text
+
+
+@needs_data
+def test_fuzzy_decontamination_is_banded_equi_join(spark):
+    """Train↔eval candidate generation must join on (band, key) — an
+    equi-join with no nested loop; the train corpus text itself never
+    joins, only its 12-hash signatures."""
+    from wasaffi_spark.operators.catalog import EXTRA_QUERIES
+
+    f = plan_facts(EXTRA_QUERIES["fuzzy_decontaminate"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in f.text
+    assert "CartesianProduct" not in f.text
