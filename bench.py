@@ -113,6 +113,7 @@ HEADLINE = [
     "domain_cap",
     "hard_negatives",
     "mutual_knn",
+    "media_neardup",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

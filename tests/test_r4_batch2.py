@@ -232,3 +232,67 @@ def test_knn_edges_ranked_within_cell(spark):
         per_src.setdefault(r["src"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_src.values())
     assert all(len(v) <= 2 for v in per_src.values())
+
+
+# ---------------------------------------------------------------------------
+# media aHash near-dup
+
+
+def _media(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    from wasaffi_spark.operators.multimodal import ingest_as_media
+
+    return ingest_as_media(df)
+
+
+def test_ahash_hand_computed(spark):
+    from wasaffi_spark.operators.multimodal import ahash_signature
+
+    # payload "ab" = bytes [97, 98]; 2 segments: seg0=[97], seg1=[98];
+    # total=195, n=2. bit0: 97*2 > 195*1 → false; bit1: 98*2 > 195 → true.
+    m = _media(spark, [(1, "ab", "s")])
+    row = ahash_signature(m, n_segments=2).collect()[0]
+    assert row["ahash"] == 2 and row["n_bytes"] == 2
+
+
+def test_ahash_empty_payload_is_zero(spark):
+    from wasaffi_spark.operators.multimodal import ahash_signature
+
+    m = _media(spark, [(1, "", "s")])
+    row = ahash_signature(m, n_segments=8).collect()[0]
+    assert row["ahash"] == 0 and row["n_bytes"] == 0
+
+
+def test_ahash_identical_payloads_collide(spark):
+    from wasaffi_spark.operators.multimodal import (
+        ahash_signature,
+        media_neardup_pairs,
+    )
+
+    m = _media(spark, [(1, "hello world foo", "s"), (2, "hello world foo", "s")])
+    sigs = {r["doc_id"]: r["ahash"] for r in ahash_signature(m).collect()}
+    assert sigs[1] == sigs[2]
+    pairs = media_neardup_pairs(m).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
+def test_media_neardup_pigeonhole_guard(spark):
+    import pytest as _pytest
+
+    from wasaffi_spark.operators.multimodal import media_neardup_pairs
+
+    m = _media(spark, [(1, "x", "s")])
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        media_neardup_pairs(m, max_hamming=2, bands=2)
+    with _pytest.raises(ValueError, match="divide"):
+        media_neardup_pairs(m, bands=3)
+
+
+def test_media_neardup_bucket_cap(spark):
+    from wasaffi_spark.operators.multimodal import media_neardup_pairs
+
+    rows = [(i, "same bytes everywhere", "s") for i in range(6)]
+    m = _media(spark, rows)
+    full = media_neardup_pairs(m).collect()
+    capped = media_neardup_pairs(m, max_bucket_size=2).collect()
+    assert len(full) == 15 and len(capped) == 0

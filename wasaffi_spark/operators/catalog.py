@@ -3498,6 +3498,65 @@ register_extra(
 )
 
 
+AHASH_SEGMENTS = 16
+AHASH_MAX_HAMMING = 1
+
+
+def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-free perceptual near-dup over opaque media payloads
+    (operators/multimodal.py::media_neardup_pairs): 16-bit aHash from
+    the payload BYTES (pure codegen, no Python, no decode), banded
+    hamming retrieval with the shared pigeonhole/equi-join contract.
+    The LAION-style image-dedup step, exercised here on the binary
+    payload column the text corpus ingests into."""
+    docs = _table(spark, sf_dir, "documents")
+    media = multimodal.ingest_as_media(docs)
+    return multimodal.media_neardup_pairs(
+        media, max_hamming=AHASH_MAX_HAMMING, n_segments=AHASH_SEGMENTS
+    ).orderBy("id_a", "id_b")
+
+
+def _ahash_seg_bits_sql(nseg: int) -> str:
+    terms = []
+    for s in range(nseg):
+        lo = f"((n * {s}) // {nseg})"
+        hi = f"((n * {s + 1}) // {nseg})"
+        terms.append(
+            f"(case when ({hi} - {lo}) > 0 and "
+            f"list_sum(list_slice(bytes, {lo} + 1, {hi})) * n "
+            f"> total * ({hi} - {lo}) then {2**s} else 0 end)"
+        )
+    return " + ".join(terms)
+
+
+register_extra(
+    "media_neardup",
+    q_media_neardup,
+    f"""with m as (
+          select doc_id,
+                 hex(encode(coalesce(text, ''))) as hx,
+                 octet_length(encode(coalesce(text, ''))) as n
+          from documents),
+        b as (
+          select doc_id, n,
+                 list_transform(generate_series(0, n - 1),
+                                i -> ('0x' || substr(hx, i * 2 + 1, 2))::int)
+                   as bytes
+          from m where n > 0),
+        t as (select doc_id, n, bytes, list_sum(bytes) as total from b),
+        sig as (
+          select doc_id, {_ahash_seg_bits_sql(AHASH_SEGMENTS)} as sig from t
+          union all
+          select doc_id, 0 as sig from m where n = 0)
+        select a.doc_id as id_a, b.doc_id as id_b,
+               bit_count(xor(a.sig::bigint, b.sig::bigint))::int as hamming
+        from sig a join sig b on a.doc_id < b.doc_id
+        where bit_count(xor(a.sig::bigint, b.sig::bigint))
+                <= {AHASH_MAX_HAMMING}
+        order by id_a, id_b""",
+)
+
+
 # ---------------------------------------------------------------------------
 # round-4 driver-window rotation (VERDICT r3 next-round #5): every
 # operator should appear in the driver's hard hash signal at least once

@@ -113,3 +113,136 @@ def extract_features(media: DataFrame, carry_cols: tuple[str, ...] = ()) -> Data
     return media.select("doc_id", *carry, "payload").mapInPandas(
         feature_batches, schema=schema
     )
+
+
+def ahash_signature(
+    media: DataFrame,
+    n_segments: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Average-hash (aHash) perceptual signature over OPAQUE payload
+    bytes — the pHash-family primitive image-dedup pipelines (LAION-5B
+    §3.2 and kin) run before any decode: segment the byte stream into
+    ``n_segments`` equal spans, bit s = (mean byte of span s) > (global
+    mean byte). Identical payloads collide exactly; payloads differing
+    by small edits differ in few bits, so near-dup retrieval is a
+    hamming-band join (:func:`media_neardup_pairs`).
+
+    Pure codegen — NO decode and NO Python: bytes come from
+    ``hex(payload)`` parsed two chars at a time, and the mean compare
+    is cross-multiplied to stay in integer arithmetic
+    (``seg_sum·n > total·seg_len``), so the signature is bit-identical
+    in any engine (what makes the DuckDB oracle possible). On real
+    images the same operator applies to the decoded-grayscale byte
+    plane emitted by the (gated) decode stage; over raw compressed
+    bytes it is an exact/near-exact-file dedup key.
+
+    Adds ``ahash`` (int, ``n_segments`` wide) and ``n_bytes``. Empty
+    payloads sign as 0. Shuffle-free.
+    """
+    hexs = F.hex(F.col(payload_col))
+    n = F.length(F.col(payload_col))
+    bytes_arr = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.conv(F.substring(hexs, i * 2 + 1, 2), 16, 10).cast("int"),
+    )
+    zero = F.lit(0).cast("bigint")
+    total = F.aggregate(F.col("_bytes"), zero, lambda acc, x: acc + x)
+    bits = []
+    for s in range(n_segments):
+        lo = F.floor(n * s / n_segments).cast("int")
+        hi = F.floor(n * (s + 1) / n_segments).cast("int")
+        seg_len = hi - lo
+        seg_sum = F.aggregate(
+            F.slice(F.col("_bytes"), lo + 1, seg_len), zero,
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(
+                (seg_len > 0) & (seg_sum * n > F.col("_total") * seg_len),
+                F.lit(2**s),
+            ).otherwise(F.lit(0))
+        )
+    sig = sum(bits[1:], bits[0])
+    return (
+        media.withColumn(
+            "_bytes",
+            F.when(n > 0, bytes_arr).otherwise(
+                F.array().cast("array<int>")
+            ),
+        )
+        .withColumn("_total", total)
+        .withColumn("ahash", sig.cast("bigint"))
+        .withColumn("n_bytes", n.cast("bigint"))
+        .drop("_bytes", "_total")
+    )
+
+
+def media_neardup_pairs(
+    media: DataFrame,
+    max_hamming: int = 1,
+    bands: int = 2,
+    n_segments: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate media pairs by banded hamming over the aHash
+    signature — the decode-free image/audio dedup join. Same pigeonhole
+    contract as :func:`..dedup.simhash_pairs`: ``max_hamming <=
+    bands-1`` guarantees an exact band match, so candidates come from
+    equi-joins on (band, band_key), never an all-pairs scan; verify is
+    one xor+popcount. ``max_bucket_size`` caps degenerate buckets
+    (byte-identical boilerplate media) exactly as everywhere else.
+
+    Returns ``(id_a, id_b, hamming)``, id_a < id_b.
+    """
+    from .dedup import _cap_buckets
+
+    if n_segments % bands != 0:
+        raise ValueError(
+            f"media_neardup_pairs: bands={bands} must divide the signature "
+            f"width ({n_segments} bits)"
+        )
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"media_neardup_pairs: max_hamming={max_hamming} needs bands >= "
+            f"{max_hamming + 1} (pigeonhole); got bands={bands}"
+        )
+    band_bits = n_segments // bands
+    sig = ahash_signature(media, n_segments, payload_col, id_col)
+    banded = sig.select(
+        F.col(id_col),
+        F.col("ahash"),
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.shiftrightunsigned(F.col("ahash"), b * band_bits)
+                        % (1 << band_bits)
+                    ).cast("bigint")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    banded = _cap_buckets(banded, max_bucket_size)
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("ahash").alias("_sa"), "band", "key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("ahash").alias("_sb"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.col("_sa").bitwiseXOR(F.col("_sb")).alias("_x"))
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_x")).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
