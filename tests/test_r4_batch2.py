@@ -296,3 +296,47 @@ def test_media_neardup_bucket_cap(spark):
     full = media_neardup_pairs(m).collect()
     capped = media_neardup_pairs(m, max_bucket_size=2).collect()
     assert len(full) == 15 and len(capped) == 0
+
+
+# ---------------------------------------------------------------------------
+# curriculum interleave + corpus report
+
+
+def test_curriculum_round_robin_schedule(spark):
+    from wasaffi_spark.operators.pipeline import curriculum_interleave
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10),
+            (2, "a", 5),
+            (3, "b", 7),
+            (4, "b", 9),
+            (5, "b", 1),
+        ],
+        "doc_id bigint, source string, n_chars bigint",
+    )
+    rows = sorted(
+        curriculum_interleave(df).collect(), key=lambda r: r["position"]
+    )
+    # round 0: easiest of a (doc 2), easiest of b (doc 5); round 1:
+    # doc 1, doc 3; round 2: b only (doc 4) — positions stay monotone.
+    assert [r["doc_id"] for r in rows] == [2, 5, 1, 3, 4]
+    # no domain repeats within a round while the other still has docs
+    assert [r["source"] for r in rows[:4]] == ["a", "b", "a", "b"]
+
+
+def test_corpus_report_counts_cross_domain_dups(spark):
+    from wasaffi_spark.operators.pipeline import corpus_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "same text", "en", "a"),
+            (2, "same text", "en", "b"),  # dup ACROSS domains
+            (3, "unique here", "de", "a"),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    rep = {r["source"]: r for r in corpus_report(df).collect()}
+    assert rep["a"]["n_dup_docs"] == 1 and rep["b"]["n_dup_docs"] == 1
+    assert rep["a"]["n_docs"] == 2 and rep["a"]["n_langs"] == 2
+    assert rep["a"]["n_tokens"] == 4  # "same text" + "unique here"

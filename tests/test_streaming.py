@@ -393,3 +393,42 @@ def test_transform_with_state_equals_batch(spark, event_stream):
         ).collect()
     }
     assert got == want
+
+
+@needs_data
+def test_streaming_fuzzy_decontamination_equals_batch(spark):
+    """Stream-static banded MinHash decontamination: the streamed fuzzy-
+    flagged id set must equal the batch fuzzy_contamination's — possible
+    statelessly because the in-row minhash_signatures rewrite is a
+    narrow map (no streaming aggregation needed)."""
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators import decontam
+    from wasaffi_spark.sources.parquet import read_parquet
+    from wasaffi_spark.streaming import documents as sdocs
+    from wasaffi_spark.streaming.events import run_to_memory
+
+    docs = read_parquet(spark, os.path.join(SF_SMOKE, "documents.parquet"))
+    eval_set = docs.where(F.pmod(F.col("doc_id"), F.lit(17)) == 3)
+    train = docs.where(F.pmod(F.col("doc_id"), F.lit(17)) != 3)
+    batch_ids = {
+        r["doc_id"]
+        for r in decontam.fuzzy_contamination(
+            train, eval_set, threshold=0.25
+        ).collect()
+    }
+    assert batch_ids, "fixture should flag at least one fuzzy match"
+
+    stream = sdocs.read_documents_stream(spark, SF_SMOKE).where(
+        F.pmod(F.col("doc_id"), F.lit(17)) != 3
+    )
+    run_to_memory(
+        sdocs.fuzzy_contaminated_ids_stream(stream, eval_set, threshold=0.25),
+        "fuzzy_contam_ids",
+        output_mode="append",
+    )
+    stream_ids = {
+        r["doc_id"]
+        for r in spark.sql("select doc_id from fuzzy_contam_ids").collect()
+    }
+    assert stream_ids == batch_ids

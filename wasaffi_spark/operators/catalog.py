@@ -3509,7 +3509,7 @@ def q_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming retrieval with the shared pigeonhole/equi-join contract.
     The LAION-style image-dedup step, exercised here on the binary
     payload column the text corpus ingests into."""
-    docs = _table(spark, sf_dir, "documents")
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
     media = multimodal.ingest_as_media(docs)
     return multimodal.media_neardup_pairs(
         media, max_hamming=AHASH_MAX_HAMMING, n_segments=AHASH_SEGMENTS
@@ -3554,6 +3554,78 @@ register_extra(
         where bit_count(xor(a.sig::bigint, b.sig::bigint))
                 <= {AHASH_MAX_HAMMING}
         order by id_a, id_b""",
+)
+
+
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering with balanced domain interleave (operators/
+    pipeline.py::curriculum_interleave): easiest-first within each
+    source, one doc per source per round globally — the deterministic
+    training-order schedule. Position is a COLUMN (no global sort)."""
+    from . import pipeline
+
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    out = pipeline.curriculum_interleave(docs)
+    return out.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("rnd").cast("bigint").alias("rnd"),
+        F.col("dom_ix").cast("bigint").alias("dom_ix"),
+        "position",
+    ).orderBy("doc_id")
+
+
+register_extra(
+    "curriculum_interleave",
+    q_curriculum,
+    """with r as (
+          select doc_id, source, n_chars,
+                 row_number() over (partition by source
+                                    order by n_chars asc, doc_id) - 1 as rnd
+          from documents),
+        d as (select source,
+                     dense_rank() over (order by source) - 1 as dom_ix
+              from (select distinct source from documents)),
+        n as (select count(*) as nd
+              from (select distinct source from documents))
+        select doc_id, source, n_chars, rnd, dom_ix,
+               (rnd * nd + dom_ix) as position
+        from r join d using (source), n order by doc_id""",
+)
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain dataset-card audit (operators/pipeline.py::
+    corpus_report): doc/token counts, corpus-wide exact-dup exposure,
+    language spread — the summary table a curation run publishes next
+    to its shards. O(domains) output regardless of corpus size."""
+    from . import pipeline
+
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    return pipeline.corpus_report(docs).orderBy("source")
+
+
+register_extra(
+    "corpus_report",
+    q_corpus_report,
+    r"""with h as (
+          select doc_id, source, lang,
+                 md5(coalesce(text, '')) as th,
+                 len(list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '\s+'),
+                                 x -> x <> '')) as ntok
+          from documents),
+        hc as (select th, count(*) as c from h group by th),
+        e as (select h.*, (hc.c > 1) as dup from h join hc using (th))
+        select source,
+               count(*) as n_docs,
+               sum(dup::int)::bigint as n_dup_docs,
+               sum(ntok)::bigint as n_tokens,
+               round(avg(ntok), 6) as avg_tokens,
+               count(distinct lang) as n_langs,
+               min(doc_id) as min_doc_id
+        from e group by source order by source""",
 )
 
 

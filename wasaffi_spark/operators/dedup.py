@@ -133,15 +133,39 @@ def minhash_signatures(
 
     Lexicographic min over md5 hex strings ≡ min over a uniform 128-bit
     hash family — and md5 is identical in Spark, DuckDB, and every other
-    engine, which is what makes the signature portable. Single shuffle:
-    explode → groupBy(id) with P partial-agg mins.
+    engine, which is what makes the signature portable.
+
+    ZERO-shuffle (round-4 rewrite): the shingle set and all P mins are
+    computed in-row with ``transform`` + ``array_min`` instead of the
+    earlier explode → distinct → groupBy — min over occurrences equals
+    min over the distinct set, so the output is bit-identical while the
+    exploded-corpus shuffle (the operator's former dominant cost at
+    100 TB) disappears entirely. Being stateless row-at-a-time also
+    makes the same function legal on a STREAMING frame
+    (streaming/documents.py::fuzzy_contaminated_ids_stream).
+
+    Docs shorter than ``k`` tokens yield no row (no shingles — same
+    exclusion as before, matching the oracle).
     """
-    sh = word_shingles(df, text_col, k).select(id_col, "shingle").distinct()
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+    toks = tokens(text_col)
+    base = _fan_out(df).select(F.col(id_col), toks.alias("_toks")).where(
+        F.size("_toks") >= k
+    )
+    sh_arr = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - k),
+        lambda i: F.concat_ws(" ", F.slice("_toks", i + 1, k)),
+    )
+    base = base.select(F.col(id_col), sh_arr.alias("_sh"))
+    cols = [
+        F.array_min(
+            F.transform(
+                F.col("_sh"),
+                lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)),
+            )
+        ).alias(f"h{i}")
         for i in range(num_perm)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return base.select(F.col(id_col), *cols)
 
 
 def _cap_buckets(

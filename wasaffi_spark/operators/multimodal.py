@@ -143,39 +143,78 @@ def ahash_signature(
     """
     hexs = F.hex(F.col(payload_col))
     n = F.length(F.col(payload_col))
-    bytes_arr = F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.conv(F.substring(hexs, i * 2 + 1, 2), 16, 10).cast("int"),
-    )
-    zero = F.lit(0).cast("bigint")
-    total = F.aggregate(F.col("_bytes"), zero, lambda acc, x: acc + x)
-    bits = []
+    # (position, byte) pairs — the bytes are parsed from hex exactly
+    # once. Everything below folds over THIS array in a single
+    # aggregate pass: higher-order functions are interpreted (not
+    # codegen), so the per-element lambda invocation is the unit of
+    # cost — one pass with a 17-field struct accumulator beats the
+    # naive 16-slices-plus-16-aggregates shape ~10× while computing the
+    # identical segment sums (boundary checks lo_s <= i < hi_s inline).
+    bytes_arr = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.conv(F.substring(hexs, i * 2 + 1, 2), 16, 10).cast(
+                "bigint"
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    zeroL = F.lit(0).cast("bigint")
+    bounds = []
     for s in range(n_segments):
         lo = F.floor(n * s / n_segments).cast("int")
         hi = F.floor(n * (s + 1) / n_segments).cast("int")
-        seg_len = hi - lo
-        seg_sum = F.aggregate(
-            F.slice(F.col("_bytes"), lo + 1, seg_len), zero,
-            lambda acc, x: acc + x,
-        )
-        bits.append(
-            F.when(
-                (seg_len > 0) & (seg_sum * n > F.col("_total") * seg_len),
-                F.lit(2**s),
-            ).otherwise(F.lit(0))
-        )
-    sig = sum(bits[1:], bits[0])
-    return (
-        media.withColumn(
-            "_bytes",
-            F.when(n > 0, bytes_arr).otherwise(
-                F.array().cast("array<int>")
+        bounds.append((lo, hi))
+
+    def ssum(arr):
+        return F.aggregate(arr, zeroL, lambda a, x: a + x)
+
+    def finish(pre):
+        bits = []
+        for s, (lo, hi) in enumerate(bounds):
+            seg_len = (hi - lo).cast("bigint")
+            bits.append(
+                F.when(
+                    (seg_len > 0) & (pre[f"s{s}"] * n > pre["t"] * seg_len),
+                    F.lit(2**s).cast("bigint"),
+                ).otherwise(zeroL)
+            )
+        return sum(bits[1:], bits[0])
+
+    # Two nested single-element-array lambda bindings: the first makes
+    # the parsed byte array a BOUND VARIABLE (evaluated once — as a
+    # plain column it would be inlined and re-parsed by every one of
+    # the 17 sums below: higher-order functions are interpreted, so no
+    # codegen subexpression elimination saves you), the second binds
+    # the (total, 16 segment sums) struct the same way before the bit
+    # comparisons read each sum twice. Total element visits ≈ 3n: one
+    # parse, one total pass, and the 16 slice-sums together touch each
+    # byte once.
+    sig = F.element_at(
+        F.transform(
+            F.array(bytes_arr),
+            lambda bts: F.element_at(
+                F.transform(
+                    F.array(
+                        F.struct(
+                            ssum(bts).alias("t"),
+                            *[
+                                ssum(F.slice(bts, lo + 1, hi - lo)).alias(
+                                    f"s{s}"
+                                )
+                                for s, (lo, hi) in enumerate(bounds)
+                            ],
+                        )
+                    ),
+                    finish,
+                ),
+                F.lit(1),
             ),
-        )
-        .withColumn("_total", total)
-        .withColumn("ahash", sig.cast("bigint"))
-        .withColumn("n_bytes", n.cast("bigint"))
-        .drop("_bytes", "_total")
+        ),
+        F.lit(1),
+    )
+    return media.withColumn("ahash", sig).withColumn(
+        "n_bytes", n.cast("bigint")
     )
 
 
@@ -212,6 +251,18 @@ def media_neardup_pairs(
         )
     band_bits = n_segments // bands
     sig = ahash_signature(media, n_segments, payload_col, id_col)
+    # Materialize the NARROW (id, ahash) frame before banding: left as
+    # a plain projection, CollapseProject inlines the (large,
+    # interpreted-HOF) signature expression into every band-key
+    # reference on BOTH sides of the self-join — 6+ full
+    # re-evaluations (a repartition barrier doesn't survive either:
+    # Catalyst re-orders the projection above the exchange).
+    # localCheckpoint pins O(docs)·16 bytes (ids + sigs, never
+    # payloads) — same lineage-truncation recipe as graph.py — so the
+    # signature computes exactly once for both join sides.
+    sig = sig.select(F.col(id_col), F.col("ahash")).localCheckpoint(
+        eager=False
+    )
     banded = sig.select(
         F.col(id_col),
         F.col("ahash"),

@@ -447,3 +447,96 @@ def domain_cap_report(
         F.sum((~kept).cast("long")).alias("n_dropped"),
         F.min(F.when(kept, first_score)).alias("min_kept_score"),
     )
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    domain_col: str = "source",
+    order_by: tuple[str, ...] = ("n_chars",),
+    id_col: str = "doc_id",
+    ascending: bool = True,
+) -> DataFrame:
+    """Deterministic curriculum ordering with balanced domain
+    interleave: within each domain, rank documents easiest-first
+    (``order_by`` ascending by default — curriculum-learning order;
+    ties → ``id_col``); globally, emit one document per domain per
+    round, domains in name order. The resulting ``position`` is the
+    round-robin schedule a curriculum trainer consumes — no domain ever
+    streams twice in a row while another has documents left in the same
+    round.
+
+    ``position = (round, domain)`` packed ordinally via dense_rank over
+    domains, so the whole schedule is two window functions and one
+    column expression — no shuffle beyond the per-domain window plus
+    the tiny domain-rank map (O(domains), broadcast by AQE).
+
+    At 100 TB: the per-domain window is the same WindowGroupLimit-
+    friendly shape as :func:`domain_cap`; the global order is never
+    materialized as a sort here — ``position`` is a COLUMN, and the
+    final write orders by it only if the sink needs physical order
+    (range-partitioned write, same recipe as global_shuffle).
+    """
+    w_round = Window.partitionBy(domain_col).orderBy(
+        *[
+            (F.col(c).asc() if ascending else F.col(c).desc())
+            for c in order_by
+        ],
+        F.col(id_col).asc(),
+    )
+    # dense_rank over domain names = a stable 0..D-1 ordinal per domain
+    w_dom = Window.orderBy(F.col(domain_col).asc())
+    ranked = df.withColumn("rnd", F.row_number().over(w_round) - 1)
+    # count domains via a window-free broadcast-joined distinct frame to
+    # keep the single-partition Window.orderBy off the corpus: the
+    # dense_rank window below runs over the O(domains) distinct frame
+    # only, never over df.
+    doms = (
+        df.select(F.col(domain_col)).distinct()
+        .withColumn("dom_ix", F.dense_rank().over(w_dom) - 1)
+    )
+    n_dom = doms.agg(F.count("*").alias("_nd"))
+    return (
+        ranked.join(F.broadcast(doms), domain_col)
+        .crossJoin(F.broadcast(n_dom))
+        .withColumn(
+            "position",
+            (F.col("rnd").cast("bigint") * F.col("_nd") + F.col("dom_ix")),
+        )
+        .drop("_nd")
+    )
+
+
+def corpus_report(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dataset-card summary per domain — the audit table a curation run
+    publishes next to its output shards: document and token counts,
+    corpus-wide exact-duplicate exposure (docs whose text hash repeats
+    ANYWHERE in the corpus, so cross-domain template reuse shows up in
+    every domain it touches), language spread, and size stats.
+
+    Two shuffles regardless of corpus size: the text-hash window count
+    (same key the dedup family already buckets by) and the per-domain
+    aggregate (O(domains) output rows).
+    """
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    w = Window.partitionBy(h)
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    enriched = df.withColumn("_dup", F.count("*").over(w) > 1).withColumn(
+        "_ntok", F.size(toks)
+    )
+    return enriched.groupBy(domain_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("_dup").cast("long")).alias("n_dup_docs"),
+        F.sum(F.col("_ntok").cast("long")).alias("n_tokens"),
+        F.round(F.avg(F.col("_ntok")), 6).alias("avg_tokens"),
+        F.count_distinct(F.col(lang_col)).alias("n_langs"),
+        F.min(F.col(id_col)).alias("min_doc_id"),
+    )

@@ -163,3 +163,78 @@ def incremental_dedup_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def fuzzy_contaminated_ids_stream(
+    docs_stream: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.25,
+    num_perm: int | None = None,
+    bands: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of ``decontam.fuzzy_contamination``: append-mode
+    stream of distinct doc ids whose estimated MinHash Jaccard against
+    any STATIC eval document reaches ``threshold``.
+
+    Possible at all because the round-4 ``minhash_signatures`` rewrite
+    is zero-shuffle/in-row — a stateless narrow map legal on a streaming
+    frame (the old explode→groupBy shape would have needed a watermarked
+    streaming aggregation). Flow: in-row signatures → in-row band-key
+    posexplode → stream-static equi-join on (band, key) against the
+    precomputed eval band table (carrying the eval signature columns) →
+    in-row agree-count → threshold filter → stateful ``dropDuplicates``
+    on the id (state ∝ flagged docs only, same bound as the exact-gram
+    stream).
+    """
+    from ..operators.dedup import BANDS, NUM_PERM, band_buckets, minhash_signatures
+
+    num_perm = NUM_PERM if num_perm is None else num_perm
+    bands = BANDS if bands is None else bands
+    sig_s = minhash_signatures(docs_stream, text_col, id_col, num_perm)
+    r = num_perm // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"h{i}") for i in range(b * r, (b + 1) * r)]
+                )
+            ).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded_s = sig_s.select(
+        F.col(id_col),
+        *[F.col(f"h{i}") for i in range(num_perm)],
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select(
+        id_col,
+        *[f"h{i}" for i in range(num_perm)],
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    sig_e = minhash_signatures(eval_set, text_col, id_col, num_perm)
+    banded_e = band_buckets(sig_e, id_col, num_perm, bands).join(
+        sig_e, id_col
+    )
+    banded_e = banded_e.select(
+        F.col(id_col).alias("_eid"),
+        *[F.col(f"h{i}").alias(f"e{i}") for i in range(num_perm)],
+        "band",
+        "key",
+    )
+    agree = sum(
+        F.when(F.col(f"h{i}") == F.col(f"e{i}"), 1).otherwise(0)
+        for i in range(num_perm)
+    )
+    est = banded_s.join(banded_e, ["band", "key"]).select(
+        F.col(id_col),
+        F.round(agree / F.lit(float(num_perm)), 6).alias("est"),
+    )
+    return (
+        est.where(F.col("est") >= threshold)
+        .select(id_col)
+        .dropDuplicates([id_col])
+    )
