@@ -114,6 +114,11 @@ HEADLINE = [
     "hard_negatives",
     "mutual_knn",
     "media_neardup",
+    "curriculum_interleave",
+    "corpus_report",
+    "strip_boilerplate",
+    "embedding_clusters",
+    "train_classifier",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -340,3 +340,95 @@ def test_corpus_report_counts_cross_domain_dups(spark):
     assert rep["a"]["n_dup_docs"] == 1 and rep["b"]["n_dup_docs"] == 1
     assert rep["a"]["n_docs"] == 2 and rep["a"]["n_langs"] == 2
     assert rep["a"]["n_tokens"] == 4  # "same text" + "unique here"
+
+
+# ---------------------------------------------------------------------------
+# in-engine classifier training
+
+
+def _labeled_corpus(spark):
+    rows = [
+        (1, "good clean prose about science research", 1),
+        (2, "careful analysis of data and methods", 1),
+        (3, "buy cheap pills click here now", 0),
+        (4, "winner prize casino click subscribe", 0),
+        (5, "science research methods and analysis", 1),
+        (6, "cheap casino prize click now", 0),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, label int")
+
+
+def test_train_classifier_separates_planted_classes(spark):
+    from wasaffi_spark.operators.training import (
+        score_with_model,
+        train_linear_classifier,
+    )
+
+    docs = _labeled_corpus(spark)
+    w = train_linear_classifier(docs, "label", iterations=8, lr=1.0)
+    probs = {
+        r["doc_id"]: r["prob"]
+        for r in score_with_model(docs, w).collect()
+    }
+    pos = [probs[i] for i in (1, 2, 5)]
+    neg = [probs[i] for i in (3, 4, 6)]
+    assert min(pos) > max(neg), (pos, neg)
+
+
+def test_train_classifier_is_deterministic(spark):
+    from wasaffi_spark.operators.training import train_linear_classifier
+
+    docs = _labeled_corpus(spark)
+    w1 = {r["b"]: r["w_micro"] for r in train_linear_classifier(docs, "label").collect()}
+    w2 = {
+        r["b"]: r["w_micro"]
+        for r in train_linear_classifier(
+            docs.repartition(7), "label"
+        ).collect()
+    }
+    assert w1 == w2  # partitioning must not change the trained model
+
+
+def test_train_classifier_bias_learns_base_rate(spark):
+    from wasaffi_spark.operators.training import train_linear_classifier
+
+    # all-positive corpus: the bias (bucket -1) must move up
+    docs = spark.createDataFrame(
+        [(1, "aa bb", 1), (2, "cc dd", 1)], "doc_id bigint, text string, label int"
+    )
+    w = {r["b"]: r["w_micro"] for r in train_linear_classifier(docs, "label").collect()}
+    assert w[-1] > 0
+
+
+# ---------------------------------------------------------------------------
+# boilerplate removal
+
+
+def test_strip_boilerplate_drops_domain_templates(spark):
+    from wasaffi_spark.operators.text import strip_boilerplate
+
+    footer = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [
+            (1, "a", "real content one\n" + footer),
+            (2, "a", "real content two\n" + footer),
+            (3, "a", "unrelated text"),
+            (4, "b", footer),  # different domain: appears once → kept
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    out = {r["doc_id"]: r for r in strip_boilerplate(df, min_frac=0.3).collect()}
+    assert out[1]["clean_text"] == "real content one"
+    assert out[2]["clean_text"] == "real content two"
+    assert out[1]["n_boiler"] == 1 and out[3]["n_boiler"] == 0
+    assert out[4]["clean_text"] == footer  # not boilerplate in b
+
+
+def test_boilerplate_blank_lines_never_qualify(spark):
+    from wasaffi_spark.operators.text import boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(1, "a", "x\n\ny"), (2, "a", "z\n\nw")],
+        "doc_id bigint, source string, text string",
+    )
+    assert boilerplate_lines(df, min_frac=0.1).count() == 0

@@ -3476,10 +3476,10 @@ def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mutual_knn_pairs(edges).orderBy("id_a", "id_b")
 
 
-register_extra(
-    "mutual_knn",
-    q_mutual_knn,
-    f"""with v as (select vec_id, embedding::DOUBLE[] as ev,
+# the mutual-kNN pair CTE chain — shared verbatim by the `mutual_knn`
+# oracle and the `embedding_clusters` recursive-closure oracle so the
+# two queries can never drift apart.
+_MUTUAL_KNN_CTES = f"""v as (select vec_id, embedding::DOUBLE[] as ev,
                    {_emb_cell_sql("embedding")} as cell
                   from embeddings),
         scored as (
@@ -3491,10 +3491,65 @@ register_extra(
                  row_number() over (partition by src
                                     order by cos_sim desc, dst) as rnk
           from scored),
-        e as (select src, dst, cos_sim from ranked where rnk <= {KNN_K})
-        select a.src as id_a, a.dst as id_b, a.cos_sim
-        from e a join e b on a.src = b.dst and a.dst = b.src
-        where a.src < a.dst order by id_a, id_b""",
+        e as (select src, dst, cos_sim from ranked where rnk <= {KNN_K}),
+        mpairs as (
+          select a.src as id_a, a.dst as id_b, a.cos_sim
+          from e a join e b on a.src = b.dst and a.dst = b.src
+          where a.src < a.dst)"""
+
+register_extra(
+    "mutual_knn",
+    q_mutual_knn,
+    f"""with {_MUTUAL_KNN_CTES}
+        select id_a, id_b, cos_sim from mpairs order by id_a, id_b""",
+)
+
+
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding clustering end-to-end (similarity.mutual_knn_pairs →
+    graph.connected_components): the kNN-graph clustering a semantic-
+    dedup/topic-grouping pass runs over the corpus embeddings — mutual
+    top-k edges close transitively into clusters, checked with member
+    counts. Iterative min-label propagation (localCheckpoint per round,
+    O(1)-row convergence probe), same machinery as entity_clusters."""
+    from . import graph
+
+    emb = _table(spark, sf_dir, "embeddings")
+    edges = similarity.knn_edges_bucketed(emb, k=KNN_K)
+    pairs = similarity.mutual_knn_pairs(edges).select("id_a", "id_b")
+    comp = graph.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("n_members"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("component").alias("cluster_id"),
+            "n_members",
+        )
+        .orderBy("vec_id")
+    )
+
+
+register_extra(
+    "embedding_clusters",
+    q_embedding_clusters,
+    f"""with recursive {_MUTUAL_KNN_CTES},
+        edges as (
+          select id_a as x, id_b as y from mpairs
+          union
+          select id_b as x, id_a as y from mpairs),
+        reach(x, y) as (
+          select x, y from edges
+          union
+          select r.x, e2.y from reach r join edges e2 on r.y = e2.x),
+        comp as (
+          select x as vec_id, least(x, min(y)) as cluster_id
+          from reach group by x),
+        sizes as (
+          select cluster_id, count(*) as n_members from comp group by 1)
+        select c.vec_id, c.cluster_id, s.n_members
+        from comp c join sizes s using (cluster_id)
+        order by c.vec_id""",
 )
 
 
@@ -3626,6 +3681,180 @@ register_extra(
                count(distinct lang) as n_langs,
                min(doc_id) as min_doc_id
         from e group by source order by source""",
+)
+
+
+BOILER_MIN_DOCS = 2
+BOILER_MIN_FRAC = 0.05
+BOILER_LINE_TOKENS = 8
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain boilerplate removal (RefinedWeb/C4 template
+    stripping; operators/text.py::strip_boilerplate): lines appearing
+    in >= max(2, 5%) of a source's documents are dropped from every doc
+    of that source, order preserved. The fixture's documents are
+    single-line, so the query first re-lines them deterministically
+    (8-token windows) — the operator itself is plain line-based."""
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    k = BOILER_LINE_TOKENS
+    relined = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.size(toks) > 0,
+            F.array_join(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.floor((F.size(toks) - 1) / k).cast("int")
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+                ),
+                "\n",
+            ),
+        )
+        .otherwise(F.lit(""))
+        .alias("text"),
+    )
+    out = text.strip_boilerplate(
+        relined, min_frac=BOILER_MIN_FRAC, min_docs=BOILER_MIN_DOCS
+    )
+    return out.orderBy("doc_id")
+
+
+register_extra(
+    "strip_boilerplate",
+    q_strip_boilerplate,
+    rf"""with tk as (
+          select doc_id, source,
+                 list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                '\s+'),
+                             x -> x <> '') as t
+          from documents),
+        doc2 as (
+          select doc_id, source,
+                 case when len(t) > 0 then
+                   array_to_string(
+                     list_transform(
+                       generate_series(0, (len(t) - 1) // {BOILER_LINE_TOKENS}),
+                       i -> array_to_string(
+                              t[i * {BOILER_LINE_TOKENS} + 1 :
+                                i * {BOILER_LINE_TOKENS} + {BOILER_LINE_TOKENS}],
+                              ' ')),
+                     chr(10))
+                 else '' end as text
+          from tk),
+        pl as (
+          select doc_id, source, i - 1 as pos, l[i] as line
+          from (select doc_id, source, string_split(text, chr(10)) as l
+                from doc2),
+               unnest(generate_series(1, len(l))) as s(i)),
+        dl as (select distinct doc_id, source, trim(line) as tl
+               from pl where trim(line) <> ''),
+        cnt as (select source, tl, count(*) as df_docs
+                from dl group by 1, 2),
+        nd as (select source, count(distinct doc_id) as n_docs_domain
+               from doc2 group by 1),
+        bp as (select source, tl
+               from cnt join nd using (source)
+               where df_docs >= {BOILER_MIN_DOCS}
+                 and df_docs >= {BOILER_MIN_FRAC} * n_docs_domain),
+        flagged as (
+          select pl.doc_id, pl.source, pl.pos, pl.line,
+                 (bp.tl is not null) as isbp
+          from pl left join bp
+            on pl.source = bp.source and trim(pl.line) = bp.tl)
+        select doc_id, any_value(source) as source,
+               coalesce(string_agg(line, chr(10) order by pos)
+                        filter (where not isbp), '') as clean_text,
+               count(*)::int as n_lines,
+               sum(isbp::int)::int as n_boiler
+        from flagged group by doc_id order by doc_id""",
+)
+
+
+def q_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine logistic-regression training (operators/training.py):
+    3 batch-GD iterations over hashed unigram+bigram counts, label =
+    (lang = 'en'), every cross-row sum integer-quantized so the
+    TRAINED MODEL itself is engine-exact and hash-oracled (the oracle
+    replays all 3 iterations as unrolled CTEs). The train-then-score
+    workflow of a Dolma/DataComp-style quality filter, without leaving
+    the engine."""
+    from . import training
+
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents")).withColumn(
+        "_label", (F.col("lang") == "en").cast("int")
+    )
+    w = training.train_linear_classifier(docs, "_label")
+    return w.orderBy("b")
+
+
+def _train_classifier_oracle(
+    n_buckets: int, lr: float, iterations: int
+) -> str:
+    head = rf"""with tk as (
+          select doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                '\s+'),
+                             x -> x <> '') as t
+          from documents),
+        feats as (
+          select doc_id, f from (
+            select doc_id, unnest(t) as f from tk
+            union all
+            select doc_id, t[i] || ' ' || t[i + 1] as f
+            from tk, unnest(generate_series(1, len(t) - 1)) as s(i)
+            where len(t) >= 2)),
+        fb as (select doc_id,
+                      ('0x' || substr(md5(f), 1, 8))::bigint % {n_buckets}
+                        as b
+               from feats),
+        cnts as (
+          select doc_id, b, count(*)::bigint as cnt from fb group by 1, 2
+          union all
+          select doc_id, -1::bigint as b, 1::bigint as cnt from documents),
+        y as (select doc_id, (lang = 'en')::int as y from documents),
+        x as (select c.doc_id, c.b, c.cnt, y.y
+              from cnts c join y using (doc_id)),
+        n as (select count(*)::double as n from documents),
+        w0 as (select i::bigint as b, 0::bigint as w
+               from unnest(generate_series(-1, {n_buckets - 1})) as s(i))"""
+    its = []
+    for k in range(iterations):
+        its.append(
+            f"""s{k} as (
+          select doc_id, any_value(y) as y, sum(w.w * x.cnt)::bigint as sm
+          from x join w{k} w using (b) group by doc_id),
+        e{k} as (
+          select doc_id,
+                 round((1.0 / (1.0 + exp(-(sm / 1000000.0))) - y)
+                       * 1000000)::bigint as e
+          from s{k}),
+        g{k} as (
+          select x.b, sum(e.e * x.cnt)::bigint as g
+          from x join e{k} e using (doc_id) group by x.b),
+        w{k + 1} as (
+          select w.b,
+                 (w.w - round({lr} * coalesce(g.g, 0) / n.n))::bigint as w
+          from w{k} w left join g{k} g using (b), n)"""
+        )
+    return (
+        head
+        + ",\n        "
+        + ",\n        ".join(its)
+        + f"\n        select b, w as w_micro from w{iterations} order by b"
+    )
+
+
+register_extra(
+    "train_classifier",
+    q_train_classifier,
+    _train_classifier_oracle(256, 0.5, 3),
 )
 
 

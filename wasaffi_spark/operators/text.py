@@ -824,3 +824,114 @@ def lm_score(
             ).alias("avg_logprob"),
         )
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_frac: float = 0.05,
+    min_docs: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Per-domain boilerplate line table (RefinedWeb/C4's template
+    removal shape): a line is boilerplate in a domain when it appears in
+    at least ``min_docs`` documents AND at least ``min_frac`` of the
+    domain's documents — navigation bars, cookie banners, footers.
+    Returns ``(domain_col, line, df_docs, n_docs_domain)``.
+
+    Scale: one (doc, domain, line)-distinct + one groupBy(domain, line)
+    — both carry line-sized rows ∝ corpus lines; the per-domain doc
+    count is an O(domains) aggregate joined back (AQE broadcasts it).
+    Blank lines never qualify.
+    """
+    lines = df.select(
+        F.col(domain_col),
+        F.col(id_col),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\\Q" + sep + "\\E")
+        ).alias("_raw"),
+    ).select(
+        domain_col, id_col, F.trim(F.col("_raw")).alias("line")
+    ).where(F.col("line") != "").distinct()
+    cnt = lines.groupBy(domain_col, "line").agg(
+        F.count("*").alias("df_docs")
+    )
+    nd = df.groupBy(domain_col).agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs_domain")
+    )
+    return (
+        cnt.join(nd, domain_col)
+        .where(
+            (F.col("df_docs") >= min_docs)
+            & (F.col("df_docs") >= F.lit(min_frac) * F.col("n_docs_domain"))
+        )
+        .select(domain_col, "line", "df_docs", "n_docs_domain")
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_frac: float = 0.05,
+    min_docs: int = 2,
+    sep: str = "\n",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Remove each domain's boilerplate lines from its documents,
+    preserving line order. Returns ``(id_col, domain_col, out_col,
+    n_lines, n_boiler)``.
+
+    The boilerplate table is O(domains × templates) — the join against
+    exploded doc lines is an equi-join on (domain, line) that AQE
+    broadcasts when small; reassembly is the shared sorted-collect
+    pattern (one groupBy(id) shuffle). Two corpus-line-sized shuffles
+    total, independent of corpus size multipliers.
+    """
+    bp = boilerplate_lines(
+        df, domain_col, text_col, id_col, min_frac, min_docs, sep
+    ).select(domain_col, F.col("line").alias("_bl"), F.lit(True).alias("_isbp"))
+    pl = df.select(
+        F.col(id_col),
+        F.col(domain_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\\Q" + sep + "\\E")
+        ).alias("pos", "line"),
+    )
+    flagged = pl.join(
+        bp,
+        (pl[domain_col] == bp[domain_col])
+        & (F.trim(pl["line"]) == bp["_bl"]),
+        "left",
+    ).select(
+        pl[id_col].alias(id_col),
+        pl[domain_col].alias(domain_col),
+        "pos",
+        "line",
+        F.coalesce(F.col("_isbp"), F.lit(False)).alias("_isbp"),
+    )
+    agg = flagged.groupBy(id_col).agg(
+        F.first(domain_col).alias(domain_col),
+        F.array_sort(
+            F.collect_list(F.struct("pos", "line", "_isbp"))
+        ).alias("_ls"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("_isbp").cast("int")).alias("n_boiler"),
+    )
+    kept = F.array_join(
+        F.transform(
+            F.filter(F.col("_ls"), lambda s: ~s["_isbp"]),
+            lambda s: s["line"],
+        ),
+        sep,
+    )
+    return agg.select(
+        F.col(id_col),
+        F.col(domain_col),
+        kept.alias(out_col),
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.col("n_boiler").cast("int").alias("n_boiler"),
+    )

@@ -1,0 +1,161 @@
+"""In-engine classifier training: batch-gradient-descent logistic
+regression over hashed bag-of-ngrams features, as plain DataFrame ops.
+
+Beyond-reference extension (SURVEY §7.6): the fastText/CCNet-style
+quality classifiers the rest of the pipeline APPLIES
+(``text.linear_text_score``, ``quality_buckets``) have to be trained
+somewhere — at corpus scale that training is itself a data-parallel
+job, and its inner loop is exactly the shape this engine is good at:
+one broadcast join (the model) + two aggregations (score, gradient)
+per iteration. Training in the engine removes the export-to-another-
+system round-trip for the common "label a slice, fit, score the
+corpus" loop (the Dolma/DataComp quality-filter workflow).
+
+Determinism contract (what makes a TRAINING LOOP hash-oracle-able at
+all): every cross-row float summation is quantized to integer
+micro-units first —
+
+- the model lives as BIGINT micro-weights (1e-6 units),
+- per-doc scores are integer sums ``Σ w_micro·count``,
+- per-doc errors quantize to micro-units before the gradient sum,
+- the weight update rounds once per (bucket, iteration).
+
+Integer sums are associative, so Spark's shuffle order and DuckDB's
+single-threaded order produce bit-identical models; the only float ops
+(sigmoid, one lr·grad/N division) consume already-deterministic
+integers. The same trick the BM25/count-min operators use, applied to
+an iterative optimizer.
+
+Scale: per iteration — one broadcast hash join of the O(n_buckets)
+model onto the feature frame, one groupBy(doc) integer sum, one
+groupBy(bucket) integer sum (≤ n_buckets rows out). The feature frame
+is built and persisted ONCE; iterations never re-tokenize. The single
+driver-side scalar is N (doc count), fetched once up front —
+documented, same class as grouped_median's sizing count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .importance import _feature_buckets
+
+N_BUCKETS = 256
+LEARNING_RATE = 0.5
+ITERATIONS = 3
+MICRO = 1_000_000
+
+
+def train_linear_classifier(
+    docs: DataFrame,
+    label_col: str,
+    n_buckets: int = N_BUCKETS,
+    lr: float = LEARNING_RATE,
+    iterations: int = ITERATIONS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fit logistic regression on hashed unigram+bigram counts.
+
+    ``label_col`` must be 0/1 (int). Returns the trained model as a
+    ``(b, w_micro)`` frame — bucket −1 is the bias — ready to broadcast
+    into a scoring join (:func:`score_with_model`).
+    """
+    spark = docs.sparkSession
+    fb = _feature_buckets(docs, n_buckets, text_col, id_col)
+    counts = fb.groupBy(id_col, "b").agg(F.count("*").alias("cnt"))
+    bias_rows = docs.select(
+        F.col(id_col), F.lit(-1).cast("bigint").alias("b"),
+        F.lit(1).cast("bigint").alias("cnt"),
+    )
+    labels = docs.select(
+        F.col(id_col), F.col(label_col).cast("int").alias("_y")
+    )
+    x = (
+        counts.select(id_col, F.col("b").cast("bigint"), F.col("cnt").cast("bigint"))
+        .unionByName(bias_rows)
+        .join(labels, id_col)
+        .persist()
+    )
+    n_docs = float(docs.count())
+
+    w = spark.range(-1, n_buckets).select(
+        F.col("id").alias("b"), F.lit(0).cast("bigint").alias("w_micro")
+    )
+    for _ in range(iterations):
+        scored = (
+            x.join(F.broadcast(w), "b")
+            .groupBy(id_col)
+            .agg(
+                F.first("_y").alias("_y"),
+                F.sum(F.col("w_micro") * F.col("cnt")).alias("_sm"),
+            )
+        )
+        p = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(F.col("_sm") / F.lit(float(MICRO))))
+        )
+        err = scored.select(
+            F.col(id_col),
+            F.round((p - F.col("_y")) * MICRO, 0)
+            .cast("bigint")
+            .alias("_e"),
+        )
+        grad = (
+            x.join(err, id_col)
+            .groupBy("b")
+            .agg(F.sum(F.col("_e") * F.col("cnt")).alias("_g"))
+        )
+        w = (
+            w.join(grad, "b", "left")
+            .select(
+                "b",
+                (
+                    F.col("w_micro")
+                    - F.round(
+                        F.lit(lr)
+                        * F.coalesce(F.col("_g"), F.lit(0))
+                        / F.lit(n_docs),
+                        0,
+                    ).cast("bigint")
+                ).alias("w_micro"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return w
+
+
+def score_with_model(
+    docs: DataFrame,
+    model: DataFrame,
+    n_buckets: int = N_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a trained ``(b, w_micro)`` model: per-doc integer logit sum
+    (micro-units, engine-exact) + sigmoid. Returns
+    ``(id_col, logit_micro, prob)``. One broadcast join + one groupBy —
+    the same plan as every other model-as-data scorer in the package.
+    """
+    fb = _feature_buckets(docs, n_buckets, text_col, id_col)
+    counts = fb.groupBy(id_col, "b").agg(F.count("*").alias("cnt"))
+    bias_rows = docs.select(
+        F.col(id_col), F.lit(-1).cast("bigint").alias("b"),
+        F.lit(1).cast("bigint").alias("cnt"),
+    )
+    x = counts.select(
+        id_col, F.col("b").cast("bigint"), F.col("cnt").cast("bigint")
+    ).unionByName(bias_rows)
+    scored = (
+        x.join(F.broadcast(model), "b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("w_micro") * F.col("cnt")).alias("logit_micro"))
+    )
+    prob = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.col("logit_micro") / F.lit(float(MICRO))))
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("logit_micro"),
+        F.round(prob, 6).alias("prob"),
+    )
