@@ -119,6 +119,8 @@ HEADLINE = [
     "strip_boilerplate",
     "embedding_clusters",
     "train_classifier",
+    "doc_embeddings",
+    "text_ann",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

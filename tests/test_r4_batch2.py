@@ -432,3 +432,47 @@ def test_boilerplate_blank_lines_never_qualify(spark):
         "doc_id bigint, source string, text string",
     )
     assert boilerplate_lines(df, min_frac=0.1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# hashed embeddings / text ANN
+
+
+def test_hashed_embedding_signed_counts(spark):
+    import hashlib
+
+    from wasaffi_spark.operators.similarity import hashed_embedding
+
+    df = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "")], "doc_id bigint, text string"
+    )
+    rows = {r["doc_id"]: r for r in hashed_embedding(df, dim=8).collect()}
+
+    def jh(tok):
+        h = hashlib.md5(tok.encode()).hexdigest()
+        return int(h[:8], 16) % 8, 1 if int(h[8], 16) % 2 == 0 else -1
+
+    expect = [0] * 8
+    for tok in ("cat", "cat", "dog"):
+        j, s = jh(tok)
+        expect[j] += s
+    assert list(rows[1]["embedding"]) == expect
+    assert rows[1]["norm_sq"] == sum(v * v for v in expect)
+    assert list(rows[2]["embedding"]) == [0] * 8 and rows[2]["norm_sq"] == 0
+
+
+def test_hashed_embedding_identical_texts_identical_vectors(spark):
+    from wasaffi_spark.operators.similarity import (
+        brute_force_topk,
+        hashed_embedding,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zz qq ww")],
+        "doc_id bigint, text string",
+    )
+    emb = hashed_embedding(df, dim=16)
+    top = brute_force_topk(
+        emb.where("doc_id = 1"), emb, k=1, id_col="doc_id"
+    ).collect()
+    assert top[0]["nid"] == 2 and top[0]["cos_sim"] == 1.0

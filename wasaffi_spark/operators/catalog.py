@@ -3858,6 +3858,97 @@ register_extra(
 )
 
 
+HASHED_EMB_DIM = 64
+
+# hashed-embedding CTE chain shared by `doc_embeddings` and `text_ann`
+_HASHED_EMB_CTES = rf"""tok as (
+          select doc_id,
+                 unnest(list_filter(string_split_regex(lower(coalesce(text,
+                                                                      '')),
+                                                       '\s+'),
+                                    x -> x <> '')) as tok
+          from documents),
+        jt as (select doc_id,
+                      ('0x' || substr(md5(tok), 1, 8))::bigint
+                        % {HASHED_EMB_DIM} as j,
+                      case when ('0x' || substr(md5(tok), 9, 1))::int % 2 = 0
+                           then 1 else -1 end as s
+               from tok),
+        g as (select doc_id, j, sum(s)::bigint as v from jt group by 1, 2),
+        dense as (
+          select d.doc_id, i.j, coalesce(g.v, 0)::bigint as v
+          from (select distinct doc_id from documents) d
+          cross join (select i as j
+                      from unnest(generate_series(0, {HASHED_EMB_DIM - 1}))
+                        as s(i)) i
+          left join g on g.doc_id = d.doc_id and g.j = i.j),
+        emb as (
+          select doc_id,
+                 array_agg(v order by j) as embedding,
+                 sum(v * v)::bigint as norm_sq
+          from dense group by doc_id)"""
+
+
+def q_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings (operators/similarity.py::
+    hashed_embedding — the hashing trick with signs, Weinberger et al.
+    2009): the deterministic text→vector bridge into the ANN/cluster
+    family. Integer components, so every downstream dot product is an
+    integer sum — engine-exact similarity, no float-summation caveat."""
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    return similarity.hashed_embedding(docs, dim=HASHED_EMB_DIM).orderBy(
+        "doc_id"
+    )
+
+
+register_extra(
+    "doc_embeddings",
+    q_doc_embeddings,
+    f"""with {_HASHED_EMB_CTES}
+        select doc_id, embedding, norm_sq from emb order by doc_id""",
+)
+
+
+def q_text_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed text ANN: hashed doc embeddings feeding the exact
+    cosine top-k — semantic retrieval over the DOCUMENT corpus with no
+    separate embedding table and no float nondeterminism (integer
+    dots). Probe queries are doc_id < 8, mirroring the ann_* family."""
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    emb = similarity.hashed_embedding(docs, dim=HASHED_EMB_DIM).where(
+        F.col("norm_sq") > 0
+    )
+    queries = emb.where(F.col("doc_id") < ANN_QUERY_MAX_ID)
+    out = similarity.brute_force_topk(
+        queries, emb, k=ANN_K, id_col="doc_id"
+    )
+    return out.select(
+        "qid", "nid", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
+    ).orderBy("qid", "rnk")
+
+
+register_extra(
+    "text_ann",
+    q_text_ann,
+    f"""with {_HASHED_EMB_CTES},
+        q as (select doc_id as qid, embedding::DOUBLE[] as qv from emb
+              where doc_id < {ANN_QUERY_MAX_ID} and norm_sq > 0),
+        c as (select doc_id as nid, embedding::DOUBLE[] as nv from emb
+              where norm_sq > 0),
+        scored as (
+          select qid, nid,
+                 round(list_cosine_similarity(qv, nv), 6) as cos_sim
+          from q, c where qid <> nid),
+        ranked as (
+          select qid, nid, cos_sim,
+                 row_number() over (partition by qid
+                                    order by cos_sim desc, nid) as rnk
+          from scored)
+        select qid, nid, cos_sim, rnk from ranked
+        where rnk <= {ANN_K} order by qid, rnk""",
+)
+
+
 # ---------------------------------------------------------------------------
 # round-4 driver-window rotation (VERDICT r3 next-round #5): every
 # operator should appear in the driver's hard hash signal at least once

@@ -991,3 +991,78 @@ def mutual_knn_pairs(edges: DataFrame) -> DataFrame:
             "cos_sim",
         )
     )
+
+
+def hashed_embedding(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing document embedding (the hashing trick with the
+    sign variant — Weinberger et al. 2009): each token hashes to a
+    dimension ``j = md5[0:8] % dim`` with sign ``±1`` from md5's 9th
+    hex digit's parity; the document vector is the signed count per
+    dimension. INTEGER components — so downstream dot products are
+    integer sums, making cosine over these vectors engine-exact (the
+    rare ANN pipeline whose scores carry no float-summation caveat at
+    all).
+
+    This is the deterministic text→vector bridge between the document
+    corpus and the ANN/cluster family (brute-force/bucketed top-k,
+    mutual-kNN, semantic dedup all accept it via ``vec_col``); swap in
+    a learned encoder at production scale without touching any
+    consumer — the vector column contract is the same.
+
+    Returns ``(id_col, embedding array<bigint>, norm_sq bigint)``.
+    Scale: explode → two groupBys on (id, j) then (id) — rows ∝ corpus
+    tokens, the standard signature-shape shuffle; the dense array
+    materializes via a map lookup per dimension, O(dim) per doc.
+    """
+    from .hashing import md5_prefix_int
+
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    t = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    h = F.md5(F.col("tok"))
+    j = F.pmod(md5_prefix_int(h, 8), F.lit(dim))
+    s = F.when(
+        F.pmod(F.conv(F.substring(h, 9, 1), 16, 10).cast("int"), F.lit(2))
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    g = (
+        t.select(F.col(id_col), j.alias("j"), s.alias("s"))
+        .groupBy(id_col, "j")
+        .agg(F.sum("s").alias("v"))
+    )
+    per_doc = g.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("j"), F.col("v")))
+        ).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda jj: F.coalesce(
+            F.element_at(F.col("_m"), jj.cast("bigint")), F.lit(0).cast("bigint")
+        ),
+    )
+    out = per_doc.select(F.col(id_col), dense.alias("embedding"))
+    norm_sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x * x,
+    )
+    # docs with zero tokens produce no rows here; re-attach them with
+    # the zero vector so every input doc has an embedding
+    zeros = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda _: F.lit(0).cast("bigint"),
+    )
+    all_docs = df.select(F.col(id_col)).join(out, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("embedding"), zeros).alias("embedding"),
+    )
+    return all_docs.withColumn("norm_sq", norm_sq)
