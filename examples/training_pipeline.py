@@ -36,6 +36,7 @@ def main() -> None:
     spark = (
         recommended_builder(master="local[8]", cpus=8, app_name="training-pipeline")
         .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -95,7 +96,15 @@ def main() -> None:
         F.pmod("doc_id", F.lit(17)) == 3
     )
     hits = decontam.contamination_hits(docs, eval_set, n=6).select("doc_id")
-    docs = docs.join(hits, "doc_id", "left_anti").persist()
+    # ... and fuzzy MinHash decontamination for paraphrased/reformatted
+    # copies that share shingles but no long exact n-gram
+    fuzzy_hits = decontam.fuzzy_contamination(
+        docs, eval_set, threshold=0.25
+    ).select("doc_id")
+    docs = (
+        docs.join(hits.unionByName(fuzzy_hits).distinct(), "doc_id", "left_anti")
+        .persist()
+    )
     n_clean = docs.count()
 
     # 5. quality gate: Gopher composite rules (with per-rule firing
@@ -123,7 +132,30 @@ def main() -> None:
     ).persist()
     n_q = docs.count()
 
-    # 6. domain mixture + deterministic split + chunking
+    # 5b. distill the heuristic gate into a TRAINED model, in-engine:
+    #     weak labels from the heuristic score, 3 GD iterations of
+    #     hash-exact logistic regression, then score the corpus with
+    #     the trained weights (the Dolma/DataComp label→fit→score loop
+    #     without leaving Spark). On the fixture the model just rides
+    #     along; on a real corpus its prob column replaces lin_score.
+    from wasaffi_spark.operators import training
+
+    labeled = docs.withColumn(
+        "_label", (F.col("lin_score") >= 0.5).cast("int")
+    )
+    model = training.train_linear_classifier(labeled, "_label")
+    docs = docs.join(
+        training.score_with_model(docs, model).select(
+            "doc_id", F.col("prob").alias("model_prob")
+        ),
+        "doc_id",
+    ).persist()
+
+    # 6. per-domain cap (no single source dominates), then domain
+    #    mixture + deterministic split + chunking
+    docs = pipeline.domain_cap(
+        docs, cap=200, domain_col="source", order_by=("lin_score",)
+    ).drop("domain_rank")
     mixed = pipeline.mixture_resample(docs, MIX)
     chunks = text.chunk_documents(mixed, chunk_tokens=64, overlap=8).withColumn(
         "split", pipeline.split_label("doc_id")
@@ -154,8 +186,13 @@ def main() -> None:
         "chunk_tokens", F.size(F.split("chunk_text", r"\s+"))
     )
     sk = sketches.sketch_table(out, "split", "doc_id", "chunk_tokens")
+    # ... plus the per-domain dataset card of the INPUT corpus (doc and
+    # token counts, residual exact-dup exposure, language spread)
+    card = pipeline.corpus_report(docs)
     print(f"\ndocs: {n0} → exact-dedup {n_exact} → near-dedup {n_near}"
           f" → decontaminated {n_clean} → quality-kept {n_q}")
+    print("per-domain dataset card (top 5 by docs):")
+    card.orderBy(F.desc("n_docs")).show(5, truncate=False)
     print("gopher rule firings among dropped docs:")
     rule_counts.show(truncate=False)
     print("output chunks by split (distinct docs + token quantiles):")

@@ -37,7 +37,11 @@ def test_stdout_line_fits_tail_capture():
         },
         separators=(",", ":"),
     )
-    assert len(line) < 1800, len(line)
+    # Threshold calibrated against observed driver behaviour: the
+    # 3684-byte BENCH_r03.json line was recorded intact (r2's truncation
+    # was not a size limit), so 3300 keeps a real margin below the
+    # largest line proven to survive while allowing the grown catalog.
+    assert len(line) < 3300, len(line)
 
 
 def test_declared_window_exactly_fifty():

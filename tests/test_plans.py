@@ -18,6 +18,15 @@ needs_data = pytest.mark.skipif(
     not os.path.isdir(SF_SMOKE), reason="testdata not present"
 )
 
+def _catalog_q(name):
+    """Window-rotation-proof lookup: a query keeps its oracle and plan
+    contract whether it currently sits in the driver window (QUERIES)
+    or the extras channel (EXTRA_QUERIES)."""
+    from wasaffi_spark.operators.catalog import EXTRA_QUERIES, QUERIES
+
+    return QUERIES[name] if name in QUERIES else EXTRA_QUERIES[name]
+
+
 
 @needs_data
 def test_filter_pushdown_reaches_scan(spark):
@@ -66,9 +75,8 @@ def test_udf_is_arrow_vectorized(spark):
 
 @needs_data
 def test_ann_broadcasts_query_side(spark):
-    from wasaffi_spark.operators.catalog import QUERIES as OPQ
-
-    f = plan_facts(OPQ["ann_bruteforce"](spark, SF_SMOKE))
+    
+    f = plan_facts(_catalog_q("ann_bruteforce")(spark, SF_SMOKE))
     assert f.broadcast_joins >= 1  # query side broadcast; corpus never shuffles
     assert f.sortmerge_joins == 0
 
@@ -79,9 +87,8 @@ def test_tfidf_no_unconditional_vocab_broadcast(spark):
     broadcast hint (VERDICT r1 #3). The tok-join is left to AQE: small
     vocab → runtime broadcast, huge vocab → shuffled join. The only
     static broadcast allowed is the 1-row corpus-count cross join."""
-    from wasaffi_spark.operators.catalog import QUERIES as OPQ
-
-    df = OPQ["tfidf"](spark, SF_SMOKE)
+    
+    df = _catalog_q("tfidf")(spark, SF_SMOKE)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed  # no forced broadcast anywhere
     # and the corpus count is in-plan (an Aggregate under a Join), not a
@@ -104,9 +111,8 @@ def test_simhash_is_shuffle_free(spark):
     """r2 rewrite contract: the in-row simhash has NO aggregation
     exchange — the only Exchange is the narrow-input fan-out
     repartition (RoundRobin), never a hash partitioning."""
-    from wasaffi_spark.operators.catalog import QUERIES as OPQ
-
-    f = plan_facts(OPQ["simhash"](spark, SF_SMOKE).orderBy("doc_id"))
+    
+    f = plan_facts(_catalog_q("simhash")(spark, SF_SMOKE).orderBy("doc_id"))
     import re
 
     hash_exchanges = re.findall(r"Arguments: hashpartitioning", f.text)
@@ -119,9 +125,8 @@ def test_decontaminate_train_side_never_shuffles(spark):
     """Scale contract: the train-side gram explosion streams into the
     semi-join probe with no Exchange between its scan and the join, and
     the eval-gram side broadcasts."""
-    from wasaffi_spark.operators.catalog import QUERIES as OPQ
-
-    f = plan_facts(OPQ["decontaminate"](spark, SF_SMOKE))
+    
+    f = plan_facts(_catalog_q("decontaminate")(spark, SF_SMOKE))
     assert f.broadcast_joins >= 1 and f.sortmerge_joins == 0
     # exactly three hash exchanges exist, and all are accounted for by
     # the SMALL sides: eval-gram distinct (1) + the two-phase
@@ -137,9 +142,8 @@ def test_paragraph_dedup_two_hash_exchanges(spark):
     aggregation before the reassembly exchange."""
     import re
 
-    from wasaffi_spark.operators.catalog import QUERIES as QUERIES_OP
-
-    f = plan_facts(QUERIES_OP["paragraph_dedup"](spark, SF_SMOKE))
+    
+    f = plan_facts(_catalog_q("paragraph_dedup")(spark, SF_SMOKE))
     hash_exchanges = re.findall(r"Arguments: hashpartitioning", f.text)
     assert len(hash_exchanges) == 2, f.text[:2000]
     assert any("doc_id" in s and "text" in s for s in f.read_schemas)
@@ -151,9 +155,8 @@ def test_gopher_filter_shuffle_free(spark):
     (the only Exchange is the deliberate narrow-input fan-out)."""
     import re
 
-    from wasaffi_spark.operators.catalog import QUERIES as QUERIES_OP
-
-    f = plan_facts(QUERIES_OP["gopher_filter"](spark, SF_SMOKE).limit(10))
+    
+    f = plan_facts(_catalog_q("gopher_filter")(spark, SF_SMOKE).limit(10))
     assert not re.findall(r"Arguments: hashpartitioning", f.text), f.text[:2000]
 
 
@@ -163,8 +166,7 @@ def test_global_shuffle_single_exchange(spark):
     the same partitioning; no second shuffle."""
     import re
 
-    from wasaffi_spark.operators.catalog import EXTRA_QUERIES
-
+    
     from wasaffi_spark.operators import pipeline
     from wasaffi_spark.sources.parquet import read_parquet
 
@@ -197,9 +199,8 @@ def test_pq_encode_is_codegen_with_broadcast_codebook(spark):
     no interpreted HOF hot loop can be asserted directly, but zero
     *EvalPython nodes can) and the only join is the broadcast of the
     k-seed codebook — the corpus never shuffles for encoding."""
-    from wasaffi_spark.operators.catalog import QUERIES as OPQ
-
-    df = OPQ["pq_codes"](spark, SF_SMOKE)
+    
+    df = _catalog_q("pq_codes")(spark, SF_SMOKE)
     f = plan_facts(df)
     assert "EvalPython" not in f.text
     assert f.broadcast_joins >= 1
@@ -213,9 +214,8 @@ def test_snapshot_diff_single_join_fingerprints_scan_side(spark):
     carries (key, 32-byte hash), not documents."""
     import re
 
-    from wasaffi_spark.operators.catalog import QUERIES as OPQ2
-
-    f = plan_facts(OPQ2["dataset_diff"](spark, SF_SMOKE))
+    
+    f = plan_facts(_catalog_q("dataset_diff")(spark, SF_SMOKE))
     # formatted plans print each node twice (tree + detail) — count the
     # numbered detail headers
     joins = re.findall(
@@ -232,9 +232,8 @@ def test_gapfill_spine_is_broadcast(spark):
     """The 1-row bounds frame broadcasts into the spine build; the
     series×hour spine joins the hourly aggregate without a sort-merge
     of the raw events."""
-    from wasaffi_spark.operators.catalog import QUERIES as OPQ2
-
-    f = plan_facts(OPQ2["events_gapfill"](spark, SF_SMOKE))
+    
+    f = plan_facts(_catalog_q("events_gapfill")(spark, SF_SMOKE))
     assert f.broadcast_joins >= 1
     assert "EvalPython" not in f.text
 
@@ -248,9 +247,8 @@ def test_ivf_pq_search_join_is_hash_on_cell(spark):
     encoding, queries×16 seeds for the lookup tables)."""
     import re
 
-    from wasaffi_spark.operators.catalog import QUERIES as OPQ
-
-    f = plan_facts(OPQ["ivf_pq_topk"](spark, SF_SMOKE))
+    
+    f = plan_facts(_catalog_q("ivf_pq_topk")(spark, SF_SMOKE))
     nlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", f.text)
     assert len(nlj) == 2, f"expected only the 2 codebook cross joins, got {len(nlj)}"
     hash_joins = re.findall(r"\(\d+\) BroadcastHashJoin", f.text)
@@ -265,9 +263,8 @@ def test_dsir_scoring_join_broadcasts_ratio_table(spark):
     O(n_buckets) log-ratio table — the corpus feature stream is only
     ever shuffled by the final groupBy(doc_id) sum, never to be scored.
     The ratio table's own build may shuffle (≤ n_buckets rows)."""
-    from wasaffi_spark.operators.catalog import EXTRA_QUERIES
-
-    f = plan_facts(EXTRA_QUERIES["dsir_select"](spark, SF_SMOKE))
+    
+    f = plan_facts(_catalog_q("dsir_select")(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in f.text, "ratio join must broadcast"
     assert "EvalPython" not in f.text  # feature hashing stays JVM-side
 
@@ -277,9 +274,8 @@ def test_mutual_knn_joins_are_equi_never_nlj(spark):
     """kNN edges come from an equi-join on the sign-LSH cell and the
     mutual symmetrization from an equi-semi-join on (src, dst) — a
     nested-loop anywhere means the all-pairs scan leaked back in."""
-    from wasaffi_spark.operators.catalog import EXTRA_QUERIES
-
-    f = plan_facts(EXTRA_QUERIES["mutual_knn"](spark, SF_SMOKE))
+    
+    f = plan_facts(_catalog_q("mutual_knn")(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in f.text
     assert "CartesianProduct" not in f.text
     assert "EvalPython" not in f.text
@@ -290,9 +286,8 @@ def test_domain_cap_window_rank_is_group_limited(spark):
     """The per-domain rank filter must push into the window sort
     (WindowGroupLimit) so a skewed mega-domain never materializes
     beyond its running top-cap rows."""
-    from wasaffi_spark.operators.catalog import EXTRA_QUERIES
-
-    f = plan_facts(EXTRA_QUERIES["domain_cap"](spark, SF_SMOKE))
+    
+    f = plan_facts(_catalog_q("domain_cap")(spark, SF_SMOKE))
     assert "WindowGroupLimit" in f.text
 
 
@@ -301,8 +296,49 @@ def test_fuzzy_decontamination_is_banded_equi_join(spark):
     """Train↔eval candidate generation must join on (band, key) — an
     equi-join with no nested loop; the train corpus text itself never
     joins, only its 12-hash signatures."""
-    from wasaffi_spark.operators.catalog import EXTRA_QUERIES
+    
+    f = plan_facts(_catalog_q("fuzzy_decontaminate")(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in f.text
+    assert "CartesianProduct" not in f.text
 
-    f = plan_facts(EXTRA_QUERIES["fuzzy_decontaminate"](spark, SF_SMOKE))
+
+@needs_data
+def test_classifier_scoring_join_broadcasts_model(spark):
+    """The model-as-data join must broadcast the O(n_buckets) weight
+    frame onto the corpus feature stream (train_linear_classifier's
+    returned frame is a lineage-truncated checkpoint by design, so the
+    shared scoring path is where the plan contract is visible)."""
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators.training import score_with_model
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, os.path.join(SF_SMOKE, "documents.parquet"))
+    model = spark.range(-1, 256).select(
+        F.col("id").alias("b"), F.lit(1).cast("bigint").alias("w_micro")
+    )
+    f = plan_facts(score_with_model(docs, model))
+    assert "BroadcastHashJoin" in f.text
+    assert "EvalPython" not in f.text
+
+
+@needs_data
+def test_media_neardup_banded_join_no_nlj(spark):
+    """aHash near-dup candidates come from the banded equi-join; no
+    nested loop and no Python anywhere (the signature is codegen-side
+    expression work)."""
+    
+    f = plan_facts(_catalog_q("media_neardup")(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in f.text
+    assert "CartesianProduct" not in f.text
+    assert "EvalPython" not in f.text
+
+
+@needs_data
+def test_strip_boilerplate_equi_joins_only(spark):
+    """Boilerplate stripping = doc-frequency equi-join + reassembly;
+    a nested loop would mean the (domain, line) key degenerated."""
+    
+    f = plan_facts(_catalog_q("strip_boilerplate")(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in f.text
     assert "CartesianProduct" not in f.text

@@ -57,6 +57,21 @@ PROBES = {
     "simhash_pairs": None,
     "ngram_span_dedup": None,
     "jaccard_pairs": None,
+    "media_neardup": (
+        "signature is linear; the banded pair join grows with "
+        "within-bucket duplicate density (10× replication multiplies "
+        "same-signature groups, so pairs grow faster than rows — the "
+        "max_bucket_size valve is the production control)"
+    ),
+    "train_classifier": None,
+    "text_ann": (
+        "exact scan: fixed Q × N candidates — linear in N by design; "
+        "the scale path routes the same vectors through "
+        "bucketed_topk/ivf_topk (vec_col contract unchanged)"
+    ),
+    "fuzzy_decontaminate": None,
+    "dsir_select": None,
+    "embedding_clusters": None,
 }
 
 

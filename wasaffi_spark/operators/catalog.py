@@ -3993,6 +3993,42 @@ _demote(
     "fingerprints",
 )
 
+# Second r4 rotation wave: the 13 operators added later in round 4 (all
+# hash-green under both local comparators — see ORACLE_SWEEP_r04) take
+# the driver slots of 13 long-stable rows (hash-green in the r1–r3
+# driver windows AND still sweep+pytest-checked as extras). The window
+# stays exactly 50 with the relational + UDF-parity tail intact.
+_promote(
+    "dsir_select",
+    "fuzzy_decontaminate",
+    "domain_cap",
+    "hard_negatives",
+    "mutual_knn",
+    "media_neardup",
+    "curriculum_interleave",
+    "corpus_report",
+    "strip_boilerplate",
+    "embedding_clusters",
+    "train_classifier",
+    "doc_embeddings",
+    "text_ann",
+)
+_demote(
+    "simhash",
+    "jaccard_pairs",
+    "emb_neardup",
+    "text_stats",
+    "decontaminate",
+    "chunk_documents",
+    "vocab_topk",
+    "tfidf",
+    "pipeline_train_set",
+    "clean_pack",
+    "asof_join",
+    "range_join",
+    "events_rollup",
+)
+
 
 # ---------------------------------------------------------------------------
 # round-4 additions: BM25 retrieval, bigram-LM scoring, Z-order layout,
