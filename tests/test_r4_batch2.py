@@ -476,3 +476,45 @@ def test_hashed_embedding_identical_texts_identical_vectors(spark):
         emb.where("doc_id = 1"), emb, k=1, id_col="doc_id"
     ).collect()
     assert top[0]["nid"] == 2 and top[0]["cos_sim"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training
+
+
+def test_bpe_learns_most_frequent_pair_first(spark):
+    from wasaffi_spark.operators.bpe import bpe_train
+
+    # "ab" appears in every word; 'a','b' adjacent 5 times total
+    df = spark.createDataFrame(
+        [(1, "abc abd ab"), (2, "abe ab")], "doc_id bigint, text string"
+    )
+    merges = bpe_train(df, k_merges=2).orderBy("rank").collect()
+    assert (merges[0]["left_sym"], merges[0]["right_sym"]) == ("a", "b")
+    assert merges[0]["merged"] == "ab" and merges[0]["pair_count"] == 5
+    # second merge builds on the first (symbol 'ab' now exists)
+    assert merges[1]["left_sym"] == "ab"
+
+
+def test_bpe_merge_covers_back_to_back_chains(spark):
+    from wasaffi_spark.operators.bpe import bpe_segment, bpe_train
+
+    # 'aaaa' = pair (a,a) ×3 adjacent; canonical merge → 'aa','aa'
+    df = spark.createDataFrame([(1, "aaaa")], "doc_id bigint, text string")
+    merges = bpe_train(df, k_merges=1)
+    seg = bpe_segment(df, merges).collect()[0]
+    assert seg["n_bpe_tokens"] == 2  # both non-overlapping pairs merged
+    assert seg["n_words"] == 1 and seg["fertility"] == 2.0
+
+
+def test_bpe_segment_fertility(spark):
+    from wasaffi_spark.operators.bpe import bpe_segment, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "hello hello world")], "doc_id bigint, text string"
+    )
+    merges = bpe_train(df, k_merges=4)
+    seg = bpe_segment(df, merges).collect()[0]
+    # 16 chars total; 4 merges remove at most... just sanity bounds:
+    assert seg["n_words"] == 3
+    assert 3 <= seg["n_bpe_tokens"] < 16

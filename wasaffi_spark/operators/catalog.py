@@ -3949,6 +3949,85 @@ register_extra(
 )
 
 
+BPE_K = 8
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine BPE tokenizer training (operators/bpe.py, Sennrich et
+    al. 2016): 8 merge rounds over the corpus word-frequency table,
+    each round = pair-count groupBy + 1-row argmax broadcast + two
+    replace sweeps (canonical all-occurrences merge). The LEARNED MERGE
+    TABLE is the checked surface — the oracle unrolls the whole
+    training loop as chained CTEs."""
+    from . import bpe
+
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    return bpe.bpe_train(docs, k_merges=BPE_K).orderBy("rank")
+
+
+def _bpe_oracle(k: int) -> str:
+    d = "chr(31)"
+    head = rf"""with tok as (
+          select unnest(list_filter(string_split_regex(lower(coalesce(text,
+                                                                      '')),
+                                                       '\s+'),
+                                    x -> x <> '')) as word
+          from documents),
+        wf as materialized (select word, count(*)::bigint as freq from tok
+               where strpos(word, {d}) = 0 group by word),
+        v0 as materialized (select {d} ||
+                      array_to_string(
+                        list_transform(generate_series(1, len(word)),
+                                       i -> substr(word, i, 1)), {d})
+                      || {d} as seq,
+                      freq
+               from wf)"""
+    blocks = []
+    for r in range(k):
+        pat = (
+            f"(select {d} || left_sym || {d} || right_sym || {d} from b{r})"
+        )
+        rep = f"(select {d} || merged || {d} from b{r})"
+        blocks.append(
+            f"""p{r} as (
+          select s[i] || {d} || s[i + 1] as pair,
+                 sum(freq)::bigint as pair_count
+          from (select list_filter(string_split(seq, {d}), x -> x <> '')
+                         as s,
+                       freq
+                from v{r}),
+               unnest(generate_series(1, len(s) - 1)) as t(i)
+          where len(s) >= 2 group by 1),
+        b{r} as materialized (
+          select {r + 1} as rank,
+                 string_split(pair, {d})[1] as left_sym,
+                 string_split(pair, {d})[2] as right_sym,
+                 string_split(pair, {d})[1] || string_split(pair, {d})[2]
+                   as merged,
+                 pair_count
+          from p{r} order by pair_count desc, pair asc limit 1),
+        v{r + 1} as materialized (
+          select replace(replace(seq, {pat}, {rep}), {pat}, {rep}) as seq,
+                 freq
+          from v{r})"""
+        )
+    union = "\n        union all ".join(
+        f"select rank::int as rank, left_sym, right_sym, merged, pair_count from b{r}"
+        for r in range(k)
+    )
+    return (
+        head
+        + ",\n        "
+        + ",\n        ".join(blocks)
+        + "\n        "
+        + union
+        + "\n        order by rank"
+    )
+
+
+register_extra("bpe_merges", q_bpe_merges, _bpe_oracle(BPE_K))
+
+
 # ---------------------------------------------------------------------------
 # round-4 driver-window rotation (VERDICT r3 next-round #5): every
 # operator should appear in the driver's hard hash signal at least once

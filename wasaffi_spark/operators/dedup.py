@@ -135,20 +135,43 @@ def minhash_signatures(
     hash family — and md5 is identical in Spark, DuckDB, and every other
     engine, which is what makes the signature portable.
 
-    ZERO-shuffle (round-4 rewrite): the shingle set and all P mins are
-    computed in-row with ``transform`` + ``array_min`` instead of the
-    earlier explode → distinct → groupBy — min over occurrences equals
-    min over the distinct set, so the output is bit-identical while the
-    exploded-corpus shuffle (the operator's former dominant cost at
-    100 TB) disappears entirely. Being stateless row-at-a-time also
-    makes the same function legal on a STREAMING frame
-    (streaming/documents.py::fuzzy_contaminated_ids_stream).
+    Shape (round-4 final): explode → groupBy(id) with P ``min`` partial
+    aggregates and NO distinct. min over occurrences equals min over the
+    distinct set, so the r1–r3 ``.distinct()`` — which shuffled the full
+    exploded shingle corpus — was pure waste: without it the hash
+    aggregation map-side-combines, so the only shuffled rows are the
+    per-partition partial minima, O(docs)·P·32 B, while every md5 stays
+    inside whole-stage codegen. (A fully in-row ``transform``+
+    ``array_min`` variant was measured 3.5× slower at sf0.1: higher-
+    order functions evaluate interpreted, and MinHash is md5-bound —
+    see :func:`minhash_signatures_inrow`, kept because it is the
+    STREAMING-legal variant.)
+    """
+    sh = word_shingles(df, text_col, k).select(id_col, "shingle")
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
-    Docs shorter than ``k`` tokens yield no row (no shingles — same
-    exclusion as before, matching the oracle).
+
+def minhash_signatures_inrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Bit-identical twin of :func:`minhash_signatures` computed
+    entirely in-row (``transform`` + ``array_min``): zero shuffle and
+    zero aggregation, which makes it legal on an unaggregated STREAMING
+    frame (streaming/documents.py::fuzzy_contaminated_ids_stream) where
+    the groupBy shape would demand a watermarked stateful aggregation.
+    Batch callers should prefer the groupBy variant: these higher-order
+    functions evaluate interpreted, measured ~3.5× slower at sf0.1.
     """
     toks = tokens(text_col)
-    base = _fan_out(df).select(F.col(id_col), toks.alias("_toks")).where(
+    base = df.select(F.col(id_col), toks.alias("_toks")).where(
         F.size("_toks") >= k
     )
     sh_arr = F.transform(

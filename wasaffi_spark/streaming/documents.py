@@ -178,21 +178,28 @@ def fuzzy_contaminated_ids_stream(
     stream of distinct doc ids whose estimated MinHash Jaccard against
     any STATIC eval document reaches ``threshold``.
 
-    Possible at all because the round-4 ``minhash_signatures`` rewrite
-    is zero-shuffle/in-row — a stateless narrow map legal on a streaming
-    frame (the old explode→groupBy shape would have needed a watermarked
-    streaming aggregation). Flow: in-row signatures → in-row band-key
+    Possible at all because ``minhash_signatures_inrow`` is
+    zero-shuffle/in-row — a stateless narrow map legal on a streaming
+    frame (the batch groupBy shape would have needed a watermarked
+    streaming aggregation). The static eval side keeps the faster
+    codegen groupBy variant. Flow: in-row signatures → in-row band-key
     posexplode → stream-static equi-join on (band, key) against the
     precomputed eval band table (carrying the eval signature columns) →
     in-row agree-count → threshold filter → stateful ``dropDuplicates``
     on the id (state ∝ flagged docs only, same bound as the exact-gram
     stream).
     """
-    from ..operators.dedup import BANDS, NUM_PERM, band_buckets, minhash_signatures
+    from ..operators.dedup import (
+        BANDS,
+        NUM_PERM,
+        band_buckets,
+        minhash_signatures,
+        minhash_signatures_inrow,
+    )
 
     num_perm = NUM_PERM if num_perm is None else num_perm
     bands = BANDS if bands is None else bands
-    sig_s = minhash_signatures(docs_stream, text_col, id_col, num_perm)
+    sig_s = minhash_signatures_inrow(docs_stream, text_col, id_col, num_perm)
     r = num_perm // bands
     band_cols = [
         F.struct(
