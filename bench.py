@@ -121,6 +121,7 @@ HEADLINE = [
     "train_classifier",
     "doc_embeddings",
     "text_ann",
+    "bpe_merges",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or
