@@ -518,3 +518,28 @@ def test_bpe_segment_fertility(spark):
     # 16 chars total; 4 merges remove at most... just sanity bounds:
     assert seg["n_words"] == 3
     assert 3 <= seg["n_bpe_tokens"] < 16
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio quality signal
+
+
+def test_compression_ratio_separates_repetition_from_noise(spark):
+    import zlib
+
+    from wasaffi_spark.operators.text import compression_ratio
+
+    rep = "spam " * 200
+    prose = (
+        "the quick brown fox jumps over the lazy dog while careful "
+        "analysis of research data suggests otherwise every time"
+    )
+    df = spark.createDataFrame(
+        [(1, rep), (2, prose), (3, None)], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    # exact values: zlib is deterministic at a fixed level
+    assert out[1]["zlib_bytes"] == len(zlib.compress(rep.encode(), 6))
+    assert out[1]["zlib_ratio"] < 0.1  # templated text crushes
+    assert out[2]["zlib_ratio"] > 0.5  # prose compresses mildly
+    assert out[3]["raw_bytes"] == 0 and out[3]["zlib_ratio"] is None

@@ -4028,6 +4028,19 @@ def _bpe_oracle(k: int) -> str:
 register_extra("bpe_merges", q_bpe_merges, _bpe_oracle(BPE_K))
 
 
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility quality signal (operators/text.py::
+    compression_ratio) — the Gopher/RedPajama filter SQL cannot
+    express; Arrow-batched mapInPandas, shuffle-free. Rows-only by
+    nature (no zlib in DuckDB); determinism + hand-computed values are
+    pinned by pytest instead."""
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    return text.compression_ratio(docs).orderBy("doc_id")
+
+
+register_extra("compression_ratio", q_compression_ratio, None)
+
+
 # ---------------------------------------------------------------------------
 # round-4 driver-window rotation (VERDICT r3 next-round #5): every
 # operator should appear in the driver's hard hash signal at least once

@@ -935,3 +935,53 @@ def strip_boilerplate(
         F.col("n_lines").cast("int").alias("n_lines"),
         F.col("n_boiler").cast("int").alias("n_boiler"),
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compressibility — the RedPajama/Gopher-family
+    quality signal SQL can't express: highly repetitive or templated
+    text compresses far below natural prose, and near-random strings
+    don't compress at all, so ``ratio = compressed/raw`` separates
+    boilerplate (low) from prose (mid) from noise (high ≈ 1).
+
+    This is a REAL Python island, run the only acceptable way: an
+    Arrow-batched ``mapInPandas`` over whole record batches (zlib is
+    C-speed; the per-batch Python overhead amortizes), no shuffle,
+    carrying only (id, sizes, ratio) out. zlib output is deterministic
+    for a fixed level, so results are stable across runs and
+    partitionings — pinned by pytest rather than a SQL oracle (DuckDB
+    has no zlib; this is the documented rows-only class).
+
+    Returns ``(id_col, raw_bytes, zlib_bytes, zlib_ratio)``.
+    """
+    import pandas as pd  # noqa: F401 (executor-side)
+
+    out_schema = (
+        f"{id_col} bigint, raw_bytes bigint, zlib_bytes bigint, "
+        "zlib_ratio double"
+    )
+
+    def batches(it):
+        import zlib
+
+        for pdf in it:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            raw_n = raw.str.len()
+            comp_n = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_bytes": raw_n.astype("int64"),
+                    "zlib_bytes": comp_n.astype("int64"),
+                    "zlib_ratio": (
+                        comp_n / raw_n.where(raw_n > 0)
+                    ).round(6),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, out_schema)
