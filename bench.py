@@ -122,6 +122,7 @@ HEADLINE = [
     "doc_embeddings",
     "text_ann",
     "bpe_merges",
+    "classifier_eval",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -543,3 +543,20 @@ def test_compression_ratio_separates_repetition_from_noise(spark):
     assert out[1]["zlib_ratio"] < 0.1  # templated text crushes
     assert out[2]["zlib_ratio"] > 0.5  # prose compresses mildly
     assert out[3]["raw_bytes"] == 0 and out[3]["zlib_ratio"] is None
+
+
+def test_evaluate_binary_confusion_counts(spark):
+    from wasaffi_spark.operators.training import evaluate_binary
+
+    scored = spark.createDataFrame(
+        [(1, 0.9, 1), (2, 0.8, 0), (3, 0.2, 1), (4, 0.1, 0)],
+        "doc_id bigint, prob double, y int",
+    )
+    rows = {r["thr"]: r for r in evaluate_binary(scored).collect()}
+    r5 = rows[0.5]
+    assert (r5["tp"], r5["fp"], r5["fn"], r5["tn"]) == (1, 1, 1, 1)
+    assert r5["precision"] == 0.5 and r5["recall"] == 0.5 and r5["f1"] == 0.5
+    r0 = rows[0.0]  # everything predicted positive
+    assert r0["tp"] == 2 and r0["fn"] == 0 and r0["recall"] == 1.0
+    # threshold above every prob: no positives -> precision NULL
+    assert rows[1.0]["tp"] == 0 and rows[1.0]["precision"] is None

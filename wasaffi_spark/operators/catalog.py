@@ -4028,6 +4028,115 @@ def _bpe_oracle(k: int) -> str:
 register_extra("bpe_merges", q_bpe_merges, _bpe_oracle(BPE_K))
 
 
+def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full in-engine ML loop with a PROPER HOLDOUT: train the
+    hash-exact logistic regression on even doc_ids (label = lang='en'),
+    score the odd-id holdout, and sweep thresholds into an integer-
+    exact P/R/F1 table (operators/training.py::evaluate_binary). The
+    oracle replays training, scoring, and the confusion sweep end to
+    end."""
+    from . import training
+
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents")).withColumn(
+        "_label", (F.col("lang") == "en").cast("int")
+    )
+    train = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    holdout = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    model = training.train_linear_classifier(train, "_label")
+    scored = training.score_with_model(holdout, model).join(
+        holdout.select("doc_id", F.col("_label").alias("y")), "doc_id"
+    )
+    return training.evaluate_binary(scored).orderBy("thr")
+
+
+def _classifier_eval_oracle(n_buckets: int, lr: float, iterations: int) -> str:
+    head = rf"""with tk as (
+          select doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                '\s+'),
+                             x -> x <> '') as t
+          from documents),
+        feats as (
+          select doc_id, f from (
+            select doc_id, unnest(t) as f from tk
+            union all
+            select doc_id, t[i] || ' ' || t[i + 1] as f
+            from tk, unnest(generate_series(1, len(t) - 1)) as s(i)
+            where len(t) >= 2)),
+        fb as (select doc_id,
+                      ('0x' || substr(md5(f), 1, 8))::bigint % {n_buckets}
+                        as b
+               from feats),
+        cnts as (
+          select doc_id, b, count(*)::bigint as cnt from fb group by 1, 2
+          union all
+          select doc_id, -1::bigint as b, 1::bigint as cnt from documents),
+        y as (select doc_id, (lang = 'en')::int as y from documents),
+        x as materialized (
+          select c.doc_id, c.b, c.cnt, y.y
+          from cnts c join y using (doc_id)),
+        xt as materialized (select * from x where doc_id % 2 = 0),
+        xh as materialized (select * from x where doc_id % 2 = 1),
+        n as (select count(*)::double as n from documents
+              where doc_id % 2 = 0),
+        w0 as (select i::bigint as b, 0::bigint as w
+               from unnest(generate_series(-1, {n_buckets - 1})) as s(i))"""
+    its = []
+    for k in range(iterations):
+        its.append(
+            f"""s{k} as (
+          select doc_id, any_value(y) as y, sum(w.w * xt.cnt)::bigint as sm
+          from xt join w{k} w using (b) group by doc_id),
+        e{k} as (
+          select doc_id,
+                 round((1.0 / (1.0 + exp(-(sm / 1000000.0))) - y)
+                       * 1000000)::bigint as e
+          from s{k}),
+        g{k} as (
+          select xt.b, sum(e.e * xt.cnt)::bigint as g
+          from xt join e{k} e using (doc_id) group by xt.b),
+        w{k + 1} as materialized (
+          select w.b,
+                 (w.w - round({lr} * coalesce(g.g, 0) / n.n))::bigint as w
+          from w{k} w left join g{k} g using (b), n)"""
+        )
+    tail = f"""sc as (
+          select doc_id, any_value(y) as y, sum(w.w * xh.cnt)::bigint as lm
+          from xh join w{iterations} w using (b) group by doc_id),
+        pr as (
+          select doc_id, y,
+                 round(1.0 / (1.0 + exp(-(lm / 1000000.0))), 6) as p
+          from sc),
+        th as (select i / 10.0 as thr
+               from unnest(generate_series(0, 10)) as s(i)),
+        cm as (
+          select thr,
+                 sum((p >= thr and y = 1)::int)::bigint as tp,
+                 sum((p >= thr and y = 0)::int)::bigint as fp,
+                 sum((p < thr and y = 1)::int)::bigint as fn,
+                 sum((p < thr and y = 0)::int)::bigint as tn
+          from pr, th group by thr)
+        select thr, tp, fp, fn, tn,
+               case when tp + fp > 0
+                    then round(tp / (tp + fp * 1.0), 6) end as precision,
+               case when tp + fn > 0
+                    then round(tp / (tp + fn * 1.0), 6) end as recall,
+               case when 2 * tp + fp + fn > 0
+                    then round(2 * tp / (2.0 * tp + fp + fn), 6)
+               end as f1
+        from cm order by thr"""
+    return (
+        head + ",\n        " + ",\n        ".join(its) + ",\n        " + tail
+    )
+
+
+register_extra(
+    "classifier_eval",
+    q_classifier_eval,
+    _classifier_eval_oracle(256, 0.5, 3),
+)
+
+
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compressibility quality signal (operators/text.py::
     compression_ratio) — the Gopher/RedPajama filter SQL cannot

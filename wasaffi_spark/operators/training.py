@@ -159,3 +159,57 @@ def score_with_model(
         F.col("logit_micro"),
         F.round(prob, 6).alias("prob"),
     )
+
+
+def evaluate_binary(
+    scored: DataFrame,
+    label_col: str = "y",
+    prob_col: str = "prob",
+) -> DataFrame:
+    """Threshold sweep of a binary classifier: for thresholds 0.0, 0.1,
+    …, 1.0, the confusion counts and P/R/F1 — the eval table that closes
+    the label → fit → score → EVALUATE loop in-engine.
+
+    Exactness: every metric derives from INTEGER confusion counts (one
+    conditional aggregation over an 11-row broadcast threshold frame);
+    precision/recall/F1 are single divisions of those integers, rounded
+    once — so the whole table is engine-exact, like the trainer.
+    F1 uses the algebraic form ``2·tp / (2·tp + fp + fn)`` to avoid
+    compounding rounded P and R.
+    """
+    spark = scored.sparkSession
+    thr = spark.range(11).select(
+        (F.col("id") / F.lit(10.0)).alias("thr")
+    )
+    j = scored.crossJoin(F.broadcast(thr))
+    pred = F.col(prob_col) >= F.col("thr")
+    y1 = F.col(label_col) == 1
+    agg = j.groupBy("thr").agg(
+        F.sum((pred & y1).cast("long")).alias("tp"),
+        F.sum((pred & ~y1).cast("long")).alias("fp"),
+        F.sum(((~pred) & y1).cast("long")).alias("fn"),
+        F.sum(((~pred) & ~y1).cast("long")).alias("tn"),
+    )
+    return agg.select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6),
+        ).alias("recall"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.round(
+                2 * F.col("tp")
+                / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+                6,
+            ),
+        ).alias("f1"),
+    )
