@@ -432,3 +432,53 @@ def test_streaming_fuzzy_decontamination_equals_batch(spark):
         for r in spark.sql("select doc_id from fuzzy_contam_ids").collect()
     }
     assert stream_ids == batch_ids
+
+
+@needs_data
+def test_streaming_media_neardup_equals_batch(spark):
+    """Stream-static aHash media dedup: streamed flagged-id set must
+    equal the batch banded-hamming join against the same known set."""
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators import multimodal
+    from wasaffi_spark.sources.parquet import read_parquet
+    from wasaffi_spark.streaming import documents as sdocs
+    from wasaffi_spark.streaming.events import run_to_memory
+
+    docs = read_parquet(spark, os.path.join(SF_SMOKE, "documents.parquet"))
+    known = multimodal.ingest_as_media(
+        docs.where(F.pmod("doc_id", F.lit(17)) == 3)
+    )
+    incoming = docs.where(F.pmod("doc_id", F.lit(17)) != 3)
+
+    # batch expectation: banded-hamming join of incoming sigs vs known
+    sig_i = multimodal.ahash_signature(multimodal.ingest_as_media(incoming))
+    sig_k = multimodal.ahash_signature(known).select(
+        F.col("ahash").alias("_kh")
+    )
+    batch_ids = {
+        r["doc_id"]
+        for r in sig_i.crossJoin(sig_k)
+        .where(F.bit_count(F.col("ahash").bitwiseXOR(F.col("_kh"))) <= 1)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert batch_ids, "fixture should contain near-dup media"
+
+    stream = sdocs.read_documents_stream(spark, SF_SMOKE).where(
+        F.pmod("doc_id", F.lit(17)) != 3
+    )
+    media_stream = multimodal.ingest_as_media(stream)
+    run_to_memory(
+        sdocs.media_neardup_ids_stream(media_stream, known),
+        "media_dup_ids",
+        output_mode="append",
+    )
+    stream_ids = {
+        r["doc_id"]
+        for r in spark.sql("select doc_id from media_dup_ids").collect()
+    }
+    # banding is exact for hamming<=1 with 2 bands (pigeonhole), so the
+    # streamed candidate set must equal the exhaustive batch join
+    assert stream_ids == batch_ids

@@ -245,3 +245,75 @@ def fuzzy_contaminated_ids_stream(
         .select(id_col)
         .dropDuplicates([id_col])
     )
+
+
+def media_neardup_ids_stream(
+    media_stream: DataFrame,
+    known_media: DataFrame,
+    max_hamming: int = 1,
+    bands: int = 2,
+    n_segments: int = 16,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stream-static twin of ``multimodal.media_neardup_pairs``:
+    append-mode stream of distinct ids whose aHash signature is within
+    ``max_hamming`` of ANY known (static) media item — the continuous-
+    ingest image-dedup gate (flag incoming crawl media against the
+    already-ingested corpus without decoding anything).
+
+    The signature is a pure expression (streaming-legal); its banded
+    keys are computed in-row and probed against the static banded
+    signature table (AQE broadcasts it). The popcount verify runs on
+    candidates only; state is the ``dropDuplicates`` id set ∝ flagged
+    items. The signature expression is referenced by each band key (no
+    checkpoint barrier exists on a stream) — ``bands``+1 evaluations
+    per row, the documented interpreted-HOF cost, bounded and small.
+    """
+    from ..operators.multimodal import ahash_signature
+
+    if n_segments % bands != 0 or max_hamming > bands - 1:
+        raise ValueError("pigeonhole contract: hamming <= bands-1, bands | bits")
+    band_bits = n_segments // bands
+    sig_s = ahash_signature(media_stream, n_segments, payload_col, id_col)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            (
+                F.shiftrightunsigned(F.col("ahash"), b * band_bits)
+                % (1 << band_bits)
+            )
+            .cast("bigint")
+            .alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded_s = sig_s.select(
+        F.col(id_col), F.col("ahash"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        id_col,
+        "ahash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    sig_k = ahash_signature(known_media, n_segments, payload_col, id_col)
+    banded_k = sig_k.select(
+        F.col(id_col).alias("_kid"),
+        F.col("ahash").alias("_kh"),
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select(
+        "_kid",
+        "_kh",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+    hits = (
+        banded_s.join(banded_k, ["band", "key"])
+        .where(
+            F.bit_count(F.col("ahash").bitwiseXOR(F.col("_kh")))
+            <= max_hamming
+        )
+        .select(id_col)
+        .dropDuplicates([id_col])
+    )
+    return hits
