@@ -71,7 +71,9 @@ PROBES = {
     ),
     "fuzzy_decontaminate": None,
     "dsir_select": None,
-    "embedding_clusters": None,
+    "embedding_clusters": (
+        "within-cell kNN candidate pairs grow with cell occupancy at the fixed 8-bit sign-LSH cell width — the documented auto_sign_bits knob scales cells with the corpus to rebound occupancy (plus CC label-propagation rounds growing with merged-cluster diameter)"
+    ),
 }
 
 
