@@ -123,6 +123,7 @@ HEADLINE = [
     "text_ann",
     "bpe_merges",
     "classifier_eval",
+    "length_percentiles",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

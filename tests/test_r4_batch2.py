@@ -560,3 +560,14 @@ def test_evaluate_binary_confusion_counts(spark):
     assert r0["tp"] == 2 and r0["fn"] == 0 and r0["recall"] == 1.0
     # threshold above every prob: no positives -> precision NULL
     assert rows[1.0]["tp"] == 0 and rows[1.0]["precision"] is None
+
+
+def test_length_percentile_filter_drops_tails(spark):
+    from wasaffi_spark.operators.text import length_percentile_filter
+
+    rows = [(i, "w " * i) for i in range(1, 21)]  # 1..20 tokens
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in length_percentile_filter(df, 0.1, 0.9).collect()}
+    assert not out[1]["len_keep"]  # shortest below the 10th pct
+    assert not out[20]["len_keep"]  # longest above the 90th pct
+    assert out[10]["len_keep"] and out[10]["n_tokens"] == 10

@@ -4137,6 +4137,39 @@ register_extra(
 )
 
 
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive length-outlier gate (operators/text.py::
+    length_percentile_filter): keep docs inside the corpus's own
+    [5%, 95%] token-count percentile band — the self-calibrating
+    variant of the absolute Gopher length rule. Exact percent_rank
+    (oracle-able); the 100 TB swap is approxQuantile thresholds."""
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    out = text.length_percentile_filter(docs)
+    return out.select("doc_id", "n_tokens", "len_pct", "len_keep").orderBy(
+        "doc_id"
+    )
+
+
+register_extra(
+    "length_percentiles",
+    q_length_percentiles,
+    r"""with n as (
+          select doc_id,
+                 len(list_filter(string_split_regex(lower(coalesce(text,
+                                                                   '')),
+                                                    '\s+'),
+                                 x -> x <> ''))::int as n_tokens
+          from documents),
+        p as (select doc_id, n_tokens,
+                     round(percent_rank() over (order by n_tokens asc), 6)
+                       as len_pct
+              from n)
+        select doc_id, n_tokens, len_pct,
+               (len_pct >= 0.05 and len_pct <= 0.95) as len_keep
+        from p order by doc_id""",
+)
+
+
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compressibility quality signal (operators/text.py::
     compression_ratio) — the Gopher/RedPajama filter SQL cannot

@@ -985,3 +985,37 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(batches, out_schema)
+
+
+def length_percentile_filter(
+    df: DataFrame,
+    lower_pct: float = 0.05,
+    upper_pct: float = 0.95,
+    text_col: str = "text",
+) -> DataFrame:
+    """Adaptive length-outlier gate: keep documents whose token count
+    falls inside the corpus's own [lower_pct, upper_pct] percentile
+    band — the distribution-aware variant of Gopher's absolute
+    min/max-token rule (absolute thresholds rot as the corpus mix
+    shifts; percentile bands self-calibrate).
+
+    Adds ``n_tokens``, ``len_pct`` (exact percent_rank of the token
+    count) and ``len_keep``. Exact variant: ONE global window over the
+    (id, n_tokens) pair frame — a single-partition sort of two columns,
+    the oracle-able shape. At 100 TB swap the window for
+    ``approxQuantile(n_tokens, [lower, upper])`` → two scalar
+    thresholds broadcast into a codegen filter; same contract, no
+    total order.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokens(text_col)
+    n = F.size(F.filter(toks, lambda x: x != F.lit("")))
+    scored = df.withColumn("n_tokens", n.cast("int"))
+    w = Window.orderBy(F.col("n_tokens").asc())
+    return scored.withColumn(
+        "len_pct", F.round(F.percent_rank().over(w), 6)
+    ).withColumn(
+        "len_keep",
+        (F.col("len_pct") >= lower_pct) & (F.col("len_pct") <= upper_pct),
+    )
