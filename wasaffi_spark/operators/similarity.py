@@ -64,7 +64,12 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """``try_divide`` so an all-zero vector yields NULL instead of an
+    ANSI DIVIDE_BY_ZERO job failure (found by property test: a single
+    zero vector anywhere in a pair join would otherwise kill the whole
+    query). NULL similarities rank last under every ``desc`` ordering
+    in this module, so zero vectors simply never reach a top-k."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def with_cell(df: DataFrame, vec_col: str = "embedding", bits: int = SIGN_BITS) -> DataFrame:
