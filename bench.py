@@ -124,6 +124,7 @@ HEADLINE = [
     "bpe_merges",
     "classifier_eval",
     "length_percentiles",
+    "text_ann_ivf",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -4170,6 +4170,81 @@ register_extra(
 )
 
 
+def q_text_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH of text ANN: hashed doc embeddings routed through
+    the hash-checkable IVF index (`ivf_topk_hashed`) — per-query scan
+    is O(N·n_probe/n_cells) instead of text_ann's full corpus, and the
+    whole composition (embedding build + deterministic codebook + cell
+    assignment + probe join + exact rerank) replays in the oracle."""
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    emb = (
+        similarity.hashed_embedding(docs, dim=HASHED_EMB_DIM)
+        .where(F.col("norm_sq") > 0)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+    )
+    queries = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    out = similarity.ivf_topk_hashed(
+        queries,
+        emb,
+        k=ANN_K,
+        n_cells=IVF_CELLS,
+        n_probe=IVF_PROBE,
+        dim=HASHED_EMB_DIM,
+    )
+    return out.select(
+        "qid", "nid", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
+    ).orderBy("qid", "rnk")
+
+
+register_extra(
+    "text_ann_ivf",
+    q_text_ann_ivf,
+    f"""with {_HASHED_EMB_CTES},
+        e as (select doc_id as vec_id, embedding::DOUBLE[] as v from emb
+              where norm_sq > 0),
+        ranked as (
+          select v as cv,
+                 row_number() over (
+                   order by md5('{similarity.IVF_SEED}' || vec_id), vec_id) - 1
+                   as cell
+          from e
+          order by md5('{similarity.IVF_SEED}' || vec_id), vec_id
+          limit {IVF_CELLS}),
+        ad as (select e.vec_id, r.cell, {_ivf_l2_sql("e.v", "r.cv")} as d
+               from e cross join ranked r),
+        assign as (
+          select vec_id,
+                 cast(min(d * {IVF_CELLS} + cell) % {IVF_CELLS} as int) as cell
+          from ad group by vec_id),
+        q as (select vec_id as qid, v as qv from e
+              where vec_id < {ANN_QUERY_MAX_ID}),
+        qd as (select q.qid, r.cell, {_ivf_l2_sql("q.qv", "r.cv")} as d
+               from q cross join ranked r),
+        probes as (
+          select qid, cell from (
+            select qid, cell,
+                   row_number() over (partition by qid order by d, cell) as pr
+            from qd) t
+          where pr <= {IVF_PROBE}),
+        cand as (select p.qid, a.vec_id as nid
+                 from probes p join assign a using (cell)),
+        scored as (
+          select c.qid, c.nid,
+                 round(list_cosine_similarity(q2.qv, e2.v), 6) as cos_sim
+          from cand c
+          join q q2 on q2.qid = c.qid
+          join e e2 on e2.vec_id = c.nid
+          where c.qid <> c.nid),
+        rankd as (
+          select qid, nid, cos_sim,
+                 row_number() over (partition by qid
+                                    order by cos_sim desc, nid) as rnk
+          from scored)
+       select qid, nid, cos_sim, rnk from rankd
+       where rnk <= {ANN_K} order by qid, rnk""",
+)
+
+
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compressibility quality signal (operators/text.py::
     compression_ratio) — the Gopher/RedPajama filter SQL cannot
