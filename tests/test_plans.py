@@ -342,3 +342,18 @@ def test_strip_boilerplate_equi_joins_only(spark):
     f = plan_facts(_catalog_q("strip_boilerplate")(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in f.text
     assert "CartesianProduct" not in f.text
+
+
+@needs_data
+def test_text_ann_ivf_probe_join_is_hash_on_cell(spark):
+    """The text-ANN scale path must search via an equi-join on the
+    probed IVF cell — a full-corpus nested loop would mean the
+    composition degenerated back into text_ann's exact scan. The only
+    nested-loop nodes allowed are the bounded codebook broadcasts."""
+    import re
+
+    f = plan_facts(_catalog_q("text_ann_ivf")(spark, SF_SMOKE))
+    hash_joins = re.findall(r"\(\d+\) BroadcastHashJoin", f.text)
+    assert hash_joins, "probe join must be a broadcast hash join"
+    assert re.search(r"keys \[1\]: \[cell#\d+", f.text)
+    assert "EvalPython" not in f.text
