@@ -122,6 +122,13 @@ def train_linear_classifier(
             )
             .localCheckpoint(eager=False)
         )
+    # Materialize the final model NOW so the persisted feature frame can
+    # be released before returning — without this, every training call
+    # (bench reruns, train+eval query pairs) left another pinned copy of
+    # the O(corpus-features) cache behind. The eager checkpoint also
+    # collapses the K lazy intermediate checkpoints in one pass.
+    w = w.localCheckpoint(eager=True)
+    x.unpersist()
     return w
 
 
