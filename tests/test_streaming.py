@@ -482,3 +482,46 @@ def test_streaming_media_neardup_equals_batch(spark):
     # banding is exact for hamming<=1 with 2 bands (pigeonhole), so the
     # streamed candidate set must equal the exhaustive batch join
     assert stream_ids == batch_ids
+
+
+@needs_data
+def test_streaming_classifier_gate_equals_batch(spark):
+    """Stateless streamed classifier scoring must reproduce the batch
+    scorer bit-for-bit (integer logits), and the in-row scorer must
+    equal the join-based one on the same model."""
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators import training
+    from wasaffi_spark.sources.parquet import read_parquet
+    from wasaffi_spark.streaming import documents as sdocs
+    from wasaffi_spark.streaming.events import run_to_memory
+
+    docs = read_parquet(spark, os.path.join(SF_SMOKE, "documents.parquet"))
+    labeled = docs.withColumn("_label", (F.col("lang") == "en").cast("int"))
+    model_df = training.train_linear_classifier(labeled, "_label")
+    model = training.model_as_dict(model_df)
+
+    batch_join = {
+        (r["doc_id"], r["logit_micro"], r["prob"])
+        for r in training.score_with_model(docs, model_df).collect()
+    }
+    batch_inrow = {
+        (r["doc_id"], r["logit_micro"], r["prob"])
+        for r in training.score_with_model_inrow(docs, model).collect()
+    }
+    assert batch_inrow == batch_join  # bit-exact integer logits
+
+    expected = {t for t in batch_join if t[2] >= 0.5}
+    stream = sdocs.read_documents_stream(spark, SF_SMOKE)
+    run_to_memory(
+        sdocs.quality_scored_stream(stream, model, threshold=0.5),
+        "clf_gate",
+        output_mode="append",
+    )
+    got = {
+        (r["doc_id"], r["logit_micro"], r["prob"])
+        for r in spark.sql(
+            "select doc_id, logit_micro, prob from clf_gate"
+        ).collect()
+    }
+    assert got == expected

@@ -220,3 +220,73 @@ def evaluate_binary(
             ),
         ).alias("f1"),
     )
+
+
+def model_as_dict(model: DataFrame) -> dict[int, int]:
+    """Collect a trained ``(b, w_micro)`` model into a plain dict — the
+    model is an O(n_buckets) ARTIFACT (like a tokenizer's merge table),
+    so driver-side collection is bounded and legitimate; the dict feeds
+    :func:`score_with_model_inrow`'s literal map."""
+    return {r["b"]: r["w_micro"] for r in model.collect()}
+
+
+def score_with_model_inrow(
+    docs: DataFrame,
+    model: dict[int, int],
+    n_buckets: int = N_BUCKETS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Stateless twin of :func:`score_with_model`: the model rides along
+    as a LITERAL map and the per-doc logit folds in-row over the
+    document's own features — no join, no aggregation, no shuffle. That
+    makes it legal on an unaggregated STREAMING frame (the batch
+    scorer's explode→groupBy would demand a watermarked stateful
+    aggregation) and turns batch scoring into a narrow map. Same output
+    contract and identical values (bit-exact integer logits).
+    """
+    from .hashing import md5_prefix_int
+
+    pairs = []
+    for b in sorted(model):
+        pairs += [F.lit(int(b)).cast("bigint"), F.lit(int(model[b])).cast("bigint")]
+    map_lit = F.create_map(*pairs)
+    bias = int(model.get(-1, 0))
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select(F.col(id_col), toks.alias("_t")).withColumn(
+        "_n", F.size("_t")
+    )
+    bigrams = F.when(
+        F.col("_n") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.col("_n") - 1),
+            lambda i: F.concat_ws(" ", F.slice("_t", i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(F.col("_t"), bigrams)
+
+    def contrib(f):
+        b = F.pmod(md5_prefix_int(F.md5(f), 8), F.lit(n_buckets)).cast(
+            "bigint"
+        )
+        return F.coalesce(
+            F.element_at(map_lit, b), F.lit(0).cast("bigint")
+        )
+
+    logit = F.aggregate(
+        feats,
+        F.lit(bias).cast("bigint"),
+        lambda acc, f: acc + contrib(f),
+    )
+    out = base.withColumn("logit_micro", logit)
+    prob = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.col("logit_micro") / F.lit(float(MICRO))))
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("logit_micro"),
+        F.round(prob, 6).alias("prob"),
+    )

@@ -317,3 +317,30 @@ def media_neardup_ids_stream(
         .dropDuplicates([id_col])
     )
     return hits
+
+
+def quality_scored_stream(
+    docs_stream: DataFrame,
+    model: dict[int, int],
+    threshold: float = 0.5,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuous quality-classifier gate: score each arriving document
+    with a TRAINED model (``training.model_as_dict`` artifact) and keep
+    those with ``prob >= threshold`` — the streaming face of the
+    label→fit→score loop (fit offline on a batch slice, score the
+    crawl as it lands).
+
+    Stateless end to end: ``training.score_with_model_inrow`` folds the
+    per-doc logit over the document's own features with the model as a
+    literal map — no join, no aggregation, so the stream needs no
+    watermark and no state store at all.
+    """
+    from ..operators.training import score_with_model_inrow
+
+    scored = score_with_model_inrow(
+        docs_stream, model, n_buckets, text_col, id_col
+    )
+    return scored.where(F.col("prob") >= threshold)
