@@ -125,6 +125,7 @@ HEADLINE = [
     "classifier_eval",
     "length_percentiles",
     "text_ann_ivf",
+    "text_semantic_dedup",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

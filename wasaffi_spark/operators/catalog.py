@@ -4245,6 +4245,65 @@ register_extra(
 )
 
 
+TEXT_SEMDEDUP_THRESHOLD = 0.95
+
+
+def q_text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the DOCUMENT corpus via hashed embeddings — the
+    full semantic-dedup story with no external encoder: text →
+    feature-hashed vectors → hash-sampled codebook → argmax assignment
+    → keep-first drop within the cluster at cosine ≥ 0.95 (the Abbas et al. operating range; drops the corpus's true template near-dups, ~5%). Every stage
+    replays in the oracle (embedding build spliced into the SemDeDup
+    CTE chain)."""
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    emb = (
+        similarity.hashed_embedding(docs, dim=HASHED_EMB_DIM)
+        .where(F.col("norm_sq") > 0)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+    )
+    return similarity.semantic_dedup(
+        emb, k_seeds=16, threshold=TEXT_SEMDEDUP_THRESHOLD
+    ).orderBy("vec_id")
+
+
+register_extra(
+    "text_semantic_dedup",
+    q_text_semantic_dedup,
+    f"""with {_HASHED_EMB_CTES},
+        e as (select doc_id as vec_id, embedding::DOUBLE[] as v from emb
+              where norm_sq > 0),
+        ranked as (
+          select vec_id, v,
+                 row_number() over (
+                   order by md5('semdedup-v1' || vec_id), vec_id) as rk
+          from e),
+        seeds as (select vec_id as sid, v as sv from ranked where rk <= 16),
+        scored as (
+          select e.vec_id, s.sid,
+                 round(list_cosine_similarity(e.v, s.sv), 6) as cs
+          from e, seeds s),
+        assign as (
+          select vec_id, sid as cluster from (
+            select vec_id, sid,
+                   row_number() over (
+                     partition by vec_id order by cs desc, sid) as rk
+            from scored) t
+          where rk = 1),
+        av as (select a.vec_id, a.cluster, e.v
+               from assign a join e on a.vec_id = e.vec_id),
+        dups as (
+          select distinct b.vec_id
+          from av a join av b on a.cluster = b.cluster
+          where a.vec_id < b.vec_id
+            and round(list_cosine_similarity(a.v, b.v), 6)
+                  >= {TEXT_SEMDEDUP_THRESHOLD}),
+        out as (
+          select a.vec_id, a.cluster, (d.vec_id is null) as keep
+          from assign a left join dups d on a.vec_id = d.vec_id)
+        select vec_id, cluster, keep from out order by vec_id""",
+)
+
+
 def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compressibility quality signal (operators/text.py::
     compression_ratio) — the Gopher/RedPajama filter SQL cannot
