@@ -1,0 +1,85 @@
+"""Round-5 data-proportional knob wiring (r4 VERDICT fixes #2/#3):
+the SemDeDup codebook and the sign-LSH cell family derive their size
+from the corpus count by default, so the quadratic within-cluster /
+within-cell terms stay bounded as N grows. These tests pin the exact
+formulas the DuckDB oracles mirror (greatest/ceil for k_seeds, the
+integer shift-compare for bits)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_auto_sign_bits_integer_exact_matches_log_formula():
+    """The r5 integer shift-compare must agree with the documented
+    ``max(1, min(30, ceil(log2(n/target))))`` closed form everywhere,
+    including exact powers of two (the float-boundary cases that
+    motivated the rewrite)."""
+    from wasaffi_spark.operators.similarity import auto_sign_bits
+
+    for target in (1, 2, 64, 256, 1000):
+        for n in list(range(1, 70)) + [
+            255, 256, 257, 511, 512, 513, 2**20 - 1, 2**20, 2**20 + 1
+        ]:
+            closed = max(
+                1, min(30, math.ceil(math.log2(max(2.0, n / target))))
+            )
+            assert auto_sign_bits(n, target) == closed, (n, target)
+
+
+def test_resolve_bits_counts_corpus(spark):
+    from wasaffi_spark.operators.similarity import _resolve_bits
+
+    df = spark.range(600).select(F.col("id").alias("vec_id"))
+    assert _resolve_bits(df, None, 256) == 2  # 256*2 < 600 <= 256*4
+    assert _resolve_bits(df, 7, 256) == 7  # explicit bits win, no count
+
+
+def test_knn_edges_auto_bits_equals_explicit(spark):
+    """knn_edges_bucketed(bits=None) on an n-row corpus must equal the
+    explicit-bits call with auto_sign_bits(n) — the default is a knob
+    derivation, not a semantic change."""
+    from wasaffi_spark.operators.similarity import (
+        auto_sign_bits,
+        knn_edges_bucketed,
+    )
+
+    n = 40
+    rows = [
+        (i, [math.sin(0.7 * i + 1.3 * d) for d in range(8)]) for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    auto = sorted(map(tuple, knn_edges_bucketed(emb, k=2).collect()))
+    manual = sorted(
+        map(
+            tuple,
+            knn_edges_bucketed(emb, k=2, bits=auto_sign_bits(n)).collect(),
+        )
+    )
+    assert auto == manual and len(auto) > 0
+
+
+def test_semantic_dedup_auto_k_follows_n(spark):
+    """k_seeds=None ⇒ k = max(16, ceil(n/128)): at n ≤ 2048 that is the
+    r4 constant 16 (driver output unchanged); the distinct-cluster
+    count can then never exceed k."""
+    from wasaffi_spark.operators import similarity
+
+    rows = [
+        (i, [math.sin(0.3 * i + d) for d in range(8)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = similarity.semantic_dedup(df, threshold=0.99)
+    clusters = {r.cluster for r in out.collect()}
+    assert len(clusters) <= 16
+    # the auto knob resolves identically to the explicit k=16 call
+    explicit = similarity.semantic_dedup(df, k_seeds=16, threshold=0.99)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+
+def test_semantic_dedup_auto_k_formula():
+    assert max(16, math.ceil(500 / 128)) == 16  # driver scale: unchanged
+    assert max(16, math.ceil(20000 / 128)) == 157  # 10x probe ≈ the k160 control
