@@ -180,10 +180,15 @@ def test_brute_force_topk(spark):
 
 
 def test_bucketed_topk_prunes(spark):
+    # r5 hyperplane cells (with_cell_rh): 3 rows -> auto bits=1, and the
+    # bit is the sign of the Rademacher projection. hyperplane 0's signs
+    # over 8 dims sum to +2, so the all-ones vector projects positive,
+    # its negation projects negative (exactly opposite cell), and vec 1
+    # (0.9 in dim 1) projects to +2.1 — same cell as vec 0.
     rows = [
         (0, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
-        (1, [0.9, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),  # same sign cell
-        (2, [-1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),  # different cell
+        (1, [0.9, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),  # same cell
+        (2, [-1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0, -1.0]),  # opposite
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = similarity.bucketed_topk(emb.where("vec_id = 0"), emb, k=5).collect()

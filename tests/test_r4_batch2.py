@@ -203,14 +203,16 @@ def test_mutual_knn_requires_both_directions(spark):
         mutual_knn_pairs,
     )
 
-    # three near-identical vectors + one hub-distant vector, all in one
-    # sign cell: with k=1, a↔b are mutual; d points at a but a doesn't
-    # point back → (a,d) must not survive symmetrization.
+    # three dim-1-dominated vectors sharing one r5 hyperplane cell
+    # (hyperplane 0 projects them all negative, hyperplane 1 — signs
+    # [+,-,-,...] — all positive): with k=1, 1↔2 are mutual; 3 points
+    # at 1 but 1 doesn't point back → (1,3) must not survive
+    # symmetrization.
     emb = spark.createDataFrame(
         [
-            (1, [1.0, 1.0, 0.0]),
-            (2, [1.0, 0.99, 0.0]),
-            (3, [1.0, 0.5, 0.5]),
+            (1, [1.0, 0.2, 0.0]),
+            (2, [1.0, 0.21, 0.0]),
+            (3, [1.0, 0.0, 0.2]),
         ],
         "vec_id bigint, embedding array<float>",
     )

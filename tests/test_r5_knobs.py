@@ -83,3 +83,60 @@ def test_semantic_dedup_auto_k_follows_n(spark):
 def test_semantic_dedup_auto_k_formula():
     assert max(16, math.ceil(500 / 128)) == 16  # driver scale: unchanged
     assert max(16, math.ceil(20000 / 128)) == 157  # 10x probe ≈ the k160 control
+
+
+def test_rh_sign_matches_duckdb_md5():
+    """The Rademacher sign matrix must regenerate identically from
+    DuckDB's md5 — the property the oracle CTE relies on."""
+    import duckdb
+
+    from wasaffi_spark.operators.similarity import _rh_sign
+
+    rows = duckdb.sql(
+        """select ii.i, jj.j,
+                  case when ('0x' || substr(md5('cell-rh-v1|' || ii.i
+                                             || '|' || jj.j), 1, 1))::int
+                            % 2 = 0 then 1 else -1 end as sgn
+           from unnest(generate_series(0, 5)) as ii(i),
+                unnest(generate_series(1, 16)) as jj(j)"""
+    ).fetchall()
+    for i, j, sgn in rows:
+        assert _rh_sign(i, j) == sgn, (i, j)
+
+
+def test_with_cell_rh_resists_sign_bias(spark):
+    """All-positive vectors (every coordinate sign identical — the
+    degenerate case for axis-aligned with_cell, which puts ALL of them
+    in one cell) still spread across hyperplane cells."""
+    import math
+
+    from wasaffi_spark.operators.similarity import with_cell, with_cell_rh
+
+    rows = [
+        (i, [((i * 31 + d * 17) % 97) / 97.0 + 0.01 for d in range(16)])
+        for i in range(256)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    axis = with_cell(emb, bits=4).select("cell").distinct().count()
+    rh = with_cell_rh(emb, bits=4).select("cell").distinct().count()
+    assert axis == 1  # every coordinate positive -> one mega-cell
+    # hyperplanes mix dims, so spread survives the bias (not perfectly
+    # uniform: a plane whose signs don't sum to zero keeps some bias on
+    # uncentered data — mean-centering is the production refinement)
+    assert rh >= 4
+
+
+def test_with_cell_rh_handles_empty_and_negation(spark):
+    from wasaffi_spark.operators.similarity import with_cell_rh
+
+    rows = [
+        (1, [1.0] * 8),
+        (2, [-1.0] * 8),  # exact negation -> opposite projection signs
+        (3, []),  # empty vector -> cell 0 (matches the oracle coalesce)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cells = {r.vec_id: r.cell for r in with_cell_rh(emb, bits=3).collect()}
+    assert cells[3] == 0
+    # negation flips every nonzero projection: cells are bitwise
+    # complements whenever no projection lands exactly on zero
+    assert cells[1] != cells[2]

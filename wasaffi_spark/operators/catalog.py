@@ -339,7 +339,7 @@ def _emb_cell_sql(vec: str) -> str:
     )
 
 
-def _auto_bits_ctes(src: str = "embeddings", target: int = 256) -> str:
+def _auto_bits_ctes(src: str = "embeddings", target: int = 32) -> str:
     """``nn``/``kb`` CTE pair mirroring similarity.auto_sign_bits (the
     r5 data-proportional cell width): smallest ``b`` in [1, 30] with
     ``target * 2^b >= count(*)`` — an integer shift-compare, identical
@@ -352,16 +352,43 @@ def _auto_bits_ctes(src: str = "embeddings", target: int = 256) -> str:
     )
 
 
-def _emb_cell_dyn_sql(vec: str) -> str:
-    """Sign-pattern cell over the first ``kb.bits`` dims (mirrors
-    similarity.with_cell under the auto knob): 30 guarded bit terms,
-    each active only when its index is below the data-derived width.
-    Out-of-range list index → NULL → bit 0, same as try_element_at."""
-    return " + ".join(
-        f"(case when {i} < (select bits from kb) and {vec}[{i + 1}] > 0 "
-        f"then {2 ** i} else 0 end)"
-        for i in range(30)
-    )
+def _rh_cell_ctes(
+    src: str = "embeddings",
+    id_expr: str = "vec_id",
+    vec_expr: str = "embedding::DOUBLE[]",
+) -> str:
+    """CTE chain mirroring similarity.with_cell_rh (random-hyperplane
+    LSH cells) bit-exactly: the ±1 sign matrix regenerates from
+    ``md5('cell-rh-v1|i|j')`` first-hex-digit parity (same bytes
+    hashlib hashes), projections are integer micro-unit sums, and a
+    vector with no projection rows (empty/NULL) must be read back as
+    cell 0 via ``coalesce`` at the join site. Requires the ``kb`` CTE
+    from ``_auto_bits_ctes`` upstream."""
+    return f"""signs as (
+          select ii.i as i, jj.j as j,
+                 case when ('0x' || substr(md5('cell-rh-v1|' || ii.i
+                                              || '|' || jj.j), 1, 1))::int
+                           % 2 = 0
+                      then 1 else -1 end as sgn
+          from unnest(generate_series(0, 29)) as ii(i),
+               unnest(generate_series(1, 64)) as jj(j)),
+        _qv as (
+          select {id_expr} as _cid,
+                 list_transform({vec_expr},
+                                x -> cast(floor(x * 1000000 + 0.5)
+                                          as bigint)) as q
+          from {src}),
+        _proj as (
+          select _cid, s.i, sum(q[s.j] * s.sgn) as p
+          from _qv, signs s
+          where s.j <= least(len(q), 64)
+            and s.i < (select bits from kb)
+          group by _cid, s.i),
+        cellmap as (
+          select _cid,
+                 cast(sum(case when p > 0 then (1::bigint << i)
+                               else 0 end) as int) as cell
+          from _proj group by _cid)"""
 
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -406,12 +433,16 @@ register(
     "ann_bucketed",
     q_ann_bucketed,
     f"""with {_auto_bits_ctes()},
-        q as (select vec_id as qid, embedding::DOUBLE[] as qv,
-                   {_emb_cell_dyn_sql("embedding")} as cell
-                  from embeddings where vec_id < {ANN_QUERY_MAX_ID}),
-        c as (select vec_id as nid, embedding::DOUBLE[] as nv,
-                   {_emb_cell_dyn_sql("embedding")} as cell
-              from embeddings),
+        {_rh_cell_ctes()},
+        q as (select e.vec_id as qid, e.embedding::DOUBLE[] as qv,
+                     coalesce(cm.cell, 0) as cell
+              from embeddings e
+              left join cellmap cm on cm._cid = e.vec_id
+              where e.vec_id < {ANN_QUERY_MAX_ID}),
+        c as (select e.vec_id as nid, e.embedding::DOUBLE[] as nv,
+                     coalesce(cm.cell, 0) as cell
+              from embeddings e
+              left join cellmap cm on cm._cid = e.vec_id),
         scored as (
           select qid, nid,
                  round(list_cosine_similarity(qv, nv), 6) as cos_sim
@@ -529,9 +560,11 @@ register(
     "emb_neardup",
     q_emb_neardup,
     f"""with {_auto_bits_ctes()},
-        c as (select vec_id, embedding::DOUBLE[] as v,
-                   {_emb_cell_dyn_sql("embedding")} as cell
-                  from embeddings),
+        {_rh_cell_ctes()},
+        c as (select e.vec_id, e.embedding::DOUBLE[] as v,
+                     coalesce(cm.cell, 0) as cell
+              from embeddings e
+              left join cellmap cm on cm._cid = e.vec_id),
         pairs as (
           select a.vec_id as id_a, b.vec_id as id_b,
                  round(list_cosine_similarity(a.v, b.v), 6) as cos_sim
@@ -3513,9 +3546,11 @@ def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle and the `embedding_clusters` recursive-closure oracle so the
 # two queries can never drift apart.
 _MUTUAL_KNN_CTES = f"""{_auto_bits_ctes()},
-        v as (select vec_id, embedding::DOUBLE[] as ev,
-                   {_emb_cell_dyn_sql("embedding")} as cell
-                  from embeddings),
+        {_rh_cell_ctes()},
+        v as (select e.vec_id, e.embedding::DOUBLE[] as ev,
+                     coalesce(cm.cell, 0) as cell
+              from embeddings e
+              left join cellmap cm on cm._cid = e.vec_id),
         scored as (
           select a.vec_id as src, b.vec_id as dst,
                  round(list_cosine_similarity(a.ev, b.ev), 6) as cos_sim
@@ -4692,14 +4727,20 @@ def q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket profile. The perplexity-bucketed corpus-splitting step of
     a curation pipeline, in one declarative plan. Docs without bigrams
     are excluded (their mean is undefined; engines disagree on NULL
-    ordering, so the contract excludes them explicitly)."""
-    from pyspark.sql.window import Window
+    ordering, so the contract excludes them explicitly). The decile
+    assignment is the distributed exact ntile (operators/ranking.py::
+    global_ntile — r5, no single-partition corpus sort)."""
+    from .ranking import global_ntile
 
     docs = _table(spark, sf_dir, "documents")
     scored = text.lm_score(docs).where(F.col("n_bigrams") > 0)
-    w = Window.orderBy(F.asc("avg_logprob"), F.asc("doc_id"))
     return (
-        scored.withColumn("bucket", F.ntile(QUALITY_BUCKETS).over(w))
+        global_ntile(
+            scored,
+            QUALITY_BUCKETS,
+            [F.asc("avg_logprob"), F.asc("doc_id")],
+            out_col="bucket",
+        )
         .groupBy("bucket")
         .agg(
             F.count("*").alias("cnt"),

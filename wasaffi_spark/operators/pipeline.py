@@ -363,11 +363,12 @@ def weighted_sample_n(
     cross-engine ranking is stable; ties break by id. Rows with
     non-positive weight are excluded (standard A-ES domain).
 
-    One top-n ranking pass (TakeOrderedAndProject when n is small —
-    never a full sort); at production scale use per-partition
-    pre-selection of n candidates then re-rank (the classic distributed
-    reservoir), which this single-window form collapses to under AQE
-    for small n.
+    One top-n ranking pass, executed as sort-``limit(n)`` —
+    TakeOrderedAndProject, the distributed per-partition top-n with an
+    O(n·parts) driver merge — then the ``rank`` column attached by a
+    window over the n surviving rows only (r5: the previous global
+    ``row_number`` ran the whole corpus through a single-partition
+    sort just to throw away everything past row n).
     """
     u = (
         (
@@ -383,13 +384,14 @@ def weighted_sample_n(
     ).cast("bigint")
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("key_micro"), F.asc(id_col))
-    return (
+    topn = (
         df.where(F.col(weight_col) > 0)
         .withColumn("key_micro", key)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= n)
+        .orderBy(F.desc("key_micro"), F.asc(id_col))
+        .limit(n)
     )
+    w = Window.orderBy(F.desc("key_micro"), F.asc(id_col))  # n rows only
+    return topn.withColumn("rank", F.row_number().over(w))
 
 
 def domain_cap(

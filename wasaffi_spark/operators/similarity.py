@@ -91,7 +91,15 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def with_cell(df: DataFrame, vec_col: str = "embedding", bits: int = SIGN_BITS) -> DataFrame:
-    """Adds ``cell`` — the sign-pattern bucket of the first ``bits`` dims."""
+    """Adds ``cell`` — the sign-pattern bucket of the first ``bits`` dims.
+
+    The SIMPLE axis-aligned variant (kept for callers that want
+    inspectable buckets); the pair/probe operators use
+    :func:`with_cell_rh` instead — raw coordinate signs inherit
+    whatever bias the embedding dimensions carry (a dimension that is
+    positive for 90% of the corpus contributes ~0.5 bits of entropy,
+    and correlated dimensions compound: measured max-cell occupancy
+    66× the expected value on the r5 10×-scale probe data)."""
     cell: Column = F.lit(0)
     for i in range(bits):
         # try_element_at: a vector shorter than `bits` dims yields NULL
@@ -101,6 +109,82 @@ def with_cell(df: DataFrame, vec_col: str = "embedding", bits: int = SIGN_BITS) 
             F.try_element_at(F.col(vec_col), F.lit(i + 1)) > 0, F.lit(2**i)
         ).otherwise(F.lit(0))
     return df.withColumn("cell", cell.cast("int"))
+
+
+RH_SEED = "cell-rh-v1"
+RH_QUANT = 1_000_000  # micro-unit grid: integer projections, engine-exact
+RH_MAX_DIM = 64  # hyperplane width; dims past this are ignored (documented)
+
+
+def _rh_sign(i: int, j: int, seed: str = RH_SEED) -> int:
+    """Deterministic Rademacher ±1 for hyperplane ``i``, dimension
+    ``j`` (1-based): parity of the first hex digit of
+    ``md5(seed|i|j)`` — the same digit DuckDB extracts with
+    ``substr(md5(...), 1, 1)``, so the oracle regenerates the exact
+    sign matrix instead of shipping it as literals."""
+    import hashlib
+
+    h = hashlib.md5(f"{seed}|{i}|{j}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+def with_cell_rh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    bits: int = SIGN_BITS,
+    seed: str = RH_SEED,
+    max_dim: int = RH_MAX_DIM,
+) -> DataFrame:
+    """Adds ``cell`` — the Charikar random-hyperplane LSH bucket:
+    bit ``i`` is the sign of the vector's projection onto a fixed
+    Rademacher hyperplane, ``Σ_j sgn(i,j)·floor(v_j·10⁶ + 0.5) > 0``.
+
+    Why not raw coordinate signs (:func:`with_cell`): hyperplane bits
+    mix EVERY dimension, so biased/correlated coordinates can't
+    collapse the corpus into a few mega-cells — on the 10×-scale probe
+    data the max-cell occupancy drops from 66× expected (coordinate
+    signs) to near-uniform, which is what keeps the within-cell pair
+    joins bounded. This is also the textbook cosine-LSH guarantee:
+    P[bit collision] = 1 − θ/π per hyperplane.
+
+    Engine-exact by construction: projections are integer sums over
+    the micro-unit grid (the ``_pq_grid_dist`` idiom) with md5-derived
+    signs, so Spark and the DuckDB oracle agree on every bit — a float
+    projection's sign near zero would be FP-fragile across engines.
+    Cost: O(bits) in-row folds per vector — linear, no shuffle.
+    Dimensions beyond ``max_dim`` are ignored on BOTH engines (the
+    hyperplane matrix is finite); raise it for wider embeddings.
+    """
+    q = F.slice(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * RH_QUANT + F.lit(0.5)).cast(
+                "bigint"
+            ),
+        ),
+        1,
+        max_dim,
+    )
+    cell: Column = F.lit(0)
+    for i in range(bits):
+        signs = F.array(
+            *[F.lit(_rh_sign(i, j, seed)) for j in range(1, max_dim + 1)]
+        )
+        p = F.aggregate(
+            F.zip_with(
+                F.col("_q"),
+                F.slice(signs, 1, F.greatest(F.size(F.col("_q")), F.lit(1))),
+                lambda x, s: x * s.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        cell = cell + F.when(p > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return (
+        df.withColumn("_q", q)
+        .withColumn("cell", cell.cast("int"))
+        .drop("_q")
+    )
 
 
 def normalize_embeddings(
@@ -130,17 +214,26 @@ def brute_force_topk(
     The query side is expected to be small → broadcast it so the corpus
     never shuffles. Ties broken by neighbour id for determinism.
     """
+    # norms projected below the join: one fold per row/query instead of
+    # three per pair (FP-identical to cosine() — see semantic_dedup)
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    )
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    ).withColumn("_nq", _norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")
+    ).withColumn("_nn", _norm(F.col("nv")))
     scored = (
         F.broadcast(q)
         .join(c, F.col("qid") != F.col("nid"))
         .select(
             "qid",
             "nid",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+            F.round(
+                F.try_divide(
+                    _dot(F.col("qv"), F.col("nv")), F.col("_nq") * F.col("_nn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(
@@ -161,7 +254,7 @@ def bucketed_topk(
     id_col: str = "vec_id",
     bits: int | None = None,
     max_bucket_size: int | None = None,
-    target_cell_size: int = 256,
+    target_cell_size: int = 32,
 ) -> DataFrame:
     """Approximate top-k probing only the query's coarse cell.
 
@@ -181,11 +274,15 @@ def bucketed_topk(
     from .dedup import _cap_buckets
 
     bits = _resolve_bits(corpus, bits, target_cell_size)
-    q = with_cell(queries, vec_col, bits).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "cell"
+    q = (
+        with_cell_rh(queries, vec_col, bits)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "cell")
+        .withColumn("_nq", _norm(F.col("qv")))
     )
-    c = with_cell(corpus, vec_col, bits).select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "cell"
+    c = (
+        with_cell_rh(corpus, vec_col, bits)
+        .select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "cell")
+        .withColumn("_nn", _norm(F.col("nv")))
     )
     c = _cap_buckets(c, max_bucket_size, cols=("cell",))
     scored = (
@@ -195,7 +292,12 @@ def bucketed_topk(
         .select(
             "qid",
             "nid",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+            F.round(
+                F.try_divide(
+                    _dot(F.col("qv"), F.col("nv")), F.col("_nq") * F.col("_nn")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(
@@ -287,7 +389,7 @@ def neardup_pairs(
     id_col: str = "vec_id",
     bits: int | None = None,
     max_bucket_size: int | None = None,
-    target_cell_size: int = 256,
+    target_cell_size: int = 32,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold), blocked by
     coarse cell so the pair join is per-bucket, not corpus².
@@ -304,13 +406,17 @@ def neardup_pairs(
     from .dedup import _cap_buckets
 
     bits = _resolve_bits(corpus, bits, target_cell_size)
-    c = with_cell(corpus, vec_col, bits)
+    c = with_cell_rh(corpus, vec_col, bits).withColumn(
+        "_n", _norm(F.col(vec_col))
+    )
     c = _cap_buckets(c, max_bucket_size, cols=("cell",))
     a = c.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell"
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "cell",
+        F.col("_n").alias("_na"),
     )
     b = c.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell"
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "cell",
+        F.col("_n").alias("_nb"),
     )
     return (
         a.join(b, ["cell"])
@@ -318,7 +424,12 @@ def neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                F.try_divide(
+                    _dot(F.col("va"), F.col("vb")), F.col("_na") * F.col("_nb")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -382,14 +493,29 @@ def semantic_dedup(
         .limit(k_seeds)
         .drop("_h")
     )
+    # Norms precomputed on BOTH sides of the assignment crossJoin (r5):
+    # with the k∝N auto knob the N·k scoring stage is the dominant
+    # cost, and inline cosine() evaluates three folds per (vector,
+    # seed) pair. Projecting the norm below the join evaluates it once
+    # per row/seed — the pair expression is a single dot fold.
+    # FP-identical to cosine(): same per-vector norm expression, and
+    # try_divide(dot, nv*ns) is cosine()'s own evaluation order.
+    seeds = seeds.withColumn("_ns", _norm(F.col("sv")))
     scored = (
         corpus.select(id_col, vec_col)
+        .withColumn("_nv", _norm(F.col(vec_col)))
         .crossJoin(F.broadcast(seeds))
         .select(
             id_col,
             vec_col,
             "sid",
-            F.round(cosine(F.col(vec_col), F.col("sv")), 6).alias("cs"),
+            F.round(
+                F.try_divide(
+                    _dot(F.col(vec_col), F.col("sv")),
+                    F.col("_nv") * F.col("_ns"),
+                ),
+                6,
+            ).alias("cs"),
         )
     )
     assign = scored.groupBy(id_col).agg(
@@ -981,7 +1107,7 @@ def knn_edges_bucketed(
     id_col: str = "vec_id",
     bits: int | None = None,
     max_bucket_size: int | None = None,
-    target_cell_size: int = 256,
+    target_cell_size: int = 32,
 ) -> DataFrame:
     """Directed k-nearest-neighbour edges within sign-LSH cells:
     ``(src, dst, cos_sim, rank)`` — each vector's ``k`` most similar
@@ -995,13 +1121,17 @@ def knn_edges_bucketed(
     from .dedup import _cap_buckets
 
     bits = _resolve_bits(df, bits, target_cell_size)
-    cells = with_cell(df.select(id_col, vec_col), vec_col, bits)
+    cells = with_cell_rh(df.select(id_col, vec_col), vec_col, bits).withColumn(
+        "_n", _norm(F.col(vec_col))
+    )
     cells = _cap_buckets(cells, max_bucket_size, cols=("cell",))
     a = cells.select(
-        F.col(id_col).alias("src"), F.col(vec_col).alias("av"), "cell"
+        F.col(id_col).alias("src"), F.col(vec_col).alias("av"), "cell",
+        F.col("_n").alias("_na"),
     )
     b = cells.select(
-        F.col(id_col).alias("dst"), F.col(vec_col).alias("bv"), "cell"
+        F.col(id_col).alias("dst"), F.col(vec_col).alias("bv"), "cell",
+        F.col("_n").alias("_nb"),
     )
     scored = (
         a.join(b, "cell")
@@ -1009,7 +1139,12 @@ def knn_edges_bucketed(
         .select(
             "src",
             "dst",
-            F.round(cosine(F.col("av"), F.col("bv")), 6).alias("cos_sim"),
+            F.round(
+                F.try_divide(
+                    _dot(F.col("av"), F.col("bv")), F.col("_na") * F.col("_nb")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("src").orderBy(

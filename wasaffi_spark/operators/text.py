@@ -1000,22 +1000,41 @@ def length_percentile_filter(
     shifts; percentile bands self-calibrate).
 
     Adds ``n_tokens``, ``len_pct`` (exact percent_rank of the token
-    count) and ``len_keep``. Exact variant: ONE global window over the
-    (id, n_tokens) pair frame — a single-partition sort of two columns,
-    the oracle-able shape. At 100 TB swap the window for
-    ``approxQuantile(n_tokens, [lower, upper])`` → two scalar
-    thresholds broadcast into a codegen filter; same contract, no
-    total order.
+    count) and ``len_keep``.
+
+    Exact AND distributed (r5 — replacing the single-partition global
+    window): ``percent_rank`` with ties is ``(#rows strictly below) /
+    (N−1)``, so it only needs the per-VALUE cumulative counts — a
+    ``groupBy(n_tokens)`` histogram (map-side combined, ≤ one row per
+    distinct length regardless of corpus size) with a window over that
+    SMALL value frame, broadcast-joined back. The corpus itself is
+    never globally sorted. At 100 TB the same contract can also relax
+    to ``approxQuantile`` thresholds; this variant is the exact/
+    oracle-able one.
     """
     from pyspark.sql.window import Window
 
     toks = tokens(text_col)
     n = F.size(F.filter(toks, lambda x: x != F.lit("")))
     scored = df.withColumn("n_tokens", n.cast("int"))
-    w = Window.orderBy(F.col("n_tokens").asc())
-    return scored.withColumn(
-        "len_pct", F.round(F.percent_rank().over(w), 6)
-    ).withColumn(
-        "len_keep",
-        (F.col("len_pct") >= lower_pct) & (F.col("len_pct") <= upper_pct),
+    counts = (
+        scored.groupBy("n_tokens")
+        .agg(F.count("*").alias("_c"))
+        .localCheckpoint(eager=False)  # small: one row per distinct length
+    )
+    total = counts.agg(F.sum("_c")).collect()[0][0] or 0
+    wv = Window.orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vals = counts.withColumn("_below", F.sum("_c").over(wv) - F.col("_c"))
+    denom = max(total - 1, 1)  # percent_rank of a 1-row frame is 0
+    pct = F.round(F.col("_below").cast("double") / F.lit(denom), 6)
+    return (
+        scored.join(F.broadcast(vals), "n_tokens")
+        .withColumn("len_pct", pct)
+        .withColumn(
+            "len_keep",
+            (F.col("len_pct") >= lower_pct) & (F.col("len_pct") <= upper_pct),
+        )
+        .drop("_c", "_below")
     )
