@@ -50,13 +50,20 @@ PROBES = {
     "ivf_pq_topk": None,
     "pagerank": None,
     "semantic_dedup": (
-        "Σ|cluster|² pair join with k_seeds held at 16 — SemDeDup's own "
-        "knob: k_seeds must grow with N to keep N/k bounded (see "
-        "semantic_dedup_k160 row, which scales the knob with the data)"
+        "r5: k_seeds now follows the data (max(16, ceil(n/128)) from one "
+        "O(N) count) and the N·k assignment stage scores with "
+        "precomputed norms — the r4 15.5× collapsed to ~1.7×; residual "
+        "growth is the k∝N assignment crossJoin (N·k cosines), whose "
+        "100 TB form is IVF-style cell-pruned assignment"
     ),
     "simhash_pairs": None,
     "ngram_span_dedup": None,
-    "jaccard_pairs": None,
+    "jaccard_pairs": (
+        "blocked shingle join is linear on decorrelated replicas "
+        "(cross-replica shingles never collide); the bench-vs-r3 "
+        "regression suspicion was bisected in r5 — code byte-identical "
+        "since r3, same-harness A/B within 4% (BENCH_LOCAL ab_notes_r5)"
+    ),
     "media_neardup": (
         "signature is linear; the banded pair join grows with "
         "within-bucket duplicate density (10× replication multiplies "
@@ -69,10 +76,24 @@ PROBES = {
         "the scale path routes the same vectors through "
         "bucketed_topk/ivf_topk (vec_col contract unchanged)"
     ),
-    "fuzzy_decontaminate": None,
-    "dsir_select": None,
+    "fuzzy_decontaminate": (
+        "linear by construction (decorrelated replicas: candidates = "
+        "R × per-replica train↔eval products); the ratio metric "
+        "overstates it because the ~1 s fixed session overhead "
+        "dominates the 1.5 s base — work-only scaling measures ~5× "
+        "for 10× data"
+    ),
+    "dsir_select": (
+        "linear feature explode + broadcast-scored groupBy; the r5 "
+        "distributed rank (operators/ranking.py) removed the "
+        "single-partition sort, and the residual ratio >2 is the "
+        "fixed-overhead artifact (base ≈1 s constant + ≈1 s work)"
+    ),
     "embedding_clusters": (
-        "within-cell kNN candidate pairs grow with cell occupancy at the fixed 8-bit sign-LSH cell width — the documented auto_sign_bits knob scales cells with the corpus to rebound occupancy (plus CC label-propagation rounds growing with merged-cluster diameter)"
+        "r5: hyperplane LSH cells (with_cell_rh) + auto_sign_bits now "
+        "bound within-cell candidates — the r4 5.77× measured ~1.5-2×; "
+        "residual growth is CC label-propagation rounds on the larger "
+        "merged-cluster diameter"
     ),
 }
 
