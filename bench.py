@@ -126,6 +126,13 @@ HEADLINE = [
     "length_percentiles",
     "text_ann_ivf",
     "text_semantic_dedup",
+    # new in r5: recall-complete PQ search, tokenizer apply, kNN-graph
+    # triangles, data-quality gate, integer-exact EWMA
+    "pq_topk_rerank",
+    "bpe_fertility",
+    "knn_triangles",
+    "orders_expectations",
+    "events_ewma",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -264,7 +264,20 @@ def test_dsir_scoring_join_broadcasts_ratio_table(spark):
     ever shuffled by the final groupBy(doc_id) sum, never to be scored.
     The ratio table's own build may shuffle (≤ n_buckets rows)."""
     
-    f = plan_facts(_catalog_q("dsir_select")(spark, SF_SMOKE))
+    # r5: dsir_select's distributed rank localCheckpoints the weight
+    # frame, which truncates the visible plan — assert on the scoring
+    # stage itself (dsir_logweights), where the ratio join lives
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators import importance
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, os.path.join(SF_SMOKE, "documents.parquet"))
+    target = docs.where(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+    w = importance.dsir_logweights(docs, target)
+    f = plan_facts(w)
     assert "BroadcastHashJoin" in f.text, "ratio join must broadcast"
     assert "EvalPython" not in f.text  # feature hashing stays JVM-side
 

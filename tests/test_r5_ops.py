@@ -1,0 +1,110 @@
+"""Round-5 operator behavior on hand-computed micro-fixtures:
+triangle counting, data-quality expectations, integer-exact EWMA.
+(The DuckDB parity run at sf0.01 lives in tools/oracle_check.py —
+these tests pin semantics the oracle can't isolate: rule violations
+engineered per kind, exact EWMA values, triangle multiplicity.)"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_triangle_count_exact(spark):
+    from wasaffi_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant edge
+    # (5,6) and a duplicate/reversed edge to exercise canonicalization
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges += [(5, 6), (2, 1), (3, 3)]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # 5, 6 close no triangle
+
+
+def test_triangle_count_empty(spark):
+    from wasaffi_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], "id_a bigint, id_b bigint")
+    assert triangle_count(df).collect() == []  # a path has no triangle
+
+
+def test_expectations_each_kind_fires(spark):
+    from wasaffi_spark.operators.expect import expectations_report
+
+    rows = [
+        (1, 10.0, "O", "1-URGENT"),
+        (2, -5.0, "X", "9-BOGUS"),  # range + accepted + regex violations
+        (None, None, None, None),  # not_null violation; exempt elsewhere
+        (1, 0.0, "F", "5-LOW"),  # duplicate key
+    ]
+    df = spark.createDataFrame(rows, "k bigint, price double, st string, pr string")
+    ref = spark.createDataFrame([(1,)], "rk bigint")
+    rules = [
+        {"kind": "not_null", "column": "k"},
+        {"kind": "range", "column": "price", "min": 0},
+        {"kind": "accepted_values", "column": "st", "values": ["O", "F"]},
+        {"kind": "regex_match", "column": "pr", "pattern": "^[1-5]-"},
+        {"kind": "unique", "column": "k"},
+        {"kind": "referential", "column": "k", "ref": ref, "ref_column": "rk"},
+    ]
+    rep = {
+        r.rule: (r.n_violations, r.n_checked, r.passed)
+        for r in expectations_report(df, rules).collect()
+    }
+    assert rep["k_not_null"] == (1, 4, False)
+    assert rep["price_range"] == (1, 4, False)  # NULL price exempt
+    assert rep["st_accepted_values"] == (1, 4, False)
+    assert rep["pr_regex_match"] == (1, 4, False)
+    # k=1 twice -> 1 surplus copy; NULL key excluded from the check
+    assert rep["k_unique"] == (1, 3, False)
+    # k=2 is an orphan (ref has only 1); NULL FK exempt
+    assert rep["k_referential"] == (1, 3, False)
+
+
+def test_expectations_all_pass_and_unknown_kind(spark):
+    from wasaffi_spark.operators.expect import expectations_report
+
+    df = spark.createDataFrame([(1,), (2,)], "k bigint")
+    rep = expectations_report(df, [{"kind": "not_null", "column": "k"}])
+    row = rep.collect()[0]
+    assert row.passed and row.n_violations == 0 and row.n_checked == 2
+    with pytest.raises(ValueError, match="unknown rule kind"):
+        expectations_report(df, [{"kind": "monotone", "column": "k"}])
+
+
+def test_ewma_hand_computed(spark):
+    from wasaffi_spark.operators.temporal import ewma
+
+    # user 7: x = 1.0, 2.0, 3.0 (micro: 1e6, 2e6, 3e6)
+    #   s1 = 1_000_000
+    #   s2 = (30*2e6 + 70*1e6)//100 = 1_300_000
+    #   s3 = (30*3e6 + 70*1_300_000)//100 = 1_810_000
+    rows = [
+        (1, 7, 1.0),
+        (2, 7, 2.0),
+        (3, 7, 3.0),
+        (4, 9, 5.5),  # singleton: s = x
+        (5, None, 1.0),  # NULL key excluded
+        (6, 7, None),  # NULL value excluded (does not break the chain)
+    ]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, value double")
+    got = {
+        (r.user_id, r.event_id): r.ewma_micro for r in ewma(df).collect()
+    }
+    assert got == {
+        (7, 1): 1_000_000,
+        (7, 2): 1_300_000,
+        (7, 3): 1_810_000,
+        (9, 4): 5_500_000,
+    }
+
+
+def test_ewma_order_and_layout_invariance(spark):
+    from wasaffi_spark.operators.temporal import ewma
+
+    rows = [(i, i % 3, float((i * 7) % 11) / 3.0) for i in range(60)]
+    df = spark.createDataFrame(rows, "event_id bigint, user_id bigint, value double")
+    a = sorted(map(tuple, ewma(df).collect()))
+    b = sorted(map(tuple, ewma(df.repartition(7).orderBy(F.desc("event_id"))).collect()))
+    assert a == b and len(a) == 60

@@ -129,4 +129,7 @@ def test_entry_contract(spark):
     # window, extensions first (VERDICT r1 #1)
     assert len(qs) <= 50
     names = list(qs)
-    assert names.index("dedup_exact") < names.index("filter_project")
+    # extensions first (VERDICT r1 #1) — rotation-proof: assert on a
+    # pipeline extension that is in the current window, not on a
+    # specific operator that rotation may demote
+    assert names.index("semantic_dedup") < names.index("filter_project")

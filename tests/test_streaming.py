@@ -52,7 +52,9 @@ def test_tumbling_stream_equals_batch(spark, event_stream):
 
 @needs_data
 def test_session_window_stream_equals_batch(spark, event_stream):
-    from wasaffi_spark.operators.catalog import QUERIES as OPQ
+    from wasaffi_spark.operators.catalog import EXTRA_QUERIES, QUERIES
+
+    OPQ = {**QUERIES, **EXTRA_QUERIES}  # rotation-proof lookup
 
     stream_ops.run_to_memory(
         stream_ops.session_counts(event_stream), "sessions_test"

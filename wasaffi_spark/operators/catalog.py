@@ -3659,6 +3659,43 @@ register_extra(
 )
 
 
+def q_knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the mutual-kNN graph (operators/
+    graph.py::triangle_count — r5): the clustering-coefficient /
+    community-density primitive, run on the same deterministic edge
+    set as `mutual_knn` so the two queries share their oracle CTE
+    chain. Each triangle enumerated exactly once via oriented wedge +
+    closing equi-join; output ∝ triangles."""
+    from . import graph
+
+    emb = _table(spark, sf_dir, "embeddings")
+    edges = similarity.knn_edges_bucketed(emb, k=KNN_K)
+    pairs = similarity.mutual_knn_pairs(edges).select("id_a", "id_b")
+    return graph.triangle_count(pairs).orderBy("node")
+
+
+register_extra(
+    "knn_triangles",
+    q_knn_triangles,
+    f"""with {_MUTUAL_KNN_CTES},
+        te as (select id_a as a, id_b as b from mpairs),
+        wedge as (
+          select e1.a as a, e1.b as b, e2.b as c
+          from te e1 join te e2 on e1.b = e2.a),
+        tri as (
+          select w.a, w.b, w.c
+          from wedge w
+          where exists (select 1 from te e3
+                        where e3.a = w.a and e3.b = w.c)),
+        tn as (
+          select a as node from tri
+          union all select b from tri
+          union all select c from tri)
+        select node, count(*)::bigint as n_triangles
+        from tn group by node order by node""",
+)
+
+
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding clustering end-to-end (similarity.mutual_knn_pairs →
     graph.connected_components): the kNN-graph clustering a semantic-
@@ -4193,6 +4230,79 @@ def _bpe_oracle(k: int) -> str:
 
 
 register_extra("bpe_merges", q_bpe_merges, _bpe_oracle(BPE_K))
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY path (operators/bpe.py::bpe_segment): the merges
+    learned by ``bpe_train`` applied back to the corpus in rank order
+    (same two-sweep canonical replace), yielding per-document BPE token
+    counts and fertility (subwords per word) — the statistic that
+    grades a tokenizer against a corpus. Completes the train→apply
+    tokenizer story with both halves hash-oracled: the oracle re-runs
+    the unrolled training chain AND replays the application chain on
+    the per-(doc, word) frame."""
+    from . import bpe
+
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    merges = bpe.bpe_train(docs, k_merges=BPE_K)
+    return bpe.bpe_segment(docs, merges).orderBy("doc_id")
+
+
+def _bpe_fertility_oracle(k: int) -> str:
+    d = "chr(31)"
+    train = _bpe_oracle(k)
+    # reuse the training chain: everything before the final UNION of
+    # b0..b{k-1} (the CTE definitions are self-contained; the union
+    # tail starts at the FIRST "select rank::int" line)
+    train_ctes = train[: train.index("select rank::int")].rstrip().rstrip(
+        "\n "
+    )
+    apply_blocks = []
+    for r in range(k):
+        pat = f"(select {d} || left_sym || {d} || right_sym || {d} from b{r})"
+        rep = f"(select {d} || merged || {d} from b{r})"
+        apply_blocks.append(
+            f"""a{r + 1} as (
+          select doc_id,
+                 replace(replace(seq, {pat}, {rep}), {pat}, {rep}) as seq
+          from a{r})"""
+        )
+    return (
+        train_ctes
+        + f""",
+        tok2 as (
+          select doc_id,
+                 unnest(list_filter(string_split_regex(lower(coalesce(text,
+                                                                      '')),
+                                                       '\\s+'),
+                                    x -> x <> '')) as word
+          from documents),
+        words2 as (select doc_id, word from tok2
+                   where strpos(word, {d}) = 0),
+        a0 as (select doc_id,
+                      {d} ||
+                      array_to_string(
+                        list_transform(generate_series(1, len(word)),
+                                       i -> substr(word, i, 1)), {d})
+                      || {d} as seq
+               from words2),
+        """
+        + ",\n        ".join(apply_blocks)
+        + f""",
+        per_word as (
+          select doc_id,
+                 len(list_filter(string_split(seq, {d}), x -> x <> ''))
+                   as n_sub
+          from a{k})
+        select doc_id,
+               sum(n_sub)::bigint as n_bpe_tokens,
+               count(*)::bigint as n_words,
+               round(sum(n_sub) / count(*), 6) as fertility
+        from per_word group by doc_id order by doc_id"""
+    )
+
+
+register_extra("bpe_fertility", q_bpe_fertility, _bpe_fertility_oracle(BPE_K))
 
 
 def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5249,4 +5359,127 @@ _demote(
     "skew_salted_join",
     "paragraph_dedup",
     "gopher_filter",
+)
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: data-quality expectations, graph triangles (above),
+# tokenizer apply (above). All land as extras first (rotation policy).
+
+EXPECT_STATUS = ("O", "F", "P")
+
+
+def q_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/expect.py::
+    expectations_report — the Deequ/Great-Expectations shape): six
+    rules over the TPC-H orders table — not_null, positive-range,
+    accepted-values, regex-format, key-uniqueness, and referential
+    integrity against customer. All in-row rules share ONE scan; the
+    uniqueness check is its own key shuffle; the FK check is a
+    left-anti equi-join AQE broadcasts. Report = one row per rule."""
+    from . import expect
+
+    orders = _table(spark, sf_dir, "orders")
+    customer = _table(spark, sf_dir, "customer")
+    rules = [
+        {"name": "orderkey_not_null", "kind": "not_null",
+         "column": "o_orderkey"},
+        {"name": "totalprice_positive", "kind": "range",
+         "column": "o_totalprice", "min": 0},
+        {"name": "status_domain", "kind": "accepted_values",
+         "column": "o_orderstatus", "values": list(EXPECT_STATUS)},
+        {"name": "priority_format", "kind": "regex_match",
+         "column": "o_orderpriority", "pattern": "^[1-5]-"},
+        {"name": "orderkey_unique", "kind": "unique",
+         "column": "o_orderkey"},
+        {"name": "custkey_in_customer", "kind": "referential",
+         "column": "o_custkey", "ref": customer,
+         "ref_column": "c_custkey"},
+    ]
+    return expect.expectations_report(orders, rules).orderBy("rule")
+
+
+register_extra(
+    "orders_expectations",
+    q_orders_expectations,
+    """with base as (
+          select count(*)::bigint as n,
+                 sum(case when o_orderkey is null then 1 else 0
+                     end)::bigint as v_nn,
+                 sum(case when o_totalprice < 0 then 1 else 0
+                     end)::bigint as v_rng,
+                 sum(case when o_orderstatus not in ('O', 'F', 'P') then 1
+                          else 0 end)::bigint as v_acc,
+                 sum(case when not regexp_matches(o_orderpriority::varchar,
+                                                  '^[1-5]-') then 1
+                          else 0 end)::bigint as v_re
+          from orders),
+        uq as (
+          select coalesce(sum(case when c > 1 then c - 1 end),
+                          0)::bigint as v,
+                 coalesce(sum(c), 0)::bigint as n
+          from (select count(*) as c from orders
+                where o_orderkey is not null group by o_orderkey)),
+        rf as (
+          select count(*)::bigint as n,
+                 sum(case when c.c_custkey is null then 1 else 0
+                     end)::bigint as v
+          from orders o
+          left join (select distinct c_custkey from customer) c
+            on o.o_custkey = c.c_custkey
+          where o.o_custkey is not null)
+        select * from (
+          select 'orderkey_not_null' as rule, 'not_null' as kind,
+                 'o_orderkey' as col_name, v_nn as n_violations,
+                 n as n_checked, v_nn = 0 as passed from base
+          union all
+          select 'totalprice_positive', 'range', 'o_totalprice', v_rng,
+                 n, v_rng = 0 from base
+          union all
+          select 'status_domain', 'accepted_values', 'o_orderstatus',
+                 v_acc, n, v_acc = 0 from base
+          union all
+          select 'priority_format', 'regex_match', 'o_orderpriority',
+                 v_re, n, v_re = 0 from base
+          union all
+          select 'orderkey_unique', 'unique', 'o_orderkey', v, n,
+                 v = 0 from uq
+          union all
+          select 'custkey_in_customer', 'referential', 'o_custkey', v,
+                 n, v = 0 from rf)
+        order by rule""",
+)
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA over the event stream (operators/temporal.py::
+    ewma — r5): integer micro-unit fold ``s_t = ⌊(30·x_t + 70·s_{t-1})
+    / 100⌋`` in event_id order, engine-exact at every step (a float
+    EWMA would drift by summation error and be un-hashable). One key
+    shuffle; the fold is group-local. The DuckDB oracle replays the
+    recurrence with a recursive CTE."""
+    from . import temporal
+
+    events = _table(spark, sf_dir, "events")
+    return temporal.ewma(events).orderBy("user_id", "event_id")
+
+
+register_extra(
+    "events_ewma",
+    q_events_ewma,
+    """with recursive q as (
+          select user_id, event_id,
+                 cast(floor(value * 1000000 + 0.5) as bigint) as qv,
+                 row_number() over (partition by user_id
+                                    order by event_id) as rn
+          from events
+          where user_id is not null and value is not null),
+        r(user_id, event_id, rn, s) as (
+          select user_id, event_id, rn, qv from q where rn = 1
+          union all
+          select q.user_id, q.event_id, q.rn,
+                 cast(floor((30 * q.qv + 70 * r.s) / 100) as bigint)
+          from q join r on q.user_id = r.user_id and q.rn = r.rn + 1)
+        select user_id, event_id, s as ewma_micro
+        from r order by user_id, event_id""",
 )

@@ -1,0 +1,153 @@
+"""Declarative data-quality expectations — the validation gate a
+production pipeline runs before promoting a snapshot (the
+Deequ/Great-Expectations shape, re-expressed as pure Spark SQL plans).
+
+Beyond-reference extension (SURVEY §7.6; the reference engine has no
+data-quality surface). A rule set is a list of dicts:
+
+    {"name": "orderkey_not_null", "kind": "not_null",  "column": "o_orderkey"}
+    {"kind": "range",           "column": ..., "min": ..., "max": ...}
+    {"kind": "accepted_values", "column": ..., "values": [...]}
+    {"kind": "regex_match",     "column": ..., "pattern": r"..."}
+    {"kind": "unique",          "column": ...}
+    {"kind": "referential",     "column": ..., "ref": <DataFrame>, "ref_column": ...}
+
+and the report is one row per rule: ``(rule, kind, column,
+n_violations, n_checked, passed)``.
+
+Spark-first shape, built for 100 TB:
+
+- every IN-ROW rule (not_null / range / accepted_values / regex_match)
+  compiles into ONE conditional-sum aggregate over a single scan of the
+  table — adding rules adds expressions, not passes. The wide 1-row
+  aggregate is exploded to the long report via an array-of-structs
+  ``inline`` (no shuffle beyond the aggregate's own partial-merge).
+- ``unique`` rules each need a groupBy on their key (inherent — a
+  uniqueness check IS a shuffle on that key); violations = Σ(cnt − 1),
+  i.e. the number of surplus copies.
+- ``referential`` rules are LEFT ANTI equi-joins against the dimension
+  frame — Catalyst/AQE broadcasts small dims; NULL foreign keys are
+  not orphans (SQL semantics: NULL FK is exempt, count it with a
+  not_null rule if required).
+
+Everything stays in the plan — no driver-side collect; the report
+DataFrame is O(rules) rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _violation(rule: dict) -> Column:
+    col = F.col(rule["column"])
+    kind = rule["kind"]
+    if kind == "not_null":
+        return col.isNull()
+    if kind == "range":
+        bad = F.lit(False)
+        if "min" in rule:
+            bad = bad | (col < F.lit(rule["min"]))
+        if "max" in rule:
+            bad = bad | (col > F.lit(rule["max"]))
+        # NULLs are exempt (pair with not_null to forbid them)
+        return F.coalesce(bad, F.lit(False))
+    if kind == "accepted_values":
+        return F.coalesce(~col.isin(*rule["values"]), F.lit(False))
+    if kind == "regex_match":
+        return F.coalesce(
+            ~col.cast("string").rlike(rule["pattern"]), F.lit(False)
+        )
+    raise ValueError(f"expectations: unknown in-row rule kind {kind!r}")
+
+
+def _rule_name(rule: dict) -> str:
+    return rule.get("name", f"{rule['column']}_{rule['kind']}")
+
+
+def expectations_report(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Evaluate ``rules`` against ``df`` → ``(rule, kind, col_name,
+    n_violations, n_checked, passed)``, one row per rule, in rule
+    order. See module docstring for the rule grammar and plan shape."""
+    inrow = [
+        r
+        for r in rules
+        if r["kind"] in ("not_null", "range", "accepted_values", "regex_match")
+    ]
+    uniques = [r for r in rules if r["kind"] == "unique"]
+    refs = [r for r in rules if r["kind"] == "referential"]
+    known = {id(r) for r in inrow + uniques + refs}
+    unknown = [r for r in rules if id(r) not in known]
+    if unknown:
+        raise ValueError(
+            f"expectations: unknown rule kind {unknown[0]['kind']!r}"
+        )
+
+    pieces: list[DataFrame] = []
+    if inrow:
+        aggs = [
+            F.sum(F.when(_violation(r), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_v{i}")
+            for i, r in enumerate(inrow)
+        ]
+        wide = df.agg(F.count("*").cast("bigint").alias("_n"), *aggs)
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(_rule_name(r)).alias("rule"),
+                    F.lit(r["kind"]).alias("kind"),
+                    F.lit(r["column"]).alias("col_name"),
+                    F.col(f"_v{i}").alias("n_violations"),
+                    F.col("_n").alias("n_checked"),
+                )
+                for i, r in enumerate(inrow)
+            ]
+        )
+        pieces.append(wide.select(F.inline(entries)))
+    for r in uniques:
+        col = r["column"]
+        per_key = (
+            df.where(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count("*").alias("_c"))
+        )
+        pieces.append(
+            per_key.agg(
+                F.lit(_rule_name(r)).alias("rule"),
+                F.lit("unique").alias("kind"),
+                F.lit(col).alias("col_name"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_c") > 1, F.col("_c") - 1)), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("n_violations"),
+                F.coalesce(F.sum("_c"), F.lit(0))
+                .cast("bigint")
+                .alias("n_checked"),
+            )
+        )
+    for r in refs:
+        col, ref, ref_col = r["column"], r["ref"], r["ref_column"]
+        fk = df.select(F.col(col)).where(F.col(col).isNotNull())
+        orphans = fk.join(
+            ref.select(F.col(ref_col).alias(col)).distinct(), col, "left_anti"
+        )
+        pieces.append(
+            fk.agg(F.count("*").cast("bigint").alias("_n"))
+            .crossJoin(
+                orphans.agg(F.count("*").cast("bigint").alias("_v"))
+            )
+            .select(
+                F.lit(_rule_name(r)).alias("rule"),
+                F.lit("referential").alias("kind"),
+                F.lit(col).alias("col_name"),
+                F.col("_v").alias("n_violations"),
+                F.col("_n").alias("n_checked"),
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("passed", F.col("n_violations") == 0)

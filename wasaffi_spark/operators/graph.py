@@ -158,3 +158,59 @@ def pagerank(
         esrc.unpersist()
         nodes.unpersist()
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected pair graph —
+    ``(node, n_triangles)`` for every node that closes at least one
+    triangle. The clustering-coefficient / community-density primitive
+    a kNN-graph analysis runs after :func:`mutual_knn_pairs`.
+
+    Beyond-reference extension (the reference engine has no graph
+    surface). Shape: canonical orientation ``a < b`` gives each
+    undirected edge one row; a wedge join (``e1.b = e2.a`` ⇒
+    ``a < b < c``) enumerates each candidate triangle once, and the
+    closing equi-join on ``(a, c)`` keeps the real ones — so every
+    triangle is found EXACTLY once, as (a<b<c). Two equi-joins on node
+    keys; output ∝ triangles, never node².
+
+    Scale: wedge fan-out is Σ deg_out(b)·deg_in(b) under id
+    orientation; the standard 100 TB refinement is degree ordering
+    (orient edges low-degree → high-degree) which caps wedges by
+    O(m^1.5) — same plan shape, different orientation key, plug it in
+    by pre-computing degrees and replacing the ``<`` comparator.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    w = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+        .alias("w")
+    )
+    t = w.join(
+        e.alias("e3"),
+        (F.col("e3.a") == F.col("w.a")) & (F.col("e3.b") == F.col("w.c")),
+        "left_semi",
+    )
+    nodes = (
+        t.select(F.col("a").alias("node"))
+        .unionAll(t.select(F.col("b").alias("node")))
+        .unionAll(t.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )

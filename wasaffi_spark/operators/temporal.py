@@ -289,3 +289,78 @@ def interval_overlap_join(
             F.col(f"_r_{c}").alias(c if c not in lcols else f"{c}_r")
         )
     return joined.select(*out_cols)
+
+
+EWMA_QUANT = 1_000_000
+EWMA_ALPHA_BP = 30  # α in hundredths: s_t = (30·x_t + 70·s_{t-1}) / 100
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    alpha_bp: int = EWMA_ALPHA_BP,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average — the streaming
+    feature-engineering primitive (user activity level, rolling
+    quality signal) computed batch-side: for each key, values in
+    ``order_col`` order fold through ``s_t = ⌊(α·x_t +
+    (100−α)·s_{t−1}) / 100⌋`` on the micro-unit integer grid, seeded
+    with ``s_0 = x_0``. INTEGER-EXACT: the quantize-then-floor chain
+    makes every smoothed value bit-identical across engines and
+    partitionings (a float EWMA would drift by summation error), so
+    the whole series is hash-oracle-able — DuckDB replays it with a
+    recursive CTE.
+
+    Beyond-reference extension. Shape: one hash shuffle on the key;
+    the fold is an in-row ``aggregate`` over the key's sorted
+    (order, value) structs — group-local, sized by events-per-key
+    (bounded in any windowed/retention-limited pipeline; for unbounded
+    keys switch to the streaming twin ``applyInPandasWithState``).
+    Rows with NULL key or value are excluded (EWMA undefined).
+    Returns ``(key_col, order_col, ewma_micro)`` for every input row.
+    """
+    q = F.floor(
+        F.col(value_col).cast("double") * EWMA_QUANT + F.lit(0.5)
+    ).cast("bigint")
+    items = F.sort_array(
+        F.collect_list(F.struct(F.col(order_col).alias("o"), q.alias("q")))
+    )
+    grouped = (
+        df.where(F.col(key_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(key_col)
+        .agg(items.alias("_it"))
+    )
+    init = F.struct(
+        F.lit(None).cast("bigint").alias("p"),
+        F.array().cast("array<struct<o:bigint,e:bigint>>").alias("outs"),
+    )
+
+    def step(acc, x):
+        s = F.when(acc["p"].isNull(), x["q"]).otherwise(
+            F.floor(
+                (
+                    F.lit(alpha_bp) * x["q"]
+                    + F.lit(100 - alpha_bp) * acc["p"]
+                )
+                / F.lit(100)
+            ).cast("bigint")
+        )
+        return F.struct(
+            s.alias("p"),
+            F.concat(
+                acc["outs"],
+                F.array(F.struct(x["o"].alias("o"), s.alias("e"))),
+            ).alias("outs"),
+        )
+
+    folded = grouped.select(
+        key_col,
+        F.explode(F.aggregate(F.col("_it"), init, step)["outs"]).alias("_r"),
+    )
+    return folded.select(
+        key_col,
+        F.col("_r.o").alias(order_col),
+        F.col("_r.e").alias("ewma_micro"),
+    )
