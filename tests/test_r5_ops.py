@@ -108,3 +108,27 @@ def test_ewma_order_and_layout_invariance(spark):
     a = sorted(map(tuple, ewma(df).collect()))
     b = sorted(map(tuple, ewma(df.repartition(7).orderBy(F.desc("event_id"))).collect()))
     assert a == b and len(a) == 60
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from wasaffi_spark.operators.retrieval import rrf_fuse
+
+    # doc 10: rank 1 lexical + rank 3 dense -> 1e9//61 + 1e9//63
+    # doc 20: rank 2 lexical only           -> 1e9//62
+    # doc 30: rank 1 dense only             -> 1e9//61
+    lex = spark.createDataFrame(
+        [("q", 10, 1), ("q", 20, 2)], "query_id string, doc_id bigint, rank int"
+    )
+    dense = spark.createDataFrame(
+        [("q", 30, 1), ("q", 10, 3)], "query_id string, doc_id bigint, rank int"
+    )
+    got = {
+        r.doc_id: (r.rrf_micro, r.n_sources, r.rank)
+        for r in rrf_fuse([lex, dense], topk=3).collect()
+    }
+    s10 = 10**9 // 61 + 10**9 // 63
+    assert got[10] == (s10, 2, 1)  # two sources beat any single source
+    assert got[30] == (10**9 // 61, 1, 2)
+    assert got[20] == (10**9 // 62, 1, 3)
+    with pytest.raises(ValueError):
+        rrf_fuse([])

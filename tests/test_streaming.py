@@ -527,3 +527,26 @@ def test_streaming_classifier_gate_equals_batch(spark):
         ).collect()
     }
     assert got == expected
+
+
+@needs_data
+def test_ewma_stream_equals_batch(spark, event_stream):
+    """The streaming EWMA fold (applyInPandasWithState, integer
+    micro-unit recurrence in state) must be bit-identical to the batch
+    temporal.ewma over the same events."""
+    from wasaffi_spark.operators import temporal
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    stream_ops.run_to_memory(
+        stream_ops.ewma_stream(event_stream), "ewma_test", "update"
+    )
+    got = {
+        (r.user_id, r.event_id): r.ewma_micro
+        for r in spark.table("ewma_test").collect()
+    }
+    batch = read_parquet(spark, os.path.join(SF_SMOKE, "events.parquet"))
+    want = {
+        (r.user_id, r.event_id): r.ewma_micro
+        for r in temporal.ewma(batch).collect()
+    }
+    assert got == want and len(got) > 0

@@ -5483,3 +5483,125 @@ register_extra(
         select user_id, event_id, s as ewma_micro
         from r order by user_id, event_id""",
 )
+
+
+HYBRID_SRC_K = 20
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (operators/
+    retrieval.py::rrf_fuse — r5, Cormack et al. 2009): BM25 lexical
+    top-20 and dense hashed-embedding cosine top-20 (query vector =
+    bag-of-words hashed embedding of the SAME query terms, so the two
+    channels share one query set) fused by Σ⌊10⁹/(60+rank)⌋ — the
+    standard RAG hybrid-search shape, integer-exact end to end. The
+    fusion adds no corpus-sized work: it unions two O(queries·k)
+    frames."""
+    from pyspark.sql.window import Window
+
+    from . import retrieval
+
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    qdf = spark.createDataFrame(
+        BM25_QUERY_TERMS, "query_id string, term string"
+    )
+    lex = retrieval.bm25_topk(docs, qdf, k=HYBRID_SRC_K).select(
+        "query_id", "doc_id", "rank"
+    )
+    ce = similarity.hashed_embedding(docs, dim=HASHED_EMB_DIM).where(
+        F.col("norm_sq") > 0
+    )
+    qtext = qdf.groupBy("query_id").agg(
+        F.concat_ws(" ", F.collect_list("term")).alias("qtext")
+    )  # collect_list order is free — the hashed embedding is a bag sum
+    qv = similarity.hashed_embedding(
+        qtext, dim=HASHED_EMB_DIM, text_col="qtext", id_col="query_id"
+    )
+    scored = (
+        F.broadcast(
+            qv.select(F.col("query_id"), F.col("embedding").alias("qe"))
+        )
+        .crossJoin(
+            ce.select(F.col("doc_id"), F.col("embedding").alias("ne"))
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                similarity.cosine(F.col("qe"), F.col("ne")), 6
+            ).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("doc_id"))
+    dense = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= HYBRID_SRC_K)
+        .select("query_id", "doc_id", "rank")
+    )
+    return retrieval.rrf_fuse([lex, dense], topk=BM25_K).orderBy(
+        "query_id", "rank"
+    )
+
+
+register_extra(
+    "hybrid_rrf",
+    q_hybrid_rrf,
+    f"""with bm as (
+          select query_id, doc_id, rank
+          from ({_bm25_sql("select doc_id as id, text as txt from documents",
+                           "doc_id", HYBRID_SRC_K)})),
+        {_HASHED_EMB_CTES},
+        qt(query_id, term) as (values {_BM25_VALUES}),
+        qjt as (select query_id,
+                       ('0x' || substr(md5(term), 1, 8))::bigint
+                         % {HASHED_EMB_DIM} as j,
+                       case when ('0x' || substr(md5(term), 9, 1))::int
+                                 % 2 = 0
+                            then 1 else -1 end as s
+                from qt),
+        qg as (select query_id, j, sum(s)::bigint as v from qjt
+               group by 1, 2),
+        qdense as (
+          select q.query_id, i.j, coalesce(qg.v, 0)::bigint as v
+          from (select distinct query_id from qt) q
+          cross join (select i as j
+                      from unnest(generate_series(0, {HASHED_EMB_DIM - 1}))
+                        as s(i)) i
+          left join qg on qg.query_id = q.query_id and qg.j = i.j),
+        qemb as (
+          select query_id, array_agg(v order by j) as qe
+          from qdense group by query_id),
+        dscored as (
+          select qe.query_id, e.doc_id,
+                 round(list_cosine_similarity(qe.qe::DOUBLE[],
+                                              e.embedding::DOUBLE[]),
+                       6) as cs
+          from qemb qe, emb e where e.norm_sq > 0),
+        dn as (
+          select query_id, doc_id,
+                 row_number() over (partition by query_id
+                                    order by cs desc, doc_id) as rank
+          from dscored),
+        dtop as (select query_id, doc_id, rank from dn
+                 where rank <= {HYBRID_SRC_K}),
+        parts as (
+          select query_id, doc_id,
+                 cast(floor(1000000000 / (60 + rank)) as bigint) as c
+          from bm
+          union all
+          select query_id, doc_id,
+                 cast(floor(1000000000 / (60 + rank)) as bigint)
+          from dtop),
+        fused as (
+          select query_id, doc_id, sum(c)::bigint as rrf_micro,
+                 count(*)::int as n_sources
+          from parts group by 1, 2),
+        fr as (
+          select query_id, doc_id, rrf_micro, n_sources,
+                 cast(row_number() over (
+                   partition by query_id
+                   order by rrf_micro desc, doc_id) as int) as rank
+          from fused)
+        select query_id, doc_id, rrf_micro, n_sources, rank
+        from fr where rank <= {BM25_K} order by query_id, rank""",
+)

@@ -134,3 +134,63 @@ def bm25_topk(
             "rank",
         )
     )
+
+
+RRF_SCALE = 1_000_000_000
+RRF_K = 60  # the Cormack et al. 2009 constant
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    topk: int = 5,
+    k_rrf: int = RRF_K,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — THE
+    standard hybrid-retrieval combiner (lexical BM25 + dense ANN in
+    every production RAG stack): fused score(d) = Σ_rankings
+    1/(k + rank_r(d)), which rewards documents that rank well in ANY
+    source without comparing incommensurable raw scores.
+
+    Each input frame must carry (``query_col``, ``id_col``, ``rank``).
+    INTEGER-EXACT: contributions are ``⌊10⁹ / (k + rank)⌋`` — an
+    integer per (source, doc), so the fused score is an exact bigint
+    (cross-engine hashable; float 1/(k+r) sums would depend on
+    addition order). Returns (query, doc, ``rrf_micro``,
+    ``n_sources``, ``rank``) with rank ≤ topk per query, ties broken
+    by ascending doc id.
+
+    Scale: inputs are already top-k frames — O(queries·k) rows per
+    source — so the union + groupBy is tiny relative to the retrieval
+    passes that produced them; this operator adds no corpus-sized work.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    parts = [
+        r.select(
+            F.col(query_col),
+            F.col(id_col),
+            F.floor(
+                F.lit(RRF_SCALE) / (F.lit(k_rrf) + F.col("rank"))
+            )
+            .cast("bigint")
+            .alias("_c"),
+        )
+        for r in rankings
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    fused = allp.groupBy(query_col, id_col).agg(
+        F.sum("_c").cast("bigint").alias("rrf_micro"),
+        F.count("*").cast("int").alias("n_sources"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("rrf_micro"), F.asc(id_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(query_col, id_col, "rrf_micro", "n_sources", "rank")
+    )

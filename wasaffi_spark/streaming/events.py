@@ -326,3 +326,69 @@ def view_click_join(
                 and click_ts <= view_ts + interval {gap}"""
         ),
     ).select("user_id", "view_id", "click_id", "view_ts", "click_ts")
+
+
+EWMA_OUT_SCHEMA = "user_id bigint, event_id bigint, ewma_micro bigint"
+EWMA_STATE_SCHEMA = "s bigint"
+
+
+def ewma_stream(
+    events: DataFrame,
+    alpha_bp: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``operators/temporal.py::ewma`` — the same
+    integer micro-unit recurrence ``s ← ⌊(α·x + (100−α)·s)/100⌋``
+    carried as per-user state via ``applyInPandasWithState``: arriving
+    rows fold in ``event_id`` order within each micro-batch, and the
+    last smoothed value persists in the state store so the series
+    continues seamlessly across batches. Emits one (user_id, event_id,
+    ewma_micro) row per input event — bit-identical to the batch
+    operator when per-key event_ids arrive monotonically across
+    batches (an ordered log/CDC feed; the same contract every stateful
+    stream fold carries). NULL keys/values are excluded, as in batch.
+
+    Update function inline so cloudpickle ships it by value (executors
+    need no package install — module posture, see stateful_user_stats).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    a = int(alpha_bp)
+
+    def update_ewma(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        s = int(state.get[0]) if state.exists else None
+        out_u, out_e, out_s = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("event_id")
+            for eid, val in zip(pdf["event_id"], pdf["value"]):
+                if pd.isna(val):
+                    continue
+                q = math.floor(float(val) * 1_000_000 + 0.5)
+                s = q if s is None else math.floor((a * q + (100 - a) * s) / 100)
+                out_u.append(int(key[0]))
+                out_e.append(int(eid))
+                out_s.append(int(s))
+        if s is not None:
+            state.update((int(s),))
+        yield pd.DataFrame(
+            {"user_id": out_u, "event_id": out_e, "ewma_micro": out_s}
+        )
+
+    return (
+        events.where(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_ewma,
+            outputStructType=EWMA_OUT_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
