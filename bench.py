@@ -133,6 +133,8 @@ HEADLINE = [
     "knn_triangles",
     "orders_expectations",
     "events_ewma",
+    "hybrid_rrf",
+    "kanon_audit",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

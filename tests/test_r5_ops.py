@@ -132,3 +132,27 @@ def test_rrf_fuse_hand_computed(spark):
     assert got[20] == (10**9 // 62, 1, 3)
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_k_anonymity_report(spark):
+    from wasaffi_spark.operators.expect import k_anonymity_report
+
+    # class (1,'A'): 3 rows, 2 sensitive values; class (2,'B'): 1 row
+    # (violates k=2); NULL quasi rows form their own class of 2
+    rows = [
+        (1, "A", "x"), (1, "A", "y"), (1, "A", "x"),
+        (2, "B", "x"),
+        (None, "A", "x"), (None, "A", "x"),
+    ]
+    df = spark.createDataFrame(rows, "q1 int, q2 string, s string")
+    r = k_anonymity_report(
+        df, ["q1", "q2"], k=2, sensitive_col="s", l_diverse=2
+    ).collect()[0]
+    assert r.n_rows == 6 and r.n_classes == 3
+    assert r.min_class_size == 1
+    assert r.n_violating_classes == 1 and r.n_violating_rows == 1
+    assert not r.k_anonymous
+    assert r.min_l == 1 and not r.l_diverse_ok  # the NULL class has one s
+    # without a sensitive column the l columns are absent
+    r2 = k_anonymity_report(df, ["q1"], k=1)
+    assert "min_l" not in r2.columns and r2.collect()[0].k_anonymous

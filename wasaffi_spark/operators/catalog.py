@@ -5605,3 +5605,55 @@ register_extra(
         select query_id, doc_id, rrf_micro, n_sources, rank
         from fr where rank <= {BM25_K} order by query_id, rank""",
 )
+
+
+KANON_K = 4
+
+
+def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-release audit (operators/expect.py::k_anonymity_report —
+    r5): k-anonymity over customer quasi-identifiers (nation, market
+    segment) with l-diversity on the account-balance sign as the
+    sensitive attribute — the indirect-identifier companion of the PII
+    redaction gate. One quasi-tuple groupBy + a 1-row summary."""
+    from . import expect
+
+    cust = _table(spark, sf_dir, "customer").withColumn(
+        "bal_bucket",
+        F.when(F.col("c_acctbal") < 0, F.lit("neg")).otherwise(F.lit("pos")),
+    )
+    return expect.k_anonymity_report(
+        cust,
+        ["c_nationkey", "c_mktsegment"],
+        k=KANON_K,
+        sensitive_col="bal_bucket",
+        l_diverse=2,
+    )
+
+
+register_extra(
+    "kanon_audit",
+    q_kanon_audit,
+    f"""with c as (
+          select c_nationkey, c_mktsegment,
+                 case when c_acctbal < 0 then 'neg' else 'pos' end
+                   as bal_bucket
+          from customer),
+        cls as (
+          select c_nationkey, c_mktsegment,
+                 count(*)::bigint as c,
+                 count(distinct bal_bucket)::bigint as l
+          from c group by 1, 2)
+        select coalesce(sum(c), 0)::bigint as n_rows,
+               count(*)::bigint as n_classes,
+               min(c)::bigint as min_class_size,
+               coalesce(sum(case when c < {KANON_K} then 1 end),
+                        0)::bigint as n_violating_classes,
+               coalesce(sum(case when c < {KANON_K} then c end),
+                        0)::bigint as n_violating_rows,
+               min(l)::bigint as min_l,
+               (coalesce(sum(case when c < {KANON_K} then 1 end), 0) = 0)
+                 as k_anonymous,
+               (min(l) >= 2) as l_diverse_ok
+        from cls""",
+)

@@ -151,3 +151,54 @@ def expectations_report(df: DataFrame, rules: list[dict]) -> DataFrame:
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out.withColumn("passed", F.col("n_violations") == 0)
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    sensitive_col: str | None = None,
+    l_diverse: int = 2,
+) -> DataFrame:
+    """Privacy-release audit — k-anonymity (Sweeney 2002) and optional
+    l-diversity (Machanavalli et al. 2007) over a table about to leave
+    the trust boundary: every row must share its quasi-identifier
+    combination with ≥ k−1 others, and (if ``sensitive_col`` is given)
+    each equivalence class must carry ≥ ``l_diverse`` distinct
+    sensitive values — the companion gate to PII redaction
+    (``text.redact_pii``): redaction removes direct identifiers, this
+    audits the INDIRECT ones.
+
+    One groupBy on the quasi-identifier tuple (the inherent shuffle —
+    the audit IS that aggregation), then a 1-row summary:
+    ``(n_rows, n_classes, min_class_size, n_violating_classes,
+    n_violating_rows, k_anonymous[, min_l, l_diverse_ok])``. Rows with
+    any NULL quasi-identifier form their own class per SQL groupBy
+    semantics (NULLs group together) — deliberate: suppressed values
+    are still a disclosure class.
+    """
+    aggs = [F.count("*").alias("_c")]
+    if sensitive_col is not None:
+        aggs.append(F.count_distinct(F.col(sensitive_col)).alias("_l"))
+    per_class = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+    out_aggs = [
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.min("_c").cast("bigint").alias("min_class_size"),
+        F.coalesce(F.sum(F.when(F.col("_c") < k, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_violating_classes"),
+        F.coalesce(F.sum(F.when(F.col("_c") < k, F.col("_c"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_violating_rows"),
+    ]
+    if sensitive_col is not None:
+        out_aggs.append(F.min("_l").cast("bigint").alias("min_l"))
+    rep = per_class.agg(*out_aggs).withColumn(
+        "k_anonymous", F.col("n_violating_classes") == 0
+    )
+    if sensitive_col is not None:
+        rep = rep.withColumn(
+            "l_diverse_ok", F.col("min_l") >= F.lit(l_diverse)
+        )
+    return rep
