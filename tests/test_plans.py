@@ -370,3 +370,66 @@ def test_text_ann_ivf_probe_join_is_hash_on_cell(spark):
     assert hash_joins, "probe join must be a broadcast hash join"
     assert re.search(r"keys \[1\]: \[cell#\d+", f.text)
     assert "EvalPython" not in f.text
+
+
+@needs_data
+def test_triangle_count_no_cartesian(spark):
+    """Triangle enumeration must stay equi-join shaped: oriented wedge
+    + closing semi-join — never a nested-loop/cartesian pair scan."""
+    from wasaffi_spark.operators.catalog import EXTRA_QUERIES, QUERIES
+
+    q = {**QUERIES, **EXTRA_QUERIES}["knn_triangles"]
+    f = plan_facts(q(spark, SF_SMOKE))
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+
+
+@needs_data
+def test_expectations_inrow_rules_share_one_scan(spark):
+    """The four in-row rules must compile into ONE conditional-sum
+    aggregate over ONE scan of orders (adding rules adds expressions,
+    not passes); the whole report reads orders at most 3× (in-row +
+    unique + referential legs)."""
+    from wasaffi_spark.operators.catalog import EXTRA_QUERIES, QUERIES
+
+    q = {**QUERIES, **EXTRA_QUERIES}["orders_expectations"]
+    f = plan_facts(q(spark, SF_SMOKE))
+    orders_scans = f.text.count("orders.parquet")
+    assert orders_scans <= 3, f.text
+
+
+@needs_data
+def test_global_row_number_never_single_partition_sorts(spark):
+    """The distributed rank must not materialize a SinglePartition
+    exchange anywhere (the failure mode it replaces)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators.ranking import global_row_number
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, os.path.join(SF_SMOKE, "documents.parquet"))
+    out = global_row_number(
+        docs.select("doc_id", "n_chars"),
+        [F.desc("n_chars"), F.asc("doc_id")],
+    )
+    f = plan_facts(out)
+    assert "Exchange SinglePartition" not in f.text, f.text
+    # the parallel range exchange happens INSIDE the localCheckpoint
+    # (invisible in the truncated final plan) — assert it on the
+    # pre-checkpoint construction directly
+    ranged = docs.select("doc_id", "n_chars").repartitionByRange(
+        8, F.desc("n_chars"), F.asc("doc_id")
+    )
+    assert "rangepartitioning" in plan_facts(ranged).text
+    # correctness of the rank itself: equals the naive global window
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    naive = docs.select(
+        "doc_id", F.row_number().over(w).alias("rnk")
+    )
+    got = {(r.doc_id, r.rnk) for r in out.select("doc_id", "rnk").collect()}
+    want = {(r.doc_id, r.rnk) for r in naive.collect()}
+    assert got == want

@@ -131,20 +131,23 @@ def expectations_report(df: DataFrame, rules: list[dict]) -> DataFrame:
     for r in refs:
         col, ref, ref_col = r["column"], r["ref"], r["ref_column"]
         fk = df.select(F.col(col)).where(F.col(col).isNotNull())
-        orphans = fk.join(
-            ref.select(F.col(ref_col).alias(col)).distinct(), col, "left_anti"
+        # one pass over the fact side: LEFT join the distinct key set and
+        # count total + misses in the same aggregate (a separate
+        # anti-join leg would scan the fact table twice)
+        dim = (
+            ref.select(F.col(ref_col).alias(col))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
         )
         pieces.append(
-            fk.agg(F.count("*").cast("bigint").alias("_n"))
-            .crossJoin(
-                orphans.agg(F.count("*").cast("bigint").alias("_v"))
-            )
-            .select(
+            fk.join(dim, col, "left").agg(
                 F.lit(_rule_name(r)).alias("rule"),
                 F.lit("referential").alias("kind"),
                 F.lit(col).alias("col_name"),
-                F.col("_v").alias("n_violations"),
-                F.col("_n").alias("n_checked"),
+                F.coalesce(F.sum(F.when(F.col("_hit").isNull(), 1)), F.lit(0))
+                .cast("bigint")
+                .alias("n_violations"),
+                F.count("*").cast("bigint").alias("n_checked"),
             )
         )
     out = pieces[0]
