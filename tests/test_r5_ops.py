@@ -156,3 +156,27 @@ def test_k_anonymity_report(spark):
     # without a sensitive column the l columns are absent
     r2 = k_anonymity_report(df, ["q1"], k=1)
     assert "min_l" not in r2.columns and r2.collect()[0].k_anonymous
+
+
+def test_triangle_count_orientation_invariant(spark):
+    """Degree-ordered orientation (the O(m^1.5) plan) must produce the
+    SAME counts as brute-force triple enumeration — orientation is a
+    cost choice, not a semantic one. Star + attached triangles graph:
+    a hub with pendant leaves (the case id-orientation degenerates on)."""
+    import itertools
+
+    from wasaffi_spark.operators.graph import triangle_count
+
+    edges = [(0, i) for i in range(1, 12)]  # hub 0 with 11 spokes
+    edges += [(1, 2), (3, 4), (5, 6)]  # three triangles through the hub
+    edges += [(20, 21), (21, 22)]  # a path, no triangle
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    es = {frozenset(e) for e in edges}
+    nodes = sorted({n for e in edges for n in e})
+    want = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if {frozenset((x, y)), frozenset((y, z)), frozenset((x, z))} <= es:
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    assert got == want and got[0] == 3

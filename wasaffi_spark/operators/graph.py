@@ -178,19 +178,44 @@ def triangle_count(
     triangle is found EXACTLY once, as (a<b<c). Two equi-joins on node
     keys; output ∝ triangles, never node².
 
-    Scale: wedge fan-out is Σ deg_out(b)·deg_in(b) under id
-    orientation; the standard 100 TB refinement is degree ordering
-    (orient edges low-degree → high-degree) which caps wedges by
-    O(m^1.5) — same plan shape, different orientation key, plug it in
-    by pre-computing degrees and replacing the ``<`` comparator.
+    Scale: the orientation key is the DEGREE-ORDER (deg, id) — the
+    standard bound: every oriented out-degree is ≤ √(2m), so the wedge
+    join is O(m^1.5) regardless of hubs, where plain id orientation
+    degenerates to Σ deg² on a skewed graph (a hub with d neighbours of
+    higher id produces d² wedges). Triangle counts are
+    orientation-INVARIANT — each triangle {x,y,z} is still enumerated
+    exactly once as its (deg,id)-sorted tuple — so this is purely a
+    plan-cost choice: the id-orientation DuckDB oracle checks the same
+    output. Costs two extra small shuffles (the degree groupBy + the
+    degree-attach joins), both on the node key.
     """
-    e = (
+    und = (
         edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+            F.least(F.col(src), F.col(dst)).alias("x"),
+            F.greatest(F.col(src), F.col(dst)).alias("y"),
         )
-        .where(F.col("a") != F.col("b"))
+        .where(F.col("x") != F.col("y"))
         .distinct()
+    )
+    deg = (
+        und.select(F.col("x").alias("node"))
+        .unionAll(und.select(F.col("y").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("_d"))
+    )
+    ud = (
+        und.join(deg.withColumnRenamed("node", "x"), "x")
+        .withColumnRenamed("_d", "_dx")
+        .join(deg.withColumnRenamed("node", "y"), "y")
+        .withColumnRenamed("_d", "_dy")
+    )
+    # orient from the (deg, id)-smaller endpoint to the larger one
+    x_first = (F.col("_dx") < F.col("_dy")) | (
+        (F.col("_dx") == F.col("_dy")) & (F.col("x") < F.col("y"))
+    )
+    e = ud.select(
+        F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("a"),
+        F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("b"),
     )
     w = (
         e.alias("e1")
