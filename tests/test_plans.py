@@ -291,7 +291,11 @@ def test_mutual_knn_joins_are_equi_never_nlj(spark):
     f = plan_facts(_catalog_q("mutual_knn")(spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in f.text
     assert "CartesianProduct" not in f.text
-    assert "EvalPython" not in f.text
+    # r5: the hyperplane-cell assignment is the one sanctioned Python
+    # island — Arrow-batched int64 matmul (with_cell_rh), never
+    # row-at-a-time; the joins and scoring stay JVM-side
+    assert "BatchEvalPython" not in f.text
+    assert "ArrowEvalPython" in f.text  # and it IS the Arrow path
 
 
 @needs_data

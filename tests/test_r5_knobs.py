@@ -140,3 +140,26 @@ def test_with_cell_rh_handles_empty_and_negation(spark):
     # negation flips every nonzero projection: cells are bitwise
     # complements whenever no projection lands exactly on zero
     assert cells[1] != cells[2]
+
+
+def test_rh_cell_numpy_equals_expression_path(spark):
+    """The Arrow-matmul cell (with_cell_rh) and the pure-JVM expression
+    twin (_rh_cell_expr) must agree bit-for-bit — including empty,
+    short, negative, and fractional vectors (the floor-boundary and
+    padding cases)."""
+    import math
+
+    from wasaffi_spark.operators.similarity import (
+        _rh_cell_expr,
+        with_cell_rh,
+    )
+
+    rows = [(i, [math.sin(0.7 * i + 1.3 * d) * (3 if i % 5 else 0.0001)
+                 for d in range((i % 9) * 8)]) for i in range(200)]
+    rows.append((900, []))
+    rows.append((901, [0.0] * 64))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    for bits in (1, 5, 12):
+        a = {(r.vec_id, r.cell) for r in with_cell_rh(emb, bits=bits).collect()}
+        b = {(r.vec_id, r.cell) for r in _rh_cell_expr(emb, bits=bits).collect()}
+        assert a == b, bits
