@@ -135,6 +135,7 @@ HEADLINE = [
     "events_ewma",
     "hybrid_rrf",
     "kanon_audit",
+    "containment_pairs",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -180,3 +180,27 @@ def test_triangle_count_orientation_invariant(spark):
             for n in (x, y, z):
                 want[n] = want.get(n, 0) + 1
     assert got == want and got[0] == 3
+
+
+def test_containment_catches_subsumed_doc(spark):
+    """A short doc fully quoted inside a long one: containment ≈ 1 in
+    the contained direction, while symmetric Jaccard stays small — the
+    case jaccard_pairs structurally misses."""
+    from wasaffi_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, short, "en"), (2, long_, "en"), (3, "totally different words here now", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    rows = {
+        (r.id_src, r.id_dst): (r.containment, r.jaccard)
+        for r in containment_pairs(df, threshold=0.5).collect()
+    }
+    assert (1, 2) in rows
+    c, j = rows[(1, 2)]
+    assert c == 1.0  # every shingle of the short doc is in the long one
+    assert j < 0.2  # symmetric Jaccard would never flag this pair
+    assert (2, 1) not in rows  # reverse direction below threshold
+    assert not any(3 in p for p in rows)

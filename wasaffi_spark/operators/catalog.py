@@ -5657,3 +5657,52 @@ register_extra(
                (min(l) >= 2) as l_diverse_ok
         from cls""",
 )
+
+
+CONTAIN_THRESHOLD = 0.6
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (operators/dedup.py::
+    containment_pairs — r5, Broder): directional |A∩B|/|A| over the
+    blocked shingle join — catches subsumed/quoted documents that
+    symmetric Jaccard misses (a short doc inside a long one). Both
+    directions above the threshold, with the symmetric Jaccard carried
+    for contrast."""
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    return dedup.containment_pairs(
+        docs, block_cols=("lang",), threshold=CONTAIN_THRESHOLD
+    ).orderBy("id_src", "id_dst")
+
+
+register_extra(
+    "containment_pairs",
+    q_containment_pairs,
+    f"""with toks0 as (select doc_id, lang, {_TOKS} as w from documents),
+        pos as (select doc_id, lang, w,
+                       unnest(generate_series(1, len(w) - {SHINGLE_K - 1})) as i
+                from toks0 where len(w) >= {SHINGLE_K}),
+        tokf as (select distinct doc_id, lang,
+                        array_to_string(w[i:i+{SHINGLE_K - 1}], ' ') as tok
+                 from pos),
+        sizes as (select doc_id, count(*) as sz from tokf group by doc_id),
+        inter as (
+          select a.doc_id as id_a, b.doc_id as id_b, count(*) as inter
+          from tokf a join tokf b
+            on a.lang = b.lang and a.tok = b.tok and a.doc_id < b.doc_id
+          group by 1, 2),
+        pb as (
+          select id_a, id_b, inter, sa.sz as sz_a, sb.sz as sz_b,
+                 round(inter / (sa.sz + sb.sz - inter), 6) as jaccard
+          from inter
+          join sizes sa on id_a = sa.doc_id
+          join sizes sb on id_b = sb.doc_id),
+        dirs as (
+          select id_a as id_src, id_b as id_dst,
+                 round(inter / sz_a, 6) as containment, jaccard from pb
+          union all
+          select id_b, id_a, round(inter / sz_b, 6), jaccard from pb)
+        select id_src, id_dst, containment, jaccard from dirs
+        where containment >= {CONTAIN_THRESHOLD}
+        order by id_src, id_dst""",
+)

@@ -781,3 +781,77 @@ def canonical_per_cluster(
         F.col("_q").alias(quality_col),
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    threshold: float = 0.8,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT — ``C(A→B) = |A∩B| / |A|`` — the
+    direction-aware companion of :func:`jaccard_pairs`: a short
+    document fully quoted inside a long one scores containment ≈ 1
+    while its Jaccard stays tiny (|A∪B| is dominated by the long doc),
+    so subsumed/quoted/aggregated documents are invisible to symmetric
+    dedup but caught here (Broder's containment, the shape behind
+    "remove documents that are substrings of others" rules).
+
+    Emits BOTH directions above ``threshold`` as ``(id_src, id_dst,
+    containment, jaccard)`` with ``id_src`` the contained side —
+    integer counts until the final divisions, exact. Same blocked
+    shingle equi-join and the same scale posture as
+    :func:`jaccard_pairs` (one |A∩B| join feeds both metrics; at
+    100 TB block on (lang, length-bucket, LSH band)).
+    """
+    sh = word_shingles(df, text_col, k)
+    toks = sh.select(
+        F.col(id_col), *[F.col(c) for c in block_cols],
+        F.col("shingle").alias("tok"),
+    ).distinct()
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    block_cond = F.lit(True)
+    for c in block_cols:
+        block_cond = block_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = (
+        a.join(
+            b,
+            block_cond
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    both = (
+        inter.join(sa, inter.id_a == F.col(f"sa.{id_col}"))
+        .join(sb, inter.id_b == F.col(f"sb.{id_col}"))
+        .select(
+            "id_a", "id_b", "inter",
+            F.col("sa.sz").alias("sz_a"), F.col("sb.sz").alias("sz_b"),
+            F.round(
+                F.col("inter")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    fwd = both.select(
+        F.col("id_a").alias("id_src"), F.col("id_b").alias("id_dst"),
+        F.round(F.col("inter") / F.col("sz_a"), 6).alias("containment"),
+        "jaccard",
+    )
+    rev = both.select(
+        F.col("id_b").alias("id_src"), F.col("id_a").alias("id_dst"),
+        F.round(F.col("inter") / F.col("sz_b"), 6).alias("containment"),
+        "jaccard",
+    )
+    return fwd.unionByName(rev).where(F.col("containment") >= threshold)
