@@ -136,6 +136,7 @@ HEADLINE = [
     "hybrid_rrf",
     "kanon_audit",
     "containment_pairs",
+    "events_pivot",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -5706,3 +5706,46 @@ register_extra(
         where containment >= {CONTAIN_THRESHOLD}
         order by id_src, id_dst""",
 )
+
+
+PIVOT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational PIVOT (r5 §2C widening): per-day event counts and
+    value sums pivoted into one column pair per event type — the
+    wide-format report shape (`df.groupBy().pivot().agg()`, which
+    Catalyst compiles to a single aggregate with conditional
+    expressions — exactly the CASE form the portable oracle spells
+    out; one shuffle, map-side partials)."""
+    events = _table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.col("ts"))
+    )
+    out = (
+        events.groupBy("day")
+        .pivot("event_type", list(PIVOT_TYPES))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),  # count(*) is illegal in Pivot
+            F.round(F.sum("value"), 2).alias("val"),
+        )
+    )
+    cols = [F.col("day")]
+    for t in PIVOT_TYPES:
+        cols.append(F.coalesce(F.col(f"{t}_cnt"), F.lit(0)).alias(f"{t}_cnt"))
+        cols.append(F.col(f"{t}_val"))
+    return out.select(*cols).orderBy("day")
+
+
+register_extra(
+    "events_pivot",
+    q_events_pivot,
+    f"""select cast(ts as date) as day,
+        {", ".join(
+            f"coalesce(sum(case when event_type = '{t}' then 1 end), 0)"
+            f"::bigint as {t}_cnt, "
+            f"round(sum(case when event_type = '{t}' then value end), 2)"
+            f" as {t}_val"
+            for t in PIVOT_TYPES
+        )}
+        from events group by 1 order by 1""",
+)
