@@ -137,6 +137,7 @@ HEADLINE = [
     "kanon_audit",
     "containment_pairs",
     "events_pivot",
+    "semantic_dedup_pruned",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -204,3 +204,39 @@ def test_containment_catches_subsumed_doc(spark):
     assert j < 0.2  # symmetric Jaccard would never flag this pair
     assert (2, 1) not in rows  # reverse direction below threshold
     assert not any(3 in p for p in rows)
+
+
+def test_semantic_dedup_pruned_valid_clusters_and_fallback(spark):
+    """The pruned variant must produce exactly one row per vector
+    (orphan fallback included — auto bits floor at 1, so pruning is
+    ALWAYS active: at least two cells exist), clusters drawn from the
+    hash-sampled seed id set, identical seed selection to the exact
+    variant, and the keep-first rule intact (the lowest id of every
+    cluster always survives). Cluster ASSIGNMENTS may legitimately
+    differ from the exact argmax — that is the documented trade."""
+    import hashlib
+    import math
+
+    from wasaffi_spark.operators import similarity
+
+    rows = [
+        (i, [math.sin(0.3 * i + d) for d in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = similarity.semantic_dedup_pruned(df, k_seeds=8, threshold=0.95)
+    got = {r.vec_id: (r.cluster, r.keep) for r in out.collect()}
+    assert len(got) == 60  # every vector assigned, orphans included
+    # the codebook is the same hash sample the exact variant draws
+    seed_ids = set(
+        sorted(
+            range(60),
+            key=lambda i: hashlib.md5(f"semdedup-v1{i}".encode()).hexdigest(),
+        )[:8]
+    )
+    assert {c for c, _ in got.values()} <= seed_ids
+    # keep-first: the smallest id in every cluster is always kept
+    by_cluster = {}
+    for vid, (c, keep) in got.items():
+        by_cluster.setdefault(c, []).append((vid, keep))
+    for members in by_cluster.values():
+        assert min(members)[1] is True

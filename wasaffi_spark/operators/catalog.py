@@ -356,6 +356,9 @@ def _rh_cell_ctes(
     src: str = "embeddings",
     id_expr: str = "vec_id",
     vec_expr: str = "embedding::DOUBLE[]",
+    prefix: str = "",
+    bits_sel: str = "(select bits from kb)",
+    with_signs: bool = True,
 ) -> str:
     """CTE chain mirroring similarity.with_cell_rh (random-hyperplane
     LSH cells) bit-exactly: the ±1 sign matrix regenerates from
@@ -363,8 +366,11 @@ def _rh_cell_ctes(
     hashlib hashes), projections are integer micro-unit sums, and a
     vector with no projection rows (empty/NULL) must be read back as
     cell 0 via ``coalesce`` at the join site. Requires the ``kb`` CTE
-    from ``_auto_bits_ctes`` upstream."""
-    return f"""signs as (
+    from ``_auto_bits_ctes`` upstream (or pass ``bits_sel``).
+    ``prefix`` namespaces the chain so one oracle can hold several
+    cellmaps (e.g. corpus + codebook at different widths); the shared
+    ``signs`` CTE is emitted only when ``with_signs``."""
+    signs = """signs as (
           select ii.i as i, jj.j as j,
                  case when ('0x' || substr(md5('cell-rh-v1|' || ii.i
                                               || '|' || jj.j), 1, 1))::int
@@ -372,23 +378,24 @@ def _rh_cell_ctes(
                       then 1 else -1 end as sgn
           from unnest(generate_series(0, 29)) as ii(i),
                unnest(generate_series(1, 64)) as jj(j)),
-        _qv as (
+        """
+    return f"""{signs if with_signs else ""}{prefix}_qv as (
           select {id_expr} as _cid,
                  list_transform({vec_expr},
                                 x -> cast(floor(x * 1000000 + 0.5)
                                           as bigint)) as q
           from {src}),
-        _proj as (
+        {prefix}_proj as (
           select _cid, s.i, sum(q[s.j] * s.sgn) as p
-          from _qv, signs s
+          from {prefix}_qv, signs s
           where s.j <= least(len(q), 64)
-            and s.i < (select bits from kb)
+            and s.i < {bits_sel}
           group by _cid, s.i),
-        cellmap as (
+        {prefix}cellmap as (
           select _cid,
                  cast(sum(case when p > 0 then (1::bigint << i)
                                else 0 end) as int) as cell
-          from _proj group by _cid)"""
+          from {prefix}_proj group by _cid)"""
 
 
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5719,7 +5726,9 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions — exactly the CASE form the portable oracle spells
     out; one shuffle, map-side partials)."""
     events = _table(spark, sf_dir, "events").withColumn(
-        "day", F.to_date(F.col("ts"))
+        "day", F.date_format(F.col("ts"), "yyyy-MM-dd")  # ISO string:
+        # a DATE column trips the strict comparator's dtype check
+        # (pandas object vs datetime64 — the known asymmetry class)
     )
     out = (
         events.groupBy("day")
@@ -5739,7 +5748,7 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 register_extra(
     "events_pivot",
     q_events_pivot,
-    f"""select cast(ts as date) as day,
+    f"""select strftime(ts, '%Y-%m-%d') as day,
         {", ".join(
             f"coalesce(sum(case when event_type = '{t}' then 1 end), 0)"
             f"::bigint as {t}_cnt, "
@@ -5748,4 +5757,85 @@ register_extra(
             for t in PIVOT_TYPES
         )}
         from events group by 1 order by 1""",
+)
+
+
+def q_semantic_dedup_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical SemDeDup (operators/similarity.py::
+    semantic_dedup_pruned — r5): codebook assignment pruned to the
+    seeds sharing each vector's random-hyperplane cell (expected
+    candidates ≈ 8), exact-argmax fallback for seed-free cells —
+    assignment cost N·8 + orphans·k instead of the exact variant's
+    N·k. Every stage deterministic and replayed by the oracle,
+    including which vectors took the fallback path. Same 0.4 drop
+    threshold as `semantic_dedup` so the within-cluster rule fires."""
+    emb = _table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_pruned(emb, threshold=0.4).orderBy(
+        "vec_id"
+    )
+
+
+register_extra(
+    "semantic_dedup_pruned",
+    q_semantic_dedup_pruned,
+    f"""with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        ranked as (
+          select vec_id, v,
+                 row_number() over (
+                   order by md5('semdedup-v1' || vec_id), vec_id) as rk
+          from e),
+        kk as (select greatest(16, cast(ceil(count(*) / 128.0) as bigint))
+                 as k from e),
+        seeds as (select vec_id as sid, v as sv from ranked
+                  where rk <= (select k from kk)),
+        kb2 as (select coalesce(min(b), 30) as bits
+                from unnest(generate_series(1, 30)) as t(b), kk
+                where 8 * (1::bigint << b) >= kk.k),
+        {_rh_cell_ctes(src="seeds", id_expr="sid", vec_expr="sv",
+                       prefix="s", bits_sel="(select bits from kb2)")},
+        {_rh_cell_ctes(src="e", id_expr="vec_id", vec_expr="v",
+                       prefix="v", bits_sel="(select bits from kb2)",
+                       with_signs=False)},
+        ec as (select e.vec_id, e.v, coalesce(vc.cell, 0) as cell
+               from e left join vcellmap vc on vc._cid = e.vec_id),
+        sc as (select s.sid, s.sv, coalesce(scm.cell, 0) as scell
+               from seeds s left join scellmap scm on scm._cid = s.sid),
+        cand as (
+          select ec.vec_id, s.sid,
+                 round(list_cosine_similarity(ec.v, s.sv), 6) as cs
+          from ec join sc s on ec.cell = s.scell),
+        assigned as (
+          select vec_id, sid as cluster from (
+            select vec_id, sid,
+                   row_number() over (
+                     partition by vec_id order by cs desc, sid) as rk
+            from cand) t
+          where rk = 1),
+        orph as (select ec.vec_id, ec.v from ec
+                 where vec_id not in (select vec_id from assigned)),
+        ocand as (
+          select o.vec_id, s.sid,
+                 round(list_cosine_similarity(o.v, s.sv), 6) as cs
+          from orph o, sc s),
+        oassigned as (
+          select vec_id, sid as cluster from (
+            select vec_id, sid,
+                   row_number() over (
+                     partition by vec_id order by cs desc, sid) as rk
+            from ocand) t
+          where rk = 1),
+        assign as (select vec_id, cluster from assigned
+                   union all
+                   select vec_id, cluster from oassigned),
+        av as (select a.vec_id, a.cluster, e.v
+               from assign a join e on a.vec_id = e.vec_id),
+        dups as (
+          select distinct b.vec_id
+          from av a join av b on a.cluster = b.cluster
+          where a.vec_id < b.vec_id
+            and round(list_cosine_similarity(a.v, b.v), 6) >= 0.4)
+        select a.vec_id, a.cluster,
+               (d.vec_id is null) as keep
+        from assign a left join dups d on a.vec_id = d.vec_id
+        order by a.vec_id""",
 )

@@ -581,13 +581,23 @@ def semantic_dedup(
         ).alias("cluster"),
         F.any_value(vec_col).alias(vec_col),  # constant within the group
     )
-    # Precompute each vector's norm ONCE (O(N) folds) so the quadratic
-    # pair stage evaluates a single dot-product fold per pair instead of
-    # cosine()'s three (dot + both norms). FP-identical to cosine(): the
-    # norm is the same per-vector expression, and dot/(na*nb) preserves
-    # the evaluation order of _dot/( _norm * _norm ). Checkpointed:
-    # three downstream branches (a, b, final) would otherwise each
-    # recompute the broadcast-scored assignment.
+    return _keepfirst_within_cluster(assign, threshold, vec_col, id_col)
+
+
+def _keepfirst_within_cluster(
+    assign: DataFrame, threshold: float, vec_col: str, id_col: str
+) -> DataFrame:
+    """SemDeDup's drop stage, shared by the exact and cell-pruned
+    variants: given ``(id, cluster, vec)``, drop every vector whose
+    cluster holds a LOWER-id vector with cosine ≥ threshold.
+
+    Precomputes each vector's norm ONCE (O(N) folds) so the quadratic
+    pair stage evaluates a single dot-product fold per pair instead of
+    cosine()'s three (dot + both norms) — FP-identical to cosine():
+    the norm is the same per-vector expression, and dot/(na·nb)
+    preserves the evaluation order of _dot/(_norm·_norm).
+    Checkpointed: three downstream branches (a, b, final) would
+    otherwise each recompute the upstream assignment."""
     assign = assign.withColumn("_n", _norm(F.col(vec_col))).localCheckpoint(
         eager=True
     )
@@ -622,6 +632,92 @@ def semantic_dedup(
             F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def semantic_dedup_pruned(
+    corpus: DataFrame,
+    k_seeds: int | None = None,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = "semdedup-v1",
+    target_cluster_size: int = 128,
+    seeds_per_cell: int = 8,
+) -> DataFrame:
+    """SemDeDup with HIERARCHICAL (cell-pruned) codebook assignment —
+    the 100 TB form of :func:`semantic_dedup`'s N·k scoring stage:
+    with the k∝N auto knob, exact assignment is N·k ∝ N²/target
+    cosines; here each vector scores only the seeds sharing its
+    random-hyperplane cell (``bits = auto_sign_bits(k_seeds,
+    seeds_per_cell)``, so expected candidates ≈ ``seeds_per_cell``),
+    and the exact argmax is kept as a FALLBACK for vectors whose cell
+    holds no seed (the Poisson-tail orphans — e^-8 ≈ 0.03% expected).
+    Assignment cost drops to ≈ N·seeds_per_cell + orphans·k — linear
+    with a vanishing correction.
+
+    This is the standard IVF coarse-within-coarse trick applied to
+    SemDeDup's codebook, deterministic end to end (hash-sampled seeds,
+    md5-Rademacher cells, rounded-cosine argmax with the same
+    tie-break), so the DuckDB oracle replays every stage — including
+    which vectors took the fallback path. The trade vs the exact
+    variant: a vector near a cell boundary may assign to a more LOCAL
+    seed than the global argmax — the clusters are slightly different,
+    not worse (SemDeDup's clusters are themselves a knob, not a truth).
+    The keep-first drop stage is byte-shared (:func:`_keepfirst_within_cluster`).
+    """
+    if k_seeds is None:
+        import math
+
+        k_seeds = max(16, math.ceil(corpus.count() / target_cluster_size))
+    bits_a = auto_sign_bits(k_seeds, seeds_per_cell)
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    seeds = (
+        corpus.select(
+            F.col(id_col).alias("sid"), F.col(vec_col).alias("sv"), h.alias("_h")
+        )
+        .orderBy(F.col("_h").asc(), F.col("sid").asc())
+        .limit(k_seeds)
+        .drop("_h")
+    )
+    seeds = with_cell_rh(seeds, "sv", bits_a).withColumnRenamed(
+        "cell", "scell"
+    ).withColumn("_ns", _norm(F.col("sv")))
+    # checkpointed: the orphan anti-join branch reads corp AND assigned
+    # a second time — without materialization the whole cell+scoring
+    # subtree executes twice (measured 2.5× on the 10× probe)
+    corp = (
+        with_cell_rh(corpus.select(id_col, vec_col), vec_col, bits_a)
+        .withColumn("_nv", _norm(F.col(vec_col)))
+        .localCheckpoint(eager=True)
+    )
+
+    cs = F.round(
+        F.try_divide(
+            _dot(F.col(vec_col), F.col("sv")), F.col("_nv") * F.col("_ns")
+        ),
+        6,
+    ).alias("cs")
+    argmax = F.max_by(
+        "sid", F.struct(F.col("cs").alias("cs"), (-F.col("sid")).alias("ns"))
+    ).alias("cluster")
+
+    cand = corp.join(
+        F.broadcast(seeds), corp["cell"] == seeds["scell"]
+    ).select(id_col, vec_col, "sid", cs)
+    assigned = (
+        cand.groupBy(id_col)
+        .agg(argmax, F.any_value(vec_col).alias(vec_col))
+        .localCheckpoint(eager=True)
+    )
+    orphans = corp.join(assigned.select(id_col), id_col, "left_anti")
+    orph_assigned = (
+        orphans.crossJoin(F.broadcast(seeds))
+        .select(id_col, vec_col, "sid", cs)
+        .groupBy(id_col)
+        .agg(argmax, F.any_value(vec_col).alias(vec_col))
+    )
+    assign = assigned.unionByName(orph_assigned)
+    return _keepfirst_within_cluster(assign, threshold, vec_col, id_col)
 
 
 def _pq_grid_dist(a_col: Column, b_col: Column, j: int, sub: int, quant: int) -> Column:
