@@ -137,6 +137,7 @@ HEADLINE = [
     "kanon_audit",
     "containment_pairs",
     "events_pivot",
+    "events_unpivot",
     "semantic_dedup_pruned",
 ]
 

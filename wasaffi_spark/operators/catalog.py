@@ -5839,3 +5839,55 @@ register_extra(
         from assign a left join dups d on a.vec_id = d.vec_id
         order by a.vec_id""",
 )
+
+
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational UNPIVOT/melt (r5 §2C widening, the inverse of
+    `events_pivot`): the wide per-day report melted back to one row
+    per (day, event_type) via `DataFrame.unpivot` — and because both
+    reshapes are lossless, the long form must equal the direct
+    groupBy, which is exactly what the oracle computes (the round-trip
+    IS the check)."""
+    wide = q_events_pivot(spark, sf_dir)
+    cnt = wide.unpivot(
+        ["day"],
+        [f"{t}_cnt" for t in PIVOT_TYPES],
+        "etype_c",
+        "cnt",
+    ).select(
+        "day",
+        F.expr("substring(etype_c, 1, length(etype_c) - 4)").alias(
+            "event_type"
+        ),
+        "cnt",
+    )
+    val = wide.unpivot(
+        ["day"],
+        [f"{t}_val" for t in PIVOT_TYPES],
+        "etype_v",
+        "val",
+    ).select(
+        "day",
+        F.expr("substring(etype_v, 1, length(etype_v) - 4)").alias(
+            "event_type"
+        ),
+        "val",
+    )
+    return (
+        cnt.join(val, ["day", "event_type"])
+        .where(F.col("cnt") > 0)
+        .orderBy("day", "event_type")
+    )
+
+
+register_extra(
+    "events_unpivot",
+    q_events_unpivot,
+    """select strftime(ts, '%Y-%m-%d') as day,
+              event_type,
+              count(*)::bigint as cnt,
+              round(sum(value), 2) as val
+       from events
+       group by 1, 2
+       order by 1, 2""",
+)
