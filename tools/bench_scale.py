@@ -95,6 +95,26 @@ PROBES = {
         "residual growth is CC label-propagation rounds on the larger "
         "merged-cluster diameter"
     ),
+    "semantic_dedup_pruned": (
+        "hierarchical assignment: N·seeds_per_cell + orphans·k — the "
+        "linear scale path of the semantic_dedup family; its constant "
+        "factors (two cell passes + checkpoints) only pay off once "
+        "N·k dwarfs them"
+    ),
+    "knn_triangles": (
+        "wedge join bounded by degree-ordered orientation (O(m^1.5)); "
+        "the mutual-kNN edge build it consumes is the same bounded "
+        "cell-family machinery probed via mutual_knn/embedding_clusters"
+    ),
+    "hybrid_rrf": (
+        "fusion itself is O(queries·k); growth tracks the BM25 leg's "
+        "posting lists and the dense leg's fixed-Q brute scan — swap "
+        "the dense leg to ivf_topk_hashed at corpus scale (documented)"
+    ),
+    "containment_pairs": (
+        "same blocked shingle join as jaccard_pairs (linear on "
+        "decorrelated replicas); output ∝ true containment pairs"
+    ),
 }
 
 
