@@ -71,6 +71,8 @@ def test_expectations_all_pass_and_unknown_kind(spark):
     assert row.passed and row.n_violations == 0 and row.n_checked == 2
     with pytest.raises(ValueError, match="unknown rule kind"):
         expectations_report(df, [{"kind": "monotone", "column": "k"}])
+    with pytest.raises(ValueError, match="empty rule set"):
+        expectations_report(df, [])
 
 
 def test_ewma_hand_computed(spark):

@@ -550,3 +550,46 @@ def test_ewma_stream_equals_batch(spark, event_stream):
         for r in temporal.ewma(batch).collect()
     }
     assert got == want and len(got) > 0
+
+
+@needs_data
+def test_ewma_stream_multichunk_out_of_order(spark, tmp_path):
+    """The stateful EWMA must sort across ALL Arrow chunks of a
+    micro-batch, not per chunk: stream a descending-event_id copy of
+    the events with a tiny Arrow batch size so every user's rows span
+    several chunks in reverse order — the result must still equal the
+    batch fold (r5 review finding: a per-chunk sort silently broke
+    this)."""
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators import temporal
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    batch = read_parquet(spark, os.path.join(SF_SMOKE, "events.parquet"))
+    src = str(tmp_path / "events_desc")
+    batch.orderBy(F.desc("event_id")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        if dict(stream.dtypes)["ts"] == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        stream_ops.run_to_memory(
+            stream_ops.ewma_stream(stream), "ewma_desc_test", "update"
+        )
+        got = {
+            (r.user_id, r.event_id): r.ewma_micro
+            for r in spark.table("ewma_desc_test").collect()
+        }
+    finally:
+        if old is not None:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+    want = {
+        (r.user_id, r.event_id): r.ewma_micro
+        for r in temporal.ewma(batch).collect()
+    }
+    assert got == want and len(got) > 0

@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 
 from . import dedup, multimodal, similarity, text
 from .dedup import BANDS, NUM_PERM, ROWS_PER_BAND, SHINGLE_K, SIMHASH_HEX_DIGITS
-from .similarity import SIGN_BITS
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -330,13 +329,6 @@ register(
 
 # ---------------------------------------------------------------------------
 # similarity search
-
-
-def _emb_cell_sql(vec: str) -> str:
-    return " + ".join(
-        f"(case when {vec}[{i + 1}] > 0 then {2 ** i} else 0 end)"
-        for i in range(SIGN_BITS)
-    )
 
 
 def _auto_bits_ctes(src: str = "embeddings", target: int = 32) -> str:
@@ -5480,7 +5472,8 @@ register_extra(
                  row_number() over (partition by user_id
                                     order by event_id) as rn
           from events
-          where user_id is not null and value is not null),
+          where user_id is not null and value is not null
+            and not isnan(value)),
         r(user_id, event_id, rn, s) as (
           select user_id, event_id, rn, qv from q where rn = 1
           union all

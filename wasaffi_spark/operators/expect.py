@@ -70,6 +70,12 @@ def expectations_report(df: DataFrame, rules: list[dict]) -> DataFrame:
     """Evaluate ``rules`` against ``df`` → ``(rule, kind, col_name,
     n_violations, n_checked, passed)``, one row per rule, in rule
     order. See module docstring for the rule grammar and plan shape."""
+    if not rules:
+        raise ValueError(
+            "expectations_report: empty rule set (a config-driven caller "
+            "with no rules for this table should skip the audit, not run "
+            "an empty one)"
+        )
     inrow = [
         r
         for r in rules

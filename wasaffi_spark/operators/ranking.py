@@ -15,13 +15,17 @@ The two-phase shape is the textbook distributed row-number:
 2. per-range local ``row_number`` (window partitioned by the range id),
    plus the cumulative row count of all earlier ranges, fetched as an
    O(num_parts) scalar list to the driver (the legitimate-collect
-   class: partition counts, never rows).
+   class: partition counts, never rows) and shipped back as a tiny
+   broadcast-joined (range id → offset) frame — O(1) per row, never a
+   partition-deep CASE chain.
 
 Correctness does not depend on where the sampled range boundaries land:
 the caller's order key must be TOTAL (include a unique tiebreaker such
 as the id column — every call site in this repo already does, it is
 what makes the rank oracle-able), so ``offset + local_rank`` is the
-exact global rank for any boundary placement.
+exact global rank for any boundary placement. Ranks are BIGINT —
+int32 would silently wrap past 2³¹ rows, precisely the regime this
+module exists for.
 """
 
 from __future__ import annotations
@@ -31,22 +35,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def global_row_number(
+def _ranked_with_total(
     df: DataFrame,
     order_by: list[Column],
-    out_col: str = "rnk",
-    num_parts: int | None = None,
-) -> DataFrame:
-    """Adds ``out_col`` = exact 1-based global row number under
-    ``order_by`` (which MUST be a total order — include a unique
-    tiebreaker) without ever materializing a single-partition sort.
-
-    Cost: one range exchange + one hash exchange on the range id (both
-    parallel) + an O(num_parts) count collect. The frame is
-    ``localCheckpoint``-ed after the range exchange so the count pass
-    and the rank pass read the same materialized layout (range
-    boundaries are sampled; re-execution could legally resample).
-    """
+    out_col: str,
+    num_parts: int | None,
+) -> tuple[DataFrame, int]:
+    """(ranked frame, exact total row count) — the total falls out of
+    the same offsets collect, so callers that need N (percent_rank,
+    ntile) never pay a second full scan."""
     sc = df.sparkSession.sparkContext
     if num_parts is None:
         num_parts = sc.defaultParallelism
@@ -58,22 +55,47 @@ def global_row_number(
         (r["_rpid"], r["c"])
         for r in ranged.groupBy("_rpid").agg(F.count("*").alias("c")).collect()
     )
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid, c in counts:
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += c
-    off_expr = F.lit(0)
-    for pid, off in offsets.items():
-        if off:
-            off_expr = F.when(F.col("_rpid") == pid, F.lit(off)).otherwise(
-                off_expr
-            )
-    w = Window.partitionBy("_rpid").orderBy(*order_by)
-    return (
-        ranged.withColumn("_lrn", F.row_number().over(w))
-        .withColumn(out_col, (F.col("_lrn") + off_expr).cast("int"))
-        .drop("_rpid", "_lrn")
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            offsets or [(0, 0)], "_rpid int, _off bigint"
+        )
     )
+    w = Window.partitionBy("_rpid").orderBy(*order_by)
+    ranked = (
+        ranged.withColumn("_lrn", F.row_number().over(w))
+        .join(off_df, "_rpid", "left")
+        .withColumn(
+            out_col,
+            (F.col("_lrn").cast("bigint") + F.coalesce(F.col("_off"), F.lit(0))),
+        )
+        .drop("_rpid", "_lrn", "_off")
+    )
+    return ranked, acc
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    out_col: str = "rnk",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Adds ``out_col`` = exact 1-based global row number (BIGINT)
+    under ``order_by`` (which MUST be a total order — include a unique
+    tiebreaker) without ever materializing a single-partition sort.
+
+    Cost: one range exchange + one hash exchange on the range id (both
+    parallel) + an O(num_parts) count collect. The frame is
+    ``localCheckpoint``-ed after the range exchange so the count pass
+    and the rank pass read the same materialized layout (range
+    boundaries are sampled; re-execution could legally resample).
+    """
+    ranked, _ = _ranked_with_total(df, order_by, out_col, num_parts)
+    return ranked
 
 
 def global_percent_rank(
@@ -83,8 +105,7 @@ def global_percent_rank(
     num_parts: int | None = None,
 ) -> DataFrame:
     """Exact ``percent_rank`` = (rank − 1)/(N − 1) from the distributed
-    row number; N rides in from the same O(num_parts) count collect
-    (re-derived as one scalar ``count`` — still no row collect).
+    row number; N comes from the SAME offsets collect (no second scan).
 
     NOTE on ties: SQL ``percent_rank`` uses RANK (ties share a value);
     this helper uses the caller's TOTAL order, so it equals the SQL
@@ -92,8 +113,7 @@ def global_percent_rank(
     precondition as :func:`global_row_number`, which every call site
     satisfies by design (id tiebreaker).
     """
-    n = df.count()
-    ranked = global_row_number(df, order_by, "_grn", num_parts)
+    ranked, n = _ranked_with_total(df, order_by, "_grn", num_parts)
     denom = max(n - 1, 1)
     return ranked.withColumn(
         out_col,
@@ -112,9 +132,9 @@ def global_ntile(
     row number: with N rows, the first ``N mod k`` tiles take
     ``ceil(N/k)`` rows and the rest ``floor(N/k)`` — the SQL-standard
     (and Spark/DuckDB-identical) split, reproduced as a closed-form
-    expression on the global rank."""
-    n = df.count()
-    ranked = global_row_number(df, order_by, "_grn", num_parts)
+    expression on the global rank. N comes from the same offsets
+    collect (no second scan)."""
+    ranked, n = _ranked_with_total(df, order_by, "_grn", num_parts)
     q, rem = divmod(n, n_tiles) if n else (0, 0)
     big = rem * (q + 1)  # rows covered by the first `rem` (larger) tiles
     r0 = F.col("_grn") - F.lit(1)  # 0-based

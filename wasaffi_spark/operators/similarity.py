@@ -81,6 +81,18 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _cosine_prenorm(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    """``round(try_divide(dot, na·nb), 6)`` — cosine over PRECOMPUTED
+    norms, shared by every pair/probe stage that projects the norm
+    below its join (one dot fold per pair instead of cosine()'s
+    three). FP-identical to ``round(cosine(va, vb), 6)``: the norm is
+    the same per-vector expression, and try_divide(dot, na*nb)
+    preserves _dot/(_norm*_norm)'s evaluation order — one definition
+    so the rounding digits and operand order can never drift between
+    call sites."""
+    return F.round(F.try_divide(_dot(va, vb), na * nb), 6)
+
+
 def cosine(a: Column, b: Column) -> Column:
     """``try_divide`` so an all-zero vector yields NULL instead of an
     ANSI DIVIDE_BY_ZERO job failure (found by property test: a single
@@ -285,11 +297,8 @@ def brute_force_topk(
         .select(
             "qid",
             "nid",
-            F.round(
-                F.try_divide(
-                    _dot(F.col("qv"), F.col("nv")), F.col("_nq") * F.col("_nn")
-                ),
-                6,
+            _cosine_prenorm(
+                F.col("qv"), F.col("nv"), F.col("_nq"), F.col("_nn")
             ).alias("cos_sim"),
         )
     )
@@ -349,11 +358,8 @@ def bucketed_topk(
         .select(
             "qid",
             "nid",
-            F.round(
-                F.try_divide(
-                    _dot(F.col("qv"), F.col("nv")), F.col("_nq") * F.col("_nn")
-                ),
-                6,
+            _cosine_prenorm(
+                F.col("qv"), F.col("nv"), F.col("_nq"), F.col("_nn")
             ).alias("cos_sim"),
         )
     )
@@ -481,11 +487,8 @@ def neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.try_divide(
-                    _dot(F.col("va"), F.col("vb")), F.col("_na") * F.col("_nb")
-                ),
-                6,
+            _cosine_prenorm(
+                F.col("va"), F.col("vb"), F.col("_na"), F.col("_nb")
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
@@ -566,12 +569,8 @@ def semantic_dedup(
             id_col,
             vec_col,
             "sid",
-            F.round(
-                F.try_divide(
-                    _dot(F.col(vec_col), F.col("sv")),
-                    F.col("_nv") * F.col("_ns"),
-                ),
-                6,
+            _cosine_prenorm(
+                F.col(vec_col), F.col("sv"), F.col("_nv"), F.col("_ns")
             ).alias("cs"),
         )
     )
@@ -691,11 +690,8 @@ def semantic_dedup_pruned(
         .localCheckpoint(eager=True)
     )
 
-    cs = F.round(
-        F.try_divide(
-            _dot(F.col(vec_col), F.col("sv")), F.col("_nv") * F.col("_ns")
-        ),
-        6,
+    cs = _cosine_prenorm(
+        F.col(vec_col), F.col("sv"), F.col("_nv"), F.col("_ns")
     ).alias("cs")
     argmax = F.max_by(
         "sid", F.struct(F.col("cs").alias("cs"), (-F.col("sid")).alias("ns"))
@@ -1292,11 +1288,8 @@ def knn_edges_bucketed(
         .select(
             "src",
             "dst",
-            F.round(
-                F.try_divide(
-                    _dot(F.col("av"), F.col("bv")), F.col("_na") * F.col("_nb")
-                ),
-                6,
+            _cosine_prenorm(
+                F.col("av"), F.col("bv"), F.col("_na"), F.col("_nb")
             ).alias("cos_sim"),
         )
     )

@@ -328,7 +328,15 @@ def ewma(
         F.collect_list(F.struct(F.col(order_col).alias("o"), q.alias("q")))
     )
     grouped = (
-        df.where(F.col(key_col).isNotNull() & F.col(value_col).isNotNull())
+        df.where(
+            F.col(key_col).isNotNull()
+            & F.col(value_col).isNotNull()
+            # NaN is not NULL: without this a NaN value quantizes to a
+            # NULL micro-unit and poisons the fold, while the streaming
+            # twin's pandas notna() drops it — exclude it in BOTH
+            # (review finding r5; mirrored in the oracle's isnan filter)
+            & ~F.isnan(F.col(value_col).cast("double"))
+        )
         .groupBy(key_col)
         .agg(items.alias("_it"))
     )

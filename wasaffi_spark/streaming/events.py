@@ -361,17 +361,20 @@ def ewma_stream(
         import pandas as pd
 
         s = int(state.get[0]) if state.exists else None
+        # concatenate EVERY Arrow chunk first, THEN sort once: the
+        # iterator yields maxRecordsPerBatch-sized chunks, and a
+        # per-chunk sort would fold events out of order whenever a
+        # key's rows span chunks — silently breaking the
+        # bit-identical-to-batch contract (review finding r5)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf[pdf["value"].notna()].sort_values("event_id")
         out_u, out_e, out_s = [], [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("event_id")
-            for eid, val in zip(pdf["event_id"], pdf["value"]):
-                if pd.isna(val):
-                    continue
-                q = math.floor(float(val) * 1_000_000 + 0.5)
-                s = q if s is None else math.floor((a * q + (100 - a) * s) / 100)
-                out_u.append(int(key[0]))
-                out_e.append(int(eid))
-                out_s.append(int(s))
+        for eid, val in zip(pdf["event_id"], pdf["value"]):
+            q = math.floor(float(val) * 1_000_000 + 0.5)
+            s = q if s is None else math.floor((a * q + (100 - a) * s) / 100)
+            out_u.append(int(key[0]))
+            out_e.append(int(eid))
+            out_s.append(int(s))
         if s is not None:
             state.update((int(s),))
         yield pd.DataFrame(
