@@ -139,6 +139,7 @@ HEADLINE = [
     "events_pivot",
     "events_unpivot",
     "semantic_dedup_pruned",
+    "orders_profile",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

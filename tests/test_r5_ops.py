@@ -242,3 +242,16 @@ def test_semantic_dedup_pruned_valid_clusters_and_fallback(spark):
         by_cluster.setdefault(c, []).append((vid, keep))
     for members in by_cluster.values():
         assert min(members)[1] is True
+
+
+def test_profile_table_counts(spark):
+    from wasaffi_spark.operators.expect import profile_table
+
+    rows = [(1, "a"), (1, "b"), (None, "b"), (3, None)]
+    df = spark.createDataFrame(rows, "k bigint, s string")
+    rep = {r.col_name: r for r in profile_table(df).collect()}
+    assert rep["k"].n_rows == 4 and rep["k"].n_null == 1
+    assert rep["k"].n_distinct == 2  # distinct skips NULL (SQL semantics)
+    assert (rep["k"].min_str, rep["k"].max_str) == ("1", "3")
+    assert rep["s"].n_null == 1 and rep["s"].n_distinct == 2
+    assert (rep["s"].min_str, rep["s"].max_str) == ("a", "b")

@@ -5884,3 +5884,43 @@ register_extra(
        group by 1, 2
        order by 1, 2""",
 )
+
+
+PROFILE_COLS = (  # integer/string columns only (see docstring); the
+    # fixture orders table carries no o_clerk
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+)
+
+
+def q_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level dataset profile (operators/expect.py::profile_table
+    — r5): per-column row/null/exact-distinct counts + lexicographic
+    min/max, ONE aggregate over ONE scan for all four columns — the
+    dataset-card/catalog summary that pairs with the expectations
+    gate. Profiled columns are integer/string only: float min/max
+    stringification differs between engines (Spark scientific notation
+    vs DuckDB decimal), the documented reason the operator renders
+    through CAST and the query sticks to portable types."""
+    from . import expect
+
+    orders = _table(spark, sf_dir, "orders")
+    return expect.profile_table(orders, list(PROFILE_COLS)).orderBy(
+        "col_name"
+    )
+
+
+register_extra(
+    "orders_profile",
+    q_orders_profile,
+    "\n        union all\n".join(
+        f"""select '{c}' as col_name,
+               count(*)::bigint as n_rows,
+               sum(case when {c} is null then 1 else 0 end)::bigint as n_null,
+               count(distinct {c})::bigint as n_distinct,
+               min({c})::varchar as min_str,
+               max({c})::varchar as max_str
+        from orders"""
+        for c in PROFILE_COLS
+    )
+    + "\n        order by col_name",
+)

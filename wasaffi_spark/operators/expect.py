@@ -211,3 +211,49 @@ def k_anonymity_report(
             "l_diverse_ok", F.col("min_l") >= F.lit(l_diverse)
         )
     return rep
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Column-level dataset profile — the summary a data catalog keeps
+    per snapshot: for every column, row/null counts, exact distinct
+    count, and lexicographic min/max rendered as strings (one uniform
+    schema across types). The profiling companion of
+    :func:`expectations_report`: expectations judge, this describes.
+
+    ONE aggregate over ONE scan regardless of column count — every
+    measure is a conditional/distinct aggregate expression, exploded
+    to the long report via the same array-of-structs ``inline`` trick.
+    ``count_distinct`` is exact (the oracle-able form); at 100 TB swap
+    those expressions for ``approx_count_distinct`` — same report
+    schema, documented tolerance. Min/max stringification uses plain
+    CAST, so the values are engine-portable (no float formatting: 
+    profile numeric columns through their natural string forms).
+    """
+    cols = columns or df.columns
+    n = F.count("*").cast("bigint")
+    aggs: list[Column] = [n.alias("_n")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs.append(
+            F.sum(F.when(col.isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"_null{i}")
+        )
+        aggs.append(F.count_distinct(col).cast("bigint").alias(f"_nd{i}"))
+        aggs.append(F.min(col).cast("string").alias(f"_min{i}"))
+        aggs.append(F.max(col).cast("string").alias(f"_max{i}"))
+    wide = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_null{i}").alias("n_null"),
+                F.col(f"_nd{i}").alias("n_distinct"),
+                F.col(f"_min{i}").alias("min_str"),
+                F.col(f"_max{i}").alias("max_str"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return wide.select(F.inline(entries))
