@@ -188,6 +188,9 @@ def with_cell_rh(
         dtype=np.int64,
     ).T  # max_dim × bits
     weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
+    quant = RH_QUANT  # bound into the closure BY VALUE: a module-global
+    # reference would make cloudpickle import this package on executors,
+    # breaking the ship-by-value posture every other UDF keeps
 
     def _cell(v):  # legacy-signature scalar pandas_udf (no type hints:
         # pd is a local import, so string annotations would not resolve)
@@ -198,7 +201,7 @@ def with_cell_rh(
                 continue
             a = np.asarray(arr[:max_dim], dtype=np.float64)
             # NULL/NaN elements contribute 0 (SQL sum-skips-NULL parity)
-            q = np.floor(np.where(np.isnan(a), 0.0, a) * RH_QUANT + 0.5)
+            q = np.floor(np.where(np.isnan(a), 0.0, a) * quant + 0.5)
             M[r, : len(a)] = q.astype(np.int64)
         P = M @ S  # n × bits, exact int64
         return pd.Series(((P > 0) @ weights).astype(np.int32))
