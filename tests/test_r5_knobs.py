@@ -32,8 +32,13 @@ def test_resolve_bits_counts_corpus(spark):
     from wasaffi_spark.operators.similarity import _resolve_bits
 
     df = spark.range(600).select(F.col("id").alias("vec_id"))
-    assert _resolve_bits(df, None, 256) == 2  # 256*2 < 600 <= 256*4
-    assert _resolve_bits(df, 7, 256) == 7  # explicit bits win, no count
+    # r6: returns (corpus, bits); the auto path materializes the frame
+    # before counting so the count and the main job share one execution
+    out_df, bits = _resolve_bits(df, None, 256)
+    assert bits == 2  # 256*2 < 600 <= 256*4
+    assert out_df.count() == 600  # checkpointed frame carries the rows
+    same_df, bits7 = _resolve_bits(df, 7, 256)
+    assert bits7 == 7 and same_df is df  # explicit bits win, no count
 
 
 def test_knn_edges_auto_bits_equals_explicit(spark):

@@ -5478,7 +5478,13 @@ register_extra(
           select user_id, event_id, rn, qv from q where rn = 1
           union all
           select q.user_id, q.event_id, q.rn,
-                 cast(floor((30 * q.qv + 70 * r.s) / 100) as bigint)
+                 -- exact integer floor division (DuckDB // truncates
+                 -- toward zero and int / rounds through a double, both
+                 -- wrong past 2^53): subtract the non-negative pmod so
+                 -- the numerator divides exactly, in hugeint
+                 cast((30::hugeint * q.qv + 70::hugeint * r.s
+                       - (((30::hugeint * q.qv + 70::hugeint * r.s)
+                           % 100 + 100) % 100)) // 100 as bigint)
           from q join r on q.user_id = r.user_id and q.rn = r.rn + 1)
         select user_id, event_id, s as ewma_micro
         from r order by user_id, event_id""",

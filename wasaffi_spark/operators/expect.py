@@ -68,8 +68,12 @@ def _rule_name(rule: dict) -> str:
 
 def expectations_report(df: DataFrame, rules: list[dict]) -> DataFrame:
     """Evaluate ``rules`` against ``df`` → ``(rule, kind, col_name,
-    n_violations, n_checked, passed)``, one row per rule, in rule
-    order. See module docstring for the rule grammar and plan shape."""
+    n_violations, n_checked, passed)``, one row per rule, in the
+    caller's rule order (each piece carries the rule's original index
+    and the union is sorted on it — review finding r6: the evaluation
+    itself groups by rule KIND, so without the index the output order
+    would be all in-row rules, then unique, then referential). See
+    module docstring for the rule grammar and plan shape."""
     if not rules:
         raise ValueError(
             "expectations_report: empty rule set (a config-driven caller "
@@ -90,6 +94,7 @@ def expectations_report(df: DataFrame, rules: list[dict]) -> DataFrame:
             f"expectations: unknown rule kind {unknown[0]['kind']!r}"
         )
 
+    rule_ix = {id(r): i for i, r in enumerate(rules)}
     pieces: list[DataFrame] = []
     if inrow:
         aggs = [
@@ -102,6 +107,7 @@ def expectations_report(df: DataFrame, rules: list[dict]) -> DataFrame:
         entries = F.array(
             *[
                 F.struct(
+                    F.lit(rule_ix[id(r)]).alias("_ix"),
                     F.lit(_rule_name(r)).alias("rule"),
                     F.lit(r["kind"]).alias("kind"),
                     F.lit(r["column"]).alias("col_name"),
@@ -121,6 +127,7 @@ def expectations_report(df: DataFrame, rules: list[dict]) -> DataFrame:
         )
         pieces.append(
             per_key.agg(
+                F.lit(rule_ix[id(r)]).alias("_ix"),
                 F.lit(_rule_name(r)).alias("rule"),
                 F.lit("unique").alias("kind"),
                 F.lit(col).alias("col_name"),
@@ -147,6 +154,7 @@ def expectations_report(df: DataFrame, rules: list[dict]) -> DataFrame:
         )
         pieces.append(
             fk.join(dim, col, "left").agg(
+                F.lit(rule_ix[id(r)]).alias("_ix"),
                 F.lit(_rule_name(r)).alias("rule"),
                 F.lit("referential").alias("kind"),
                 F.lit(col).alias("col_name"),
@@ -159,7 +167,11 @@ def expectations_report(df: DataFrame, rules: list[dict]) -> DataFrame:
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
-    return out.withColumn("passed", F.col("n_violations") == 0)
+    return (
+        out.orderBy("_ix")
+        .drop("_ix")
+        .withColumn("passed", F.col("n_violations") == 0)
+    )
 
 
 def k_anonymity_report(

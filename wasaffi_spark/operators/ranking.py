@@ -134,6 +134,8 @@ def global_ntile(
     (and Spark/DuckDB-identical) split, reproduced as a closed-form
     expression on the global rank. N comes from the same offsets
     collect (no second scan)."""
+    if n_tiles < 1:
+        raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
     ranked, n = _ranked_with_total(df, order_by, "_grn", num_parts)
     q, rem = divmod(n, n_tiles) if n else (0, 0)
     big = rem * (q + 1)  # rows covered by the first `rem` (larger) tiles

@@ -59,13 +59,21 @@ def auto_sign_bits(n_rows: int, target_cell_size: int = 256) -> int:
 
 def _resolve_bits(
     corpus: DataFrame, bits: int | None, target_cell_size: int
-) -> int:
+) -> tuple[DataFrame, int]:
     """``bits=None`` → :func:`auto_sign_bits` from one O(N) corpus
     count (a single scalar to the driver — the legitimate-collect
-    class). Deterministic in the data, so oracles mirror it."""
+    class). Deterministic in the data, so oracles mirror it.
+
+    Returns ``(corpus, bits)``: on the auto path the corpus is
+    localCheckpoint-ed BEFORE the count so the count and the main job
+    share one execution of the upstream plan — for derived inputs
+    (e.g. a hashed-embedding build) the raw plan would otherwise run
+    twice, once for the knob and once for the query (review finding
+    r6). With explicit ``bits`` the frame passes through untouched."""
     if bits is not None:
-        return bits
-    return auto_sign_bits(corpus.count(), target_cell_size)
+        return corpus, bits
+    corpus = corpus.localCheckpoint(eager=True)
+    return corpus, auto_sign_bits(corpus.count(), target_cell_size)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -342,7 +350,7 @@ def bucketed_topk(
     """
     from .dedup import _cap_buckets
 
-    bits = _resolve_bits(corpus, bits, target_cell_size)
+    corpus, bits = _resolve_bits(corpus, bits, target_cell_size)
     q = (
         with_cell_rh(queries, vec_col, bits)
         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "cell")
@@ -471,7 +479,7 @@ def neardup_pairs(
     """
     from .dedup import _cap_buckets
 
-    bits = _resolve_bits(corpus, bits, target_cell_size)
+    corpus, bits = _resolve_bits(corpus, bits, target_cell_size)
     c = with_cell_rh(corpus, vec_col, bits).withColumn(
         "_n", _norm(F.col(vec_col))
     )
@@ -546,6 +554,12 @@ def semantic_dedup(
     if k_seeds is None:
         import math
 
+        # materialize before the knob count so the count and the main
+        # job share one execution of the upstream plan (for derived
+        # inputs like a hashed-embedding build the raw plan would
+        # otherwise run twice — review finding r6); projected to the
+        # two columns every downstream stage reads
+        corpus = corpus.select(id_col, vec_col).localCheckpoint(eager=True)
         k_seeds = max(16, math.ceil(corpus.count() / target_cluster_size))
     h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
     seeds = (
@@ -670,6 +684,12 @@ def semantic_dedup_pruned(
     if k_seeds is None:
         import math
 
+        # materialize before the knob count so the count and the main
+        # job share one execution of the upstream plan (for derived
+        # inputs like a hashed-embedding build the raw plan would
+        # otherwise run twice — review finding r6); projected to the
+        # two columns every downstream stage reads
+        corpus = corpus.select(id_col, vec_col).localCheckpoint(eager=True)
         k_seeds = max(16, math.ceil(corpus.count() / target_cluster_size))
     bits_a = auto_sign_bits(k_seeds, seeds_per_cell)
     h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
@@ -1272,7 +1292,7 @@ def knn_edges_bucketed(
     """
     from .dedup import _cap_buckets
 
-    bits = _resolve_bits(df, bits, target_cell_size)
+    df, bits = _resolve_bits(df, bits, target_cell_size)
     cells = with_cell_rh(df.select(id_col, vec_col), vec_col, bits).withColumn(
         "_n", _norm(F.col(vec_col))
     )

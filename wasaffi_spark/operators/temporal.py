@@ -346,14 +346,19 @@ def ewma(
     )
 
     def step(acc, x):
+        # Exact integer floor division via decimal(38,0) arithmetic:
+        # bigint `/` goes through double, whose 53-bit mantissa rounds
+        # the numerator once |30·q + 70·s| exceeds 2^53 and can floor
+        # one off from the Python twin's exact `//` (review finding
+        # r6). Decimal +/*/÷ are exact here (quotient needs only 2
+        # fractional digits, result scale is 6), and F.floor on a
+        # decimal is a true floor for negatives too.
+        num = (
+            F.lit(alpha_bp) * x["q"].cast("decimal(38,0)")
+            + F.lit(100 - alpha_bp) * acc["p"].cast("decimal(38,0)")
+        )
         s = F.when(acc["p"].isNull(), x["q"]).otherwise(
-            F.floor(
-                (
-                    F.lit(alpha_bp) * x["q"]
-                    + F.lit(100 - alpha_bp) * acc["p"]
-                )
-                / F.lit(100)
-            ).cast("bigint")
+            F.floor(num / F.lit(100)).cast("bigint")
         )
         return F.struct(
             s.alias("p"),

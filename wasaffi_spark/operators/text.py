@@ -1016,7 +1016,10 @@ def length_percentile_filter(
 
     toks = tokens(text_col)
     n = F.size(F.filter(toks, lambda x: x != F.lit("")))
-    scored = df.withColumn("n_tokens", n.cast("int"))
+    # NULL text tokenizes to NULL, and a NULL join key would silently
+    # drop the row from an operator whose contract is "adds columns";
+    # coalesce to 0 tokens, matching the oracle's coalesce(text, '').
+    scored = df.withColumn("n_tokens", F.coalesce(n.cast("int"), F.lit(0)))
     counts = (
         scored.groupBy("n_tokens")
         .agg(F.count("*").alias("_c"))

@@ -371,7 +371,12 @@ def ewma_stream(
         out_u, out_e, out_s = [], [], []
         for eid, val in zip(pdf["event_id"], pdf["value"]):
             q = math.floor(float(val) * 1_000_000 + 0.5)
-            s = q if s is None else math.floor((a * q + (100 - a) * s) / 100)
+            # `//` not `/`: int/int true division rounds through a
+            # 53-bit double before flooring, which can disagree with
+            # the exact floor by 1 once |a·q + (100−a)·s| > 2^53; the
+            # batch twin uses decimal(38,0) arithmetic for the same
+            # reason (review finding r6)
+            s = q if s is None else (a * q + (100 - a) * s) // 100
             out_u.append(int(key[0]))
             out_e.append(int(eid))
             out_s.append(int(s))
