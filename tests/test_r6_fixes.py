@@ -92,3 +92,44 @@ def test_expectations_report_preserves_rule_order(spark):
     ]
     got = [r["rule"] for r in expectations_report(df, rules).collect()]
     assert got == ["k_unique", "v_not_null", "k_referential", "k_range"]
+
+
+def test_media_neardup_valve_binds_and_oracle_mirrors(spark):
+    """r6 (VERDICT r5 wrong #1): the declared media_neardup passes a
+    deterministic bucket cap, and the DuckDB oracle replays banding +
+    cap, so Spark and oracle stay hash-identical even when the valve
+    BINDS (a degenerate mega-bucket of identical payloads)."""
+    import duckdb
+    import pandas as pd
+
+    from wasaffi_spark.operators import catalog, multimodal
+
+    cap = catalog.MEDIA_BUCKET_CAP
+    rows = [(i, "dup dup dup", "web") for i in range(cap + 24)] + [
+        (1000 + i, f"unique text number {i} with words", "web")
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    media = multimodal.ingest_as_media(docs)
+    got = sorted(
+        map(
+            tuple,
+            multimodal.media_neardup_pairs(
+                media,
+                max_hamming=catalog.AHASH_MAX_HAMMING,
+                n_segments=catalog.AHASH_SEGMENTS,
+                max_bucket_size=cap,
+            ).collect(),
+        )
+    )
+    # the mega-bucket (cap+24 identical payloads) must be dropped:
+    # no pair may touch two low ids
+    assert not any(a < 1000 and b < 1000 for a, b, _ in got)
+
+    sql = {**catalog.ORACLE, **catalog.EXTRA_ORACLE}["media_neardup"]
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    )
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want
