@@ -140,6 +140,9 @@ HEADLINE = [
     "events_unpivot",
     "semantic_dedup_pruned",
     "orders_profile",
+    # new in r6: hybrid RRF with the IVF-routed dense leg (the RAG
+    # combiner's declared scale path)
+    "hybrid_rrf_ivf",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -27,10 +27,21 @@ def _catalog_q(name):
     return QUERIES[name] if name in QUERIES else EXTRA_QUERIES[name]
 
 
+def _rq(name):
+    """Same rotation-proof lookup for the relational module (the r6
+    window rotation moved several long-stable relational rows to the
+    extras channel; plan assertions follow the query, not the
+    channel)."""
+    return (
+        relational.QUERIES[name]
+        if name in relational.QUERIES
+        else relational.EXTRA_QUERIES[name]
+    )
+
 
 @needs_data
 def test_filter_pushdown_reaches_scan(spark):
-    f = plan_facts(relational.QUERIES["filter_project"](spark, SF_SMOKE))
+    f = plan_facts(_rq("filter_project")(spark, SF_SMOKE))
     pushed = " ".join(f.pushed_filters)
     assert "l_shipdate" in pushed and "l_discount" in pushed
     # column pruning: only the 4 referenced columns are read
@@ -41,7 +52,7 @@ def test_filter_pushdown_reaches_scan(spark):
 
 @needs_data
 def test_dimension_join_broadcasts(spark):
-    f = plan_facts(relational.QUERIES["join_collect_aggs"](spark, SF_SMOKE))
+    f = plan_facts(_rq("join_collect_aggs")(spark, SF_SMOKE))
     assert f.broadcast_joins >= 1
     assert f.sortmerge_joins == 0  # the fact side must not shuffle-sort
     # customer scan reads ONLY the join key (group key comes from nation)
@@ -50,7 +61,7 @@ def test_dimension_join_broadcasts(spark):
 
 @needs_data
 def test_agg_scan_pruned(spark):
-    f = plan_facts(relational.QUERIES["agg_pricing_sets"](spark, SF_SMOKE))
+    f = plan_facts(_rq("agg_pricing_sets")(spark, SF_SMOKE))
     [schema] = f.read_schemas
     for col in ("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus"):
         assert col in schema
@@ -59,7 +70,7 @@ def test_agg_scan_pruned(spark):
 
 @needs_data
 def test_topk_no_global_sort(spark):
-    f = plan_facts(relational.QUERIES["outer_join_topk"](spark, SF_SMOKE))
+    f = plan_facts(_rq("outer_join_topk")(spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in f.text  # top-k, not full sort
     # only the join/group keys are read — no payload columns
     assert "struct<c_custkey:bigint>" in f.read_schemas
@@ -98,7 +109,7 @@ def test_tfidf_no_unconditional_vocab_broadcast(spark):
 
 @needs_data
 def test_codegen_present(spark):
-    df = relational.QUERIES["agg_pricing_sets"](spark, SF_SMOKE)
+    df = _rq("agg_pricing_sets")(spark, SF_SMOKE)
     df.collect()  # AQE: codegen ids only appear in the finalized plan
     f = plan_facts(df)
     assert f.codegen_stages >= 1

@@ -97,12 +97,14 @@ def test_sliding_stream_equals_batch(spark, event_stream):
     assert total == 4 * n_events
     # and the full window×type count map equals the oracle-checked
     # batch twin (q_events_sliding)
-    from wasaffi_spark.operators.catalog import EXTRA_QUERIES as OPEX
+    from wasaffi_spark.operators.catalog import EXTRA_QUERIES, QUERIES
 
+    opq = {**QUERIES, **EXTRA_QUERIES}  # rotation-proof lookup (r6:
+    # events_sliding promoted into the driver window)
     got = {(r.win_start, r.win_end, r.event_type): r.cnt for r in rows}
     want = {
         (r.win_start, r.win_end, r.event_type): r.cnt
-        for r in OPEX["events_sliding"](spark, SF_SMOKE).collect()
+        for r in opq["events_sliding"](spark, SF_SMOKE).collect()
     }
     assert got == want
 

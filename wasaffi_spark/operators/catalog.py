@@ -1952,7 +1952,12 @@ register_extra(
 )
 
 
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    target_cluster_size: int = 128,
+) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/similarity.py::
     semantic_dedup): hash-sampled codebook with the k∝N auto knob
     (``k = max(16, ceil(n/128))`` — r4 VERDICT fix #2; 16 at the
@@ -1960,10 +1965,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured ratio drops 15.5×→~1×), argmax-cosine assignment,
     keep-first drop at cosine ≥ 0.4 within the cluster (threshold
     tuned to the synthetic corpus where max pair cosine ≈ 0.51 — the
-    rule must actually fire)."""
+    rule must actually fire).
+
+    ``threshold`` / ``target_cluster_size`` surfaced as builder
+    parameters (r6 — VERDICT r5 stretch #8); the registered oracle
+    replays the defaults."""
     emb = _table(spark, sf_dir, "embeddings")
     return (
-        similarity.semantic_dedup(emb, threshold=0.4)
+        similarity.semantic_dedup(
+            emb, threshold=threshold, target_cluster_size=target_cluster_size
+        )
         .orderBy("vec_id")
     )
 
@@ -4564,9 +4575,12 @@ register_extra(
 
 TEXT_SEMDEDUP_THRESHOLD = 0.95
 SEMDEDUP_SEEDS_PER_CELL = 8  # expected codebook candidates per RH cell
+SEMDEDUP_TARGET_CLUSTER = 128  # k∝N knob: k = max(16, ceil(n/target))
 
 
-def _semdedup_pruned_tail(threshold: float) -> str:
+def _semdedup_pruned_tail(
+    threshold: float, target_cluster_size: int = SEMDEDUP_TARGET_CLUSTER
+) -> str:
     """Oracle CTE chain replaying similarity.semantic_dedup_pruned
     from an ``e(vec_id, v)`` CTE: hash-ranked seed sample, k∝N knob,
     auto cell width (smallest b with seeds_per_cell·2^b ≥ k), RH cells
@@ -4580,7 +4594,8 @@ def _semdedup_pruned_tail(threshold: float) -> str:
                  row_number() over (
                    order by md5('semdedup-v1' || vec_id), vec_id) as rk
           from e),
-        kk as (select greatest(16, cast(ceil(count(*) / 128.0) as bigint))
+        kk as (select greatest(16, cast(ceil(count(*)
+                                / {target_cluster_size}.0) as bigint))
                  as k from e),
         seeds as (select vec_id as sid, v as sv from ranked
                   where rk <= (select k from kk)),
@@ -4637,7 +4652,12 @@ def _semdedup_pruned_tail(threshold: float) -> str:
         order by a.vec_id"""
 
 
-def q_text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = TEXT_SEMDEDUP_THRESHOLD,
+    target_cluster_size: int = SEMDEDUP_TARGET_CLUSTER,
+) -> DataFrame:
     """SemDeDup over the DOCUMENT corpus via hashed embeddings — the
     full semantic-dedup story with no external encoder: text →
     feature-hashed vectors → hash-sampled codebook → argmax assignment
@@ -4655,7 +4675,13 @@ def q_text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     N·8 + orphans·k cosines instead of the full N·k crossJoin, the
     linear 100 TB scale path (pruned probe: 1.67× at 10× vs 2.24×
     full). The exact-assignment variant remains declared separately
-    as `semantic_dedup`."""
+    as `semantic_dedup`.
+
+    ``threshold`` / ``target_cluster_size`` are the 100 TB tuning
+    knobs, surfaced here as builder parameters (r6 — VERDICT r5
+    stretch #8); the REGISTERED oracle replays the defaults, so pass
+    non-default values only with a matching
+    ``_semdedup_pruned_tail(threshold, target)`` oracle."""
     docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
     emb = (
         similarity.hashed_embedding(docs, dim=HASHED_EMB_DIM)
@@ -4663,7 +4689,7 @@ def q_text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("vec_id"), "embedding")
     )
     return similarity.semantic_dedup_pruned(
-        emb, threshold=TEXT_SEMDEDUP_THRESHOLD
+        emb, threshold=threshold, target_cluster_size=target_cluster_size
     ).orderBy("vec_id")
 
 
@@ -6117,4 +6143,81 @@ register_extra(
         for c in PROFILE_COLS
     )
     + "\n        order by col_name",
+)
+
+
+# ---------------------------------------------------------------------------
+# round-6 driver-window rotation (VERDICT r5 next-round #1 — the single
+# highest-leverage item): 32 sweep-green queries had never appeared in
+# any driver window r1-r5; 30 of them (all but the two registered
+# without oracles — ann_ivf_trained and compression_ratio stay
+# rows-only extras) plus the new hybrid_rrf_ivf take the slots of 31
+# long-stable rows (hash-green in earlier driver windows AND still
+# sweep+pytest-checked as extras). Kept as anchors: the §2A UDF rows,
+# the queries CHANGED this round (media_neardup with the wired valve,
+# text_semantic_dedup on the pruned engine, semantic_dedup with the
+# single-execution knob), the r5 scale-fix rows (embedding_clusters,
+# mutual_knn), and one representative per major family (ANN, ranking,
+# training, graph). The window stays exactly 50.
+
+_promote(
+    "bpe_fertility",
+    "cluster_canonical",
+    "containment_pairs",
+    "csv_json_roundtrip",
+    "curation_pipeline",
+    "events_ewma",
+    "events_pivot",
+    "events_sliding",
+    "events_unpivot",
+    "fuzzy_pairs",
+    "global_shuffle",
+    "group_sample",
+    "hybrid_rrf",
+    "hybrid_rrf_ivf",
+    "interval_overlap",
+    "kanon_audit",
+    "knn_triangles",
+    "lang_top_tokens",
+    "length_percentiles",
+    "lm_doc_score",
+    "mixture_epochs",
+    "ngram_lang",
+    "novelty",
+    "orders_expectations",
+    "orders_profile",
+    "pq_topk",
+    "pq_topk_rerank",
+    "semantic_dedup_pruned",
+    "simhash_pairs",
+    "temperature_mixture",
+    "window_extended",
+)
+_demote(
+    "bloom_dedup",
+    "bm25_passages",
+    "bm25_topk",
+    "cohort_retention",
+    "corpus_report",
+    "countmin_tokens",
+    "dataset_diff",
+    "dataset_manifest",
+    "doc_embeddings",
+    "domain_cap",
+    "dup_grams",
+    "entity_clusters",
+    "events_gapfill",
+    "funnel",
+    "fuzzy_decontaminate",
+    "hard_negatives",
+    "inverted_index",
+    "merge_upsert",
+    "ngram_span_dedup",
+    "orc_roundtrip",
+    "pmi_bigrams",
+    "pq_codes",
+    "scd2_merge",
+    "strip_boilerplate",
+    "text_ann",
+    "zorder_cells",
 )

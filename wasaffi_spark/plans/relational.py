@@ -566,3 +566,18 @@ demote(
     "json_complex",
     "approx_aggs",
 )
+
+
+# round-6 driver-window rotation (VERDICT r5 next-round #1): these five
+# relational rows have been hash-green in every driver window since r1
+# — they move to the extras channel (sweep + pytest keep them green) so
+# the driver window can absorb the never-driver-checked backlog. The
+# UDF-parity rows (udf_pow/udf_types) and subqueries_cte stay as the
+# §2A/§2C anchors.
+demote(
+    "filter_project",
+    "join_collect_aggs",
+    "outer_join_topk",
+    "agg_pricing_sets",
+    "window_fns",
+)
