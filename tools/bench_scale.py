@@ -22,6 +22,24 @@ An ideally-linear operator therefore shows ratio ≈ R (×
 parallelism-slack at this size); ratios well above R indicate a
 super-linear term, reported with its cause.
 
+Linearity fit (r6, VERDICT r5 next #5): the raw x10/x1 ratio cannot
+distinguish "linear with a per-query constant" from "super-linear" at
+toy sizes, and the measured trivial-job session floor (~0.03-0.06 s)
+is far too small to explain >2× ratios by overhead subtraction — the
+r5 "~1 s fixed session overhead" story is RETIRED. So each probe now
+runs at THREE scales (x1, x3, x10) and applies the three-point
+convexity test: compare the measured x3 time against the chord
+through (x1, x10) of the affine model ``t(R) = a + b·R``. Any
+constant-plus-linear operator lies ON the chord regardless of how big
+its constant is; a quadratic one lies far BELOW it (t = c·R²:
+chord(3) = 23c vs measured 9c, -61 %); saturating parallelism or
+per-scale knob cliffs lie ABOVE it. `shape` = "linear" within ±25 %,
+"convex (superlinear)" below, "concave (saturating)" above. Timings
+are best-of-3 warm runs after a session warmup pass (the first probe
+pair is executed once untimed — JVM codegen + Python worker pool
+startup otherwise lands entirely on the first timed probe, which is
+exactly the noise that made single-ratio classification unreliable).
+
 Usage: python tools/bench_scale.py [--rebuild]
 Writes BENCH_SCALE.json at the repo root.
 """
@@ -38,8 +56,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-SCALED = os.path.join(REPO, ".scale", "x10")
+SCALE_ROOT = os.path.join(REPO, ".scale")
 R = 10
+R_MID = 3  # third point for the affine linearity fit (r6)
+SCALED = os.path.join(SCALE_ROOT, f"x{R}")
+SCALED_MID = os.path.join(SCALE_ROOT, f"x{R_MID}")
+# x1 is ALSO rewritten through the same 32-file writer as x3/x10: the
+# driver's sf0.1 tables are single parquet files, so probing them raw
+# makes short scan-bound queries measure file-layout parallelism (one
+# scan task at x1 vs 32 at x3/x10 — observed: ivf_pq_topk 2× SLOWER at
+# x1 than x3), not data scaling. Identical layout at every point keeps
+# the convexity test honest.
+SCALED_X1 = os.path.join(SCALE_ROOT, "x1")
 
 # query name -> (named cause if super-linear growth is EXPECTED, else None)
 PROBES = {
@@ -82,16 +110,16 @@ PROBES = {
     ),
     "fuzzy_decontaminate": (
         "linear by construction (decorrelated replicas: candidates = "
-        "R × per-replica train↔eval products); the ratio metric "
-        "overstates it because the ~1 s fixed session overhead "
-        "dominates the 1.5 s base — work-only scaling measures ~5× "
-        "for 10× data"
+        "R × per-replica train↔eval products); the r5 '~1 s session "
+        "overhead' explanation was RETIRED in r6 — the measured "
+        "trivial-job floor is ~0.06 s — and replaced by the 3-point "
+        "affine fit, which classifies the growth directly"
     ),
     "dsir_select": (
         "linear feature explode + broadcast-scored groupBy; the r5 "
         "distributed rank (operators/ranking.py) removed the "
-        "single-partition sort, and the residual ratio >2 is the "
-        "fixed-overhead artifact (base ≈1 s constant + ≈1 s work)"
+        "single-partition sort; residual super-unit ratio is judged "
+        "by the affine fit, not the retired fixed-overhead story"
     ),
     "embedding_clusters": (
         "r5: hyperplane LSH cells (with_cell_rh) + auto_sign_bits now "
@@ -135,17 +163,17 @@ PROBES = {
 }
 
 
-def build_scaled(spark) -> None:
+def build_scaled(spark, rep: int = R, outdir: str = SCALED) -> None:
     from pyspark.sql import functions as F
 
     from wasaffi_spark.sources.parquet import read_parquet
 
-    os.makedirs(SCALED, exist_ok=True)
+    os.makedirs(outdir, exist_ok=True)
 
     docs = read_parquet(spark, os.path.join(BASE, "documents.parquet"))
     n_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     parts = []
-    for r in range(R):
+    for r in range(rep):
         d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * n_doc))
         if r > 0:
             d = d.withColumn(
@@ -163,13 +191,13 @@ def build_scaled(spark) -> None:
     for p in parts[1:]:
         out = out.unionByName(p)
     out.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(SCALED, "documents.parquet")
+        os.path.join(outdir, "documents.parquet")
     )
 
     emb = read_parquet(spark, os.path.join(BASE, "embeddings.parquet"))
     n_emb = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     parts = []
-    for r in range(R):
+    for r in range(rep):
         e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(r * n_emb))
         if r > 0:
             e = e.withColumn(
@@ -187,7 +215,7 @@ def build_scaled(spark) -> None:
     for p in parts[1:]:
         out = out.unionByName(p)
     out.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(SCALED, "embeddings.parquet")
+        os.path.join(outdir, "embeddings.parquet")
     )
 
     li = read_parquet(spark, os.path.join(BASE, "lineitem.parquet"))
@@ -196,13 +224,13 @@ def build_scaled(spark) -> None:
     parts = [
         li.withColumn("l_suppkey", F.col("l_suppkey") + F.lit(r * n_supp))
         .withColumn("l_partkey", F.col("l_partkey") + F.lit(r * n_part))
-        for r in range(R)
+        for r in range(rep)
     ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     out.repartition(32).write.mode("overwrite").parquet(
-        os.path.join(SCALED, "lineitem.parquet")
+        os.path.join(outdir, "lineitem.parquet")
     )
 
 
@@ -222,10 +250,14 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    if "--rebuild" in sys.argv and os.path.isdir(SCALED):
-        shutil.rmtree(SCALED)
+    if "--rebuild" in sys.argv and os.path.isdir(SCALE_ROOT):
+        shutil.rmtree(SCALE_ROOT)
     if not os.path.isdir(os.path.join(SCALED, "documents.parquet")):
-        build_scaled(spark)
+        build_scaled(spark, R, SCALED)
+    if not os.path.isdir(os.path.join(SCALED_MID, "documents.parquet")):
+        build_scaled(spark, R_MID, SCALED_MID)
+    if not os.path.isdir(os.path.join(SCALED_X1, "documents.parquet")):
+        build_scaled(spark, 1, SCALED_X1)
 
     queries = entrymod.queries()
     queries.update(entrymod.extra_queries())
@@ -251,69 +283,74 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
-    # Measured session constant (VERDICT r5 next #5): the fixed
-    # per-query-launch cost — Python-side plan construction, job
-    # scheduling, noop-sink commit — measured as a best-of-5 trivial
-    # job with NO data-proportional work. Subtracted from both sides of
-    # each probe, the `work_ratio` reflects how the WORK scales; the
-    # raw `ratio` (kept) is what a latency-sensitive caller sees at
-    # this toy size, where the constant dominates 1-2 s queries.
+    # Trivial-job session floor, kept for the record (VERDICT r5 next
+    # #5 asked for work-only ratios; the honest measurement is that the
+    # floor is ~0.06 s — far too small to explain any >2× ratio — so
+    # overhead subtraction was replaced by the 3-point affine fit
+    # documented in the module docstring).
     def _floor_q(spark, sf_dir):
         return spark.range(cpus, numPartitions=cpus)
 
     floor = timed(_floor_q, BASE, runs=5)
     print(f"  session floor: {floor}s", flush=True)
 
-    def work_ratio(base: float, scaled: float) -> float | None:
-        wb, ws = base - floor, scaled - floor
-        if wb <= 0.15:  # work indistinguishable from the floor at base
-            return None
-        return round(max(ws, 0.0) / wb, 2)
+    def probe(fn) -> dict:
+        t1 = timed(fn, SCALED_X1, runs=3)
+        t3 = timed(fn, SCALED_MID, runs=3)
+        t10 = timed(fn, SCALED, runs=3)
+        row = {
+            "sf0.1_sec": t1,
+            "x3_sec": t3,
+            "x10_sec": t10,
+            "ratio": round(t10 / t1, 2) if t1 > 0 else None,
+        }
+        # three-point convexity test (module docstring): measured x3 vs
+        # the chord through (x1, x10) — constant+linear lies ON the
+        # chord, quadratic far below, saturation/knob-cliffs above.
+        chord3 = t1 + (t10 - t1) * (R_MID - 1) / (R - 1)
+        dev = (t3 - chord3) / chord3 if chord3 > 0 else 0.0
+        row["chord_x3_pred"] = round(chord3, 3)
+        row["chord_dev_pct"] = round(100 * dev, 1)
+        if dev < -0.25:
+            row["shape"] = "convex (superlinear)"
+        elif dev > 0.25:
+            row["shape"] = "concave (saturating)"
+        else:
+            row["shape"] = "linear"
+        return row
+
+    # session warmup: one untimed execution of a representative probe at
+    # each scale dir, so codegen/worker-pool startup doesn't land on the
+    # first timed probe (see module docstring).
+    warm = queries["pq_topk"]
+    for d in (SCALED_X1, SCALED_MID, SCALED):
+        warm(spark, d).write.format("noop").mode("overwrite").save()
+    print("  session warmed", flush=True)
 
     results = {}
     for name, cause in PROBES.items():
-        fn = queries[name]
-        base = timed(fn, BASE)
-        scaled = timed(fn, SCALED)
-        ratio = round(scaled / base, 2) if base > 0 else None
-        row = {"sf0.1_sec": base, "x10_sec": scaled, "ratio": ratio}
-        wr = work_ratio(base, scaled)
-        if wr is not None:
-            row["work_ratio"] = wr
-        else:
-            row["work_ratio_note"] = (
-                "base work within 0.15 s of the session floor — "
-                "work-only ratio not measurable at this size"
-            )
-        if cause and ratio and ratio > 1.5 * R:
+        row = probe(queries[name])
+        if cause and row["shape"] == "convex (superlinear)":
             row["superlinear_cause"] = cause
         elif cause:
             row["note"] = cause
         results[name] = row
         print(
-            f"  {name}: {base}s -> {scaled}s (x{ratio}, work x{wr})",
+            f"  {name}: {row['sf0.1_sec']}s / {row['x3_sec']}s / "
+            f"{row['x10_sec']}s (x{row['ratio']}, {row['shape']}, "
+            f"chord_dev={row['chord_dev_pct']}%)",
             flush=True,
         )
 
-    base = timed(semantic_dedup_k160, BASE)
-    scaled = timed(semantic_dedup_k160, SCALED)
-    results["semantic_dedup_k160"] = {
-        "sf0.1_sec": base,
-        "x10_sec": scaled,
-        "ratio": round(scaled / base, 2),
-        **(
-            {"work_ratio": work_ratio(base, scaled)}
-            if work_ratio(base, scaled) is not None
-            else {}
-        ),
-        "note": (
-            "same operator with k_seeds=160 (knob ∝ N): bounds the "
-            "within-cluster pair join at 10× data"
-        ),
-    }
+    row = probe(semantic_dedup_k160)
+    row["note"] = (
+        "same operator with k_seeds=160 (knob ∝ N): bounds the "
+        "within-cluster pair join at 10× data"
+    )
+    results["semantic_dedup_k160"] = row
     print(
-        f"  semantic_dedup_k160: {base}s -> {scaled}s "
-        f"(x{results['semantic_dedup_k160']['ratio']})",
+        f"  semantic_dedup_k160: {row['sf0.1_sec']}s -> {row['x10_sec']}s "
+        f"(x{row['ratio']}, {row['shape']})",
         flush=True,
     )
 
@@ -321,14 +358,17 @@ def main() -> None:
         json.dump(
             {
                 "replication": R,
+                "mid_replication": R_MID,
                 "base_dir": BASE,
                 "cpus": cpus,
                 "session_floor_sec": floor,
                 "method": (
-                    "decorrelated 10x replication of sf0.1 (distinct vocab "
-                    "per replica; position-noise per embedding replica; "
-                    "disjoint supply graphs); best-of-2 warm runs to a noop "
-                    "sink"
+                    "decorrelated 3x and 10x replication of sf0.1 (distinct "
+                    "vocab per replica; position-noise per embedding "
+                    "replica; disjoint supply graphs); best-of-2 warm runs "
+                    "to a noop sink; linearity classified by the affine fit "
+                    "t(R)=a+b*R on (x3,x10) checked against the measured x1 "
+                    "(see module docstring of tools/bench_scale.py)"
                 ),
                 "queries": results,
             },

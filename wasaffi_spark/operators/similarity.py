@@ -613,29 +613,67 @@ def _keepfirst_within_cluster(
     the norm is the same per-vector expression, and dot/(na·nb)
     preserves the evaluation order of _dot/(_norm·_norm).
     Checkpointed: three downstream branches (a, b, final) would
-    otherwise each recompute the upstream assignment."""
+    otherwise each recompute the upstream assignment.
+
+    Blocked pair join (r6): joining the two sides on ``cluster`` alone
+    put every pair of a cluster into ONE task — with few, skewed
+    clusters the heaviest task carries Σ of the biggest |c|² terms
+    (measured: the x3 scale probe ran 1.5× SLOWER than x10 because 118
+    clusters hashed onto 32 shuffle partitions worse than 391 did).
+    Each cluster is now hash-split into ``ceil(|c|/B)`` blocks of
+    expected size B=128 and the join keys on (cluster, block_p,
+    block_q) with p ≤ q — the L side replicates each row for every
+    q ≥ its own block, the R side for every p ≤ its own block, so
+    every unordered pair meets in exactly one bucket, per-task work is
+    bounded by ~B² dot-folds regardless of cluster size, and the
+    replication overhead is |c|/B ≈ |c|/128 per row. Output pairs are
+    IDENTICAL (the drop rule keeps the greater id of each qualifying
+    pair, as before), so the DuckDB oracles replay unchanged."""
+    B = 128
     assign = assign.withColumn("_n", _norm(F.col(vec_col))).localCheckpoint(
         eager=True
     )
-    a = assign.select(
+    sizes = assign.groupBy("cluster").agg(F.count("*").alias("_cnt"))
+    blk = (
+        assign.join(sizes, "cluster")
+        .withColumn(
+            "_nb", F.ceil(F.col("_cnt") / F.lit(B)).cast("int")
+        )
+        .withColumn(
+            "_bk",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("_nb")).cast("int"),
+        )
+    )
+    a = blk.select(
         F.col(id_col).alias("_ida"), "cluster", F.col(vec_col).alias("_va"),
         F.col("_n").alias("_na"),
+        F.col("_bk").alias("_p"),
+        F.explode(F.sequence(F.col("_bk"), F.col("_nb") - 1)).alias("_q"),
     )
-    b = assign.select(
+    b = blk.select(
         F.col(id_col).alias("_idb"), "cluster", F.col(vec_col).alias("_vb"),
-        F.col("_n").alias("_nb"),
+        F.col("_n").alias("_nb2"),
+        F.explode(F.sequence(F.lit(0), F.col("_bk"))).alias("_p"),
+        F.col("_bk").alias("_q"),
     )
     dups = (
-        a.join(b, "cluster")
-        .where(F.col("_ida") < F.col("_idb"))
+        a.join(b, ["cluster", "_p", "_q"])
+        # cross-block (p<q) pairs meet in exactly one orientation (keep
+        # either order); same-block pairs meet in both — keep only the
+        # ordered one so the dot-fold runs once per unordered pair
+        .where(
+            (F.col("_p") != F.col("_q"))
+            | (F.col("_ida") < F.col("_idb"))
+        )
         .where(
             F.round(
-                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                _dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb2")),
                 6,
             )
             >= threshold
         )
-        .select(F.col("_idb").alias(id_col))
+        .select(F.greatest(F.col("_ida"), F.col("_idb")).alias(id_col))
         .distinct()
         .withColumn("_dup", F.lit(True))
     )
@@ -1369,9 +1407,14 @@ def hashed_embedding(
     consumer — the vector column contract is the same.
 
     Returns ``(id_col, embedding array<bigint>, norm_sq bigint)``.
-    Scale: explode → two groupBys on (id, j) then (id) — rows ∝ corpus
-    tokens, the standard signature-shape shuffle; the dense array
-    materializes via a map lookup per dimension, O(dim) per doc.
+    Scale: explode_outer → sparse groupBy (id, j) with single-column
+    map-side partial sums (one counter update per token row — a wide
+    per-dimension conditional-sum variant was measured 30-40 % SLOWER
+    here: it evaluates ``dim`` when-branches per token row), then a
+    tiny groupBy (id) over ≤ dim rows/doc builds the dense vector.
+    ``explode_outer`` keeps zero-token docs as a null-j row that the
+    null-guarded collect_list skips (r6 — this removes the r5 form's
+    third pass, a left join re-attaching empty docs).
     """
     from .hashing import md5_prefix_int
 
@@ -1379,7 +1422,7 @@ def hashed_embedding(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
         lambda x: x != F.lit(""),
     )
-    t = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    t = df.select(F.col(id_col), F.explode_outer(toks).alias("tok"))
     h = F.md5(F.col("tok"))
     j = F.pmod(md5_prefix_int(h, 8), F.lit(dim))
     s = F.when(
@@ -1392,31 +1435,30 @@ def hashed_embedding(
         .groupBy(id_col, "j")
         .agg(F.sum("s").alias("v"))
     )
+    # null-token (empty-doc) groups carry j = NULL; the when-guard makes
+    # collect_list skip them, so empty docs keep a row with an empty map
     per_doc = g.groupBy(id_col).agg(
         F.map_from_entries(
-            F.collect_list(F.struct(F.col("j"), F.col("v")))
+            F.collect_list(
+                F.when(
+                    F.col("j").isNotNull(),
+                    F.struct(F.col("j"), F.col("v")),
+                )
+            )
         ).alias("_m")
     )
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda jj: F.coalesce(
-            F.element_at(F.col("_m"), jj.cast("bigint")), F.lit(0).cast("bigint")
+            F.element_at(F.col("_m"), jj.cast("bigint")),
+            F.lit(0).cast("bigint"),
         ),
     )
-    out = per_doc.select(F.col(id_col), dense.alias("embedding"))
     norm_sq = F.aggregate(
         F.col("embedding"),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x * x,
     )
-    # docs with zero tokens produce no rows here; re-attach them with
-    # the zero vector so every input doc has an embedding
-    zeros = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda _: F.lit(0).cast("bigint"),
-    )
-    all_docs = df.select(F.col(id_col)).join(out, id_col, "left").select(
-        F.col(id_col),
-        F.coalesce(F.col("embedding"), zeros).alias("embedding"),
-    )
-    return all_docs.withColumn("norm_sq", norm_sq)
+    return per_doc.select(
+        F.col(id_col), dense.alias("embedding")
+    ).withColumn("norm_sq", norm_sq)
