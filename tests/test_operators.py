@@ -815,3 +815,60 @@ def test_cohort_retention_triangle(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_keepfirst_blocked_join_multiblock(spark, monkeypatch):
+    """The r6 blocked pair join (similarity.py _keepfirst_within_cluster)
+    must produce IDENTICAL keep flags to the naive all-pairs rule when
+    clusters span many blocks: every unordered pair must meet in
+    exactly one (cluster, block_p, block_q) bucket — a missed pair
+    under-drops, a doubled same-block pair is masked by the distinct
+    but would double the dot-fold work. Shrinks KEEPFIRST_BLOCK to 3
+    so 40 vectors in one cluster split into ~14 blocks, then checks
+    (a) flags equal the brute-force O(n²) python reference and (b) a
+    huge block size (single-block path) gives the same answer."""
+    import math
+
+    # 8 near-dup families of 5 rotations each; family f points in a
+    # distinct direction, members are tiny perturbations (cos ≈ 1
+    # within a family, well below 0.9 across families).
+    rows = []
+    for i in range(40):
+        fam, mem = divmod(i, 5)
+        theta = 0.7 * fam + 0.001 * mem
+        rows.append(
+            (i, [math.cos(theta), math.sin(theta), 0.01 * fam, 0.0])
+        )
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    def brute_keep(threshold):
+        def cos(u, v):
+            d = sum(a * b for a, b in zip(u, v))
+            nu = math.sqrt(sum(a * a for a in u))
+            nv = math.sqrt(sum(a * a for a in v))
+            return round(d / (nu * nv), 6)
+
+        vecs = dict(rows)
+        return {
+            i: not any(
+                j < i and cos(vecs[i], vecs[j]) >= threshold
+                for j in vecs
+            )
+            for i in vecs
+        }
+
+    monkeypatch.setattr(similarity, "KEEPFIRST_BLOCK", 3)
+    out = similarity.semantic_dedup(df, k_seeds=1, threshold=0.9)
+    got = {r.vec_id: r.keep for r in out.collect()}
+    assert got == brute_keep(0.9)
+    # exactly one keeper (the lowest id) per family
+    assert sorted(i for i, k in got.items() if k) == [0, 5, 10, 15, 20, 25, 30, 35]
+
+    monkeypatch.setattr(similarity, "KEEPFIRST_BLOCK", 10**9)
+    single = {
+        r.vec_id: r.keep
+        for r in similarity.semantic_dedup(
+            df.repartition(7), k_seeds=1, threshold=0.9
+        ).collect()
+    }
+    assert single == got

@@ -80,7 +80,8 @@ PROBES = {
     "semantic_dedup": (
         "r5: k_seeds now follows the data (max(16, ceil(n/128)) from one "
         "O(N) count) and the N·k assignment stage scores with "
-        "precomputed norms — the r4 15.5× collapsed to ~1.7×; residual "
+        "precomputed norms — the r4 15.5× collapsed to ~2×, on-chord "
+        "linear; residual "
         "growth is the k∝N assignment crossJoin (N·k cosines). This "
         "row stays declared as the EXACT-assignment contrast; the "
         "cell-pruned engine is the flagship (text_semantic_dedup, r6) "
@@ -131,7 +132,12 @@ PROBES = {
         "hierarchical assignment: N·seeds_per_cell + orphans·k — the "
         "linear scale path of the semantic_dedup family; its constant "
         "factors (two cell passes + checkpoints) only pay off once "
-        "N·k dwarfs them"
+        "N·k dwarfs them. r6: the keep-first pair join is BLOCKED "
+        "(cluster hash-split into ~128-row blocks, join keyed by "
+        "(cluster, block_p, block_q)) — per-task work is bounded by "
+        "~B² dot-folds regardless of cluster-count skew; this removed "
+        "a measured x3>x10 inversion (118 clusters hashed onto 32 "
+        "partitions worse than 391 did)"
     ),
     "knn_triangles": (
         "wedge join bounded by degree-ordered orientation (O(m^1.5)); "
@@ -153,8 +159,10 @@ PROBES = {
     "text_semantic_dedup": (
         "r6: the flagship now runs hierarchical cell-pruned assignment "
         "(N·8 + orphans·k cosines) — the linear scale path; residual "
-        "growth is the within-cluster keep-first pair join, bounded by "
-        "the k∝N knob (expected cluster size ~128)"
+        "growth is the within-cluster keep-first pair join, bounded in "
+        "VOLUME by the k∝N knob (expected cluster size ~128) and in "
+        "PER-TASK SKEW by the r6 blocked pair join (~B² dot-folds per "
+        "task; see _keepfirst_within_cluster)"
     ),
     "containment_pairs": (
         "same blocked shingle join as jaccard_pairs (linear on "

@@ -134,6 +134,10 @@ def with_cell(df: DataFrame, vec_col: str = "embedding", bits: int = SIGN_BITS) 
 RH_SEED = "cell-rh-v1"
 RH_QUANT = 1_000_000  # micro-unit grid: integer projections, engine-exact
 RH_MAX_DIM = 64  # hyperplane width; dims past this are ignored (documented)
+# expected rows per block in _keepfirst_within_cluster's blocked pair
+# join (bounds per-task work at ~B² dot-folds regardless of cluster
+# skew); module-level so tests can shrink it to force multi-block paths
+KEEPFIRST_BLOCK = 128
 
 
 def _rh_sign(i: int, j: int, seed: str = RH_SEED) -> int:
@@ -629,7 +633,7 @@ def _keepfirst_within_cluster(
     replication overhead is |c|/B ≈ |c|/128 per row. Output pairs are
     IDENTICAL (the drop rule keeps the greater id of each qualifying
     pair, as before), so the DuckDB oracles replay unchanged."""
-    B = 128
+    B = KEEPFIRST_BLOCK
     assign = assign.withColumn("_n", _norm(F.col(vec_col))).localCheckpoint(
         eager=True
     )
