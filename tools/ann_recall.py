@@ -170,6 +170,14 @@ def run_variants(sim, F, queries, emb) -> dict:
         "ivf_pq_p4_rerank96": lambda: sim.ivf_pq_topk(
             queries, emb, k=K, n_probe=4, rerank=96
         ),
+        # SQ8 (r6): 4x memory cut, table-free ADC — per-dimension codes
+        # keep far more geometry than PQ's 8-nibble codes, so flat SQ8
+        # recall should land near brute-force even where flat PQ ties
+        # collapse; the rerank row shows the residual cure
+        "sq8_adc_flat": lambda: sim.sq8_topk(queries, emb, k=K),
+        "sq8_adc_rerank24": lambda: sim.sq8_topk(
+            queries, emb, k=K, rerank=24
+        ),
     }
 
     truth = {

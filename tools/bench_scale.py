@@ -93,8 +93,8 @@ PROBES = {
         "blocked shingle join is linear on decorrelated replicas "
         "(cross-replica shingles never collide); the bench-vs-r3 "
         "regression suspicion was bisected in r5 — code byte-identical "
-        "since r3, same-harness A/B within 4% (COVERAGE.md:214, the "
-        "surviving record of that A/B)"
+        "since r3, same-harness A/B within 4% (COVERAGE.md Round-5 "
+        "notes, the 'A/B within 4%' bullet — the surviving record)"
     ),
     "media_neardup": (
         "signature is linear; r6 wires the max_bucket_size valve into "

@@ -5884,6 +5884,103 @@ register_extra(
 )
 
 
+def q_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (operators/similarity.py::sq8_encode —
+    r6, the third member of the quantization ladder beside pq_codes /
+    ivf_pq_topk): one code per dimension + one per-vector scale, a 4×
+    memory cut whose ADC scan reads a quarter of the bytes at 100 TB.
+    max|x| is comparison-only and each code one IEEE floor, so the
+    encoding is engine-exact. Codes ship as the repo's scalarized CSV
+    convention (plans/relational.py:23-25)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    enc = similarity.sq8_encode(emb)
+    return enc.select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias(
+            "codes_csv"
+        ),
+        "code_norm_sq",
+        "scale_micro",
+    ).orderBy("vec_id")
+
+
+_SQ8_CTES = """sqe as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        sqm as (select vec_id, v,
+                       list_max(list_transform(v, y -> abs(y))) as mx
+                from sqe),
+        sqc as (select vec_id, mx,
+                       case when mx > 0
+                            then list_transform(
+                                   v, x -> cast(floor(x*127/mx + 0.5)
+                                               as int))
+                            else list_transform(v, x -> 0) end as codes
+                from sqm),
+        sqn as (select vec_id, mx, codes,
+                       cast(list_sum(list_transform(
+                              codes, c -> cast(c as bigint)*c)) as bigint)
+                         as code_norm_sq
+                from sqc)"""
+
+register_extra(
+    "sq8_codes",
+    q_sq8_codes,
+    f"""with {_SQ8_CTES}
+        select vec_id,
+               array_to_string(list_transform(codes,
+                                              c -> cast(c as varchar)),
+                               ',') as codes_csv,
+               code_norm_sq,
+               case when mx > 0
+                    then cast(floor(mx/127*1000000000 + 0.5) as bigint)
+                    else 0 end as scale_micro
+        from sqn order by vec_id""",
+)
+
+
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over SQ8 codes (operators/similarity.py::sq8_topk —
+    r6): probe vectors vec_id < 8 against a corpus represented only by
+    its int8 codes; ranking by ip/√code_norm_sq (∝ cosine — the SQ8
+    scale cancels), both exact integers, so the order is engine-exact.
+    Table-free ADC: one zip-multiply fold per candidate in codegen,
+    codes never shuffle; the production composition routes through the
+    IVF cell join exactly as pq_topk → ivf_pq_topk."""
+    emb = _table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    return similarity.sq8_topk(probes, emb, k=ANN_K).orderBy("qid", "rank")
+
+
+register_extra(
+    "sq8_topk",
+    q_sq8_topk,
+    f"""with {_SQ8_CTES},
+        corpus as (select vec_id as nid, codes, code_norm_sq from sqn
+                   where code_norm_sq > 0),
+        q as (select vec_id as qid,
+                     list_transform(v, x -> cast(floor(x*{similarity.SQ8_QUERY_QUANT}
+                                                       + 0.5) as bigint))
+                       as qq
+              from sqe where vec_id < {ANN_QUERY_MAX_ID}),
+        scored as (
+          select q.qid, c.nid,
+                 (select sum(q.qq[j] * c.codes[j])
+                  from unnest(generate_series(1, 64)) as g(j))::bigint as ip,
+                 c.code_norm_sq
+          from q cross join corpus c
+          where q.qid <> c.nid),
+        ranked as (
+          select qid, nid, ip, code_norm_sq,
+                 cast(row_number() over (
+                   partition by qid
+                   order by cast(ip as double) /
+                            sqrt(cast(code_norm_sq as double)) desc,
+                            nid) as int) as rank
+          from scored)
+        select qid, nid, ip, code_norm_sq, rank
+        from ranked where rank <= {ANN_K} order by qid, rank""",
+)
+
+
 KANON_K = 4
 
 
