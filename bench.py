@@ -141,8 +141,14 @@ HEADLINE = [
     "semantic_dedup_pruned",
     "orders_profile",
     # new in r6: hybrid RRF with the IVF-routed dense leg (the RAG
-    # combiner's declared scale path)
+    # combiner's declared scale path); SQ8 + binary quantization ADC
+    # (the 4x and 32x members of the quantization ladder)
     "hybrid_rrf_ivf",
+    "sq8_topk",
+    "bq_topk",
+    "ivf_sq8_topk",
+    "ivf_bq_topk",
+    "filtered_ann",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -178,6 +178,36 @@ def run_variants(sim, F, queries, emb) -> dict:
         "sq8_adc_rerank24": lambda: sim.sq8_topk(
             queries, emb, k=K, rerank=24
         ),
+        # BQ (r6): 32x memory cut — sign-bit hamming is the coarsest
+        # ladder rung; hamming takes only d+1 distinct values, so flat
+        # recall is tie-limited and the rerank row is the honest
+        # operating point (the BBQ two-stage shape)
+        "bq_hamming_flat": lambda: sim.bq_topk(queries, emb, k=K),
+        "bq_hamming_rerank24": lambda: sim.bq_topk(
+            queries, emb, k=K, rerank=24
+        ),
+        # hamming tie groups on clustered data are wider than 24 (the
+        # same structural cap flat PQ hits) — the recall-complete
+        # operating point needs the shortlist to out-width them
+        "bq_hamming_rerank96": lambda: sim.bq_topk(
+            queries, emb, k=K, rerank=96
+        ),
+        # IVF×SQ8 (r6): the wired corpus-scale composition — cell
+        # pruning multiplies with the 4x code-scan cut
+        "ivf_sq8_p2": lambda: sim.ivf_sq8_topk(
+            queries, emb, k=K, n_cells=16, n_probe=2
+        ),
+        "ivf_sq8_p2_rerank24": lambda: sim.ivf_sq8_topk(
+            queries, emb, k=K, n_cells=16, n_probe=2, rerank=24
+        ),
+        # IVF×BQ (r6): the 32x rung composed — cheapest first stage;
+        # tie-dense hamming makes the rerank row the operating point
+        "ivf_bq_p2": lambda: sim.ivf_bq_topk(
+            queries, emb, k=K, n_cells=16, n_probe=2
+        ),
+        "ivf_bq_p2_rerank96": lambda: sim.ivf_bq_topk(
+            queries, emb, k=K, n_cells=16, n_probe=2, rerank=96
+        ),
     }
 
     truth = {

@@ -168,6 +168,27 @@ PROBES = {
         "same blocked shingle join as jaccard_pairs (linear on "
         "decorrelated replicas); output ∝ true containment pairs"
     ),
+    "sq8_topk": (
+        "flat table-free ADC over int8 codes: candidates = Q×N — "
+        "linear in N by design, same contrast role as pq_topk; the "
+        "production composition routes through the IVF cell join "
+        "(ivf_pq_topk's shape) with a 4× smaller code scan"
+    ),
+    "bq_topk": (
+        "flat hamming scan over packed sign words: candidates = Q×N — "
+        "linear in N with a 32× smaller code scan (two XOR+popcounts "
+        "per candidate); same IVF composition at corpus scale"
+    ),
+    "ivf_sq8_topk": (
+        "the wired IVF×SQ8 composition: per-query candidates "
+        "O(N·n_probe/n_cells) over a 4× smaller code scan — the "
+        "ivf_pq_topk shape with SQ8's table-free ADC kernel"
+    ),
+    "ivf_bq_topk": (
+        "the wired IVF×BQ composition: cell pruning × a 32× smaller "
+        "code scan (XOR+popcount kernel) — the cheapest first stage "
+        "of the ladder"
+    ),
 }
 
 
@@ -270,6 +291,14 @@ def main() -> None:
     queries = entrymod.queries()
     queries.update(entrymod.extra_queries())
 
+    # --only a,b,c: probe just those queries and MERGE the rows into the
+    # existing BENCH_SCALE.json (keeps prior measurements; used to add
+    # probes for new operators without re-running the full ladder)
+    only = None
+    for i, a in enumerate(sys.argv):
+        if a == "--only" and i + 1 < len(sys.argv):
+            only = set(sys.argv[i + 1].split(","))
+
     # the knob-follows-the-data variant of semantic_dedup: k_seeds scales
     # with N so Σ|cluster|² stays bounded — the comparison row that shows
     # the quadratic term is the (documented) knob, not the operator.
@@ -337,6 +366,8 @@ def main() -> None:
 
     results = {}
     for name, cause in PROBES.items():
+        if only is not None and name not in only:
+            continue
         row = probe(queries[name])
         if cause and row["shape"] == "convex (superlinear)":
             row["superlinear_cause"] = cause
@@ -350,19 +381,33 @@ def main() -> None:
             flush=True,
         )
 
-    row = probe(semantic_dedup_k160)
-    row["note"] = (
-        "same operator with k_seeds=160 (knob ∝ N): bounds the "
-        "within-cluster pair join at 10× data"
-    )
-    results["semantic_dedup_k160"] = row
-    print(
-        f"  semantic_dedup_k160: {row['sf0.1_sec']}s -> {row['x10_sec']}s "
-        f"(x{row['ratio']}, {row['shape']})",
-        flush=True,
-    )
+    if only is None or "semantic_dedup_k160" in only:
+        row = probe(semantic_dedup_k160)
+        row["note"] = (
+            "same operator with k_seeds=160 (knob ∝ N): bounds the "
+            "within-cluster pair join at 10× data"
+        )
+        results["semantic_dedup_k160"] = row
+        print(
+            f"  semantic_dedup_k160: {row['sf0.1_sec']}s -> "
+            f"{row['x10_sec']}s (x{row['ratio']}, {row['shape']})",
+            flush=True,
+        )
 
-    with open(os.path.join(REPO, "BENCH_SCALE.json"), "w") as f:
+    out_path = os.path.join(REPO, "BENCH_SCALE.json")
+    if only is not None and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        merged = prior.get("queries", {})
+        merged.update(results)
+        prior["queries"] = merged
+        prior["session_floor_sec"] = floor
+        with open(out_path, "w") as f:
+            json.dump(prior, f, indent=1)
+        spark.stop()
+        return
+
+    with open(out_path, "w") as f:
         json.dump(
             {
                 "replication": R,

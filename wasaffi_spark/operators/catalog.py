@@ -5981,6 +5981,276 @@ register_extra(
 )
 
 
+def q_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF×SQ8 search (operators/similarity.py::ivf_sq8_topk
+    — r6): cell routing via the deterministic hashed-IVF codebook
+    (integer-grid argmin, same machinery as ann_ivf), candidate
+    scoring via SQ8's table-free integer ADC. The wired corpus-scale
+    composition sq8_topk's docstring promises: per-query candidates
+    O(N·n_probe/n_cells) AND a 4× smaller code scan — the savings
+    multiply. Integer outputs, fully hash-oracled (cells, probe
+    order, ADC ranks all engine-exact)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    return similarity.ivf_sq8_topk(
+        probes, emb, k=ANN_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE
+    ).orderBy("qid", "rank")
+
+
+register_extra(
+    "ivf_sq8_topk",
+    q_ivf_sq8_topk,
+    f"""with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        cranked as (
+          select v as cv,
+                 row_number() over (
+                   order by md5('{similarity.IVF_SEED}' || vec_id), vec_id) - 1
+                   as cell
+          from e
+          order by md5('{similarity.IVF_SEED}' || vec_id), vec_id
+          limit {IVF_CELLS}),
+        ad as (select e.vec_id, r.cell, {_ivf_l2_sql("e.v", "r.cv")} as d
+               from e cross join cranked r),
+        assign as (
+          select vec_id,
+                 cast(min(d * {IVF_CELLS} + cell) % {IVF_CELLS} as int) as cell
+          from ad group by vec_id),
+        {_SQ8_CTES},
+        q as (select vec_id as qid, v as qv,
+                     list_transform(v, x -> cast(floor(x*{similarity.SQ8_QUERY_QUANT}
+                                                       + 0.5) as bigint)) as qq
+              from e where vec_id < {ANN_QUERY_MAX_ID}),
+        qd as (select q.qid, r.cell, {_ivf_l2_sql("q.qv", "r.cv")} as d
+               from q cross join cranked r),
+        probes as (
+          select qid, cell from (
+            select qid, cell,
+                   row_number() over (partition by qid order by d, cell) as pr
+            from qd) t
+          where pr <= {IVF_PROBE}),
+        cand as (select p.qid, a.vec_id as nid
+                 from probes p join assign a using (cell)),
+        scored as (
+          select c.qid, c.nid,
+                 (select sum(q2.qq[j] * s.codes[j])
+                  from unnest(generate_series(1, 64)) as g(j))::bigint as ip,
+                 s.code_norm_sq
+          from cand c
+          join q q2 on q2.qid = c.qid
+          join sqn s on s.vec_id = c.nid
+          where c.qid <> c.nid and s.code_norm_sq > 0),
+        rankd as (
+          select qid, nid, ip, code_norm_sq,
+                 cast(row_number() over (
+                   partition by qid
+                   order by cast(ip as double) /
+                            sqrt(cast(code_norm_sq as double)) desc,
+                            nid) as int) as rank
+          from scored)
+        select qid, nid, ip, code_norm_sq, rank
+        from rankd where rank <= {ANN_K} order by qid, rank""",
+)
+
+
+def q_ivf_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF×BQ search (operators/similarity.py::ivf_bq_topk —
+    r6): ivf_sq8_topk's twin at the 32× rung — hashed-IVF cell
+    routing, then the XOR+popcount hamming kernel over the probed
+    cells only. The cheapest first stage the ladder offers at 100 TB
+    (1/32nd of the bytes × n_probe/n_cells of the corpus); tie-dense
+    hamming means the rerank refine is the honest operating point
+    (ANN_RECALL.json). Integer outputs, fully hash-oracled."""
+    emb = _table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    return similarity.ivf_bq_topk(
+        probes, emb, k=ANN_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE
+    ).orderBy("qid", "rank")
+
+
+register_extra(
+    "ivf_bq_topk",
+    q_ivf_bq_topk,
+    f"""with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        cranked as (
+          select v as cv,
+                 row_number() over (
+                   order by md5('{similarity.IVF_SEED}' || vec_id), vec_id) - 1
+                   as cell
+          from e
+          order by md5('{similarity.IVF_SEED}' || vec_id), vec_id
+          limit {IVF_CELLS}),
+        ad as (select e.vec_id, r.cell, {_ivf_l2_sql("e.v", "r.cv")} as d
+               from e cross join cranked r),
+        assign as (
+          select vec_id,
+                 cast(min(d * {IVF_CELLS} + cell) % {IVF_CELLS} as int) as cell
+          from ad group by vec_id),
+        bqw as (select vec_id,
+                       cast((select sum(case when e.v[i] > 0
+                                             then (1::BIGINT << (i-1))
+                                             else 0 end)
+                             from unnest(generate_series(1, 32)) as g(i))
+                            as bigint) as w0,
+                       cast((select sum(case when e.v[32+i] > 0
+                                             then (1::BIGINT << (i-1))
+                                             else 0 end)
+                             from unnest(generate_series(1, 32)) as g(i))
+                            as bigint) as w1
+                from e),
+        q as (select vec_id as qid, v as qv from e
+              where vec_id < {ANN_QUERY_MAX_ID}),
+        qd as (select q.qid, r.cell, {_ivf_l2_sql("q.qv", "r.cv")} as d
+               from q cross join cranked r),
+        probes as (
+          select qid, cell from (
+            select qid, cell,
+                   row_number() over (partition by qid order by d, cell) as pr
+            from qd) t
+          where pr <= {IVF_PROBE}),
+        cand as (select p.qid, a.vec_id as nid
+                 from probes p join assign a using (cell)),
+        scored as (
+          select c.qid, c.nid,
+                 cast(bit_count(xor(qb.w0, nb.w0))
+                      + bit_count(xor(qb.w1, nb.w1)) as int) as hamming
+          from cand c
+          join bqw qb on qb.vec_id = c.qid
+          join bqw nb on nb.vec_id = c.nid
+          where c.qid <> c.nid),
+        rankd as (
+          select qid, nid, hamming,
+                 cast(row_number() over (
+                   partition by qid
+                   order by hamming, nid) as int) as rank
+          from scored)
+        select qid, nid, hamming, rank
+        from rankd where rank <= {ANN_K} order by qid, rank""",
+)
+
+
+def q_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-filtered exact vector search
+    (operators/similarity.py::filtered_topk — r6): probes vec_id < 8
+    retrieve top-3 by cosine among corpus vectors sharing their
+    ``label`` — the PRE-FILTER form of the filtered ANN every
+    production vector store exposes (same-language retrieval,
+    per-tenant isolation). The attribute equality lands before any
+    distance math, so per-query candidates shrink from N to
+    N·sel(label); at corpus scale the label prefixes the IVF cell id
+    (ivf_topk_hashed composition) and partition layout prunes the
+    scan."""
+    emb = _table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    out = similarity.filtered_topk(probes, emb, k=ANN_K, filter_col="label")
+    return out.select(
+        "qid", "nid", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
+    ).orderBy("qid", "rnk")
+
+
+register_extra(
+    "filtered_ann",
+    q_filtered_ann,
+    f"""with q as (select vec_id as qid, label as fq,
+                         embedding::DOUBLE[] as qv
+                  from embeddings where vec_id < {ANN_QUERY_MAX_ID}),
+        c as (select vec_id as nid, label as fc,
+                     embedding::DOUBLE[] as nv
+              from embeddings),
+        scored as (
+          select qid, nid,
+                 round(list_cosine_similarity(qv, nv), 6) as cos_sim
+          from q join c on fq = fc and qid <> nid),
+        ranked as (
+          select qid, nid, cos_sim,
+                 row_number() over (partition by qid
+                                    order by cos_sim desc, nid) as rnk
+          from scored)
+        select qid, nid, cos_sim, rnk from ranked
+        where rnk <= {ANN_K} order by qid, rnk""",
+)
+
+
+def q_bq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit binary quantization (operators/similarity.py::bq_encode —
+    r6, the extreme end of the quantization ladder: 32× memory cut,
+    the Lucene-BBQ / RaBitQ sign core): one sign bit per dimension
+    packed 32 to a word, so the 64-d embeddings become two bigints.
+    Each bit is one x > 0 comparison — no arithmetic — so the encoding
+    is engine-exact by construction. Words ship as the repo's
+    scalarized CSV convention (plans/relational.py:23-25)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    enc = similarity.bq_encode(emb)
+    return enc.select(
+        "vec_id",
+        F.array_join(F.col("words").cast("array<string>"), ",").alias(
+            "words_csv"
+        ),
+    ).orderBy("vec_id")
+
+
+_BQ_CTES = """bqe as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        bqw as (select vec_id,
+                       cast((select sum(case when v[i] > 0
+                                             then (1::BIGINT << (i-1))
+                                             else 0 end)
+                             from unnest(generate_series(1, 32)) as g(i))
+                            as bigint) as w0,
+                       cast((select sum(case when v[32+i] > 0
+                                             then (1::BIGINT << (i-1))
+                                             else 0 end)
+                             from unnest(generate_series(1, 32)) as g(i))
+                            as bigint) as w1
+                from bqe)"""
+
+register_extra(
+    "bq_codes",
+    q_bq_codes,
+    f"""with {_BQ_CTES}
+        select vec_id,
+               cast(w0 as varchar) || ',' || cast(w1 as varchar)
+                 as words_csv
+        from bqw order by vec_id""",
+)
+
+
+def q_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming top-k over BQ sign words
+    (operators/similarity.py::bq_topk — r6): probe vectors vec_id < 8
+    against a corpus represented only by its two sign words; distance
+    is two XOR+popcounts — pure-integer codegen, so ranks are
+    engine-exact (ties, dense at d+1 distinct hamming values, break to
+    the lower neighbour id — the documented coarse-stage contract;
+    recall is bought back by the rerank stage, measured in
+    ANN_RECALL.json). The production composition routes through the
+    IVF cell join exactly as pq_topk → ivf_pq_topk."""
+    emb = _table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    return similarity.bq_topk(probes, emb, k=ANN_K).orderBy("qid", "rank")
+
+
+register_extra(
+    "bq_topk",
+    q_bq_topk,
+    f"""with {_BQ_CTES},
+        q as (select vec_id as qid, w0 as q0, w1 as q1 from bqw
+              where vec_id < {ANN_QUERY_MAX_ID}),
+        scored as (
+          select q.qid, c.vec_id as nid,
+                 cast(bit_count(xor(q.q0, c.w0))
+                      + bit_count(xor(q.q1, c.w1)) as int) as hamming
+          from q cross join bqw c
+          where q.qid <> c.vec_id),
+        ranked as (
+          select qid, nid, hamming,
+                 cast(row_number() over (
+                   partition by qid
+                   order by hamming, nid) as int) as rank
+          from scored)
+        select qid, nid, hamming, rank
+        from ranked where rank <= {ANN_K} order by qid, rank""",
+)
+
+
 KANON_K = 4
 
 
@@ -6317,4 +6587,21 @@ _demote(
     "strip_boilerplate",
     "text_ann",
     "zorder_cells",
+)
+
+# Second r6 wave: the quantization-ladder members added THIS round
+# (SQ8 + binary quantization ADC top-k — hash-green under both local
+# comparators at sf0.01 and sf0.001) enter the window immediately so
+# their first external attestation happens in the round that built
+# them. They take the slots of two multiply-attested anchors: ann_ivf
+# (driver-green r4+r5; the ANN family keeps ivf_pq_topk, text_ann_ivf,
+# pq_topk, pq_topk_rerank in-window) and pagerank (driver-green r1-r5;
+# the graph family keeps knn_triangles, which joins CC and PageRank).
+_promote(
+    "sq8_topk",
+    "bq_topk",
+)
+_demote(
+    "ann_ivf",
+    "pagerank",
 )

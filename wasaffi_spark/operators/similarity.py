@@ -327,6 +327,66 @@ def brute_force_topk(
     )
 
 
+def filtered_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    filter_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Attribute-filtered exact top-k (r6): each query sees only corpus
+    vectors whose ``filter_col`` equals its own — the PRE-FILTER form
+    of filtered vector search (the "filtered ANN" every production
+    vector store exposes: same-language retrieval, same-tenant
+    isolation, per-split negatives). Pre-filter beats post-filter
+    whenever the predicate is selective: post-filtering a top-k list
+    computed over the whole corpus returns FEWER than k rows (or
+    recall-0 for rare attributes), while pre-filtering ranks inside
+    the attribute slice and stays exact.
+
+    Scale shape: the attribute equality joins the broadcast query side
+    before any distance math, so per-query candidates shrink from N to
+    N·sel(attr); with the corpus stored partitioned/z-ordered by the
+    attribute (operators/layout.py) the filter prunes file scans too.
+    At corpus scale compose with the IVF cell join per attribute slice
+    exactly as :func:`ivf_topk_hashed` — the cell id simply gains the
+    attribute as a prefix. Ties break by neighbour id."""
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(filter_col).alias("_fq"),
+        F.col(vec_col).alias("qv"),
+    ).withColumn("_nq", _norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(filter_col).alias("_fc"),
+        F.col(vec_col).alias("nv"),
+    ).withColumn("_nn", _norm(F.col("nv")))
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("qid") != F.col("nid"))
+            & (F.col("_fq") == F.col("_fc")),
+        )
+        .select(
+            "qid",
+            "nid",
+            _cosine_prenorm(
+                F.col("qv"), F.col("nv"), F.col("_nq"), F.col("_nn")
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("nid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "nid", "cos_sim", "rank")
+    )
+
+
 def bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1146,6 +1206,7 @@ def sq8_encode(
     corpus: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Scalar quantization to int8 (the SQ8 of FAISS/Milvus — the third
     member of the quantization ladder next to :func:`pq_encode` and
@@ -1194,12 +1255,16 @@ def sq8_encode(
         .cast("bigint")
     )
     return corpus.select(
-        F.col(id_col), codes.alias("codes"), scale.alias("scale_micro")
+        F.col(id_col),
+        codes.alias("codes"),
+        scale.alias("scale_micro"),
+        *[F.col(c) for c in extra_cols],
     ).select(
         id_col,
         "codes",
         cn.alias("code_norm_sq"),
         "scale_micro",
+        *extra_cols,
     )
 
 
@@ -1264,6 +1329,277 @@ def sq8_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= (rerank if rerank else k))
         .select("qid", "nid", "ip", "code_norm_sq", "rank")
+    )
+    if rerank:
+        return _exact_rerank(shortlist, queries, corpus, k, vec_col, id_col)
+    return shortlist
+
+
+BQ_WORD_BITS = 32  # sign bits per packed word (sum-safe in a signed 64)
+
+
+def bq_encode(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """Binary (1-bit) quantization — the extreme end of the
+    quantization ladder (:func:`sq8_encode` 4×, :func:`pq_encode` 8×,
+    BQ **32×**): one sign bit per dimension, packed 32 bits to a word,
+    so a 64-d float32 vector becomes two bigints. This is the storage
+    layout of the modern hamming-first ANN stacks (Lucene/Elasticsearch
+    BBQ, RaBitQ's sign core): at 100 TB the candidate scan reads 1/32nd
+    of the bytes and the distance kernel is two XOR+popcounts.
+
+    Engine-exact trivially: each bit is one ``x > 0`` comparison (no
+    arithmetic at all), packing is a sum of distinct powers of two
+    capped at 2³²−1 per word — no overflow, no float ops anywhere.
+
+    Returns ``(id, words array<bigint>)`` — ``ceil(d/32)`` words, bit
+    ``i % 32`` of word ``i // 32`` set iff dimension ``i`` is positive.
+
+    Scale shape: one narrow projection — no shuffle, no UDF; words
+    live in-row beside the id exactly like minhash signatures do."""
+    v = F.col(vec_col)
+    # shiftleft() takes only a literal shift count, so the per-index
+    # power of two comes from a constant lookup array instead
+    pow2 = F.array(
+        *[F.lit(1 << b).cast("bigint") for b in range(BQ_WORD_BITS)]
+    )
+    contribs = F.transform(
+        v,
+        lambda x, i: F.when(
+            x.cast("double") > 0,
+            F.element_at(pow2, (i % BQ_WORD_BITS) + 1),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    n_words = F.ceil(F.size(v) / F.lit(BQ_WORD_BITS)).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda j: F.aggregate(
+            F.slice(contribs, j * BQ_WORD_BITS + 1, BQ_WORD_BITS),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return corpus.select(
+        F.col(id_col), words.alias("words"), *[F.col(c) for c in extra_cols]
+    )
+
+
+def bq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rerank: int | None = None,
+) -> DataFrame:
+    """Hamming top-k over :func:`bq_encode` sign words: per candidate
+    the distance kernel is ``Σ bit_count(xor(word, word))`` — pure
+    integer codegen, no tables, no float reads. Sign-bit hamming is a
+    monotone estimate of angular distance (the same guarantee sign-LSH
+    banking relies on), so ranking ascending by it approximates
+    cosine top-k; ties break to the lower neighbour id. Integer
+    outputs only, hence hash-checkable.
+
+    This is the coarse stage of the standard BBQ two-stage search:
+    ``rerank=r`` widens the hamming shortlist to r and
+    :func:`_exact_rerank` refines with exact cosine on the raw
+    vectors — at 32× compression the shortlist must out-width the
+    hamming tie groups (hamming takes only d+1 distinct values), so
+    size r ≳ 8·k; the recall ladder (ANN_RECALL.json) measures both
+    stages.
+
+    Scale shape: queries encode to two words and broadcast; corpus
+    words never shuffle; candidates are Q×N (linear in N) — at
+    production scale compose with the IVF cell join exactly as
+    :func:`pq_topk` does via :func:`ivf_pq_topk`."""
+    enc = bq_encode(corpus, vec_col, id_col).withColumnRenamed(id_col, "nid")
+    q = bq_encode(queries, vec_col, id_col).select(
+        F.col(id_col).alias("qid"), F.col("words").alias("qwords")
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("qwords"),
+            F.col("words"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ).cast("int")
+    scored = enc.join(F.broadcast(q), F.col("qid") != F.col("nid")).select(
+        "qid", "nid", hamming.alias("hamming")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("hamming").asc(), F.col("nid").asc()
+    )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= (rerank if rerank else k))
+        .select("qid", "nid", "hamming", "rank")
+    )
+    if rerank:
+        return _exact_rerank(shortlist, queries, corpus, k, vec_col, id_col)
+    return shortlist
+
+
+def ivf_sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    dim: int = 64,
+    quant: int = PQ_QUANT,
+    sq_quant: int = SQ8_QUERY_QUANT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Composed IVF×SQ8 search — the wired form of the corpus-scale
+    composition :func:`sq8_topk`'s docstring promises (the r5 lesson:
+    documented ≠ wired). Cell routing is the deterministic hashed-IVF
+    machinery of :func:`ivf_topk_hashed` (integer-grid argmin cells,
+    engine-exact); candidate scoring is :func:`sq8_topk`'s table-free
+    integer ADC over int8 codes. Per-query candidates shrink from N to
+    O(N·n_probe/n_cells) AND each candidate read is a quarter the
+    bytes of the float vectors — the two savings multiply, which is
+    the point of the composition at 100 TB.
+
+    Plan shape: corpus side shuffles ONCE (the assignment groupBy —
+    codes are a projection on top of it); the search join is a
+    broadcast HASH join on ``cell``; no full-corpus nested loop.
+    Output and tiebreak contract are exactly :func:`sq8_topk`'s
+    (integer outputs, hash-checkable); ``rerank=r`` refines the
+    shortlist with exact cosine on the raw vectors."""
+    cents = hashed_centroids(corpus, n_cells, vec_col, id_col, seed)
+    assigned = ivf_assign_hashed(
+        corpus, cents, n_cells, dim, quant, vec_col, id_col
+    )
+    enc = (
+        sq8_encode(assigned, vec_col, id_col, extra_cols=("cell",))
+        .where(F.col("code_norm_sq") > 0)
+        .withColumnRenamed(id_col, "nid")
+    )
+    d = _pq_grid_dist(F.col("qv"), F.col("cv"), 0, dim, quant)
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(sq_quant) + F.lit(0.5)
+            ).cast("bigint"),
+        ).alias("qq"),
+    )
+    qd = q.crossJoin(F.broadcast(cents)).select(
+        "qid", "qq", "cell", d.alias("_d")
+    )
+    w_cell = Window.partitionBy("qid").orderBy(
+        F.col("_d").asc(), F.col("cell").asc()
+    )
+    probes = (
+        qd.withColumn("_pr", F.row_number().over(w_cell))
+        .where(F.col("_pr") <= n_probe)
+        .select("qid", "qq", "cell")
+    )
+    ip = F.aggregate(
+        F.zip_with(
+            F.col("qq"), F.col("codes"), lambda a, b: a * b.cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(enc, ["cell"])
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", ip.alias("ip"), "code_norm_sq")
+    )
+    score = F.col("ip").cast("double") / F.sqrt(
+        F.col("code_norm_sq").cast("double")
+    )
+    w = Window.partitionBy("qid").orderBy(score.desc(), F.col("nid").asc())
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= (rerank if rerank else k))
+        .select("qid", "nid", "ip", "code_norm_sq", "rank")
+    )
+    if rerank:
+        return _exact_rerank(shortlist, queries, corpus, k, vec_col, id_col)
+    return shortlist
+
+
+def ivf_bq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    dim: int = 64,
+    quant: int = PQ_QUANT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Composed IVF×BQ search — :func:`ivf_sq8_topk`'s twin at the
+    32× rung: hashed-IVF cell routing, then :func:`bq_topk`'s
+    XOR+popcount hamming kernel over the probed cells only. The
+    candidate scan reads 1/32nd of the float bytes AND only
+    n_probe/n_cells of the corpus — at 100 TB this is the cheapest
+    first stage the ladder offers, and (hamming being tie-dense)
+    the one that most needs its ``rerank=`` refine stage, measured
+    in ANN_RECALL.json. Output/tiebreak contract is exactly
+    :func:`bq_topk`'s (integer outputs, hash-checkable)."""
+    cents = hashed_centroids(corpus, n_cells, vec_col, id_col, seed)
+    assigned = ivf_assign_hashed(
+        corpus, cents, n_cells, dim, quant, vec_col, id_col
+    )
+    enc = bq_encode(
+        assigned, vec_col, id_col, extra_cols=("cell",)
+    ).withColumnRenamed(id_col, "nid")
+    d = _pq_grid_dist(F.col("qv"), F.col("cv"), 0, dim, quant)
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    qenc = bq_encode(queries, vec_col, id_col).select(
+        F.col(id_col).alias("qid"), F.col("words").alias("qwords")
+    )
+    qd = q.join(qenc, "qid").crossJoin(F.broadcast(cents)).select(
+        "qid", "qwords", "cell", d.alias("_d")
+    )
+    w_cell = Window.partitionBy("qid").orderBy(
+        F.col("_d").asc(), F.col("cell").asc()
+    )
+    probes = (
+        qd.withColumn("_pr", F.row_number().over(w_cell))
+        .where(F.col("_pr") <= n_probe)
+        .select("qid", "qwords", "cell")
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("qwords"),
+            F.col("words"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ).cast("int")
+    scored = (
+        F.broadcast(probes)
+        .join(enc, ["cell"])
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", hamming.alias("hamming"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("hamming").asc(), F.col("nid").asc()
+    )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= (rerank if rerank else k))
+        .select("qid", "nid", "hamming", "rank")
     )
     if rerank:
         return _exact_rerank(shortlist, queries, corpus, k, vec_col, id_col)
