@@ -595,3 +595,72 @@ def test_ewma_stream_multichunk_out_of_order(spark, tmp_path):
         for r in temporal.ewma(batch).collect()
     }
     assert got == want and len(got) > 0
+
+
+@needs_data
+def test_streaming_semantic_neardup_gate_equals_batch(spark):
+    """Stream-static semantic near-dup gate (streaming/vectors.py):
+    (1) with every cell probed the flagged set must equal the
+    exhaustive batch crossJoin (cell routing is a partition of the
+    corpus, so full probing loses nothing); (2) with n_probe=2 the
+    streamed set must equal the SAME operator evaluated in batch mode
+    (all its expressions are batch-legal), pinning that cell routing
+    is deterministic across execution modes."""
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators.similarity import cosine
+    from wasaffi_spark.sources.parquet import read_parquet
+    from wasaffi_spark.streaming import vectors as svec
+    from wasaffi_spark.streaming.events import run_to_memory
+
+    emb = read_parquet(spark, os.path.join(SF_SMOKE, "embeddings.parquet"))
+    known = emb.where(F.pmod("vec_id", F.lit(7)) == 0)
+    threshold = 0.35  # smoke embeddings are isotropic (max pair cosine ~0.45)
+
+    brute = {
+        r["vec_id"]
+        for r in emb.alias("a")
+        .crossJoin(known.select(F.col("embedding").alias("kv"),
+                                F.col("vec_id").alias("kid")))
+        .where(F.col("a.vec_id") != F.col("kid"))
+        .where(F.round(cosine(F.col("a.embedding"), F.col("kv")), 6)
+               >= threshold)
+        .select("a.vec_id")
+        .distinct()
+        .collect()
+    }
+    assert brute, "fixture should contain semantic near-dups at threshold"
+
+    stream = svec.read_embeddings_stream(spark, SF_SMOKE)
+    run_to_memory(
+        svec.semantic_neardup_ids_stream(
+            stream, known, threshold=threshold, n_cells=8, n_probe=8
+        ),
+        "sem_dup_full",
+        output_mode="append",
+    )
+    full = {
+        r["vec_id"]
+        for r in spark.sql("select vec_id from sem_dup_full").collect()
+    }
+    assert full == brute
+
+    run_to_memory(
+        svec.semantic_neardup_ids_stream(
+            stream, known, threshold=threshold, n_cells=8, n_probe=2
+        ),
+        "sem_dup_p2",
+        output_mode="append",
+    )
+    streamed = {
+        r["vec_id"]
+        for r in spark.sql("select vec_id from sem_dup_p2").collect()
+    }
+    batch_twin = {
+        r["vec_id"]
+        for r in svec.semantic_neardup_ids_stream(
+            emb, known, threshold=threshold, n_cells=8, n_probe=2
+        ).collect()
+    }
+    assert streamed == batch_twin
+    assert streamed <= brute  # partial probing only ever prunes

@@ -1,0 +1,148 @@
+"""Structured Streaming over the embedding table: continuous-ingest
+vector operators against a STATIC quantized index.
+
+The shape mirrors the document pipeline's stream-static compositions
+(``streaming/documents.py``): the index side — IVF centroids + the
+cell-assigned already-ingested corpus — is computed once up front;
+each arriving vector routes to its probe cells IN-ROW (the centroid
+frame is tiny, so it collapses to a literal expression — no window, no
+aggregation, hence fully streaming-legal in append mode) and the
+candidate check is a stateless stream-static equi-join on ``cell``.
+State is only the ``dropDuplicates`` id set of flagged vectors.
+
+At 100 TB the static side is the big one — which is exactly why each
+arriving vector touches only n_probe/n_cells of it (the cell
+equi-join), with the corpus written bucketed by ``cell`` so the probe
+join is shuffle-free; the SQ8-coded variant of the static side (an
+ADC pre-screen before the exact confirm) is the same composition the
+batch :func:`~wasaffi_spark.operators.similarity.ivf_sq8_topk`
+declares.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    IVF_SEED,
+    PQ_QUANT,
+    hashed_centroids,
+    ivf_assign_hashed,
+)
+
+
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the embeddings parquet (same single-file /
+    directory handling as ``read_documents_stream``)."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", "embeddings.parquet").parquet(
+        sf_dir
+    )
+
+
+def semantic_neardup_ids_stream(
+    emb_stream: DataFrame,
+    known_corpus: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    dim: int = 64,
+    quant: int = PQ_QUANT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+) -> DataFrame:
+    """Continuous-ingest semantic near-dup gate: append-mode stream of
+    ids whose exact cosine to ANY known (static) corpus vector is
+    ``>= threshold`` — the embedding-space face of the ingest dedup
+    gates (``incremental_dedup_sink`` for exact text,
+    ``media_neardup_ids_stream`` for media bytes): drop arriving crawl
+    vectors that semantically duplicate the already-ingested corpus.
+
+    Streaming-legality is the design constraint: probe-cell selection
+    cannot use a per-row ranking window on a stream, so the ``n_probe``
+    nearest centroids are picked IN-ROW — the centroid frame is
+    O(n_cells) and is collected once into a literal array of (cell,
+    centroid) structs (the same bounded-collect class as the PQ merge
+    table), and ``array_sort`` + ``slice`` over the per-centroid
+    integer-grid distances yields the probed cells inside one
+    expression. The candidate join is then a stateless stream-static
+    equi-join on ``cell`` against the cell-assigned index; candidates
+    are confirmed with the exact fold-order cosine on the static
+    side's raw vector vs the arriving row's own vector (both available
+    in-row — no second join, no state).
+
+    Cell routing uses the same engine-exact integer-grid argmin as
+    :func:`~wasaffi_spark.operators.similarity.ivf_assign_hashed`, so
+    the streamed candidate set is IDENTICAL to the batch composition's
+    — pinned stream≡batch by ``tests/test_streaming.py``.
+    """
+    cents = hashed_centroids(known_corpus, n_cells, vec_col, id_col, seed)
+    cent_rows = cents.collect()  # O(n_cells) — bounded by construction
+    static = ivf_assign_hashed(
+        known_corpus, cents, n_cells, dim, quant, vec_col, id_col
+    ).select(
+        F.col(id_col).alias("_nid"),
+        F.col("cell"),
+        F.col(vec_col).alias("_nv"),
+    )
+
+    def grid(x):
+        return F.floor(x.cast("double") * F.lit(quant) + F.lit(0.5))
+
+    def cell_dist(row) -> F.Column:
+        # per-dimension grid L2 against a LITERAL centroid: snap both
+        # sides exactly as _pq_grid_dist does (the centroid snaps on
+        # the driver with the same floor(x*quant + 0.5))
+        import math
+
+        cv = row["cv"]
+        v = F.col(vec_col)
+        acc = F.lit(0).cast("bigint")
+        for i in range(dim):
+            c_snap = int(math.floor(float(cv[i]) * quant + 0.5))
+            d = grid(F.element_at(v, i + 1)) - F.lit(c_snap)
+            acc = acc + (d * d).cast("bigint")
+        return acc
+
+    probe_structs = F.array(
+        *[
+            F.struct(
+                cell_dist(r).alias("d"),
+                F.lit(int(r["cell"])).cast("int").alias("cell"),
+            )
+            for r in cent_rows
+        ]
+    )
+    probed = (
+        emb_stream.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.slice(F.array_sort(probe_structs), 1, n_probe).alias("_pc"),
+        )
+        .select(
+            id_col,
+            vec_col,
+            F.explode(F.col("_pc.cell")).alias("cell"),
+        )
+    )
+    from ..operators.similarity import cosine
+
+    hits = (
+        probed.join(static, ["cell"])
+        .where(F.col(id_col) != F.col("_nid"))
+        .where(
+            F.round(cosine(F.col(vec_col), F.col("_nv")), 6)
+            >= F.lit(threshold)
+        )
+        .select(id_col)
+        .dropDuplicates([id_col])
+    )
+    return hits
