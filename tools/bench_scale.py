@@ -298,6 +298,17 @@ def main() -> None:
     for i, a in enumerate(sys.argv):
         if a == "--only" and i + 1 < len(sys.argv):
             only = set(sys.argv[i + 1].split(","))
+    if only is not None:
+        unknown = only - set(PROBES) - {"semantic_dedup_k160"}
+        if unknown:
+            raise SystemExit(
+                f"--only names not in PROBES: {sorted(unknown)}"
+            )
+        if not os.path.exists(os.path.join(REPO, "BENCH_SCALE.json")):
+            raise SystemExit(
+                "--only merges into an existing BENCH_SCALE.json; none "
+                "found — run the full ladder first"
+            )
 
     # the knob-follows-the-data variant of semantic_dedup: k_seeds scales
     # with N so Σ|cluster|² stays bounded — the comparison row that shows
@@ -402,6 +413,15 @@ def main() -> None:
         merged.update(results)
         prior["queries"] = merged
         prior["session_floor_sec"] = floor
+        # refresh methodology metadata so merged rows are never
+        # attributed to an older measurement recipe
+        prior["replication"] = R
+        prior["mid_replication"] = R_MID
+        prior["x1_note"] = (
+            "sf0.1_sec is measured against the rewritten .scale/x1 "
+            "32-file layout (identical layout at every scale point), "
+            "NOT the raw single-file sf0.1 — see module docstring"
+        )
         with open(out_path, "w") as f:
             json.dump(prior, f, indent=1)
         spark.stop()
@@ -422,6 +442,12 @@ def main() -> None:
                     "to a noop sink; linearity classified by the affine fit "
                     "t(R)=a+b*R on (x3,x10) checked against the measured x1 "
                     "(see module docstring of tools/bench_scale.py)"
+                ),
+                "x1_note": (
+                    "sf0.1_sec is measured against the rewritten "
+                    ".scale/x1 32-file layout (identical layout at "
+                    "every scale point), NOT the raw single-file "
+                    "sf0.1 — see module docstring"
                 ),
                 "queries": results,
             },

@@ -1001,6 +1001,74 @@ def ivf_assign_hashed(
     )
 
 
+def _ivf_probes(
+    q: DataFrame,
+    corpus: DataFrame,
+    n_cells: int,
+    n_probe: int,
+    dim: int,
+    quant: int,
+    vec_col: str,
+    id_col: str,
+    seed: str,
+    qvec_col: str = "qv",
+    carry: tuple = ("qv",),
+) -> tuple[DataFrame, DataFrame]:
+    """Shared hashed-IVF routing used by every composed index
+    (:func:`ivf_topk_hashed`, :func:`ivf_sq8_topk`, :func:`ivf_bq_topk`)
+    so the probe-order tiebreak contract (grid L2 asc, cell asc) lives
+    in exactly one place. ``q`` must carry ``qid`` and ``qvec_col``;
+    ``carry`` names the query-side columns to keep on the probe frame
+    (the scoring payload: raw vector, SQ8 micro-grid ints, BQ words).
+    Returns ``(assigned, probes)``: the cell-assigned corpus
+    ``(id_col, vec_col, cell)`` and the per-query probed cells
+    ``(qid, *carry, cell)``."""
+    cents = hashed_centroids(corpus, n_cells, vec_col, id_col, seed)
+    assigned = ivf_assign_hashed(
+        corpus, cents, n_cells, dim, quant, vec_col, id_col
+    )
+    d = _pq_grid_dist(F.col(qvec_col), F.col("cv"), 0, dim, quant)
+    qd = q.crossJoin(F.broadcast(cents)).select(
+        "qid", *carry, "cell", d.alias("_d")
+    )
+    w_cell = Window.partitionBy("qid").orderBy(
+        F.col("_d").asc(), F.col("cell").asc()
+    )
+    probes = (
+        qd.withColumn("_pr", F.row_number().over(w_cell))
+        .where(F.col("_pr") <= n_probe)
+        .select("qid", *carry, "cell")
+    )
+    return assigned, probes
+
+
+def _ranked_shortlist(
+    scored: DataFrame,
+    order: list,
+    out_cols: list,
+    k: int,
+    rerank: int | None,
+    queries: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared per-query shortlist tail of the quantized indexes: rank
+    ``scored`` by ``order`` within each qid, keep ``rerank or k`` rows,
+    and (with ``rerank``) refine via :func:`_exact_rerank` — one
+    definition so the flat and IVF-composed variants of each rung can
+    never drift in their tiebreak/rerank contract."""
+    w = Window.partitionBy("qid").orderBy(*order)
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= (rerank if rerank else k))
+        .select(*out_cols, "rank")
+    )
+    if rerank:
+        return _exact_rerank(shortlist, queries, corpus, k, vec_col, id_col)
+    return shortlist
+
+
 def ivf_topk_hashed(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1025,22 +1093,12 @@ def ivf_topk_hashed(
     broadcasts the (tiny) query×probe frame so assigned corpus vectors
     never shuffle for search.
     """
-    cents = hashed_centroids(corpus, n_cells, vec_col, id_col, seed)
-    c = ivf_assign_hashed(
-        corpus, cents, n_cells, dim, quant, vec_col, id_col
-    ).select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "cell"
-    )
-    d = _pq_grid_dist(F.col("qv"), F.col("cv"), 0, dim, quant)
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    qd = q.crossJoin(F.broadcast(cents)).select(
-        "qid", "qv", "cell", d.alias("_d")
+    assigned, probes = _ivf_probes(
+        q, corpus, n_cells, n_probe, dim, quant, vec_col, id_col, seed
     )
-    w_cell = Window.partitionBy("qid").orderBy(F.col("_d").asc(), F.col("cell").asc())
-    probes = (
-        qd.withColumn("_pr", F.row_number().over(w_cell))
-        .where(F.col("_pr") <= n_probe)
-        .select("qid", "qv", "cell")
+    c = assigned.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "cell"
     )
     scored = (
         F.broadcast(probes)
@@ -1052,11 +1110,16 @@ def ivf_topk_hashed(
             F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("nid").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("qid", "nid", "cos_sim", "rank")
+    return _ranked_shortlist(
+        scored,
+        [F.col("cos_sim").desc(), F.col("nid").asc()],
+        ["qid", "nid", "cos_sim"],
+        k,
+        None,
+        queries,
+        corpus,
+        vec_col,
+        id_col,
     )
 
 

@@ -86,12 +86,21 @@ def semantic_neardup_ids_stream(
     """
     cents = hashed_centroids(known_corpus, n_cells, vec_col, id_col, seed)
     cent_rows = cents.collect()  # O(n_cells) — bounded by construction
-    static = ivf_assign_hashed(
-        known_corpus, cents, n_cells, dim, quant, vec_col, id_col
-    ).select(
-        F.col(id_col).alias("_nid"),
-        F.col("cell"),
-        F.col(vec_col).alias("_nv"),
+    # materialize the assigned index ONCE: a stream-static join
+    # re-executes the static subplan every trigger, so without this
+    # each micro-batch would re-run the corpus × n_cells assignment —
+    # the exact per-trigger corpus-sized work the gate exists to avoid
+    # (same eager-localCheckpoint recipe as the documents pipeline)
+    static = (
+        ivf_assign_hashed(
+            known_corpus, cents, n_cells, dim, quant, vec_col, id_col
+        )
+        .select(
+            F.col(id_col).alias("_nid"),
+            F.col("cell"),
+            F.col(vec_col).alias("_nv"),
+        )
+        .localCheckpoint(eager=True)
     )
 
     def grid(x):
