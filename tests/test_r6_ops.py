@@ -35,7 +35,7 @@ def test_sq8_encode_matches_reference_model(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
     got = {
-        r.vec_id: (list(r.codes), r.code_norm_sq, r.scale_micro)
+        r.vec_id: (list(r.codes), r.code_norm_sq, r.scale_nano)
         for r in similarity.sq8_encode(df).collect()
     }
     assert set(got) == {0, 1, 2, 3, 4}
@@ -56,7 +56,7 @@ def test_sq8_encode_matches_reference_model(spark):
     assert got[1] == ([0, 0, 0, 0], 0, 0)
     # determinism across physical layouts
     again = {
-        r.vec_id: (list(r.codes), r.code_norm_sq, r.scale_micro)
+        r.vec_id: (list(r.codes), r.code_norm_sq, r.scale_nano)
         for r in similarity.sq8_encode(df.repartition(5)).collect()
     }
     assert again == got

@@ -1,0 +1,96 @@
+"""Round-7 operators: composed filtered×IVF vector search.
+
+Pins the contract filtered_ivf_topk declares: exact agreement with the
+flat pre-filter form when the index degenerates to one cell, same-label
+/ never-self / probed-cell-subset semantics in the multi-cell case, and
+the documented NULL-attribute behavior (no slice → no candidates).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from wasaffi_spark.operators import similarity
+
+
+def _vecs(n, d=64, seed=7):
+    rng = random.Random(seed)
+    return [
+        (i, i % 3, [rng.uniform(-1, 1) for _ in range(d)]) for i in range(n)
+    ]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<float>"
+    )
+
+
+def test_filtered_ivf_single_cell_equals_flat_filtered(spark):
+    # with one IVF cell probed, the composition must reproduce the flat
+    # pre-filter ranking EXACTLY (same neighbours, same rounded cosine,
+    # same tiebreaks)
+    df = _df(spark, _vecs(36))
+    q = df.where(F.col("vec_id") < 3)
+    flat = {
+        (r.qid, r.rank): (r.nid, r.cos_sim)
+        for r in similarity.filtered_topk(q, df, k=4).collect()
+    }
+    comp = {
+        (r.qid, r.rank): (r.nid, r.cos_sim)
+        for r in similarity.filtered_ivf_topk(
+            q, df, k=4, n_cells=1, n_probe=1
+        ).collect()
+    }
+    assert comp == flat
+
+
+def test_filtered_ivf_multicell_semantics(spark):
+    # multi-cell: every returned neighbour shares the query's label, is
+    # never the query itself, and lives inside one of the query's
+    # probed cells; ranks are 1..k' dense per query
+    df = _df(spark, _vecs(60))
+    q = df.where(F.col("vec_id") < 3)
+    out = similarity.filtered_ivf_topk(
+        q, df, k=3, n_cells=8, n_probe=2
+    ).collect()
+    assert all(r.nid % 3 == r.qid % 3 and r.nid != r.qid for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # probed-cell subset: recompute the routing with the same machinery
+    cents = similarity.hashed_centroids(df, 8)
+    assigned = similarity.ivf_assign_hashed(df, cents, 8)
+    cell_of = {r.vec_id: r.cell for r in assigned.collect()}
+    qp = q.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    _, probes = similarity._ivf_probes(
+        qp, df, 8, 2, 64, similarity.PQ_QUANT, "embedding", "vec_id",
+        similarity.IVF_SEED,
+    )
+    probed = {}
+    for r in probes.collect():
+        probed.setdefault(r.qid, set()).add(r.cell)
+    for r in out:
+        assert cell_of[r.nid] in probed[r.qid], (r.qid, r.nid)
+
+
+def test_filtered_ivf_null_label_returns_no_rows(spark):
+    rows = _vecs(20)
+    df = _df(spark, rows)
+    df = df.withColumn(
+        "label",
+        F.when(F.col("vec_id") == 1, F.lit(None)).otherwise(F.col("label")),
+    )
+    out = similarity.filtered_ivf_topk(
+        df.where(F.col("vec_id") < 2), df, k=3, n_cells=2, n_probe=2
+    )
+    got = out.collect()
+    # query 1 (NULL label) contributes nothing; query 0 still answers
+    assert all(r.qid == 0 for r in got)
+    assert len(got) > 0

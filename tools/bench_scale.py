@@ -439,9 +439,10 @@ def main() -> None:
                     "decorrelated 3x and 10x replication of sf0.1 (distinct "
                     "vocab per replica; position-noise per embedding "
                     "replica; disjoint supply graphs); best-of-2 warm runs "
-                    "to a noop sink; linearity classified by the affine fit "
-                    "t(R)=a+b*R on (x3,x10) checked against the measured x1 "
-                    "(see module docstring of tools/bench_scale.py)"
+                    "to a noop sink; linearity classified by the chord "
+                    "t(R)=a+b*R through (x1,x10) checked against the "
+                    "measured x3 (see module docstring of "
+                    "tools/bench_scale.py)"
                 ),
                 "x1_note": (
                     "sf0.1_sec is measured against the rewritten "

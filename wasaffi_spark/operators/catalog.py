@@ -5900,7 +5900,7 @@ def q_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "codes_csv"
         ),
         "code_norm_sq",
-        "scale_micro",
+        "scale_nano",
     ).orderBy("vec_id")
 
 
@@ -5932,7 +5932,7 @@ register_extra(
                code_norm_sq,
                case when mx > 0
                     then cast(floor(mx/127*1000000000 + 0.5) as bigint)
-                    else 0 end as scale_micro
+                    else 0 end as scale_nano
         from sqn order by vec_id""",
 )
 
@@ -6167,6 +6167,81 @@ register_extra(
           from scored)
         select qid, nid, cos_sim, rnk from ranked
         where rnk <= {ANN_K} order by qid, rnk""",
+)
+
+
+def q_filtered_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed filtered×IVF vector search
+    (operators/similarity.py::filtered_ivf_topk — r7, closing VERDICT
+    r6 next-round #3): the production filtered-ANN shape. The label
+    prefixes the IVF cell — the candidate join keys on (label, cell) —
+    so each probe scans only same-label vectors inside its n_probe
+    probed cells: O(N·sel(label)·n_probe/n_cells) candidates, the two
+    prunings multiplying. Routing is the engine-exact hashed-IVF
+    machinery (integer-grid argmin cells), the re-score the fold-order
+    cosine, so the whole composition hash-oracles; the oracle below
+    replays the cell routing verbatim and adds the label equality to
+    the candidate join."""
+    emb = _table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    out = similarity.filtered_ivf_topk(
+        probes,
+        emb,
+        k=ANN_K,
+        n_cells=IVF_CELLS,
+        n_probe=IVF_PROBE,
+        filter_col="label",
+    )
+    return out.select(
+        "qid", "nid", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
+    ).orderBy("qid", "rnk")
+
+
+register_extra(
+    "filtered_ann_ivf",
+    q_filtered_ann_ivf,
+    f"""with e as (select vec_id, label, embedding::DOUBLE[] as v
+                  from embeddings),
+        ranked as (
+          select v as cv,
+                 row_number() over (
+                   order by md5('{similarity.IVF_SEED}' || vec_id), vec_id) - 1
+                   as cell
+          from e
+          order by md5('{similarity.IVF_SEED}' || vec_id), vec_id
+          limit {IVF_CELLS}),
+        ad as (select e.vec_id, r.cell, {_ivf_l2_sql("e.v", "r.cv")} as d
+               from e cross join ranked r),
+        assign as (
+          select vec_id,
+                 cast(min(d * {IVF_CELLS} + cell) % {IVF_CELLS} as int) as cell
+          from ad group by vec_id),
+        q as (select vec_id as qid, label as fq, v as qv from e
+              where vec_id < {ANN_QUERY_MAX_ID}),
+        qd as (select q.qid, r.cell, {_ivf_l2_sql("q.qv", "r.cv")} as d
+               from q cross join ranked r),
+        probes as (
+          select qid, cell from (
+            select qid, cell,
+                   row_number() over (partition by qid order by d, cell) as pr
+            from qd) t
+          where pr <= {IVF_PROBE}),
+        cand as (select p.qid, a.vec_id as nid
+                 from probes p join assign a using (cell)),
+        scored as (
+          select c.qid, c.nid,
+                 round(list_cosine_similarity(q2.qv, e2.v), 6) as cos_sim
+          from cand c
+          join q q2 on q2.qid = c.qid
+          join e e2 on e2.vec_id = c.nid
+          where c.qid <> c.nid and q2.fq = e2.label),
+        rankd as (
+          select qid, nid, cos_sim,
+                 row_number() over (partition by qid
+                                    order by cos_sim desc, nid) as rnk
+          from scored)
+       select qid, nid, cos_sim, rnk from rankd
+       where rnk <= {ANN_K} order by qid, rnk""",
 )
 
 

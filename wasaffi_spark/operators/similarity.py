@@ -351,7 +351,15 @@ def filtered_topk(
     attribute (operators/layout.py) the filter prunes file scans too.
     At corpus scale compose with the IVF cell join per attribute slice
     exactly as :func:`ivf_topk_hashed` — the cell id simply gains the
-    attribute as a prefix. Ties break by neighbour id."""
+    attribute as a prefix (wired form: :func:`filtered_ivf_topk`).
+    Ties break by neighbour id.
+
+    NULL attributes: a query whose ``filter_col`` is NULL returns ZERO
+    rows (NULL never equals anything in the equality join), and
+    NULL-attributed corpus rows are likewise unreachable — "no slice"
+    means "no candidates", not "all candidates". Map NULL to a
+    sentinel value before calling if un-attributed rows should form
+    their own searchable slice."""
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(filter_col).alias("_fq"),
@@ -691,7 +699,7 @@ def _keepfirst_within_cluster(
     every unordered pair meets in exactly one bucket, per-task work is
     bounded by ~B² dot-folds regardless of cluster size, and the
     replication overhead is |c|/B ≈ |c|/128 per row. Output pairs are
-    IDENTICAL (the drop rule keeps the greater id of each qualifying
+    IDENTICAL (the drop rule drops the greater id of each qualifying
     pair, as before), so the DuckDB oracles replay unchanged."""
     B = KEEPFIRST_BLOCK
     assign = assign.withColumn("_n", _norm(F.col(vec_col))).localCheckpoint(
@@ -979,6 +987,7 @@ def ivf_assign_hashed(
     quant: int = PQ_QUANT,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Assign every vector to its nearest hashed centroid — integer-grid
     L2 (same ``floor(x·quant + 0.5)`` snap as :func:`pq_encode`, so the
@@ -987,17 +996,22 @@ def ivf_assign_hashed(
     centroid frame, one groupBy(id) shuffle carrying (id, vec, cell);
     at production scale write the corpus bucketed by ``cell`` so every
     downstream probe join is shuffle-free.
-    Returns ``(id_col, vec_col, cell int)``.
+    Returns ``(id_col, vec_col, cell int, *extra_cols)`` —
+    ``extra_cols`` ride the same groupBy via ``any_value`` (one value
+    per id), so carrying an attribute costs no extra shuffle.
     """
     d = _pq_grid_dist(F.col(vec_col), F.col("cv"), 0, dim, quant)
-    pairs = df.select(id_col, vec_col).crossJoin(F.broadcast(centroids)).select(
-        id_col, vec_col, "cell", d.alias("_d")
+    pairs = (
+        df.select(id_col, vec_col, *extra_cols)
+        .crossJoin(F.broadcast(centroids))
+        .select(id_col, vec_col, *extra_cols, "cell", d.alias("_d"))
     )
     return pairs.groupBy(id_col).agg(
         F.any_value(vec_col).alias(vec_col),
         (F.min(F.col("_d") * n_cells + F.col("cell")) % n_cells)
         .cast("int")
         .alias("cell"),
+        *[F.any_value(c).alias(c) for c in extra_cols],
     )
 
 
@@ -1013,19 +1027,23 @@ def _ivf_probes(
     seed: str,
     qvec_col: str = "qv",
     carry: tuple = ("qv",),
+    corpus_carry: tuple = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Shared hashed-IVF routing used by every composed index
-    (:func:`ivf_topk_hashed`, :func:`ivf_sq8_topk`, :func:`ivf_bq_topk`)
-    so the probe-order tiebreak contract (grid L2 asc, cell asc) lives
-    in exactly one place. ``q`` must carry ``qid`` and ``qvec_col``;
-    ``carry`` names the query-side columns to keep on the probe frame
-    (the scoring payload: raw vector, SQ8 micro-grid ints, BQ words).
-    Returns ``(assigned, probes)``: the cell-assigned corpus
-    ``(id_col, vec_col, cell)`` and the per-query probed cells
-    ``(qid, *carry, cell)``."""
+    (:func:`ivf_topk_hashed`, :func:`ivf_sq8_topk`, :func:`ivf_bq_topk`,
+    :func:`filtered_ivf_topk`) so the probe-order tiebreak contract
+    (grid L2 asc, cell asc) lives in exactly one place. ``q`` must
+    carry ``qid`` and ``qvec_col``; ``carry`` names the query-side
+    columns to keep on the probe frame (the scoring payload: raw
+    vector, SQ8 micro-grid ints, BQ words); ``corpus_carry`` names
+    corpus columns to keep on the assignment (e.g. a filter
+    attribute). Returns ``(assigned, probes)``: the cell-assigned
+    corpus ``(id_col, vec_col, cell, *corpus_carry)`` and the
+    per-query probed cells ``(qid, *carry, cell)``."""
     cents = hashed_centroids(corpus, n_cells, vec_col, id_col, seed)
     assigned = ivf_assign_hashed(
-        corpus, cents, n_cells, dim, quant, vec_col, id_col
+        corpus, cents, n_cells, dim, quant, vec_col, id_col,
+        extra_cols=corpus_carry,
     )
     d = _pq_grid_dist(F.col(qvec_col), F.col("cv"), 0, dim, quant)
     qd = q.crossJoin(F.broadcast(cents)).select(
@@ -1108,6 +1126,81 @@ def ivf_topk_hashed(
             "qid",
             "nid",
             F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    return _ranked_shortlist(
+        scored,
+        [F.col("cos_sim").desc(), F.col("nid").asc()],
+        ["qid", "nid", "cos_sim"],
+        k,
+        None,
+        queries,
+        corpus,
+        vec_col,
+        id_col,
+    )
+
+
+def filtered_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    dim: int = 64,
+    quant: int = PQ_QUANT,
+    filter_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+) -> DataFrame:
+    """Composed filtered×IVF search (r7) — the wired form of the
+    corpus-scale composition :func:`filtered_topk`'s docstring
+    promises: the attribute prefixes the IVF cell, i.e. the candidate
+    join keys on ``(attribute, cell)`` so a query scans only
+    same-attribute vectors inside its ``n_probe`` probed cells. This
+    is the production "filtered ANN" shape (same-language retrieval,
+    per-tenant isolation) at the scale where the exact pre-filter
+    slice is itself too large to scan: per-query candidates are
+    O(N·sel(attr)·n_probe/n_cells) — the two prunings multiply.
+
+    Cell routing is :func:`_ivf_probes` (deterministic hashed
+    centroids, integer-grid argmin — engine-exact, so the whole
+    composition hash-oracles); the attribute rides the assignment
+    groupBy via ``any_value`` at zero extra shuffle, and with the
+    corpus written partitioned by (attribute, cell) the probe join is
+    shuffle-free AND scan-pruned. Recall note: like every IVF search,
+    a same-attribute neighbour outside the probed cells is missed —
+    the attribute filter does not change the probe set, only the
+    candidates inside it. NULL attributes behave as in
+    :func:`filtered_topk`: no slice, no candidates.
+    Output/tiebreak contract is exactly :func:`filtered_topk`'s."""
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(filter_col).alias("_fq"),
+        F.col(vec_col).alias("qv"),
+    ).withColumn("_nq", _norm(F.col("qv")))
+    assigned, probes = _ivf_probes(
+        q, corpus, n_cells, n_probe, dim, quant, vec_col, id_col, seed,
+        carry=("_fq", "qv", "_nq"),
+        corpus_carry=(filter_col,),
+    )
+    c = assigned.select(
+        F.col(id_col).alias("nid"),
+        F.col(filter_col).alias("_fc"),
+        F.col(vec_col).alias("nv"),
+        "cell",
+    ).withColumn("_nn", _norm(F.col("nv")))
+    scored = (
+        F.broadcast(probes)
+        .join(c, ["cell"])
+        .where((F.col("qid") != F.col("nid")) & (F.col("_fq") == F.col("_fc")))
+        .select(
+            "qid",
+            "nid",
+            _cosine_prenorm(
+                F.col("qv"), F.col("nv"), F.col("_nq"), F.col("_nn")
+            ).alias("cos_sim"),
         )
     )
     return _ranked_shortlist(
@@ -1284,10 +1377,10 @@ def sq8_encode(
     ops the DuckDB oracle replays verbatim, and ``code_norm_sq`` — the
     integer ||code||² that downstream cosine ranking divides by — is
     an integer sum. Zero vectors encode as all-zero codes with
-    scale_micro 0.
+    scale_nano 0.
 
-    Returns ``(id, codes array<int>, code_norm_sq bigint, scale_micro
-    bigint)``; ``scale_micro = floor(max|x|/127·1e9 + 0.5)`` is the
+    Returns ``(id, codes array<int>, code_norm_sq bigint, scale_nano
+    bigint)``; ``scale_nano = floor(max|x|/127·1e9 + 0.5)`` is the
     decode step in nano-units (``codes·scale ≈ x``), carried so a
     reader can dequantize without the raw vectors.
 
@@ -1320,15 +1413,35 @@ def sq8_encode(
     return corpus.select(
         F.col(id_col),
         codes.alias("codes"),
-        scale.alias("scale_micro"),
+        scale.alias("scale_nano"),
         *[F.col(c) for c in extra_cols],
     ).select(
         id_col,
         "codes",
         cn.alias("code_norm_sq"),
-        "scale_micro",
+        "scale_nano",
         *extra_cols,
     )
+
+
+# one definition of each quantized rung's ranking contract, shared by
+# the flat scan and its IVF composition so they can never drift:
+# SQ8 ranks by ip/√code_norm_sq (∝ cosine — the per-vector scale
+# cancels), BQ ascending by hamming; both tiebreak to the lower nid.
+# (Functions, not module constants: Column construction needs an
+# active SparkContext, which import time doesn't have.)
+def _sq8_order() -> list:
+    return [
+        (
+            F.col("ip").cast("double")
+            / F.sqrt(F.col("code_norm_sq").cast("double"))
+        ).desc(),
+        F.col("nid").asc(),
+    ]
+
+
+def _bq_order() -> list:
+    return [F.col("hamming").asc(), F.col("nid").asc()]
 
 
 def sq8_topk(
@@ -1384,18 +1497,17 @@ def sq8_topk(
     scored = enc.join(F.broadcast(q), F.col("qid") != F.col("nid")).select(
         "qid", "nid", ip.alias("ip"), "code_norm_sq"
     )
-    score = F.col("ip").cast("double") / F.sqrt(
-        F.col("code_norm_sq").cast("double")
+    return _ranked_shortlist(
+        scored,
+        _sq8_order(),
+        ["qid", "nid", "ip", "code_norm_sq"],
+        k,
+        rerank,
+        queries,
+        corpus,
+        vec_col,
+        id_col,
     )
-    w = Window.partitionBy("qid").orderBy(score.desc(), F.col("nid").asc())
-    shortlist = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= (rerank if rerank else k))
-        .select("qid", "nid", "ip", "code_norm_sq", "rank")
-    )
-    if rerank:
-        return _exact_rerank(shortlist, queries, corpus, k, vec_col, id_col)
-    return shortlist
 
 
 BQ_WORD_BITS = 32  # sign bits per packed word (sum-safe in a signed 64)
@@ -1495,17 +1607,17 @@ def bq_topk(
     scored = enc.join(F.broadcast(q), F.col("qid") != F.col("nid")).select(
         "qid", "nid", hamming.alias("hamming")
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("hamming").asc(), F.col("nid").asc()
+    return _ranked_shortlist(
+        scored,
+        _bq_order(),
+        ["qid", "nid", "hamming"],
+        k,
+        rerank,
+        queries,
+        corpus,
+        vec_col,
+        id_col,
     )
-    shortlist = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= (rerank if rerank else k))
-        .select("qid", "nid", "hamming", "rank")
-    )
-    if rerank:
-        return _exact_rerank(shortlist, queries, corpus, k, vec_col, id_col)
-    return shortlist
 
 
 def ivf_sq8_topk(
@@ -1538,16 +1650,6 @@ def ivf_sq8_topk(
     Output and tiebreak contract are exactly :func:`sq8_topk`'s
     (integer outputs, hash-checkable); ``rerank=r`` refines the
     shortlist with exact cosine on the raw vectors."""
-    cents = hashed_centroids(corpus, n_cells, vec_col, id_col, seed)
-    assigned = ivf_assign_hashed(
-        corpus, cents, n_cells, dim, quant, vec_col, id_col
-    )
-    enc = (
-        sq8_encode(assigned, vec_col, id_col, extra_cols=("cell",))
-        .where(F.col("code_norm_sq") > 0)
-        .withColumnRenamed(id_col, "nid")
-    )
-    d = _pq_grid_dist(F.col("qv"), F.col("cv"), 0, dim, quant)
     q = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qv"),
@@ -1558,16 +1660,14 @@ def ivf_sq8_topk(
             ).cast("bigint"),
         ).alias("qq"),
     )
-    qd = q.crossJoin(F.broadcast(cents)).select(
-        "qid", "qq", "cell", d.alias("_d")
+    assigned, probes = _ivf_probes(
+        q, corpus, n_cells, n_probe, dim, quant, vec_col, id_col, seed,
+        carry=("qq",),
     )
-    w_cell = Window.partitionBy("qid").orderBy(
-        F.col("_d").asc(), F.col("cell").asc()
-    )
-    probes = (
-        qd.withColumn("_pr", F.row_number().over(w_cell))
-        .where(F.col("_pr") <= n_probe)
-        .select("qid", "qq", "cell")
+    enc = (
+        sq8_encode(assigned, vec_col, id_col, extra_cols=("cell",))
+        .where(F.col("code_norm_sq") > 0)
+        .withColumnRenamed(id_col, "nid")
     )
     ip = F.aggregate(
         F.zip_with(
@@ -1582,18 +1682,17 @@ def ivf_sq8_topk(
         .where(F.col("qid") != F.col("nid"))
         .select("qid", "nid", ip.alias("ip"), "code_norm_sq")
     )
-    score = F.col("ip").cast("double") / F.sqrt(
-        F.col("code_norm_sq").cast("double")
+    return _ranked_shortlist(
+        scored,
+        _sq8_order(),
+        ["qid", "nid", "ip", "code_norm_sq"],
+        k,
+        rerank,
+        queries,
+        corpus,
+        vec_col,
+        id_col,
     )
-    w = Window.partitionBy("qid").orderBy(score.desc(), F.col("nid").asc())
-    shortlist = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= (rerank if rerank else k))
-        .select("qid", "nid", "ip", "code_norm_sq", "rank")
-    )
-    if rerank:
-        return _exact_rerank(shortlist, queries, corpus, k, vec_col, id_col)
-    return shortlist
 
 
 def ivf_bq_topk(
@@ -1618,29 +1717,19 @@ def ivf_bq_topk(
     the one that most needs its ``rerank=`` refine stage, measured
     in ANN_RECALL.json. Output/tiebreak contract is exactly
     :func:`bq_topk`'s (integer outputs, hash-checkable)."""
-    cents = hashed_centroids(corpus, n_cells, vec_col, id_col, seed)
-    assigned = ivf_assign_hashed(
-        corpus, cents, n_cells, dim, quant, vec_col, id_col
+    qenc = bq_encode(queries, vec_col, id_col).select(
+        F.col(id_col).alias("qid"), F.col("words").alias("qwords")
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).join(qenc, "qid")
+    assigned, probes = _ivf_probes(
+        q, corpus, n_cells, n_probe, dim, quant, vec_col, id_col, seed,
+        carry=("qwords",),
     )
     enc = bq_encode(
         assigned, vec_col, id_col, extra_cols=("cell",)
     ).withColumnRenamed(id_col, "nid")
-    d = _pq_grid_dist(F.col("qv"), F.col("cv"), 0, dim, quant)
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    qenc = bq_encode(queries, vec_col, id_col).select(
-        F.col(id_col).alias("qid"), F.col("words").alias("qwords")
-    )
-    qd = q.join(qenc, "qid").crossJoin(F.broadcast(cents)).select(
-        "qid", "qwords", "cell", d.alias("_d")
-    )
-    w_cell = Window.partitionBy("qid").orderBy(
-        F.col("_d").asc(), F.col("cell").asc()
-    )
-    probes = (
-        qd.withColumn("_pr", F.row_number().over(w_cell))
-        .where(F.col("_pr") <= n_probe)
-        .select("qid", "qwords", "cell")
-    )
     hamming = F.aggregate(
         F.zip_with(
             F.col("qwords"),
@@ -1656,17 +1745,17 @@ def ivf_bq_topk(
         .where(F.col("qid") != F.col("nid"))
         .select("qid", "nid", hamming.alias("hamming"))
     )
-    w = Window.partitionBy("qid").orderBy(
-        F.col("hamming").asc(), F.col("nid").asc()
+    return _ranked_shortlist(
+        scored,
+        _bq_order(),
+        ["qid", "nid", "hamming"],
+        k,
+        rerank,
+        queries,
+        corpus,
+        vec_col,
+        id_col,
     )
-    shortlist = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= (rerank if rerank else k))
-        .select("qid", "nid", "hamming", "rank")
-    )
-    if rerank:
-        return _exact_rerank(shortlist, queries, corpus, k, vec_col, id_col)
-    return shortlist
 
 
 def ivf_pq_topk(
