@@ -149,6 +149,9 @@ HEADLINE = [
     "ivf_sq8_topk",
     "ivf_bq_topk",
     "filtered_ann",
+    # new in r7: the composed filtered×IVF search (attribute prefixes
+    # the cell — the production filtered-ANN shape)
+    "filtered_ann_ivf",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

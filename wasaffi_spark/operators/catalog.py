@@ -6680,3 +6680,40 @@ _demote(
     "ann_ivf",
     "pagerank",
 )
+
+
+# ---------------------------------------------------------------------------
+# round-7 driver-window rotation (VERDICT r6 next-round #1 and #4): the
+# 7 r6 additions that have never sat in a driver window become
+# driver-attested, plus the new filtered_ann_ivf composition (#3).
+# ivf_sq8_topk / ivf_bq_topk REPLACE their flat rungs sq8_topk /
+# bq_topk (#4: the window attests the scale paths — candidates
+# O(N·n_probe/n_cells) — not the Q×N linear scans; the flat rungs stay
+# sweep+pytest-checked extras and remain the documented baselines).
+# The other demotions are r6-attested rows whose families stay
+# represented: events_sliding/events_ewma carry the events family for
+# pivot/unpivot, orders_expectations carries orders QA for
+# kanon_audit/orders_profile, the sources family keeps its pytest
+# roundtrips for csv_json_roundtrip, and weighted_sample (driver-green
+# r5+r6) cedes to the sampling family's curation_pipeline/group_sample.
+# The window stays exactly 50.
+_promote(
+    "ivf_sq8_topk",
+    "ivf_bq_topk",
+    "sq8_codes",
+    "bq_codes",
+    "filtered_ann",
+    "filtered_ann_ivf",
+    "ann_ivf_trained",
+    "compression_ratio",
+)
+_demote(
+    "sq8_topk",
+    "bq_topk",
+    "events_pivot",
+    "events_unpivot",
+    "csv_json_roundtrip",
+    "kanon_audit",
+    "orders_profile",
+    "weighted_sample",
+)
