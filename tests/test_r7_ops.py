@@ -94,3 +94,29 @@ def test_filtered_ivf_null_label_returns_no_rows(spark):
     # query 1 (NULL label) contributes nothing; query 0 still answers
     assert all(r.qid == 0 for r in got)
     assert len(got) > 0
+
+
+def test_bpe_segment_single_pass_plan(spark):
+    # the merge table must live in DATA, not the plan: the optimized
+    # plan contains a constant number of replace() calls regardless of
+    # merge count (r7 rewrite — previously one crossJoin + two
+    # replaces PER RANK)
+    from wasaffi_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "hey hello help"), (2, "low lower lowest hello")],
+        "doc_id bigint, text string",
+    )
+    m2 = bpe.bpe_train(docs, k_merges=2)
+    m6 = bpe.bpe_train(docs, k_merges=6)
+    p2 = spark._jvm.PythonSQLUtils.explainString(
+        bpe.bpe_segment(docs, m2)._jdf.queryExecution(), "extended"
+    )
+    p6 = spark._jvm.PythonSQLUtils.explainString(
+        bpe.bpe_segment(docs, m6)._jdf.queryExecution(), "extended"
+    )
+    assert p2.count("replace(") == p6.count("replace(")
+    # and the fold applies merges in rank order: training's own vocab
+    # round-trips (fertility of the training words reflects all merges)
+    out = {r.doc_id: r.n_bpe_tokens for r in bpe.bpe_segment(docs, m6).collect()}
+    assert set(out) == {1, 2} and all(v > 0 for v in out.values())

@@ -156,9 +156,18 @@ def bpe_segment(
 ) -> DataFrame:
     """Apply a learned merge table to a corpus: per document, the BPE
     token count and mean token length — the fertility statistics that
-    grade a tokenizer against a corpus. Merges apply in rank order
-    (each rank is one broadcast 1-row cross join + two replaces, same
-    sweep rule as training)."""
+    grade a tokenizer against a corpus.
+
+    Single-pass apply (r7, VERDICT r6 #5): the merge table folds into
+    ONE ``aggregate()`` expression over a broadcast array of
+    ``(rank, pat, rep)`` structs — rank order comes from
+    ``array_sort`` on the struct (rank is its first field), and each
+    fold step is the same two-sweep replace rule as training. The
+    vocabulary therefore lives in DATA, not in the plan: a production
+    30k-merge tokenizer is a 30k-element array inside one operator,
+    not a 30k-operator plan (the previous per-rank Python loop built
+    one crossJoin + two replaces PER MERGE — driver-side plan
+    explosion at real vocab sizes). No driver collect anywhere."""
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
         lambda x: x != F.lit(""),
@@ -167,25 +176,35 @@ def bpe_segment(
         ~F.col("word").contains(SEP)
     )
     seqs = words.select(id_col, _char_seq("word").alias("seq"))
-    ranks = [r["rank"] for r in merges.select("rank").collect()]
-    for rank in sorted(ranks):
-        m = merges.where(F.col("rank") == rank).select(
-            "left_sym", "right_sym", "merged"
-        )
-        pat = F.concat(
-            F.lit(SEP),
-            F.col("left_sym"),
-            F.lit(SEP),
-            F.col("right_sym"),
-            F.lit(SEP),
-        )
-        rep = F.concat(F.lit(SEP), F.col("merged"), F.lit(SEP))
-        seqs = seqs.crossJoin(F.broadcast(m)).select(
-            id_col,
-            F.replace(F.replace(F.col("seq"), pat, rep), pat, rep).alias(
-                "seq"
+    mtab = merges.select(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("rank").cast("int").alias("rank"),
+                    F.concat(
+                        F.lit(SEP),
+                        F.col("left_sym"),
+                        F.lit(SEP),
+                        F.col("right_sym"),
+                        F.lit(SEP),
+                    ).alias("pat"),
+                    F.concat(F.lit(SEP), F.col("merged"), F.lit(SEP)).alias(
+                        "rep"
+                    ),
+                )
+            )
+        ).alias("_merges")
+    )
+    seqs = seqs.crossJoin(F.broadcast(mtab)).select(
+        id_col,
+        F.aggregate(
+            F.col("_merges"),
+            F.col("seq"),
+            lambda acc, m: F.replace(
+                F.replace(acc, m["pat"], m["rep"]), m["pat"], m["rep"]
             ),
-        )
+        ).alias("seq"),
+    )
     syms = F.filter(F.split(F.col("seq"), SEP), lambda x: x != F.lit(""))
     per_word = seqs.select(
         F.col(id_col),
