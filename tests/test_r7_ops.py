@@ -120,3 +120,36 @@ def test_bpe_segment_single_pass_plan(spark):
     # round-trips (fertility of the training words reflects all merges)
     out = {r.doc_id: r.n_bpe_tokens for r in bpe.bpe_segment(docs, m6).collect()}
     assert set(out) == {1, 2} and all(v > 0 for v in out.values())
+
+
+def test_hot_shingle_valve_bounds_pair_fanout(spark):
+    # 12 docs all share one boilerplate shingle; with the valve at
+    # df<=8 that shingle stops counting, so docs whose ONLY overlap is
+    # the boilerplate produce no pair, while genuinely similar docs
+    # (sharing rare shingles) still match — and their jaccard is
+    # computed over the TRIMMED universe
+    from wasaffi_spark.operators import dedup
+
+    boiler = "all rights reserved by the original author here"
+    rows = []
+    for i in range(10):
+        rows.append((i, "en", f"{boiler} unique{i} a b c d e f g"))
+    # docs 10/11: near-identical beyond the boilerplate
+    rows.append((10, "en", f"{boiler} the quick brown fox jumps over lazy dogs"))
+    rows.append((11, "en", f"{boiler} the quick brown fox jumps over lazy dogs"))
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    capped = dedup.jaccard_pairs(
+        df, threshold=0.5, max_shingle_df=8
+    ).collect()
+    # only the 10-11 pair survives; its jaccard is 1.0 over the
+    # trimmed universe (their non-boilerplate shingles are identical)
+    assert {(r.id_a, r.id_b) for r in capped} == {(10, 11)}
+    assert all(r.jaccard == 1.0 for r in capped)
+    # without the valve the boilerplate shingles connect everything
+    uncapped = dedup.jaccard_pairs(df, threshold=0.5).collect()
+    assert len(uncapped) > 1
+    # containment shares the same valve
+    cont = dedup.containment_pairs(
+        df, threshold=0.5, max_shingle_df=8
+    ).collect()
+    assert {(r.id_src, r.id_dst) for r in cont} == {(10, 11), (11, 10)}

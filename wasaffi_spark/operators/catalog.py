@@ -24,6 +24,11 @@ ORACLE: dict[str, str] = {}
 
 NEARDUP_COS_THRESHOLD = 0.4
 JACCARD_THRESHOLD = 0.8
+# hot-shingle valve (r7): shingles in more than this many docs of a
+# block are boilerplate — excluded from the pair metrics entirely
+# (dedup._blocked_shingle_inter), bounding per-shingle join fan-out at
+# cap². Same constant family as MEDIA_BUCKET_CAP; oracles replay it.
+SHINGLE_DF_CAP = 96
 ANN_QUERY_MAX_ID = 8  # vec_id < 8 are the probe queries
 ANN_K = 3
 
@@ -295,7 +300,10 @@ register("simhash", q_simhash, _simhash_oracle())
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _table(spark, sf_dir, "documents")
     return dedup.jaccard_pairs(
-        docs, block_cols=("lang",), threshold=JACCARD_THRESHOLD
+        docs,
+        block_cols=("lang",),
+        threshold=JACCARD_THRESHOLD,
+        max_shingle_df=SHINGLE_DF_CAP,
     ).orderBy("id_a", "id_b")
 
 
@@ -306,9 +314,15 @@ register(
         pos as (select doc_id, lang, w,
                        unnest(generate_series(1, len(w) - {SHINGLE_K - 1})) as i
                 from toks0 where len(w) >= {SHINGLE_K}),
-        tokf as (select distinct doc_id, lang,
-                        array_to_string(w[i:i+{SHINGLE_K - 1}], ' ') as tok
-                 from pos),
+        tokf0 as (select distinct doc_id, lang,
+                         array_to_string(w[i:i+{SHINGLE_K - 1}], ' ') as tok
+                  from pos),
+        tokf as (
+          select doc_id, lang, tok from (
+            select doc_id, lang, tok,
+                   count(*) over (partition by lang, tok) as df
+            from tokf0) t
+          where df <= {SHINGLE_DF_CAP}),
         sizes as (select doc_id, count(*) as sz from tokf group by doc_id),
         inter as (
           select a.doc_id as id_a, b.doc_id as id_b, count(*) as inter
@@ -6390,7 +6404,10 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for contrast."""
     docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
     return dedup.containment_pairs(
-        docs, block_cols=("lang",), threshold=CONTAIN_THRESHOLD
+        docs,
+        block_cols=("lang",),
+        threshold=CONTAIN_THRESHOLD,
+        max_shingle_df=SHINGLE_DF_CAP,
     ).orderBy("id_src", "id_dst")
 
 
@@ -6401,9 +6418,15 @@ register_extra(
         pos as (select doc_id, lang, w,
                        unnest(generate_series(1, len(w) - {SHINGLE_K - 1})) as i
                 from toks0 where len(w) >= {SHINGLE_K}),
-        tokf as (select distinct doc_id, lang,
-                        array_to_string(w[i:i+{SHINGLE_K - 1}], ' ') as tok
-                 from pos),
+        tokf0 as (select distinct doc_id, lang,
+                         array_to_string(w[i:i+{SHINGLE_K - 1}], ' ') as tok
+                  from pos),
+        tokf as (
+          select doc_id, lang, tok from (
+            select doc_id, lang, tok,
+                   count(*) over (partition by lang, tok) as df
+            from tokf0) t
+          where df <= {SHINGLE_DF_CAP}),
         sizes as (select doc_id, count(*) as sz from tokf group by doc_id),
         inter as (
           select a.doc_id as id_a, b.doc_id as id_b, count(*) as inter

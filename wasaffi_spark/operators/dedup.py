@@ -382,30 +382,37 @@ def simhash(
 # -- exact n-gram (token-set) Jaccard with blocking -------------------------
 
 
-def jaccard_pairs(
+def _blocked_shingle_inter(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    block_cols: tuple[str, ...] = ("lang",),
-    threshold: float = 0.8,
-    k: int = SHINGLE_K,
-) -> DataFrame:
-    """Exact n-gram (k-word shingle) Jaccard for doc pairs sharing a
-    blocking key.
+    text_col: str,
+    id_col: str,
+    block_cols: tuple[str, ...],
+    k: int,
+    max_shingle_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate stage of :func:`jaccard_pairs` /
+    :func:`containment_pairs`: the blocked shingle-level self-join.
+    Returns ``(inter, sizes)`` — per-pair |A∩B| and per-doc |A|.
 
-    |A∩B| via a shingle-level self-join inside the block, |A∪B| =
-    |A|+|B|−|A∩B|; integer arithmetic until the final division, so the
-    value is exact. Shingles — not single tokens — keep the join sparse:
-    only genuinely similar documents share k-grams, so the join output is
-    ∝ near-dup pairs, while a token join degenerates to block² whenever
-    the vocabulary is small relative to the block. The block key is the
-    second bound — at 100 TB block on (lang, length-bucket, LSH band).
-    """
+    ``max_shingle_df`` is the hot-shingle valve (r7, the
+    ``media_neardup``-style deterministic cap): shingles whose
+    within-block DOC FREQUENCY exceeds the cap are dropped before the
+    join AND before the size counts, so both metrics are computed over
+    the trimmed shingle universe — the standard stop-shingle rule. A
+    shingle shared by df documents alone fans out df²/2 join rows, so
+    without the cap one piece of templated boilerplate (a license
+    header, a nav bar) makes the join quadratic in its document count;
+    with it, per-shingle fan-out is bounded by cap² and such
+    boilerplate stops counting as similarity signal at all — which is
+    the curation-correct reading. Deterministic (a pure doc-frequency
+    filter), so oracles replay it verbatim. ``None`` = exact
+    full-universe semantics."""
     sh = word_shingles(df, text_col, k)
     toks = sh.select(
         F.col(id_col), *[F.col(c) for c in block_cols],
         F.col("shingle").alias("tok"),
     ).distinct()
+    toks = _cap_buckets(toks, max_shingle_df, cols=(*block_cols, "tok"))
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -423,6 +430,36 @@ def jaccard_pairs(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .agg(F.count("*").alias("inter"))
+    )
+    return inter, sizes
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_cols: tuple[str, ...] = ("lang",),
+    threshold: float = 0.8,
+    k: int = SHINGLE_K,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram (k-word shingle) Jaccard for doc pairs sharing a
+    blocking key.
+
+    |A∩B| via a shingle-level self-join inside the block, |A∪B| =
+    |A|+|B|−|A∩B|; integer arithmetic until the final division, so the
+    value is exact. Shingles — not single tokens — keep the join sparse:
+    only genuinely similar documents share k-grams, so the join output is
+    ∝ near-dup pairs, while a token join degenerates to block² whenever
+    the vocabulary is small relative to the block. The block key is the
+    second bound — at 100 TB block on (lang, length-bucket, LSH band) —
+    and ``max_shingle_df`` the third (the hot-shingle valve: see
+    :func:`_blocked_shingle_inter` — boilerplate shingles shared by
+    more than cap docs of a block are excluded from BOTH |A∩B| and the
+    set sizes, bounding per-shingle join fan-out at cap²).
+    """
+    inter, sizes = _blocked_shingle_inter(
+        df, text_col, id_col, block_cols, k, max_shingle_df
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
@@ -790,6 +827,7 @@ def containment_pairs(
     block_cols: tuple[str, ...] = ("lang",),
     threshold: float = 0.8,
     k: int = SHINGLE_K,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Asymmetric shingle CONTAINMENT — ``C(A→B) = |A∩B| / |A|`` — the
     direction-aware companion of :func:`jaccard_pairs`: a short
@@ -802,32 +840,13 @@ def containment_pairs(
     Emits BOTH directions above ``threshold`` as ``(id_src, id_dst,
     containment, jaccard)`` with ``id_src`` the contained side —
     integer counts until the final divisions, exact. Same blocked
-    shingle equi-join and the same scale posture as
+    shingle equi-join, hot-shingle valve (``max_shingle_df`` — see
+    :func:`_blocked_shingle_inter`), and scale posture as
     :func:`jaccard_pairs` (one |A∩B| join feeds both metrics; at
     100 TB block on (lang, length-bucket, LSH band)).
     """
-    sh = word_shingles(df, text_col, k)
-    toks = sh.select(
-        F.col(id_col), *[F.col(c) for c in block_cols],
-        F.col("shingle").alias("tok"),
-    ).distinct()
-    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    block_cond = F.lit(True)
-    for c in block_cols:
-        block_cond = block_cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    inter = (
-        a.join(
-            b,
-            block_cond
-            & (F.col("a.tok") == F.col("b.tok"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count("*").alias("inter"))
+    inter, sizes = _blocked_shingle_inter(
+        df, text_col, id_col, block_cols, k, max_shingle_df
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
