@@ -124,16 +124,18 @@ class Engine:
         with AQE's runtime re-plans and per-node metrics — as a
         one-column frame, mirroring Spark's EXPLAIN output shape.
 
-        Executed via ``collect()`` — a sink-side write would run a
-        SEPARATE query execution and leave this one un-finalized
-        (isFinalPlan=false, no metrics). ANALYZE therefore materializes
-        the result on the driver, same as DataFusion's EXPLAIN ANALYZE
-        executes the full query; wrap the query in an aggregate when
-        analyzing something with a huge result set.
+        Driver-materialization-free (r7): a ``.write`` to the noop
+        source would run a SEPARATE query execution and leave this
+        one un-finalized (isFinalPlan=false), so instead the SAME
+        QueryExecution's adaptive plan is driven to completion via a
+        cluster-side ``count()`` on its row RDD — only per-partition
+        counts reach the driver, never result rows, so analyzing a
+        huge-result query is safe (no aggregate-wrapping caveat).
         """
         df = self.spark.sql(inner)
-        df.collect()
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        qe = df._jdf.queryExecution()
+        qe.executedPlan().execute().count()
+        plan = qe.executedPlan().toString()
         return self.spark.createDataFrame([(plan,)], "plan string")
 
     # -- function DDL ------------------------------------------------------
