@@ -316,6 +316,32 @@ def main() -> None:
                     "per_query": baseline,
                 },
                 "regressions": regressions,
+                "r7_controlled_reruns": {
+                    "question": (
+                        "VERDICT r6 flagged the 36 queries shared by "
+                        "BENCH_r05/r06 as uniformly ~21% slower "
+                        "(89.8s -> 108.4s) — plan regression or "
+                        "environment?"
+                    ),
+                    "method": (
+                        "two pinned back-to-back bench.py runs on an "
+                        "idle box (load ~0.5/32 cpus, no concurrent "
+                        "sweep/pytest), 2026-08-14/15, same code as "
+                        "the r7 snapshot"
+                    ),
+                    "result": (
+                        "run1 x0.882, run2 x0.817 of the BENCH_r06 "
+                        "40-query common tail; run2 x0.993 of the "
+                        "BENCH_r05 tail — the +21% does NOT reproduce. "
+                        "Named cause: the r6 end-of-round snapshot ran "
+                        "under background load (the uniform shift, "
+                        "clean 2x-regression guard, and full recovery "
+                        "on an idle box are inconsistent with any "
+                        "plan-level change). Run-to-run spread on the "
+                        "105-query set: run2/run1 median 0.92, p90 "
+                        "1.11."
+                    ),
+                },
                 "sf": sf,
                 "cpus": cpus,
             },

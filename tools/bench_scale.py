@@ -91,10 +91,13 @@ PROBES = {
     "ngram_span_dedup": None,
     "jaccard_pairs": (
         "blocked shingle join is linear on decorrelated replicas "
-        "(cross-replica shingles never collide); the bench-vs-r3 "
-        "regression suspicion was bisected in r5 — code byte-identical "
-        "since r3, same-harness A/B within 4% (COVERAGE.md Round-5 "
-        "notes, the 'A/B within 4%' bullet — the surviving record)"
+        "(cross-replica shingles never collide); r7 adds the "
+        "max_shingle_df hot-shingle valve at the declared site (cap "
+        "96, oracle replays it) bounding per-shingle fan-out at cap² "
+        "— the r6 3.24× probe was the steepest row left; the "
+        "bench-vs-r3 regression suspicion was bisected in r5 — code "
+        "byte-identical since r3, same-harness A/B within 4% "
+        "(COVERAGE.md Round-5 notes)"
     ),
     "media_neardup": (
         "signature is linear; r6 wires the max_bucket_size valve into "
@@ -166,7 +169,9 @@ PROBES = {
     ),
     "containment_pairs": (
         "same blocked shingle join as jaccard_pairs (linear on "
-        "decorrelated replicas); output ∝ true containment pairs"
+        "decorrelated replicas) incl. the r7 max_shingle_df valve "
+        "(cap 96 declared, oracle-replayed); output ∝ true "
+        "containment pairs"
     ),
     "sq8_topk": (
         "flat table-free ADC over int8 codes: candidates = Q×N — "
@@ -178,6 +183,12 @@ PROBES = {
         "flat hamming scan over packed sign words: candidates = Q×N — "
         "linear in N with a 32× smaller code scan (two XOR+popcounts "
         "per candidate); same IVF composition at corpus scale"
+    ),
+    "filtered_ann_ivf": (
+        "composed filtered×IVF (r7): candidate join keys on "
+        "(label, cell) so per-query candidates are "
+        "O(N·sel(label)·n_probe/n_cells) — the selectivity and cell "
+        "prunings multiply; corpus shuffles once (assignment groupBy)"
     ),
     "ivf_sq8_topk": (
         "the wired IVF×SQ8 composition: per-query candidates "
