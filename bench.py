@@ -150,8 +150,10 @@ HEADLINE = [
     "ivf_bq_topk",
     "filtered_ann",
     # new in r7: the composed filtered×IVF search (attribute prefixes
-    # the cell — the production filtered-ANN shape)
+    # the cell — the production filtered-ANN shape) and residual
+    # IVF-PQ (the textbook Jégou IVF-ADC: PQ over centroid residuals)
     "filtered_ann_ivf",
+    "ivf_pq_residual_topk",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -153,3 +153,65 @@ def test_hot_shingle_valve_bounds_pair_fanout(spark):
         df, threshold=0.5, max_shingle_df=8
     ).collect()
     assert {(r.id_src, r.id_dst) for r in cont} == {(10, 11), (11, 10)}
+
+
+def test_ivf_pq_residual_single_cell_equals_flat_pq(spark):
+    # with one coarse cell the centroid cancels identically:
+    # (g(v)-g(c)) - (g(sv)-g(c)) = g(v)-g(sv), so codes AND ADC sums
+    # must equal plain pq_topk's — the flat<->composed bridge
+    import random
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(48)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = df.where(F.col("vec_id") < 3)
+    flat = {
+        (r.qid, r.rank): (r.nid, r.adist)
+        for r in similarity.pq_topk(q, df, k=4).collect()
+    }
+    one = {
+        (r.qid, r.rank): (r.nid, r.adist)
+        for r in similarity.ivf_pq_residual_topk(
+            q, df, k=4, n_cells=1, n_probe=1
+        ).collect()
+    }
+    assert one == flat
+
+
+def test_ivf_pq_residual_multicell_semantics(spark):
+    import random
+
+    rng = random.Random(9)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = df.where(F.col("vec_id") < 3)
+    out = similarity.ivf_pq_residual_topk(
+        q, df, k=3, n_cells=8, n_probe=2
+    )
+    got = out.collect()
+    # every neighbour lives in one of the query's probed cells
+    cents = similarity.hashed_centroids(df, 8)
+    assigned = similarity.ivf_assign_hashed(df, cents, 8)
+    cell_of = {r.vec_id: r.cell for r in assigned.collect()}
+    qp = q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    _, probes = similarity._ivf_probes(
+        qp, df, 8, 2, 64, similarity.PQ_QUANT, "embedding", "vec_id",
+        similarity.IVF_SEED,
+    )
+    probed = {}
+    for r in probes.collect():
+        probed.setdefault(r.qid, set()).add(r.cell)
+    assert got and all(
+        cell_of[r.nid] in probed[r.qid] and r.nid != r.qid for r in got
+    )
+    # determinism across physical layouts
+    again = similarity.ivf_pq_residual_topk(
+        q, df.repartition(7), k=3, n_cells=8, n_probe=2
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # rerank path returns the exact-search schema
+    rr = similarity.ivf_pq_residual_topk(
+        q, df, k=2, n_cells=8, n_probe=2, rerank=8
+    )
+    assert rr.columns == ["qid", "nid", "cos_sim", "rank"]
+    assert len(rr.collect()) > 0

@@ -190,6 +190,13 @@ PROBES = {
         "O(N·sel(label)·n_probe/n_cells) — the selectivity and cell "
         "prunings multiply; corpus shuffles once (assignment groupBy)"
     ),
+    "ivf_pq_residual_topk": (
+        "residual IVF-PQ (r7): candidates O(N·n_probe/n_cells); "
+        "per-(query, probed-cell) ADC tables are n_probe·m tiny rows "
+        "per query — the corpus-side encode is one broadcast-codebook "
+        "projection + one groupBy(id), same shuffle count as "
+        "ivf_pq_topk"
+    ),
     "ivf_sq8_topk": (
         "the wired IVF×SQ8 composition: per-query candidates "
         "O(N·n_probe/n_cells) over a 4× smaller code scan — the "

@@ -6740,3 +6740,143 @@ _demote(
     "orders_profile",
     "weighted_sample",
 )
+
+
+# ---------------------------------------------------------------------------
+# round-7 addition: residual IVF-PQ — the textbook Jégou IVF-ADC form
+# (PQ over residuals to the coarse centroid; per-(query, probed-cell)
+# ADC tables). Registers as an extra per rotation policy (the 50-slot
+# window is full; this is the natural r8 promotion).
+
+RESPQ_CELLS = 16
+RESPQ_PROBE = 4
+
+
+def _pq_res_dist_sql(j: int, vec: str) -> str:
+    """Residual-PQ subspace distance (DuckDB), matching
+    similarity._pq_res_grid_dist: ((g(vec)−g(cv)) − (g(sv)−g(wv)))²
+    summed over subspace j, g(x)=floor(x·quant+0.5)."""
+    sub, quant = 64 // similarity.PQ_M, similarity.PQ_QUANT
+    terms = " + ".join(
+        f"power((floor({vec}[{j * sub + i}]*{quant} + 0.5)"
+        f" - floor(cv[{j * sub + i}]*{quant} + 0.5))"
+        f" - (floor(sv[{j * sub + i}]*{quant} + 0.5)"
+        f" - floor(wv[{j * sub + i}]*{quant} + 0.5)), 2)"
+        for i in range(1, sub + 1)
+    )
+    return f"cast({terms} as bigint)"
+
+
+def q_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ search (operators/similarity.py::
+    ivf_pq_residual_topk — r7): PQ codes over each vector's residual to
+    its coarse centroid, ADC tables per (query, probed cell) — the form
+    FAISS IndexIVFPQ/Milvus actually ship, completing the quantization
+    ladder's composition story beyond ivf_pq_topk's shared-quantizer
+    trim. Residuals live on the shared integer grid (differences of
+    the same IEEE floors), so cells, codes, probe order, and ADC sums
+    are all hash-oracled; with n_cells=1 the centroid cancels and the
+    index degenerates EXACTLY to pq_topk (pinned by pytest)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    return similarity.ivf_pq_residual_topk(
+        probes, emb, k=ANN_K, n_cells=RESPQ_CELLS, n_probe=RESPQ_PROBE
+    ).orderBy("qid", "rank")
+
+
+register_extra(
+    "ivf_pq_residual_topk",
+    q_ivf_pq_residual_topk,
+    f"""with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        cents as (
+          select v as cv,
+                 row_number() over (
+                   order by md5('{similarity.IVF_SEED}' || vec_id), vec_id) - 1
+                   as cell
+          from e
+          order by md5('{similarity.IVF_SEED}' || vec_id), vec_id
+          limit {RESPQ_CELLS}),
+        ad as (select e.vec_id, r.cell, {_ivf_l2_sql("e.v", "r.cv")} as d
+               from e cross join cents r),
+        assign as (
+          select vec_id,
+                 cast(min(d * {RESPQ_CELLS} + cell) % {RESPQ_CELLS} as int)
+                   as cell
+          from ad group by vec_id),
+        seeds as (
+          select v as sv,
+                 row_number() over (
+                   order by md5('{similarity.PQ_SEED}' || vec_id), vec_id) - 1
+                   as rank
+          from e
+          order by md5('{similarity.PQ_SEED}' || vec_id), vec_id
+          limit {_PQ_K}),
+        sad as (select s.rank, r.cell, {_ivf_l2_sql("s.sv", "r.cv")} as d
+                from seeds s cross join cents r),
+        sassign as (
+          select rank,
+                 cast(min(d * {RESPQ_CELLS} + cell) % {RESPQ_CELLS} as int)
+                   as cell
+          from sad group by rank),
+        cb as (select s.rank, s.sv, r.cv as wv
+               from seeds s
+               join sassign sa using (rank)
+               join cents r on r.cell = sa.cell),
+        cwith as (select e.vec_id, e.v, a.cell, r.cv
+                  from e join assign a using (vec_id)
+                  join cents r on r.cell = a.cell),
+        cpairs as (
+          select c.vec_id, c.cell, b.rank,
+                 {", ".join(f"{_pq_res_dist_sql(j, 'c.v')} as d{j}" for j in range(_PQ_M))}
+          from cwith c cross join cb b),
+        codes as (
+          select vec_id as nid, min(cell) as cell,
+                 {", ".join(
+                     f"cast(min(d{j} * {_PQ_K} + rank) % {_PQ_K} as int) as c{j}"
+                     for j in range(_PQ_M)
+                 )}
+          from cpairs group by vec_id),
+        q as (select vec_id as qid, v as qv from e
+              where vec_id < {ANN_QUERY_MAX_ID}),
+        qad as (select q.qid, r.cell, {_ivf_l2_sql("q.qv", "r.cv")} as d
+                from q cross join cents r),
+        probes as (
+          select qid, cell from (
+            select qid, cell,
+                   row_number() over (partition by qid order by d, cell) as pr
+            from qad) t
+          where pr <= {RESPQ_PROBE}),
+        qwith as (select p.qid, p.cell, q.qv, r.cv
+                  from probes p
+                  join q using (qid)
+                  join cents r on r.cell = p.cell),
+        qpairs as (
+          select w.qid, w.cell, b.rank,
+                 {", ".join(f"{_pq_res_dist_sql(j, 'w.qv')} as d{j}" for j in range(_PQ_M))}
+          from qwith w cross join cb b),
+        qd as ({" union all ".join(
+            f"select qid, cell, rank, {j} as j, d{j} as d from qpairs"
+            for j in range(_PQ_M)
+        )}),
+        cd as ({" union all ".join(
+            f"select nid, cell, {j} as j, c{j} as c from codes"
+            for j in range(_PQ_M)
+        )}),
+        cand as (select p.qid, c.nid, c.cell
+                 from probes p join codes c using (cell)
+                 where p.qid <> c.nid),
+        adist as (
+          select ca.qid, ca.nid, cast(sum(qd.d) as bigint) as adist
+          from cand ca
+          join qd on qd.qid = ca.qid and qd.cell = ca.cell
+          join cd on cd.nid = ca.nid and cd.j = qd.j and qd.rank = cd.c
+          group by 1, 2),
+        rankd as (
+          select qid, nid, adist,
+                 cast(row_number() over (
+                   partition by qid order by adist, nid) as int) as rank
+          from adist)
+       select qid, nid, adist, rank from rankd
+       where rank <= {ANN_K}
+       order by qid, rank""",
+)

@@ -1883,6 +1883,190 @@ def ivf_pq_topk(
     return shortlist
 
 
+def _res_grid_arr(v: Column, cv: Column, quant: int) -> Column:
+    """Residual on the integer grid, as a long array:
+    ``g(v_i) − g(cv_i)`` per dimension with ``g(x) = floor(x·quant +
+    0.5)`` — the same IEEE floor every other quantizer here uses, so
+    the residual is engine-exact. Built ONCE per row (HOF lambdas run
+    interpreted, but only N times), so the pair stage downstream is
+    pure integer subtraction in codegen instead of re-flooring four
+    doubles per element per codeword."""
+    return F.zip_with(
+        v,
+        cv,
+        lambda a, b: F.floor(a.cast("double") * quant + F.lit(0.5)).cast(
+            "long"
+        )
+        - F.floor(b.cast("double") * quant + F.lit(0.5)).cast("long"),
+    )
+
+
+def _res_sub_dist(a_col: Column, b_col: Column, j: int, sub: int) -> Column:
+    """Integer L2² between subvectors j of two PRECOMPUTED residual
+    grid arrays (:func:`_res_grid_arr`) — ``Σ (a_i − b_i)²`` as an
+    explicit expression-tree sum (stays inside whole-stage codegen;
+    see :func:`_pq_grid_dist` for why not a fold). Operands are exact
+    longs, so distances, argmins, and tiebreaks are bit-identical
+    across engines."""
+    terms: Column | None = None
+    for i in range(1, sub + 1):
+        idx = j * sub + i
+        d = F.element_at(a_col, idx) - F.element_at(b_col, idx)
+        t = d * d
+        terms = t if terms is None else terms + t
+    assert terms is not None
+    return terms
+
+
+def ivf_pq_residual_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    m: int = PQ_M,
+    codebook_k: int = PQ_K,
+    quant: int = PQ_QUANT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell_seed: str = IVF_SEED,
+    seed: str = PQ_SEED,
+    rerank: int | None = None,
+) -> DataFrame:
+    """RESIDUAL IVF-PQ (r7) — the textbook Jégou et al. IVF-ADC form:
+    PQ encodes each vector's residual ``x − c(x)`` to its coarse
+    centroid rather than the vector itself. Residuals concentrate near
+    zero once the coarse quantizer has soaked up the between-cell
+    variance, so the same code budget spends its resolution on the
+    within-cell detail that actually ranks neighbours — this is why
+    every production IVF-PQ index (FAISS IndexIVFPQ, Milvus, ScaNN's
+    anisotropic variant) encodes residuals, and it is the piece the
+    shared-quantizer trim in :func:`ivf_pq_topk` deliberately leaves
+    out. The cost is per-probed-cell query work: the query's residual
+    differs per cell, so ADC lookup tables are built per (query, probed
+    cell) — n_probe·m tables instead of m, the standard IVF-ADC trade.
+
+    Engine-exact throughout: residuals live on the shared integer grid
+    (``g(x)−g(c)`` — a difference of the same IEEE floors every other
+    quantizer here uses), the codebook is the hash-sampled seed
+    vectors' OWN residuals to their assigned cells, and all distances/
+    argmins/probe orders are integer packed-mins — the whole index is
+    hash-oracle-able. With ``n_cells=1`` the centroid cancels
+    identically (``(g(v)−g(c)) − (g(sv)−g(c)) = g(v)−g(sv)``) and the
+    index degenerates to exactly :func:`pq_topk`'s codes and ADC sums
+    — pinned by pytest as the flat↔composed bridge.
+
+    Plan shape: corpus shuffles ONCE (the assignment groupBy; encode is
+    a broadcast-codebook projection + one groupBy(id) with map-side
+    partial mins); the search join is a broadcast HASH join on ``cell``
+    against the per-(query, cell) tables; candidates are
+    O(N·n_probe/n_cells). ``rerank=r`` refines with exact cosine."""
+    sub = dim // m
+    cents = hashed_centroids(corpus, n_cells, vec_col, id_col, cell_seed)
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    assigned, probes = _ivf_probes(
+        q, corpus, n_cells, n_probe, dim, quant, vec_col, id_col, cell_seed
+    )
+    # codebook: the hash-sampled seeds' residuals to THEIR cells
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    seeds = (
+        corpus.select(
+            F.col(vec_col).alias("sv"), h.alias("_h"), F.col(id_col).alias("_sid")
+        )
+        .orderBy("_h", "_sid")
+        .limit(codebook_k)
+        .withColumn("rank", F.row_number().over(Window.orderBy("_h", "_sid")) - 1)
+        .select("sv", "rank")
+    )
+    sassign = ivf_assign_hashed(
+        seeds, cents, n_cells, dim, quant, vec_col="sv", id_col="rank"
+    )
+    cb = sassign.join(
+        F.broadcast(cents.select("cell", F.col("cv").alias("wv"))), "cell"
+    ).select("rank", "sv", "wv")
+
+    # codeword residuals precomputed once per codebook row (k rows)
+    cb = cb.select(
+        "rank", _res_grid_arr(F.col("sv"), F.col("wv"), quant).alias("_wg")
+    )
+
+    # corpus: residual-encode inside the assigned cell (one groupBy);
+    # the residual grid array is built once per row, so each of the k
+    # codeword comparisons is pure integer subtraction in codegen
+    withc = assigned.join(F.broadcast(cents), "cell").select(
+        id_col,
+        "cell",
+        _res_grid_arr(F.col(vec_col), F.col("cv"), quant).alias("_rg"),
+    )
+    cpairs = withc.crossJoin(F.broadcast(cb)).select(
+        id_col,
+        "cell",
+        "rank",
+        *[
+            _res_sub_dist(F.col("_rg"), F.col("_wg"), j, sub).alias(f"_d{j}")
+            for j in range(m)
+        ],
+    )
+    codes = (
+        cpairs.groupBy(id_col)
+        .agg(
+            F.any_value("cell").alias("cell"),
+            *[
+                (F.min(F.col(f"_d{j}") * codebook_k + F.col("rank")) % codebook_k)
+                .cast("int")
+                .alias(f"c{j}")
+                for j in range(m)
+            ],
+        )
+        .withColumnRenamed(id_col, "nid")
+    )
+
+    # queries: per-(qid, probed cell) ADC tables over the query residual
+    qp = probes.join(F.broadcast(cents), "cell").select(
+        "qid",
+        "cell",
+        _res_grid_arr(F.col("qv"), F.col("cv"), quant).alias("_qg"),
+    )
+    qpairs = qp.crossJoin(F.broadcast(cb)).select(
+        "qid",
+        "cell",
+        "rank",
+        *[
+            _res_sub_dist(F.col("_qg"), F.col("_wg"), j, sub).alias(f"_d{j}")
+            for j in range(m)
+        ],
+    )
+    tables = qpairs.groupBy("qid", "cell").agg(
+        *[
+            F.array_sort(
+                F.collect_list(F.struct(F.col("rank"), F.col(f"_d{j}").alias("d")))
+            ).alias(f"_t{j}")
+            for j in range(m)
+        ]
+    )
+    adist = None
+    for j in range(m):
+        term = F.element_at(F.col(f"_t{j}"), F.col(f"c{j}") + 1)["d"]
+        adist = term if adist is None else adist + term
+    scored = (
+        codes.join(F.broadcast(tables), ["cell"])
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", adist.alias("adist"))
+    )
+    return _ranked_shortlist(
+        scored,
+        [F.col("adist").asc(), F.col("nid").asc()],
+        ["qid", "nid", "adist"],
+        k,
+        rerank,
+        queries,
+        corpus,
+        vec_col,
+        id_col,
+    )
+
+
 def hard_negative_topk(
     queries: DataFrame,
     corpus: DataFrame,
