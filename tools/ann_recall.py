@@ -208,6 +208,18 @@ def run_variants(sim, F, queries, emb) -> dict:
         "ivf_bq_p2_rerank96": lambda: sim.ivf_bq_topk(
             queries, emb, k=K, n_cells=16, n_probe=2, rerank=96
         ),
+        # residual IVF-PQ (r7): the textbook Jégou IVF-ADC — PQ over
+        # centroid residuals, per-(query, probed-cell) tables. On
+        # planted clusters the within-cluster residuals are isotropic
+        # noise 16 codewords cannot quantize (pq_design_study measured
+        # 0.083 for exactly this configuration), so the flat row stays
+        # tie-capped and rerank is the operating point here too.
+        "ivf_pq_res_p4": lambda: sim.ivf_pq_residual_topk(
+            queries, emb, k=K, n_probe=4
+        ),
+        "ivf_pq_res_p4_rerank96": lambda: sim.ivf_pq_residual_topk(
+            queries, emb, k=K, n_probe=4, rerank=96
+        ),
     }
 
     truth = {
