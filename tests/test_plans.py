@@ -448,3 +448,40 @@ def test_global_row_number_never_single_partition_sorts(spark):
     got = {(r.doc_id, r.rnk) for r in out.select("doc_id", "rnk").collect()}
     want = {(r.doc_id, r.rnk) for r in naive.collect()}
     assert got == want
+
+
+@needs_data
+def test_filtered_ivf_search_join_is_hash_on_cell(spark):
+    """The composed filtered×IVF query's search join must be a
+    broadcast HASH join on the probed cell id with the label equality
+    riding the join — never a full-corpus nested loop. Allowed
+    nested-loop nodes: the bounded centroid broadcasts (probe routing
+    per query; centroid attach on each side)."""
+    import re
+
+    f = plan_facts(_catalog_q("filtered_ann_ivf")(spark, SF_SMOKE))
+    hash_joins = re.findall(r"\(\d+\) BroadcastHashJoin", f.text)
+    assert hash_joins, "search join must be a broadcast hash join"
+    # Catalyst folds the attribute equality INTO the hash-join keys:
+    # the search join keys are exactly [(attribute, cell)] — the
+    # "label prefixes the cell" contract, verbatim in the plan
+    assert re.search(
+        r"keys \[2\]: \[_fq#\d+, cell#\d+", f.text
+    ), "join keys must be (attribute, cell)"
+    assert "EvalPython" not in f.text
+
+
+@needs_data
+def test_ivf_pq_residual_search_join_is_hash_on_cell(spark):
+    """Residual IVF-PQ: the candidate join must be a broadcast HASH
+    join on cell (codes side vs per-(query, cell) ADC tables); the
+    codebook/centroid attaches are bounded broadcasts; everything
+    stays JVM-side (residual arrays + integer subtraction — no Python
+    islands)."""
+    import re
+
+    f = plan_facts(_catalog_q("ivf_pq_residual_topk")(spark, SF_SMOKE))
+    hash_joins = re.findall(r"\(\d+\) BroadcastHashJoin", f.text)
+    assert hash_joins, "candidate join must be a broadcast hash join"
+    assert re.search(r"keys \[1\]: \[cell#\d+", f.text), "join key must be cell"
+    assert "EvalPython" not in f.text
