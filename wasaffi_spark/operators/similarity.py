@@ -1028,6 +1028,7 @@ def _ivf_probes(
     qvec_col: str = "qv",
     carry: tuple = ("qv",),
     corpus_carry: tuple = (),
+    cents: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared hashed-IVF routing used by every composed index
     (:func:`ivf_topk_hashed`, :func:`ivf_sq8_topk`, :func:`ivf_bq_topk`,
@@ -1039,8 +1040,11 @@ def _ivf_probes(
     corpus columns to keep on the assignment (e.g. a filter
     attribute). Returns ``(assigned, probes)``: the cell-assigned
     corpus ``(id_col, vec_col, cell, *corpus_carry)`` and the
-    per-query probed cells ``(qid, *carry, cell)``."""
-    cents = hashed_centroids(corpus, n_cells, vec_col, id_col, seed)
+    per-query probed cells ``(qid, *carry, cell)``. Pass ``cents`` to
+    reuse an already-built centroid frame (saves one corpus scan when
+    the caller needs the centroids itself, e.g. for residuals)."""
+    if cents is None:
+        cents = hashed_centroids(corpus, n_cells, vec_col, id_col, seed)
     assigned = ivf_assign_hashed(
         corpus, cents, n_cells, dim, quant, vec_col, id_col,
         extra_cols=corpus_carry,
@@ -1966,7 +1970,8 @@ def ivf_pq_residual_topk(
     cents = hashed_centroids(corpus, n_cells, vec_col, id_col, cell_seed)
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     assigned, probes = _ivf_probes(
-        q, corpus, n_cells, n_probe, dim, quant, vec_col, id_col, cell_seed
+        q, corpus, n_cells, n_probe, dim, quant, vec_col, id_col, cell_seed,
+        cents=cents,
     )
     # codebook: the hash-sampled seeds' residuals to THEIR cells
     h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
