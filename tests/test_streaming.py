@@ -664,3 +664,71 @@ def test_streaming_semantic_neardup_gate_equals_batch(spark):
     }
     assert streamed == batch_twin
     assert streamed <= brute  # partial probing only ever prunes
+
+
+def test_streaming_filtered_semantic_gate_respects_attribute(spark):
+    """filter_col (r7): the gate flags an arriving vector only when a
+    SAME-label known vector is within threshold — the streaming twin
+    of filtered_ivf_topk's attribute isolation. With every cell probed
+    the flagged set must equal the label-restricted brute force, and
+    must be a (typically strict) subset of the unfiltered gate's."""
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators.similarity import cosine
+    from wasaffi_spark.sources.parquet import read_parquet
+    from wasaffi_spark.streaming import vectors as svec
+    from wasaffi_spark.streaming.events import run_to_memory
+
+    emb = read_parquet(spark, os.path.join(SF_SMOKE, "embeddings.parquet"))
+    known = emb.where(F.pmod("vec_id", F.lit(7)) == 0)
+    threshold = 0.35
+
+    brute_same_label = {
+        r["vec_id"]
+        for r in emb.alias("a")
+        .crossJoin(
+            known.select(
+                F.col("embedding").alias("kv"),
+                F.col("vec_id").alias("kid"),
+                F.col("label").alias("klabel"),
+            )
+        )
+        .where(F.col("a.vec_id") != F.col("kid"))
+        .where(F.col("a.label") == F.col("klabel"))
+        .where(
+            F.round(cosine(F.col("a.embedding"), F.col("kv")), 6)
+            >= threshold
+        )
+        .select("a.vec_id")
+        .distinct()
+        .collect()
+    }
+
+    stream = svec.read_embeddings_stream(spark, SF_SMOKE)
+    run_to_memory(
+        svec.semantic_neardup_ids_stream(
+            stream, known, threshold=threshold, n_cells=8, n_probe=8,
+            filter_col="label",
+        ),
+        "sem_dup_filt",
+        output_mode="append",
+    )
+    filtered = {
+        r["vec_id"]
+        for r in spark.sql("select vec_id from sem_dup_filt").collect()
+    }
+    assert filtered == brute_same_label
+
+    # subset of the unfiltered gate (same routing, fewer candidates)
+    run_to_memory(
+        svec.semantic_neardup_ids_stream(
+            stream, known, threshold=threshold, n_cells=8, n_probe=8
+        ),
+        "sem_dup_nofilt",
+        output_mode="append",
+    )
+    unfiltered = {
+        r["vec_id"]
+        for r in spark.sql("select vec_id from sem_dup_nofilt").collect()
+    }
+    assert filtered <= unfiltered

@@ -58,6 +58,7 @@ def semantic_neardup_ids_stream(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: str = IVF_SEED,
+    filter_col: str | None = None,
 ) -> DataFrame:
     """Continuous-ingest semantic near-dup gate: append-mode stream of
     ids whose exact cosine to ANY known (static) corpus vector is
@@ -83,6 +84,15 @@ def semantic_neardup_ids_stream(
     :func:`~wasaffi_spark.operators.similarity.ivf_assign_hashed`, so
     the streamed candidate set is IDENTICAL to the batch composition's
     — pinned stream≡batch by ``tests/test_streaming.py``.
+
+    ``filter_col`` (r7) adds the attribute isolation of
+    :func:`~wasaffi_spark.operators.similarity.filtered_ivf_topk`: an
+    arriving vector is gated only against SAME-attribute known vectors
+    (per-tenant / same-language ingest dedup — the streaming twin of
+    the batch filtered×IVF composition). The attribute rides the
+    static assignment at zero extra shuffle and joins as a plain
+    equality, so NULL-attributed rows are never gated (same NULL
+    contract as the batch operator).
     """
     cents = hashed_centroids(known_corpus, n_cells, vec_col, id_col, seed)
     cent_rows = cents.collect()  # O(n_cells) — bounded by construction
@@ -91,15 +101,19 @@ def semantic_neardup_ids_stream(
     # each micro-batch would re-run the corpus × n_cells assignment —
     # the exact per-trigger corpus-sized work the gate exists to avoid
     # (same eager-localCheckpoint recipe as the documents pipeline)
+    static_cols = [
+        F.col(id_col).alias("_nid"),
+        F.col("cell"),
+        F.col(vec_col).alias("_nv"),
+    ]
+    if filter_col is not None:
+        static_cols.append(F.col(filter_col).alias("_nf"))
     static = (
         ivf_assign_hashed(
-            known_corpus, cents, n_cells, dim, quant, vec_col, id_col
+            known_corpus, cents, n_cells, dim, quant, vec_col, id_col,
+            extra_cols=(filter_col,) if filter_col is not None else (),
         )
-        .select(
-            F.col(id_col).alias("_nid"),
-            F.col("cell"),
-            F.col(vec_col).alias("_nv"),
-        )
+        .select(*static_cols)
         .localCheckpoint(eager=True)
     )
 
@@ -130,24 +144,26 @@ def semantic_neardup_ids_stream(
             for r in cent_rows
         ]
     )
-    probed = (
-        emb_stream.select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.slice(F.array_sort(probe_structs), 1, n_probe).alias("_pc"),
-        )
-        .select(
-            id_col,
-            vec_col,
-            F.explode(F.col("_pc.cell")).alias("cell"),
-        )
+    stream_cols = [
+        F.col(id_col),
+        F.col(vec_col),
+        F.slice(F.array_sort(probe_structs), 1, n_probe).alias("_pc"),
+    ]
+    if filter_col is not None:
+        stream_cols.append(F.col(filter_col))
+    probed = emb_stream.select(*stream_cols).select(
+        id_col,
+        vec_col,
+        *([filter_col] if filter_col is not None else []),
+        F.explode(F.col("_pc.cell")).alias("cell"),
     )
     from ..operators.similarity import cosine
 
+    hits = probed.join(static, ["cell"]).where(F.col(id_col) != F.col("_nid"))
+    if filter_col is not None:
+        hits = hits.where(F.col(filter_col) == F.col("_nf"))
     hits = (
-        probed.join(static, ["cell"])
-        .where(F.col(id_col) != F.col("_nid"))
-        .where(
+        hits.where(
             F.round(cosine(F.col(vec_col), F.col("_nv")), 6)
             >= F.lit(threshold)
         )
