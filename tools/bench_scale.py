@@ -69,6 +69,20 @@ SCALED_MID = os.path.join(SCALE_ROOT, f"x{R_MID}")
 # the convexity test honest.
 SCALED_X1 = os.path.join(SCALE_ROOT, "x1")
 
+# One methodology string for BOTH write paths (fresh and --only merge):
+# the merge path must refresh it too, or rows re-measured under a newer
+# recipe stay attributed to an older one (the r6 artifact carried a
+# stale "affine fit on (x3,x10)" description for exactly this reason).
+METHOD = (
+    "decorrelated 3x and 10x replication of sf0.1 (distinct "
+    "vocab per replica; position-noise per embedding "
+    "replica; disjoint supply graphs); best-of-2 warm runs "
+    "to a noop sink; linearity classified by the chord "
+    "t(R)=a+b*R through (x1,x10) checked against the "
+    "measured x3 (see module docstring of "
+    "tools/bench_scale.py)"
+)
+
 # query name -> (named cause if super-linear growth is EXPECTED, else None)
 PROBES = {
     "pq_topk": (
@@ -435,6 +449,7 @@ def main() -> None:
         # attributed to an older measurement recipe
         prior["replication"] = R
         prior["mid_replication"] = R_MID
+        prior["method"] = METHOD
         prior["x1_note"] = (
             "sf0.1_sec is measured against the rewritten .scale/x1 "
             "32-file layout (identical layout at every scale point), "
@@ -453,15 +468,7 @@ def main() -> None:
                 "base_dir": BASE,
                 "cpus": cpus,
                 "session_floor_sec": floor,
-                "method": (
-                    "decorrelated 3x and 10x replication of sf0.1 (distinct "
-                    "vocab per replica; position-noise per embedding "
-                    "replica; disjoint supply graphs); best-of-2 warm runs "
-                    "to a noop sink; linearity classified by the chord "
-                    "t(R)=a+b*R through (x1,x10) checked against the "
-                    "measured x3 (see module docstring of "
-                    "tools/bench_scale.py)"
-                ),
+                "method": METHOD,
                 "x1_note": (
                     "sf0.1_sec is measured against the rewritten "
                     ".scale/x1 32-file layout (identical layout at "
