@@ -6880,3 +6880,14 @@ register_extra(
        where rank <= {ANN_K}
        order by qid, rank""",
 )
+
+# Late-r7 swap: the residual IVF-PQ composition enters the window in
+# the round that built it (precedent: the r6 wave), REPLACING the flat
+# pq_topk rung — the same "window attests scale paths, not Q×N linear
+# scans" rule the r7 rotation applied to sq8/bq. The PQ family stays
+# triple-covered in-window (ivf_pq_topk shared-quantizer form,
+# pq_topk_rerank refine stage, ivf_pq_residual_topk textbook form);
+# flat pq_topk remains a sweep+pytest-checked extra and the documented
+# recall-ladder baseline. The window stays exactly 50.
+_promote("ivf_pq_residual_topk")
+_demote("pq_topk")
