@@ -154,6 +154,9 @@ HEADLINE = [
     # IVF-PQ (the textbook Jégou IVF-ADC: PQ over centroid residuals)
     "filtered_ann_ivf",
     "ivf_pq_residual_topk",
+    # late r7: Lloyd-trained IVF — the hash-oracled trained coarse
+    # quantizer (2 grid-exact k-means rounds + the standard probe join)
+    "ann_ivf_lloyd",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -485,3 +485,19 @@ def test_ivf_pq_residual_search_join_is_hash_on_cell(spark):
     assert hash_joins, "candidate join must be a broadcast hash join"
     assert re.search(r"keys \[1\]: \[cell#\d+", f.text), "join key must be cell"
     assert "EvalPython" not in f.text
+
+
+@needs_data
+def test_ivf_lloyd_search_join_is_hash_on_cell(spark):
+    """Lloyd-trained IVF: after the (checkpointed) train loop, the
+    search plan must be the standard probe shape — a broadcast HASH
+    join on cell between the assigned corpus and the probe frame, no
+    Python islands anywhere (train and search are pure codegen
+    expressions)."""
+    import re
+
+    f = plan_facts(_catalog_q("ann_ivf_lloyd")(spark, SF_SMOKE))
+    hash_joins = re.findall(r"\(\d+\) BroadcastHashJoin", f.text)
+    assert hash_joins, "candidate join must be a broadcast hash join"
+    assert re.search(r"keys \[1\]: \[cell#\d+", f.text), "join key must be cell"
+    assert "EvalPython" not in f.text

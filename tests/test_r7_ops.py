@@ -215,3 +215,87 @@ def test_ivf_pq_residual_multicell_semantics(spark):
     )
     assert rr.columns == ["qid", "nid", "cos_sim", "rank"]
     assert len(rr.collect()) > 0
+
+
+def _plain(spark, n=48):
+    rows = [(i, v) for i, _l, v in _vecs(n)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_ivf_lloyd_zero_iters_equals_hashed(spark):
+    # iters=0 returns the (grid-snapped) hash-sampled seeds; the snap is
+    # invisible to the integer-grid distances, so the whole index must
+    # reproduce ivf_topk_hashed EXACTLY — neighbours, rounded cosines,
+    # ranks
+    df = _plain(spark)
+    q = df.where(F.col("vec_id") < 3)
+    hashed = sorted(
+        map(tuple, similarity.ivf_topk_hashed(q, df, k=3, n_cells=8, n_probe=2).collect())
+    )
+    lloyd0 = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk_lloyd(
+                q, df, k=3, n_cells=8, n_probe=2, iters=0
+            ).collect(),
+        )
+    )
+    assert lloyd0 == hashed
+
+
+def test_ivf_lloyd_deterministic_under_repartition(spark):
+    # grid-exact training: per-dimension member sums are integers, so
+    # centroids (and therefore every assignment/probe/rank) must not
+    # depend on partitioning
+    df = _plain(spark)
+    q = df.where(F.col("vec_id") < 3)
+    a = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk_lloyd(q, df, k=3, n_cells=8, n_probe=2, iters=2).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk_lloyd(
+                q, df.repartition(5), k=3, n_cells=8, n_probe=2, iters=2
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_lloyd_training_reduces_quantization_error(spark):
+    # Lloyd's monotonicity, on the grid: total integer-grid L2 from each
+    # vector to its assigned centroid must not increase from the seed
+    # codebook to the trained one (fixture is fixed, so this is a
+    # deterministic pin, not a flaky property)
+    df = _plain(spark, 60)
+
+    def sse(cents):
+        assigned = similarity.ivf_assign_hashed(df, cents, 8)
+        joined = assigned.join(
+            cents.withColumnRenamed("cell", "cell2"),
+            F.col("cell") == F.col("cell2"),
+        )
+        d = similarity._pq_grid_dist(
+            F.col("embedding"), F.col("cv"), 0, 64, similarity.PQ_QUANT
+        )
+        return joined.select(F.sum(d).alias("s")).collect()[0]["s"]
+
+    seeds = similarity.lloyd_centroids(df, n_cells=8, iters=0)
+    trained = similarity.lloyd_centroids(df, n_cells=8, iters=2)
+    assert sse(trained) <= sse(seeds)
+
+
+def test_lloyd_centroids_live_on_the_grid(spark):
+    # every trained centroid coordinate is an exact multiple of
+    # 1/quant — the property that makes the oracle replay possible
+    df = _plain(spark)
+    rows = similarity.lloyd_centroids(df, n_cells=8, iters=2).collect()
+    assert len(rows) == 8
+    q = similarity.PQ_QUANT
+    for r in rows:
+        for x in r["cv"]:
+            assert x * q == int(x * q)

@@ -158,6 +158,16 @@ def run_variants(sim, F, queries, emb) -> dict:
         "ivf_trained_p2": lambda: sim.ivf_topk(
             queries, emb, k=K, n_cells=16, n_probe=2
         ),
+        # Lloyd-on-the-grid trained IVF (late r7): the hash-oracled
+        # trained quantizer — measures what 2 grid-exact Lloyd rounds
+        # buy over the raw hash-sampled seeds at the same n_probe
+        # (ann_ivf_lloyd is the declared/oracled form of this variant)
+        "ivf_lloyd2_p2": lambda: sim.ivf_topk_lloyd(
+            queries, emb, k=K, n_cells=16, n_probe=2, iters=2
+        ),
+        "ivf_lloyd2_p4": lambda: sim.ivf_topk_lloyd(
+            queries, emb, k=K, n_cells=16, n_probe=4, iters=2
+        ),
         "pq_adc_flat": lambda: sim.pq_topk(queries, emb, k=K),
         "pq_adc_rerank24": lambda: sim.pq_topk(queries, emb, k=K, rerank=24),
         # rerank must cover the ADC tie group ~ N/codebook_k (see

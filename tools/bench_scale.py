@@ -221,6 +221,14 @@ PROBES = {
         "code scan (XOR+popcount kernel) — the cheapest first stage "
         "of the ladder"
     ),
+    "ann_ivf_lloyd": (
+        "Lloyd-trained IVF (late r7): training is iters=2 linear "
+        "passes (broadcast-cents crossJoin + groupBy whose partials "
+        "collapse to n_cells×dim longs, centroids checkpointed per "
+        "round); search is the standard probe join, candidates "
+        "O(N·n_probe/n_cells) — constant job-count overhead from the "
+        "eager train rounds, linear work"
+    ),
 }
 
 

@@ -491,8 +491,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     end: cell assignment and probe order are integer-grid argmins, the
     re-score is the fold-order cosine. The trained-KMeans variant
     (ivf_topk) keeps the same plan shape and is pinned by the recall
-    pytest + the ann_ivf_trained extra (training isn't
-    SQL-expressible)."""
+    pytest + the ann_ivf_trained extra (MLlib float training isn't
+    SQL-expressible; ann_ivf_lloyd is the hash-oracled trained
+    form)."""
     emb = _table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
     out = similarity.ivf_topk_hashed(
@@ -6891,3 +6892,134 @@ register_extra(
 # recall-ladder baseline. The window stays exactly 50.
 _promote("ivf_pq_residual_topk")
 _demote("pq_topk")
+
+
+# ---------------------------------------------------------------------------
+# late-r7 addition: Lloyd-trained IVF with a FULL hash oracle — the
+# "trained k-means is not SQL-expressible" limitation
+# (similarity.hashed_centroids docstring; the reason ann_ivf_trained is
+# rows-only) removed by training on the integer grid: per-dimension
+# member sums are exact longs and the updated centroid snaps back to
+# the dyadic grid, so DuckDB replays the entire train loop — two
+# unrolled Lloyd iterations below — bit-for-bit, then the search is the
+# standard hash-oracled probe join. ann_ivf_trained (MLlib KMeans)
+# stays declared as the production-trainer path.
+
+LLOYD_CELLS = 16
+LLOYD_PROBE = 2
+LLOYD_ITERS = 2
+_LQ = similarity.PQ_QUANT
+
+
+def _lloyd_snap_sql(src: str, dim: int = 64) -> str:
+    """Seed vector → grid-snapped centroid list (DuckDB), matching
+    similarity.lloyd_centroids' snap transform."""
+    return (
+        "list_value("
+        + ", ".join(
+            f"floor({src}[{i}]*{_LQ} + 0.5)/{_LQ}" for i in range(1, dim + 1)
+        )
+        + ")"
+    )
+
+
+def _lloyd_mean_cols_sql(dim: int = 64) -> str:
+    """Per-dimension grid means of a cell's members (DuckDB), matching
+    similarity.lloyd_centroids._gmean: exact bigint sums, one double
+    division, round-half-up back onto the grid."""
+    return ", ".join(
+        f"floor(cast(sum(cast(floor(e.v[{i}]*{_LQ} + 0.5) as bigint)) as "
+        f"double)/cast(count(*) as double) + 0.5)/{_LQ} as c{i}"
+        for i in range(1, dim + 1)
+    )
+
+
+def _lloyd_iter_sql(n: int, prev: str, dim: int = 64) -> str:
+    """One unrolled Lloyd iteration (DuckDB CTE fragment): assign every
+    vector to its nearest ``prev`` centroid (packed-min integer argmin,
+    ties to the smaller cell — the ivf_assign_hashed contract), average
+    members on the grid, keep the previous centroid for emptied cells."""
+    cv_new = "list_value(" + ", ".join(f"m.c{i}" for i in range(1, dim + 1)) + ")"
+    return f"""
+        ad{n} as (select e.vec_id, c.cell, {_ivf_l2_sql("e.v", "c.cv")} as d
+                  from e cross join {prev} c),
+        as{n} as (select vec_id,
+                         cast(min(d * {LLOYD_CELLS} + cell) % {LLOYD_CELLS}
+                              as int) as cell
+                  from ad{n} group by vec_id),
+        m{n} as (select a.cell, {_lloyd_mean_cols_sql(dim)}
+                 from as{n} a join e using (vec_id) group by a.cell),
+        c{n + 1} as (select p.cell,
+                            case when m.cell is null then p.cv
+                                 else {cv_new} end as cv
+                     from {prev} p left join m{n} m using (cell))"""
+
+
+def q_ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN whose coarse quantizer is TRAINED (2 Lloyd iterations)
+    yet fully hash-oracled (operators/similarity.py::ivf_topk_lloyd):
+    grid-exact means keep every assignment, probe order, and rank
+    engine-exact, so the DuckDB oracle replays training AND search.
+    Measured recall@3 at fixed n_probe beats the untrained hashed
+    codebook (ANN_RECALL.json); iters=0 degenerates exactly to
+    ann_ivf's index (pytest-pinned)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    out = similarity.ivf_topk_lloyd(
+        queries, emb, k=ANN_K, n_cells=LLOYD_CELLS, n_probe=LLOYD_PROBE,
+        iters=LLOYD_ITERS,
+    )
+    return out.select(
+        "qid", "nid", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
+    ).orderBy("qid", "rnk")
+
+
+register_extra(
+    "ann_ivf_lloyd",
+    q_ann_ivf_lloyd,
+    f"""with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        seeds as (
+          select v as sv,
+                 row_number() over (
+                   order by md5('{similarity.IVF_SEED}' || vec_id), vec_id) - 1
+                   as cell
+          from e
+          order by md5('{similarity.IVF_SEED}' || vec_id), vec_id
+          limit {LLOYD_CELLS}),
+        c0 as (select cell, {_lloyd_snap_sql("sv")} as cv from seeds),
+        {_lloyd_iter_sql(0, "c0")},
+        {_lloyd_iter_sql(1, "c1")},
+        adf as (select e.vec_id, c.cell, {_ivf_l2_sql("e.v", "c.cv")} as d
+                from e cross join c2 c),
+        assign as (
+          select vec_id,
+                 cast(min(d * {LLOYD_CELLS} + cell) % {LLOYD_CELLS} as int)
+                   as cell
+          from adf group by vec_id),
+        q as (select vec_id as qid, v as qv from e
+              where vec_id < {ANN_QUERY_MAX_ID}),
+        qd as (select q.qid, c.cell, {_ivf_l2_sql("q.qv", "c.cv")} as d
+               from q cross join c2 c),
+        probes as (
+          select qid, cell from (
+            select qid, cell,
+                   row_number() over (partition by qid order by d, cell) as pr
+            from qd) t
+          where pr <= {LLOYD_PROBE}),
+        cand as (select p.qid, a.vec_id as nid
+                 from probes p join assign a using (cell)),
+        scored as (
+          select c.qid, c.nid,
+                 round(list_cosine_similarity(q2.qv, e2.v), 6) as cos_sim
+          from cand c
+          join q q2 on q2.qid = c.qid
+          join e e2 on e2.vec_id = c.nid
+          where c.qid <> c.nid),
+        rankd as (
+          select qid, nid, cos_sim,
+                 row_number() over (partition by qid
+                                    order by cos_sim desc, nid) as rnk
+          from scored)
+       select qid, nid, cos_sim, rnk from rankd
+       where rnk <= {ANN_K} order by qid, rnk""",
+)

@@ -474,10 +474,11 @@ def ivf_topk(
     signs. Each query probes its ``n_probe`` nearest cells; the
     candidate join is on cell id — shuffle ∝ N·n_probe/n_cells.
 
-    Training is not SQL-expressible, so this operator is test-verified
-    (recall vs brute force) rather than oracle-checked. At 100 TB the fit
-    runs on a sample (KMeans is itself distributed) and the corpus is
-    written bucketed by cell.
+    MLlib's float k-means is not SQL-expressible, so this operator is
+    test-verified (recall vs brute force) rather than oracle-checked;
+    :func:`ivf_topk_lloyd` is the hash-oracled trained twin (Lloyd on
+    the integer grid). At 100 TB the fit runs on a sample (KMeans is
+    itself distributed) and the corpus is written bucketed by cell.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
@@ -964,8 +965,10 @@ def hashed_centroids(
     """Deterministic IVF coarse codebook: the ``n_cells`` corpus vectors
     with the smallest ``md5(seed || id)`` — the same layout-independent
     hash sample :func:`semantic_dedup` and :func:`pq_encode` use, which
-    is what keeps an IVF index oracle-checkable (trained k-means, the
-    production quantizer in :func:`ivf_topk`, is not SQL-expressible).
+    is what keeps an IVF index oracle-checkable (FLOAT-trained k-means,
+    MLlib's quantizer in :func:`ivf_topk`, is not SQL-expressible;
+    :func:`lloyd_centroids` recovers training under the oracle by
+    keeping the whole loop on the integer grid).
     Global top-k = TakeOrderedAndProject — no full shuffle.
     Returns ``(cell int, cv array)`` with cell = hash-order rank.
     """
@@ -1118,6 +1121,161 @@ def ivf_topk_hashed(
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     assigned, probes = _ivf_probes(
         q, corpus, n_cells, n_probe, dim, quant, vec_col, id_col, seed
+    )
+    c = assigned.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "cell"
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(c, ["cell"])
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    return _ranked_shortlist(
+        scored,
+        [F.col("cos_sim").desc(), F.col("nid").asc()],
+        ["qid", "nid", "cos_sim"],
+        k,
+        None,
+        queries,
+        corpus,
+        vec_col,
+        id_col,
+    )
+
+
+def lloyd_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    quant: int = PQ_QUANT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+) -> DataFrame:
+    """TRAINED coarse quantizer that is still hash-oracle-able: ``iters``
+    unrolled Lloyd (k-means) iterations with every centroid snapped to
+    the dyadic grid ``floor(x·quant + 0.5)/quant``.
+
+    :func:`hashed_centroids` documents why trained k-means normally
+    can't be oracle-checked: float means are summation-order-dependent
+    and float argmins tie unstably, so no SQL engine replays them
+    bit-for-bit. This routine removes both obstacles:
+
+    - **means on the integer grid** — members contribute
+      ``floor(x·quant + 0.5)`` (a long), per-dimension sums are exact
+      integers (associative, partitioning-independent), and the mean
+      is snapped back to the grid with the same round-half-up, so the
+      updated centroid is an exact dyadic double both engines agree on;
+    - **assignments stay integer-exact** — snapped centroids round-trip
+      through :func:`ivf_assign_hashed`'s ``floor(cv·quant + 0.5)``
+      unchanged (power-of-two ``quant``), so every distance, argmin,
+      and probe-order tiebreak is the same packed-min integer contract
+      the untrained index uses.
+
+    ``iters=0`` returns the (snapped) hash-sampled seeds — the index
+    then degenerates EXACTLY to :func:`ivf_topk_hashed` (pinned by
+    pytest: the snap is invisible to the integer-grid distances). A
+    cell that loses all members keeps its previous centroid
+    (deterministic; matches common k-means empty-cluster handling).
+
+    Scale: each iteration is one broadcast of ``n_cells`` centroids +
+    one groupBy(cell) whose partial aggregation reduces to
+    ``n_cells × dim`` longs — the corpus never shuffles; plan depth
+    grows with ``iters`` (a small constant: 2 Lloyd rounds recover most
+    of the k-means gain over random seeds), and at 100 TB the train
+    loop runs on a hash-sample of the corpus exactly like the seeds.
+    """
+    snap = F.transform(
+        F.col("cv"),
+        lambda x: (
+            F.floor(x.cast("double") * quant + F.lit(0.5)).cast("double")
+            / F.lit(float(quant))
+        ),
+    )
+    cents = hashed_centroids(corpus, n_cells, vec_col, id_col, seed).select(
+        "cell", snap.alias("cv")
+    )
+    for _ in range(iters):
+        assigned = ivf_assign_hashed(
+            corpus, cents, n_cells, dim, quant, vec_col, id_col
+        )
+
+        def _gmean(i: int) -> Column:
+            g = F.floor(
+                F.element_at(F.col(vec_col), i).cast("double") * quant
+                + F.lit(0.5)
+            ).cast("long")
+            return (
+                F.floor(
+                    F.sum(g).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                    + F.lit(0.5)
+                ).cast("double")
+                / F.lit(float(quant))
+            ).alias(f"_c{i}")
+
+        means = assigned.groupBy("cell").agg(
+            *[_gmean(i) for i in range(1, dim + 1)]
+        ).select(
+            "cell",
+            F.array(*[F.col(f"_c{i}") for i in range(1, dim + 1)]).alias(
+                "_ncv"
+            ),
+        )
+        cents = (
+            cents.join(means, ["cell"], "left")
+            .select("cell", F.coalesce(F.col("_ncv"), F.col("cv")).alias("cv"))
+            # n_cells×dim doubles — materialize each round so (a) the
+            # next assignment pass reads a table, not a re-execution of
+            # every prior round, and (b) the search's two uses of the
+            # final centroids (corpus assignment + query probe routing)
+            # don't each replay the whole train loop; plan depth stays
+            # O(1) in iters
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def ivf_topk_lloyd(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    iters: int = 2,
+    dim: int = 64,
+    quant: int = PQ_QUANT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+) -> DataFrame:
+    """IVF ANN with the TRAINED-yet-hash-oracled coarse quantizer
+    (:func:`lloyd_centroids`): the same probe-join plan as
+    :func:`ivf_topk_hashed` — cell routing via :func:`_ivf_probes`,
+    exact cosine re-score, :func:`_ranked_shortlist` tail — but cells
+    are ``iters`` Lloyd rounds over the integer grid instead of raw
+    hash-sampled seeds, so the quantizer adapts to the data
+    distribution (the property :func:`ivf_topk`'s MLlib KMeans buys)
+    while every assignment, probe order, and rank stays engine-exact
+    and DuckDB-replayable. ``iters=0`` ≡ :func:`ivf_topk_hashed`.
+
+    Scale: training adds ``iters`` broadcast+groupBy passes (partials
+    collapse to n_cells×dim longs — no corpus shuffle); search is
+    unchanged: candidates ∝ N·n_probe/n_cells per query.
+    """
+    cents = lloyd_centroids(
+        corpus, n_cells, iters, dim, quant, vec_col, id_col, seed
+    )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    assigned, probes = _ivf_probes(
+        q, corpus, n_cells, n_probe, dim, quant, vec_col, id_col, seed,
+        cents=cents,
     )
     c = assigned.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "cell"
