@@ -157,6 +157,9 @@ HEADLINE = [
     # late r7: Lloyd-trained IVF — the hash-oracled trained coarse
     # quantizer (2 grid-exact k-means rounds + the standard probe join)
     "ann_ivf_lloyd",
+    # late r7: NN-descent kNN-graph construction (seed cells + hash
+    # ring, 2 neighbour-of-neighbour rounds)
+    "knn_descent",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -501,3 +501,26 @@ def test_ivf_lloyd_search_join_is_hash_on_cell(spark):
     assert hash_joins, "candidate join must be a broadcast hash join"
     assert re.search(r"keys \[1\]: \[cell#\d+", f.text), "join key must be cell"
     assert "EvalPython" not in f.text
+
+
+@needs_data
+def test_knn_descent_rounds_are_equi_joins_only(spark):
+    """NN-descent, full lineage (checkpoints disabled via the
+    _materialize seam): the ring overlay is an explode + equi-join on
+    position (never a nested-loop), each round's candidate exchange is
+    an equi-join on the middle vertex, and scoring joins are hash
+    joins on src/dst — a CartesianProduct or BNLJ anywhere means the
+    all-pairs scan leaked back in. The hyperplane-cell assignment
+    stays the one sanctioned Arrow island."""
+    from wasaffi_spark.operators import similarity
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    emb = read_parquet(spark, SF_SMOKE + "/embeddings.parquet")
+    df = similarity.knn_descent(
+        emb, k=3, rounds=1, max_reverse=16, ring=2, _materialize=False
+    )
+    f = plan_facts(df)
+    assert "CartesianProduct" not in f.text
+    assert "BroadcastNestedLoopJoin" not in f.text
+    assert "BatchEvalPython" not in f.text
+    assert "ArrowEvalPython" in f.text

@@ -299,3 +299,94 @@ def test_lloyd_centroids_live_on_the_grid(spark):
     for r in rows:
         for x in r["cv"]:
             assert x * q == int(x * q)
+
+
+def _clustered(spark, n=60, d=64, n_clusters=6, noise=0.18, seed=11):
+    # planted-cluster corpus: true neighbours are same-cluster, so the
+    # seed cells miss some of them and descent has real work to do
+    rng = random.Random(seed)
+    centers = [
+        [rng.uniform(-1, 1) for _ in range(d)] for _ in range(n_clusters)
+    ]
+    rows = [
+        (
+            i,
+            [
+                c + noise * rng.uniform(-1, 1)
+                for c in centers[i % n_clusters]
+            ],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def _graph_recall(edges_rows, truth_rows):
+    got = {(r.src, r.dst) for r in edges_rows}
+    true = {(r.src, r.dst) for r in truth_rows}
+    return len(got & true) / len(true)
+
+
+def test_knn_descent_zero_rounds_no_ring_is_seed_graph(spark):
+    df = _clustered(spark)
+    seed = sorted(
+        map(tuple, similarity.knn_edges_bucketed(df, k=3).collect())
+    )
+    nnd0 = sorted(
+        map(
+            tuple,
+            similarity.knn_descent(df, k=3, rounds=0, ring=0).collect(),
+        )
+    )
+    assert nnd0 == seed
+
+
+def test_knn_descent_improves_graph_recall(spark):
+    # recall of the directed top-k graph vs the exact cosine top-k
+    # graph: each descent round may only swap a neighbour for a
+    # strictly better one, so recall is monotone in rounds — and with
+    # cells fine enough (bits=5) that the sign-LSH seed is measurably
+    # incomplete on this planted-cluster fixture, two rounds must
+    # strictly beat round zero (deterministic fixture: a pin, not a
+    # flaky property). Measured here: 0.80 -> 0.89.
+    df = _clustered(spark, n=120)
+    truth = similarity.brute_force_topk(
+        df, df, k=3
+    ).select(
+        F.col("qid").alias("src"), F.col("nid").alias("dst")
+    ).collect()
+    r0 = similarity.knn_descent(df, k=3, rounds=0, bits=5, ring=4).collect()
+    r2 = similarity.knn_descent(df, k=3, rounds=2, bits=5, ring=4).collect()
+    rec0 = _graph_recall(r0, truth)
+    rec2 = _graph_recall(r2, truth)
+    assert rec2 > rec0
+    assert rec2 >= 0.85
+
+
+def test_knn_descent_deterministic_under_repartition(spark):
+    df = _clustered(spark, n=48)
+    a = sorted(map(tuple, similarity.knn_descent(df, k=3, rounds=2).collect()))
+    b = sorted(
+        map(
+            tuple,
+            similarity.knn_descent(df.repartition(7), k=3, rounds=2).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_knn_descent_reverse_valve_keeps_contract(spark):
+    # a tiny max_reverse narrows the candidate pool but every output
+    # row must still be a valid dense-ranked top-k: ranks 1..k per src,
+    # cos_sim non-increasing within src, never self
+    df = _clustered(spark, n=48)
+    out = similarity.knn_descent(df, k=3, rounds=2, max_reverse=1).collect()
+    assert all(r.src != r.dst for r in out)
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.src, []).append(r)
+    for rows in by_src.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)

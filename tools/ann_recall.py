@@ -230,6 +230,23 @@ def run_variants(sim, F, queries, emb) -> dict:
         "ivf_pq_res_p4_rerank96": lambda: sim.ivf_pq_residual_topk(
             queries, emb, k=K, n_probe=4, rerank=96
         ),
+        # NN-descent (late r7): GRAPH construction, not per-query
+        # search — the variant reads the query nodes' rows out of the
+        # whole-corpus refined top-k graph, so its sec is the full
+        # graph-build cost amortized over every node, and its recall
+        # is the graph's edge recall at the query nodes. The ring
+        # overlay is what lets rounds climb (see knn_descent docstring:
+        # cell-only seeds are block-diagonal and frozen).
+        "graph_nnd_r0": lambda: sim.knn_descent(
+            emb, k=K, rounds=0, ring=4
+        ).where(F.col("src") < QUERY_MAX_ID).select(
+            F.col("src").alias("qid"), F.col("dst").alias("nid")
+        ),
+        "graph_nnd_r2": lambda: sim.knn_descent(
+            emb, k=K, rounds=2, ring=4
+        ).where(F.col("src") < QUERY_MAX_ID).select(
+            F.col("src").alias("qid"), F.col("dst").alias("nid")
+        ),
     }
 
     truth = {

@@ -221,6 +221,14 @@ PROBES = {
         "code scan (XOR+popcount kernel) — the cheapest first stage "
         "of the ladder"
     ),
+    "knn_descent": (
+        "NN-descent graph build (late r7): seed = within-cell top-k + "
+        "hash-ring overlay; each round self-joins the kN-row edge list "
+        "on the middle vertex with reverse degree capped at "
+        "max_reverse, so candidates/node <= (k+max_reverse)^2 "
+        "regardless of hub skew - linear in N per round, never "
+        "all-pairs"
+    ),
     "ann_ivf_lloyd": (
         "Lloyd-trained IVF (late r7): training is iters=2 linear "
         "passes (broadcast-cents crossJoin + groupBy whose partials "

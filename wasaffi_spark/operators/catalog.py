@@ -3652,10 +3652,12 @@ def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mutual_knn_pairs(edges).orderBy("id_a", "id_b")
 
 
-# the mutual-kNN pair CTE chain — shared verbatim by the `mutual_knn`
-# oracle and the `embedding_clusters` recursive-closure oracle so the
-# two queries can never drift apart.
-_MUTUAL_KNN_CTES = f"""{_auto_bits_ctes()},
+# the seeded kNN edge CTE chain, parameterized by k — shared by the
+# `mutual_knn`/`knn_triangles`/`embedding_clusters` oracles (via
+# _MUTUAL_KNN_CTES) and the `knn_descent` oracle so the cell routing,
+# scoring, and tiebreak contract can never drift apart.
+def _knn_edges_ctes(k: int) -> str:
+    return f"""{_auto_bits_ctes()},
         {_rh_cell_ctes()},
         v as (select e.vec_id, e.embedding::DOUBLE[] as ev,
                      coalesce(cm.cell, 0) as cell
@@ -3670,7 +3672,10 @@ _MUTUAL_KNN_CTES = f"""{_auto_bits_ctes()},
                  row_number() over (partition by src
                                     order by cos_sim desc, dst) as rnk
           from scored),
-        e as (select src, dst, cos_sim from ranked where rnk <= {KNN_K}),
+        e as (select src, dst, cos_sim from ranked where rnk <= {k})"""
+
+
+_MUTUAL_KNN_CTES = f"""{_knn_edges_ctes(KNN_K)},
         mpairs as (
           select a.src as id_a, a.dst as id_b, a.cos_sim
           from e a join e b on a.src = b.dst and a.dst = b.src
@@ -7023,3 +7028,121 @@ register_extra(
        select qid, nid, cos_sim, rnk from rankd
        where rnk <= {ANN_K} order by qid, rnk""",
 )
+
+
+# ---------------------------------------------------------------------------
+# late-r7 addition: NN-descent kNN-graph construction — the graph
+# family's recall-repair loop (Dong et al., WWW 2011), deterministic
+# and therefore fully hash-oracled: the seed graph is the shared
+# _knn_edges_ctes chain, and each round unrolls to a candidate
+# self-join + distinct + top-k window, exactly mirroring
+# similarity.knn_descent's plan.
+
+DESCENT_K = 3
+DESCENT_ROUNDS = 2
+DESCENT_MAX_REVERSE = 16
+DESCENT_RING = 2
+
+
+def _descent_round_sql(n: int, prev: str) -> str:
+    """One unrolled NN-descent round (DuckDB CTE fragment): cap reverse
+    degree (deterministic smallest-src sample), offer each node its
+    neighbours' neighbours, keep the best DESCENT_K by the shared
+    (cos desc, dst asc) contract."""
+    return f"""
+        rev{n} as (select src, dst from (
+                     select dst as src, src as dst,
+                            row_number() over (partition by dst
+                                               order by src) as rr
+                     from {prev}) t
+                   where rr <= {DESCENT_MAX_REVERSE}),
+        und{n} as (select src, dst from {prev}
+                   union all
+                   select src, dst from rev{n}),
+        cand{n} as (select a.src as src, b.dst as dst
+                    from und{n} a join und{n} b on a.dst = b.src
+                    where a.src <> b.dst
+                    union
+                    select src, dst from {prev}),
+        sc{n} as (select c.src, c.dst,
+                         round(list_cosine_similarity(va.ev, vb.ev), 6)
+                           as cos_sim
+                  from cand{n} c
+                  join v va on va.vec_id = c.src
+                  join v vb on vb.vec_id = c.dst),
+        rk{n} as (select src, dst, cos_sim,
+                         row_number() over (partition by src
+                                            order by cos_sim desc, dst)
+                           as rnk
+                  from sc{n}),
+        e{n + 1} as (select src, dst, cos_sim, rnk from rk{n}
+                     where rnk <= {DESCENT_K})"""
+
+
+def q_knn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN-descent refined kNN graph (operators/similarity.py::
+    knn_descent): seed within-cell top-k edges UNIONED with a
+    deterministic hash-ring overlay (the connected cross-cell links
+    classic NN-descent gets from random init — without them the
+    candidate graph is block-diagonal and descent provably cannot
+    leave a cell), then 2 rounds of neighbour-of-neighbour candidate
+    exchange at O(N·(k+max_reverse)²) per round, never all-pairs.
+    Every stage is deterministic (distinct candidates, shared
+    rounded-cosine scoring, dst tiebreak), so the DuckDB oracle
+    replays seed, ring, and both rounds as unrolled CTEs."""
+    emb = _table(spark, sf_dir, "embeddings")
+    out = similarity.knn_descent(
+        emb, k=DESCENT_K, rounds=DESCENT_ROUNDS,
+        max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
+    )
+    return out.select(
+        "src", "dst", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
+    ).orderBy("src", "rnk")
+
+
+register_extra(
+    "knn_descent",
+    q_knn_descent,
+    f"""with {_knn_edges_ctes(DESCENT_K)},
+        hr as (select vec_id,
+                      row_number() over (
+                        order by md5('{similarity.IVF_SEED}' || vec_id),
+                                 vec_id) - 1 as pos
+               from embeddings),
+        ringe as (select a.vec_id as src, b.vec_id as dst
+                  from hr a
+                  cross join range(1, {DESCENT_RING + 1}) o
+                  join hr b on b.pos = (a.pos + o.range)
+                               % (select count(*) from embeddings)
+                  where a.vec_id <> b.vec_id),
+        seedp as (select src, dst from e
+                  union
+                  select src, dst from ringe),
+        ssc as (select p.src, p.dst,
+                       round(list_cosine_similarity(va.ev, vb.ev), 6)
+                         as cos_sim
+                from seedp p
+                join v va on va.vec_id = p.src
+                join v vb on vb.vec_id = p.dst),
+        srk as (select src, dst, cos_sim,
+                       row_number() over (partition by src
+                                          order by cos_sim desc, dst) as rnk
+                from ssc),
+        es as (select src, dst, cos_sim from srk where rnk <= {DESCENT_K}),
+        {_descent_round_sql(0, "es")},
+        {_descent_round_sql(1, "e1")}
+        select src, dst, cos_sim, rnk from e{DESCENT_ROUNDS}
+        order by src, rnk""",
+)
+
+
+# late-r7 window rotation #2: promote the two new hash-oracled
+# training/graph loops (Lloyd-trained IVF, NN-descent) so the round's
+# flagship additions are driver-attested, not just sweep-green.
+# Demoted veterans: mutual_knn (driver-green r4/r5/r6; its CTE chain
+# stays window-attested through knn_triangles and the new knn_descent)
+# and ivf_pq_topk (driver-green r4/r5/r6; the window keeps the
+# scale-path compositions ivf_pq_residual_topk + pq_topk_rerank).
+# The window stays exactly 50.
+_promote("ann_ivf_lloyd", "knn_descent")
+_demote("mutual_knn", "ivf_pq_topk")

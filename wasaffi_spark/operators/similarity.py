@@ -2355,6 +2355,172 @@ def mutual_knn_pairs(edges: DataFrame) -> DataFrame:
     )
 
 
+def knn_descent(
+    df: DataFrame,
+    k: int = 3,
+    rounds: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int | None = None,
+    max_bucket_size: int | None = None,
+    target_cell_size: int = 32,
+    max_reverse: int | None = 16,
+    ring: int = 2,
+    seed: str = IVF_SEED,
+    _materialize: bool = True,
+) -> DataFrame:
+    """kNN-graph construction by NN-DESCENT (Dong, Moses & Li, WWW
+    2011): seed a directed top-``k`` graph, then repeatedly offer each
+    node its neighbours' neighbours as candidates and keep the best
+    ``k`` — "a neighbour of a neighbour is likely a neighbour".
+
+    The seed is the within-cell sign-LSH graph
+    (:func:`knn_edges_bucketed`) UNIONED with ``ring`` hash-ring links
+    per node (its successors in ``md5(seed || id)`` order, wrapping).
+    The ring is load-bearing, not decoration: within-cell seed edges
+    make the candidate graph BLOCK-DIAGONAL — every
+    neighbour-of-neighbour stays inside the cell, so descent alone can
+    never recover a true neighbour across a hyperplane boundary
+    (measured: recall frozen at the seed value for any number of
+    rounds). The ring plays the role of classic NN-descent's random
+    initialization — a deterministic, O(N·ring) connected overlay that
+    crosses every cell — and each round then propagates real
+    neighbours along it.
+
+    Deterministic end to end — candidates are set-valued (distinct
+    union), scores are the shared :func:`_cosine_prenorm` rounding,
+    ranks tiebreak on ``dst`` — so the whole loop (seed cells, ring,
+    every round's candidate set, final ranks) replays under the SQL
+    oracle as unrolled CTE rounds, exactly like :func:`lloyd_centroids`
+    replays k-means.
+
+    Scale: one round = one self-join of the edge list on its middle
+    vertex + one distinct + one top-k window. Forward degree is ``k``
+    by construction; REVERSE degree is unbounded on hub vertices (the
+    known NN-descent blowup), so ``max_reverse`` caps the in-edges a
+    node offers back (deterministic smallest-``src`` sample — the
+    same valve family as ``max_bucket_size``); per-round candidate
+    rows are then ≤ N·(k + max_reverse)² + kN, independent of hub
+    skew. The ring position is a global row_number over (hash, id) —
+    an id+hash-only frame; at 100 TB swap in ranking.py's
+    range-exchange rank, the contract (dense 0..N-1 positions in hash
+    order) is unchanged. Edges (``kN`` rows) localCheckpoint per
+    round, so plan depth stays O(1) in ``rounds``. Returns ``(src,
+    dst, cos_sim, rank)`` — each node's refined top-``k``;
+    ``rounds=0, ring=0`` is exactly the sign-LSH seed graph.
+    """
+    edges = knn_edges_bucketed(
+        df, k, vec_col, id_col, bits, max_bucket_size, target_cell_size
+    )
+    v = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv"))
+    v = v.withColumn("_vn", _norm(F.col("_vv")))
+    va = v.select(
+        F.col("_vid").alias("src"), F.col("_vv").alias("av"),
+        F.col("_vn").alias("_na"),
+    )
+    vb = v.select(
+        F.col("_vid").alias("dst"), F.col("_vv").alias("bv"),
+        F.col("_vn").alias("_nb"),
+    )
+    w_rank = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst").asc()
+    )
+    if ring:
+        h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+        w_pos = Window.orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        pos = (
+            df.select(id_col)
+            .withColumn("_h", h)
+            .withColumn("pos", F.row_number().over(w_pos) - 1)
+            .select(id_col, "pos")
+        )
+        if _materialize:
+            pos = pos.localCheckpoint(eager=True)
+        n_total = pos.count()  # one scalar — legitimate-collect class
+        # successor offsets via explode of a literal array — pure
+        # codegen, no join (a broadcast crossJoin here would be a
+        # nested-loop plan node for no reason)
+        ringe = (
+            pos.withColumn(
+                "_j", F.explode(F.array(*[F.lit(j) for j in range(1, ring + 1)]))
+            )
+            .withColumn("_tp", F.pmod(F.col("pos") + F.col("_j"), F.lit(n_total)))
+            .join(
+                pos.select(
+                    F.col(id_col).alias("_did"), F.col("pos").alias("_tp")
+                ),
+                "_tp",
+            )
+            .where(F.col(id_col) != F.col("_did"))
+            .select(F.col(id_col).alias("src"), F.col("_did").alias("dst"))
+        )
+        seedp = edges.select("src", "dst").union(ringe).distinct()
+        scored0 = (
+            seedp.join(va, "src")
+            .join(vb, "dst")
+            .select(
+                "src",
+                "dst",
+                _cosine_prenorm(
+                    F.col("av"), F.col("bv"), F.col("_na"), F.col("_nb")
+                ).alias("cos_sim"),
+            )
+        )
+        edges = scored0.withColumn(
+            "rank", F.row_number().over(w_rank)
+        ).where(F.col("rank") <= k).select("src", "dst", "cos_sim", "rank")
+        if _materialize:
+            edges = edges.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        fwd = edges.select("src", "dst")
+        rev = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        if max_reverse is not None:
+            w_rev = Window.partitionBy("src").orderBy(F.col("dst").asc())
+            rev = (
+                rev.withColumn("_rr", F.row_number().over(w_rev))
+                .where(F.col("_rr") <= max_reverse)
+                .select("src", "dst")
+            )
+        und = fwd.union(rev)
+        cand = (
+            und.alias("a")
+            .join(und.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .where(F.col("a.src") != F.col("b.dst"))
+            .select(
+                F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
+            )
+            .union(fwd)
+            .distinct()
+        )
+        scored = (
+            cand.join(va, "src")
+            .join(vb, "dst")
+            .select(
+                "src",
+                "dst",
+                _cosine_prenorm(
+                    F.col("av"), F.col("bv"), F.col("_na"), F.col("_nb")
+                ).alias("cos_sim"),
+            )
+        )
+        edges = (
+            scored.withColumn("rank", F.row_number().over(w_rank))
+            .where(F.col("rank") <= k)
+            .select("src", "dst", "cos_sim", "rank")
+        )
+        # kN rows — materialize so the next round (and the final
+        # consumer) reads a table instead of replaying every prior
+        # round's join chain; same O(1)-plan-depth contract as
+        # lloyd_centroids. _materialize=False is the plan-audit seam:
+        # tests disable the checkpoints to assert on the FULL composed
+        # lineage (checkpoints would hide it behind a scan).
+        if _materialize:
+            edges = edges.localCheckpoint(eager=True)
+    return edges
+
+
 def hashed_embedding(
     df: DataFrame,
     dim: int = 64,
