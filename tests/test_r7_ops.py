@@ -390,3 +390,120 @@ def test_knn_descent_reverse_valve_keeps_contract(spark):
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
         sims = [r.cos_sim for r in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_prototype_prune_frac_zero_keeps_all(spark):
+    df = _plain(spark, 48)
+    kept = similarity.prototype_prune(df, frac=0.0, keep="hard")
+    assert kept.count() == 48
+
+
+def test_prototype_prune_hard_drops_closest_per_cell(spark):
+    # keep="hard" drops the per-cell slice with the SMALLEST prototype
+    # distance: within every cell, max(dropped proto_dist) must be <=
+    # min(kept proto_dist) under the deterministic (dist, id) order
+    df = _plain(spark, 60)
+    all_rows = similarity.prototype_prune(df, frac=0.0, keep="hard").collect()
+    kept = similarity.prototype_prune(df, frac=0.3, keep="hard").collect()
+    kept_ids = {r.vec_id for r in kept}
+    by_cell = {}
+    for r in all_rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    dropped_any = False
+    for cell, rows in by_cell.items():
+        dkeys = sorted(
+            (r.proto_dist, r.vec_id) for r in rows if r.vec_id not in kept_ids
+        )
+        kkeys = sorted(
+            (r.proto_dist, r.vec_id) for r in rows if r.vec_id in kept_ids
+        )
+        if dkeys:
+            dropped_any = True
+            assert kkeys, f"cell {cell} dropped everything"
+            assert dkeys[-1] <= kkeys[0]
+    assert dropped_any
+
+
+def test_prototype_prune_easy_and_hard_are_complementary_bands(spark):
+    # keep="easy" retains the low-percentile band, keep="hard" the
+    # high one; with frac on both sides their union covers the corpus
+    # and their intersection is the middle band
+    df = _plain(spark, 60)
+    hard = {r.vec_id for r in similarity.prototype_prune(df, frac=0.3, keep="hard").collect()}
+    easy = {r.vec_id for r in similarity.prototype_prune(df, frac=0.3, keep="easy").collect()}
+    assert hard | easy == {r.vec_id for r in df.select("vec_id").collect()}
+    assert hard & easy  # middle band is in both
+
+
+def test_prototype_prune_rejects_bad_keep(spark):
+    df = _plain(spark, 12)
+    try:
+        similarity.prototype_prune(df, keep="medium")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_mmr_lambda_one_is_plain_topk(spark):
+    # mu=0: no redundancy penalty, so the greedy picks are exactly the
+    # cosine top-k in rank order
+    df = _plain(spark, 40)
+    q = df.where(F.col("vec_id") < 2)
+    plain = {
+        (r.qid, r.rank): r.nid
+        for r in similarity.brute_force_topk(q, df, k=3).collect()
+    }
+    mmr = {
+        (r.qid, r.step): r.nid
+        for r in similarity.mmr_topk(q, df, k=3, lam=1.0).collect()
+    }
+    assert mmr == plain
+
+
+def test_mmr_first_pick_is_most_relevant_and_no_repeats(spark):
+    df = _plain(spark, 40)
+    q = df.where(F.col("vec_id") < 3)
+    out = similarity.mmr_topk(q, df, k=3, lam=0.7).collect()
+    top1 = {
+        r.qid: r.nid
+        for r in similarity.brute_force_topk(q, df, k=1).collect()
+    }
+    by_q = {}
+    for r in out:
+        assert r.qid != r.nid
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.step)
+        assert [r.step for r in rows] == [1, 2, 3]
+        assert rows[0].nid == top1[qid]
+        assert len({r.nid for r in rows}) == 3
+
+
+def test_mmr_penalizes_near_duplicates(spark):
+    # corpus: a near-duplicate PAIR that is most relevant, and a
+    # distinct doc slightly less relevant. Plain top-3 ranks the pair
+    # 1-2; MMR at lam=0.5 must pick one of the pair, then promote the
+    # distinct doc over the near-copy (whose penalty vs its twin is
+    # ~1), then take the copy last.
+    q0 = [1.0] * 16 + [0.0] * 48
+    a1 = [1.0] * 32 + [0.0] * 32
+    a2 = [1.0] * 32 + [0.05] + [0.0] * 31
+    b = [1.0] * 16 + [0.0] * 32 + [1.2] * 16
+    rows = [(0, q0), (1, a1), (2, a2), (3, b)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = df.where(F.col("vec_id") == 0)
+    plain = [
+        r.nid
+        for r in similarity.brute_force_topk(q, df, k=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert plain[:2] in ([1, 2], [2, 1]) and plain[2] == 3
+    mmr = [
+        r.nid
+        for r in similarity.mmr_topk(q, df, k=3, lam=0.5)
+        .orderBy("step")
+        .collect()
+    ]
+    assert mmr[0] in (1, 2)
+    assert mmr[1] == 3, f"MMR should promote the distinct doc, got {mmr}"

@@ -6979,10 +6979,10 @@ def q_ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rnk")
 
 
-register_extra(
-    "ann_ivf_lloyd",
-    q_ann_ivf_lloyd,
-    f"""with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+# the grid-exact Lloyd train + corpus-assignment CTE chain — shared by
+# the ann_ivf_lloyd and prototype_prune oracles so the trained
+# quantizer both replay is literally one definition.
+_LLOYD_TRAIN_ASSIGN_CTES = f"""e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
         seeds as (
           select v as sv,
                  row_number() over (
@@ -7000,7 +7000,13 @@ register_extra(
           select vec_id,
                  cast(min(d * {LLOYD_CELLS} + cell) % {LLOYD_CELLS} as int)
                    as cell
-          from adf group by vec_id),
+          from adf group by vec_id)"""
+
+
+register_extra(
+    "ann_ivf_lloyd",
+    q_ann_ivf_lloyd,
+    f"""with {_LLOYD_TRAIN_ASSIGN_CTES},
         q as (select vec_id as qid, v as qv from e
               where vec_id < {ANN_QUERY_MAX_ID}),
         qd as (select q.qid, c.cell, {_ivf_l2_sql("q.qv", "c.cv")} as d
@@ -7133,6 +7139,156 @@ register_extra(
         {_descent_round_sql(1, "e1")}
         select src, dst, cos_sim, rnk from e{DESCENT_ROUNDS}
         order by src, rnk""",
+)
+
+
+# ---------------------------------------------------------------------------
+# late-r7 addition: prototype-distance data pruning (Sorscher et al.,
+# NeurIPS 2022 "Beyond neural scaling laws") — the embedding-side
+# curation gate: per-cluster percentile banding over distance to the
+# trained centroid, dropping the most prototypical (redundant) slice.
+# Rides the grid-exact Lloyd chain, so training, assignment, distance,
+# and percentile all replay under the oracle.
+
+PRUNE_FRAC = 0.25
+
+
+def q_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype pruning (operators/similarity.py::prototype_prune):
+    Lloyd-trained cells, exact integer-grid distance to own centroid,
+    per-cell percent_rank over the unique (dist, id) order, drop the
+    closest PRUNE_FRAC (keep="hard" — the abundant-data regime where
+    redundant prototypical examples cost compute without adding
+    signal). Fully hash-oracled: the oracle replays k-means training,
+    assignment, the bigint distance, and the percentile."""
+    emb = _table(spark, sf_dir, "embeddings")
+    out = similarity.prototype_prune(
+        emb, frac=PRUNE_FRAC, keep="hard", n_cells=LLOYD_CELLS,
+        iters=LLOYD_ITERS,
+    )
+    return out.orderBy("vec_id")
+
+
+register_extra(
+    "prototype_prune",
+    q_prototype_prune,
+    f"""with {_LLOYD_TRAIN_ASSIGN_CTES},
+        pd as (select a.vec_id, a.cell, {_ivf_l2_sql("e.v", "c.cv")} as proto_dist
+               from assign a
+               join e on e.vec_id = a.vec_id
+               join c2 c on c.cell = a.cell),
+        pr as (select vec_id, cell, proto_dist,
+                      round(percent_rank() over (
+                        partition by cell
+                        order by proto_dist asc, vec_id asc), 6) as proto_pct,
+                      count(*) over (partition by cell) as cn
+               from pd)
+        select vec_id, cell, proto_dist, proto_pct from pr
+        where proto_pct >= {PRUNE_FRAC} or cn = 1 order by vec_id""",
+)
+
+
+# ---------------------------------------------------------------------------
+# late-r7 addition: MMR diversified top-k (Carbonell & Goldstein,
+# SIGIR 1998) — the greedy relevance-vs-redundancy rerank every RAG
+# stack runs before stuffing a context window. Deterministic greedy
+# (rounded scores, id tiebreaks), so the k selection steps unroll into
+# the oracle.
+
+MMR_K = 3
+MMR_LAM = 0.7
+MMR_LAM_MICRO = 700000
+MMR_MU_MICRO = 300000
+MMR_SHORTLIST = 12
+
+
+_MMR_MICRO = "cast(floor({} * 1000000 + 0.5) as bigint)"
+
+
+def _mmr_step_sql(i: int) -> str:
+    """Greedy MMR step i >= 2 (DuckDB CTE fragment): max-sim penalty
+    against everything selected so far, INTEGER-exact lam/mu blend
+    (micro-lifted 6-dp cosines — float rounding of the blend is the
+    half-boundary trap the operator docstring names), argmax with tie
+    to the smaller nid — the same contract as the Spark loop."""
+    return f"""
+        pen{i} as (select p.qid, p._a as nid,
+                          max({_MMR_MICRO.format("p._sab")}) as pen
+                   from pp p join sel{i - 1} s
+                     on s.qid = p.qid and s.nid = p._b
+                   group by p.qid, p._a),
+        cand{i} as (select sl.qid, sl.nid, sl.cos_sim,
+                           {MMR_LAM_MICRO}*{_MMR_MICRO.format("sl.cos_sim")}
+                             - {MMR_MU_MICRO}*coalesce(pen.pen, 0) as mmr_nano
+                    from sl
+                    left join pen{i} pen
+                      on pen.qid = sl.qid and pen.nid = sl.nid
+                    where not exists (select 1 from sel{i - 1} s
+                                      where s.qid = sl.qid
+                                        and s.nid = sl.nid)),
+        s{i} as (select qid, nid, cos_sim, mmr_nano, {i} as step from (
+                   select qid, nid, cos_sim, mmr_nano,
+                          row_number() over (partition by qid
+                                             order by mmr_nano desc, nid) as r
+                   from cand{i}) t where r = 1),
+        sel{i} as (select qid, nid from sel{i - 1}
+                   union all
+                   select qid, nid from s{i})"""
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-k over the embedding corpus (operators/
+    similarity.py::mmr_topk): exact-cosine shortlist per probe query,
+    then 3 greedy picks trading relevance (lam=0.7) against
+    redundancy (max cosine to the already-picked set). The greedy
+    loop is deterministic, so the oracle replays shortlist, pairwise
+    sims, and every pick as unrolled CTEs."""
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    out = similarity.mmr_topk(
+        queries, emb, k=MMR_K, lam=MMR_LAM, shortlist=MMR_SHORTLIST
+    )
+    return out.select(
+        "qid", "nid", "cos_sim", "mmr_nano",
+        F.col("step").cast("bigint").alias("step"),
+    ).orderBy("qid", "step")
+
+
+register_extra(
+    "mmr_rerank",
+    q_mmr_rerank,
+    f"""with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        q as (select vec_id as qid, v as qv from e
+              where vec_id < {ANN_QUERY_MAX_ID}),
+        sc as (select q.qid, e.vec_id as nid,
+                      round(list_cosine_similarity(q.qv, e.v), 6) as cos_sim
+               from q cross join e where q.qid <> e.vec_id),
+        sl as (select qid, nid, cos_sim from (
+                 select qid, nid, cos_sim,
+                        row_number() over (partition by qid
+                                           order by cos_sim desc, nid) as r
+                 from sc) t where r <= {MMR_SHORTLIST}),
+        pp as (select a.qid, a.nid as _a, b.nid as _b,
+                      round(list_cosine_similarity(ea.v, eb.v), 6) as _sab
+               from sl a join sl b on a.qid = b.qid and a.nid <> b.nid
+               join e ea on ea.vec_id = a.nid
+               join e eb on eb.vec_id = b.nid),
+        s1 as (select qid, nid, cos_sim, mmr_nano, 1 as step from (
+                 select qid, nid, cos_sim,
+                        {MMR_LAM_MICRO}*{_MMR_MICRO.format("cos_sim")}
+                          as mmr_nano,
+                        row_number() over (partition by qid
+                                           order by
+                                             {MMR_LAM_MICRO}*{_MMR_MICRO.format("cos_sim")}
+                                               desc, nid) as r
+                 from sl) t where r = 1),
+        sel1 as (select qid, nid from s1),
+        {_mmr_step_sql(2)},
+        {_mmr_step_sql(3)}
+        select qid, nid, cos_sim, mmr_nano, step from (
+          select * from s1 union all select * from s2
+          union all select * from s3)
+        order by qid, step""",
 )
 
 

@@ -1303,6 +1303,191 @@ def ivf_topk_lloyd(
     )
 
 
+def mmr_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    lam: float = 0.7,
+    shortlist: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein, SIGIR 1998) — the standard RAG/retrieval rerank that
+    trades relevance against redundancy: greedily pick
+    ``argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`` where ``S`` is
+    what's already selected, so near-duplicate passages can't crowd
+    the context window.
+
+    Two-stage: an exact cosine ``shortlist`` per query (swap any ANN
+    index in as the candidate generator at corpus scale — MMR only
+    ever reads the shortlist), then ``k`` greedy selection steps over
+    it. The blend is computed in INTEGER space: the 6-dp cosines lift
+    to micro-units (bigint) and the score is ``lam_micro·cos_micro −
+    mu_micro·pen_micro`` — floats never touch the argmax. This is not
+    pedantry: ``round(0.7·cos, 6)`` lands exactly on the 7th-decimal
+    half-boundary whenever cos's 6th digit is odd, where Spark's
+    shortest-repr HALF_UP and other engines' true-value rounding
+    systematically disagree (found by the oracle on real data). With
+    id tiebreaks the greedy loop is then fully deterministic and
+    unrolls into the SQL oracle exactly like :func:`lloyd_centroids`
+    / :func:`knn_descent`.
+
+    Scale: the shortlist is Q×shortlist rows, the pairwise-sim frame
+    Q×shortlist² — both tiny and broadcast-able; each greedy step is
+    an anti-join + one grouped max + one argmax window over frames
+    that never touch the corpus again. ``k`` is a small constant, so
+    the unrolled plan depth is bounded; selections localCheckpoint per
+    step. Returns ``(qid, nid, cos_sim, mmr_nano, step)`` with
+    ``step`` 1..k in pick order and ``mmr_nano`` the exact integer
+    score (units of 1e-12); a query with fewer than ``k`` candidates
+    returns fewer rows.
+    """
+    lam_micro = int(round(lam * 1_000_000))
+    mu_micro = 1_000_000 - lam_micro
+    micro = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)).cast("long")  # noqa: E731
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    w_sl = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("nid").asc()
+    )
+    sl = (
+        scored.withColumn("_r", F.row_number().over(w_sl))
+        .where(F.col("_r") <= shortlist)
+        .select("qid", "nid", "cos_sim")
+        .localCheckpoint(eager=True)
+    )
+    # pairwise sims among shortlist members, per query — Q·s² rows
+    a = sl.join(c, "nid").select(
+        "qid", F.col("nid").alias("_a"), F.col("nv").alias("_av")
+    )
+    b = sl.join(c, "nid").select(
+        "qid", F.col("nid").alias("_b"), F.col("nv").alias("_bv")
+    )
+    pp = (
+        a.join(b, "qid")
+        .where(F.col("_a") != F.col("_b"))
+        .select(
+            "qid",
+            "_a",
+            "_b",
+            F.round(cosine(F.col("_av"), F.col("_bv")), 6).alias("_sab"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_pick = Window.partitionBy("qid").orderBy(
+        F.col("mmr_nano").desc(), F.col("nid").asc()
+    )
+    first = (
+        sl.withColumn("mmr_nano", F.lit(lam_micro) * micro(F.col("cos_sim")))
+        .withColumn("_r", F.row_number().over(w_pick))
+        .where(F.col("_r") == 1)
+        .select("qid", "nid", "cos_sim", "mmr_nano", F.lit(1).alias("step"))
+    )
+    selected = first.localCheckpoint(eager=True)
+    for i in range(2, k + 1):
+        rem = sl.join(selected.select("qid", "nid"), ["qid", "nid"], "left_anti")
+        pen = (
+            pp.join(
+                selected.select("qid", F.col("nid").alias("_b")),
+                ["qid", "_b"],
+            )
+            .groupBy("qid", F.col("_a").alias("nid"))
+            .agg(F.max(micro(F.col("_sab"))).alias("_pen"))
+        )
+        cand = rem.join(pen, ["qid", "nid"], "left").select(
+            "qid",
+            "nid",
+            "cos_sim",
+            (
+                F.lit(lam_micro) * micro(F.col("cos_sim"))
+                - F.lit(mu_micro) * F.coalesce(F.col("_pen"), F.lit(0))
+            ).alias("mmr_nano"),
+        )
+        pick = (
+            cand.withColumn("_r", F.row_number().over(w_pick))
+            .where(F.col("_r") == 1)
+            .select("qid", "nid", "cos_sim", "mmr_nano", F.lit(i).alias("step"))
+        )
+        selected = selected.union(pick).localCheckpoint(eager=True)
+    return selected
+
+
+def prototype_prune(
+    corpus: DataFrame,
+    frac: float = 0.25,
+    keep: str = "hard",
+    n_cells: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    quant: int = PQ_QUANT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+) -> DataFrame:
+    """Prototype-distance data pruning (Sorscher et al., NeurIPS 2022
+    "Beyond neural scaling laws"): cluster the corpus embeddings,
+    score every example by its distance to its own cluster centroid,
+    and drop a ``frac`` slice per cluster — ``keep="hard"`` drops the
+    CLOSEST (most prototypical, most redundant) examples, the paper's
+    regime for abundant data; ``keep="easy"`` drops the FARTHEST
+    (outliers/noise), the scarce-data regime. Per-cluster percentile
+    banding (not a global cutoff) is what makes the rule
+    self-calibrating across clusters of different tightness.
+
+    Built on the grid-exact machinery, so the whole pipeline is
+    engine-exact and hash-oracled: the quantizer is
+    :func:`lloyd_centroids` (trained k-means the oracle replays), the
+    assignment and the prototype distance are the same packed-min /
+    integer-grid L2 every IVF consumer uses (``proto_dist`` is an
+    exact bigint), and the percentile is ``percent_rank`` over the
+    unique order ``(proto_dist asc, id asc)``.
+
+    Scale: one broadcast+groupBy per Lloyd round, one broadcast join
+    for the distance, one per-cell window — the corpus shuffles once
+    (by cell) for the window; no join ever exceeds N×n_cells.
+    Returns kept rows ``(id_col, cell, proto_dist, proto_pct)``.
+    """
+    if keep not in ("hard", "easy"):
+        raise ValueError(f"keep must be 'hard' or 'easy', got {keep!r}")
+    cents = lloyd_centroids(
+        corpus, n_cells, iters, dim, quant, vec_col, id_col, seed
+    )
+    assigned = ivf_assign_hashed(
+        corpus, cents, n_cells, dim, quant, vec_col, id_col
+    )
+    d = _pq_grid_dist(F.col(vec_col), F.col("cv"), 0, dim, quant)
+    scored = assigned.join(F.broadcast(cents), ["cell"]).select(
+        id_col, "cell", d.alias("proto_dist")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.col("proto_dist").asc(), F.col(id_col).asc()
+    )
+    w_cell = Window.partitionBy("cell")
+    ranked = scored.withColumn(
+        "proto_pct", F.round(F.percent_rank().over(w), 6)
+    ).withColumn("_cn", F.count(F.lit(1)).over(w_cell))
+    # singleton guard: a one-member cluster has no redundancy to prune
+    # (and percent_rank of a single row is 0, which would delete it
+    # under keep="hard" for ANY frac) — sole members always survive
+    if keep == "hard":
+        cond = (F.col("proto_pct") >= F.lit(frac)) | (F.col("_cn") == 1)
+    else:
+        cond = (F.col("proto_pct") <= F.lit(1.0 - frac)) | (F.col("_cn") == 1)
+    return ranked.where(cond).select(
+        id_col, "cell", "proto_dist", "proto_pct"
+    )
+
+
 def filtered_ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
