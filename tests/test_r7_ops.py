@@ -507,3 +507,44 @@ def test_mmr_penalizes_near_duplicates(spark):
     ]
     assert mmr[0] in (1, 2)
     assert mmr[1] == 3, f"MMR should promote the distinct doc, got {mmr}"
+
+
+def test_label_ranking_metrics_hand_computed(spark):
+    # 1 query (id 0, label 0), corpus labels: ids 1,3 share label 0;
+    # ids 2,4 don't. Ranked results: rank1=2 (miss), rank2=1 (hit),
+    # rank3=3 (hit). n_rel=2, hits=2, rr=1/2, recall@3 = 2/min(2,3)=1,
+    # dcg = g2+g3, idcg = g1+g2 (n_rel=2 < k)
+    from wasaffi_spark.operators import retrieval
+
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 0), (4, 1)], "vec_id bigint, label int"
+    )
+    results = spark.createDataFrame(
+        [(0, 2, 1), (0, 1, 2), (0, 3, 3)], "qid bigint, nid bigint, rank int"
+    )
+    out = retrieval.label_ranking_metrics(results, labels, k=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    g = retrieval.ndcg_gains(3)
+    assert (r.n_rel, r.hits) == (2, 2)
+    assert r.rr == 0.5
+    assert r.recall_at_k == 1.0
+    assert r.ndcg_at_k == round((g[1] + g[2]) / (g[0] + g[1]), 6)
+
+
+def test_label_ranking_metrics_perfect_and_zero(spark):
+    from wasaffi_spark.operators import retrieval
+
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 1), (9, 2)], "vec_id bigint, label int"
+    )
+    # query 0: both hits at ranks 1-2 (n_rel=2, perfect);
+    # query 9: label 2 has no other members -> all metrics 0
+    results = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (9, 1, 1), (9, 3, 2)],
+        "qid bigint, nid bigint, rank int",
+    )
+    out = {r.qid: r for r in retrieval.label_ranking_metrics(results, labels, k=2).collect()}
+    assert out[0].rr == 1.0 and out[0].recall_at_k == 1.0 and out[0].ndcg_at_k == 1.0
+    assert out[9].n_rel == 0
+    assert out[9].rr == 0.0 and out[9].recall_at_k == 0.0 and out[9].ndcg_at_k == 0.0

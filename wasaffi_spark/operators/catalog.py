@@ -7292,6 +7292,119 @@ register_extra(
 )
 
 
+# ---------------------------------------------------------------------------
+# late-r7 addition: retrieval-quality evaluation — reciprocal rank,
+# recall@k, nDCG@k of the hashed-IVF retriever against label relevance
+# (same-label = relevant, the standard proxy ground truth). DCG gains
+# are precomputed integers injected as literals into BOTH engines, so
+# neither ever evaluates log2 (libm-divergence-proof, the BM25
+# micro-unit trick applied to a metric).
+
+EVAL_K = 10
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query retrieval metrics (operators/retrieval.py::
+    label_ranking_metrics) over the hashed-IVF run at k=EVAL_K: the
+    eval harness every retrieval change gets graded by, as a first-
+    class oracled operator. rr/recall@k/ndcg@k with integer-exact DCG
+    (literal gain table), n_rel from one broadcast label count."""
+    from . import retrieval
+
+    emb = _table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    res = similarity.ivf_topk_hashed(
+        queries, emb, k=EVAL_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE
+    )
+    out = retrieval.label_ranking_metrics(
+        res, emb.select("vec_id", "label"), k=EVAL_K
+    )
+    return out.orderBy("qid")
+
+
+def _retrieval_eval_oracle() -> str:
+    from . import retrieval
+
+    gains = retrieval.ndcg_gains(EVAL_K)
+    idcg = []
+    acc = 0
+    for g in gains:
+        acc += g
+        idcg.append(acc)
+    g_list = ", ".join(str(g) for g in gains)
+    i_list = ", ".join(str(x) for x in idcg)
+    return f"""with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        ranked as (
+          select v as cv,
+                 row_number() over (
+                   order by md5('{similarity.IVF_SEED}' || vec_id), vec_id) - 1
+                   as cell
+          from e
+          order by md5('{similarity.IVF_SEED}' || vec_id), vec_id
+          limit {IVF_CELLS}),
+        ad as (select e.vec_id, r.cell, {_ivf_l2_sql("e.v", "r.cv")} as d
+               from e cross join ranked r),
+        assign as (
+          select vec_id,
+                 cast(min(d * {IVF_CELLS} + cell) % {IVF_CELLS} as int) as cell
+          from ad group by vec_id),
+        q as (select vec_id as qid, v as qv from e
+              where vec_id < {ANN_QUERY_MAX_ID}),
+        qd as (select q.qid, r.cell, {_ivf_l2_sql("q.qv", "r.cv")} as d
+               from q cross join ranked r),
+        probes as (
+          select qid, cell from (
+            select qid, cell,
+                   row_number() over (partition by qid order by d, cell) as pr
+            from qd) t
+          where pr <= {IVF_PROBE}),
+        cand as (select p.qid, a.vec_id as nid
+                 from probes p join assign a using (cell)),
+        scored as (
+          select c.qid, c.nid,
+                 round(list_cosine_similarity(q2.qv, e2.v), 6) as cos_sim
+          from cand c
+          join q q2 on q2.qid = c.qid
+          join e e2 on e2.vec_id = c.nid
+          where c.qid <> c.nid),
+        rankd as (
+          select qid, nid, cos_sim,
+                 row_number() over (partition by qid
+                                    order by cos_sim desc, nid) as rnk
+          from scored),
+        res as (select qid, nid, rnk from rankd where rnk <= {EVAL_K}),
+        lab as (select vec_id, label from embeddings),
+        cnt as (select label, count(*) as labn from lab group by label),
+        rel as (select r.qid, r.rnk,
+                       case when ql.label = nl.label then 1 else 0 end as rel
+                from res r
+                join lab ql on ql.vec_id = r.qid
+                join lab nl on nl.vec_id = r.nid),
+        perq as (select qid,
+                        sum(rel)::bigint as hits,
+                        sum(rel * (list_value({g_list}))[rnk])::bigint as dcg,
+                        min(case when rel = 1 then rnk end) as frank
+                 from rel group by qid),
+        wide as (select p.qid, p.hits, p.dcg, p.frank,
+                        greatest(coalesce(c.labn, 1) - 1, 0) as n_rel
+                 from perq p
+                 join lab ql on ql.vec_id = p.qid
+                 left join cnt c on c.label = ql.label)
+        select qid, n_rel, hits,
+               round(coalesce(1.0 / frank, 0.0), 6) as rr,
+               round(coalesce(hits::DOUBLE
+                              / nullif(least(n_rel, {EVAL_K}), 0)::DOUBLE,
+                              0.0), 6) as recall_at_k,
+               round(coalesce(dcg::DOUBLE
+                              / (list_value({i_list}))[
+                                  greatest(least(n_rel, {EVAL_K}), 1)]::DOUBLE,
+                              0.0), 6) as ndcg_at_k
+        from wide order by qid"""
+
+
+register_extra("retrieval_eval", q_retrieval_eval, _retrieval_eval_oracle())
+
+
 # late-r7 window rotation #2: promote the two new hash-oracled
 # training/graph loops (Lloyd-trained IVF, NN-descent) so the round's
 # flagship additions are driver-attested, not just sweep-green.

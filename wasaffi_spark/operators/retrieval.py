@@ -194,3 +194,126 @@ def rrf_fuse(
         .where(F.col("rank") <= topk)
         .select(query_col, id_col, "rrf_micro", "n_sources", "rank")
     )
+
+
+def ndcg_gains(k: int, scale: int = 1_000_000_000) -> list[int]:
+    """Integer DCG gain table: ``g[r] = floor(scale/log2(r+1) + 0.5)``
+    for ranks 1..k, computed ONCE driver-side and injected as literals
+    into both the Spark expression and the SQL oracle — neither engine
+    ever evaluates ``log2``, so the metric is immune to libm last-ulp
+    divergence (the same literal-injection trick as BM25's micro-unit
+    scores)."""
+    import math
+
+    return [int(math.floor(scale / math.log2(r + 1) + 0.5)) for r in range(1, k + 1)]
+
+
+def label_ranking_metrics(
+    results: DataFrame,
+    labels: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Retrieval-quality metrics — reciprocal rank, recall@k, nDCG@k —
+    of a ranked result set against LABEL relevance (a neighbour is
+    relevant iff it shares the query's label: the standard proxy
+    ground truth for embedding retrieval evaluation).
+
+    ``results`` is any ranked frame ``(qid, nid, rank)`` — evaluate a
+    brute-force run, an IVF run, an MMR rerank, whatever; the metrics
+    never look at scores, only ranks. ``labels`` maps ``id_col →
+    label_col`` for queries and corpus alike.
+
+    Integer-exact throughout: DCG/IDCG use the :func:`ndcg_gains`
+    literal table (exact bigint sums), ``n_rel`` comes from one
+    broadcast label-count aggregate, and the only divisions are
+    single exact-operand doubles rounded to 6. Per-query output
+    ``(qid, n_rel, hits, rr, recall_at_k, ndcg_at_k)``; macro-average
+    driver-side or with one more tiny aggregate.
+
+    Scale: one broadcast join per side (labels ride the id join), one
+    groupBy(qid) over ≤ k rows each — the result frame, not the
+    corpus, is the unit of work.
+    """
+    gains = ndcg_gains(k)
+    g_arr = F.array(*[F.lit(g) for g in gains])
+    idcg = [0] * (k + 1)
+    for i in range(1, k + 1):
+        idcg[i] = idcg[i - 1] + gains[i - 1]
+    idcg_arr = F.array(*[F.lit(x) for x in idcg[1:]])
+
+    lab = labels.select(
+        F.col(id_col).alias("_lid"), F.col(label_col).alias("_lab")
+    )
+    counts = lab.groupBy("_lab").agg(F.count(F.lit(1)).alias("_labn"))
+    r = (
+        results.select("qid", "nid", "rank")
+        .join(
+            F.broadcast(lab.select(F.col("_lid").alias("qid"),
+                                   F.col("_lab").alias("_qlab"))),
+            "qid",
+        )
+        .join(
+            F.broadcast(lab.select(F.col("_lid").alias("nid"),
+                                   F.col("_lab").alias("_nlab"))),
+            "nid",
+        )
+        .withColumn("_rel", (F.col("_qlab") == F.col("_nlab")).cast("int"))
+    )
+    per_q = r.groupBy("qid").agg(
+        F.any_value("_qlab").alias("_qlab"),
+        F.sum("_rel").alias("hits"),
+        F.sum(F.col("_rel") * F.element_at(g_arr, F.col("rank").cast("int")))
+        .alias("_dcg"),
+        F.min(F.when(F.col("_rel") == 1, F.col("rank"))).alias("_frank"),
+    )
+    out = (
+        per_q.join(
+            F.broadcast(counts), per_q["_qlab"] == counts["_lab"], "left"
+        )
+        # n_rel excludes the query itself (results never contain it)
+        .withColumn("n_rel", F.greatest(F.coalesce(F.col("_labn"), F.lit(1)) - 1, F.lit(0)))
+        .withColumn("_denom", F.least(F.col("n_rel"), F.lit(k)))
+        .withColumn(
+            "rr",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / F.col("_frank").cast("double"), F.lit(0.0)
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "recall_at_k",
+            F.round(
+                F.coalesce(
+                    F.try_divide(
+                        F.col("hits").cast("double"),
+                        F.col("_denom").cast("double"),
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "ndcg_at_k",
+            F.round(
+                F.coalesce(
+                    F.try_divide(
+                        F.col("_dcg").cast("double"),
+                        F.element_at(
+                            idcg_arr,
+                            F.greatest(F.col("_denom"), F.lit(1)).cast("int"),
+                        ).cast("double"),
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+        )
+    )
+    return out.select(
+        "qid", "n_rel", "hits", "rr", "recall_at_k", "ndcg_at_k"
+    )
