@@ -160,9 +160,11 @@ HEADLINE = [
     # late r7: NN-descent kNN-graph construction (seed cells + hash
     # ring, 2 neighbour-of-neighbour rounds)
     "knn_descent",
-    # late r7: embedding-side curation + retrieval rerank
+    # late r7: embedding-side curation + retrieval rerank + eval
     "prototype_prune",
     "mmr_rerank",
+    "retrieval_eval",
+    "bm25_mmr",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

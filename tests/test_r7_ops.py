@@ -548,3 +548,56 @@ def test_label_ranking_metrics_perfect_and_zero(spark):
     assert out[0].rr == 1.0 and out[0].recall_at_k == 1.0 and out[0].ndcg_at_k == 1.0
     assert out[9].n_rel == 0
     assert out[9].rr == 0.0 and out[9].recall_at_k == 0.0 and out[9].ndcg_at_k == 0.0
+
+
+def test_bm25_mmr_lambda_one_is_bm25_order(spark):
+    # mu=0: picks are exactly the BM25 ranking (max-normalization is
+    # monotone), so the composed op degenerates to bm25_topk
+    from wasaffi_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join hash join merge"),
+            (2, "spark spark window rank"),
+            (3, "dup dup dup spark hash"),
+            (4, "window merge dup rank hash"),
+            (5, "unrelated words entirely here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    q = spark.createDataFrame(
+        [("q1", "spark"), ("q1", "hash"), ("q2", "dup")],
+        "query_id string, term string",
+    )
+    plain = {
+        (r.query_id, r.rank): r.doc_id
+        for r in retrieval.bm25_topk(docs, q, k=3).collect()
+    }
+    mmr = {
+        (r.qid, r.step): r.nid
+        for r in retrieval.bm25_mmr(docs, q, k=3, lam=1.0).collect()
+    }
+    assert mmr == plain
+
+
+def test_bm25_mmr_contract(spark):
+    # first pick is the BM25 top hit (rel = 1.0), no repeats, dense
+    # steps per query
+    from wasaffi_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [(i, f"spark hash join term{i} " + "filler " * (i % 4)) for i in range(1, 9)],
+        "doc_id bigint, text string",
+    )
+    q = spark.createDataFrame(
+        [("q1", "spark"), ("q1", "hash")], "query_id string, term string"
+    )
+    out = retrieval.bm25_mmr(docs, q, k=3, lam=0.5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.step)
+        assert [r.step for r in rows] == list(range(1, len(rows) + 1))
+        assert rows[0].rel == 1.0
+        assert len({r.nid for r in rows}) == len(rows)

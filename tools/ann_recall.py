@@ -230,23 +230,6 @@ def run_variants(sim, F, queries, emb) -> dict:
         "ivf_pq_res_p4_rerank96": lambda: sim.ivf_pq_residual_topk(
             queries, emb, k=K, n_probe=4, rerank=96
         ),
-        # NN-descent (late r7): GRAPH construction, not per-query
-        # search — the variant reads the query nodes' rows out of the
-        # whole-corpus refined top-k graph, so its sec is the full
-        # graph-build cost amortized over every node, and its recall
-        # is the graph's edge recall at the query nodes. The ring
-        # overlay is what lets rounds climb (see knn_descent docstring:
-        # cell-only seeds are block-diagonal and frozen).
-        "graph_nnd_r0": lambda: sim.knn_descent(
-            emb, k=K, rounds=0, ring=4
-        ).where(F.col("src") < QUERY_MAX_ID).select(
-            F.col("src").alias("qid"), F.col("dst").alias("nid")
-        ),
-        "graph_nnd_r2": lambda: sim.knn_descent(
-            emb, k=K, rounds=2, ring=4
-        ).where(F.col("src") < QUERY_MAX_ID).select(
-            F.col("src").alias("qid"), F.col("dst").alias("nid")
-        ),
     }
 
     truth = {
@@ -265,6 +248,35 @@ def run_variants(sim, F, queries, emb) -> dict:
             best = min(best, time.perf_counter() - t0)
         results[name] = {"recall_at_k": recall, "sec": round(best, 3)}
         print(f"  {name}: recall@{K}={recall} {best:.3f}s", flush=True)
+
+    # NN-descent (late r7) is GRAPH construction, not per-query search:
+    # grade it on whole-graph edge recall vs the exact top-k graph over
+    # EVERY node (an 8-query slice of a kN-edge graph is too coarse —
+    # it plateaus while the graph is still measurably improving). sec
+    # is the full graph-build cost; recall climbing r0 -> r2 is the
+    # descent payoff the ring overlay unlocks (cell-only seeds are
+    # block-diagonal and frozen — knn_descent docstring).
+    truth_g = {
+        (r["qid"], r["nid"])
+        for r in sim.brute_force_topk(emb, emb, k=K).collect()
+    }
+    for name, rounds in (("graph_nnd_r0", 0), ("graph_nnd_r2", 2)):
+        def gfn(rounds=rounds):
+            return sim.knn_descent(emb, k=K, rounds=rounds, ring=4)
+
+        got = {(r["src"], r["dst"]) for r in gfn().collect()}
+        recall = round(len(got & truth_g) / len(truth_g), 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            gfn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        results[name] = {
+            "recall_at_k": recall,
+            "sec": round(best, 3),
+            "metric": "whole-graph edge recall",
+        }
+        print(f"  {name}: graph-recall@{K}={recall} {best:.3f}s", flush=True)
     return results
 
 

@@ -221,6 +221,30 @@ PROBES = {
         "code scan (XOR+popcount kernel) — the cheapest first stage "
         "of the ladder"
     ),
+    "prototype_prune": (
+        "prototype pruning (late r7): Lloyd train = iters*2 linear "
+        "passes with n_cells*dim-long partials, distance = one "
+        "broadcast join in codegen, percentile = one window after a "
+        "single shuffle by cell - linear, no pair blowup anywhere"
+    ),
+    "mmr_rerank": (
+        "MMR rerank (late r7): corpus work is the Q-broadcast "
+        "shortlist scan (linear in N); everything after (pairwise "
+        "sims, k greedy steps) touches only Q*shortlist^2 rows - "
+        "constant in N"
+    ),
+    "retrieval_eval": (
+        "retrieval metrics (late r7): the IVF run under eval is the "
+        "linear part (candidates O(N*n_probe/n_cells)); the metric "
+        "aggregation reads Q*k result rows + one broadcast label "
+        "count - constant in N"
+    ),
+    "bm25_mmr": (
+        "BM25 x MMR (late r7): BM25 posting-list joins are the linear "
+        "stage (stopword valve available); normalization, pairwise "
+        "sims, and greedy picks touch only Q*shortlist^2 rows - "
+        "constant in N"
+    ),
     "knn_descent": (
         "NN-descent graph build (late r7): seed = within-cell top-k + "
         "hash-ring overlay; each round self-joins the kN-row edge list "

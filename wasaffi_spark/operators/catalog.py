@@ -7205,20 +7205,22 @@ MMR_SHORTLIST = 12
 _MMR_MICRO = "cast(floor({} * 1000000 + 0.5) as bigint)"
 
 
-def _mmr_step_sql(i: int) -> str:
+def _mmr_step_sql(i: int, disp: str = "cos_sim") -> str:
     """Greedy MMR step i >= 2 (DuckDB CTE fragment): max-sim penalty
     against everything selected so far, INTEGER-exact lam/mu blend
-    (micro-lifted 6-dp cosines — float rounding of the blend is the
-    half-boundary trap the operator docstring names), argmax with tie
-    to the smaller nid — the same contract as the Spark loop."""
+    over micro-lifted scores (``sl.rel_micro`` / ``pp.sim_micro`` —
+    float rounding of the blend is the half-boundary trap the
+    mmr_topk docstring names), argmax with tie to the smaller nid —
+    the same contract as similarity._mmr_greedy. ``disp`` is the
+    human-readable score column carried through (cos_sim for the
+    vector form, rel for the BM25 form)."""
     return f"""
-        pen{i} as (select p.qid, p._a as nid,
-                          max({_MMR_MICRO.format("p._sab")}) as pen
+        pen{i} as (select p.qid, p._a as nid, max(p.sim_micro) as pen
                    from pp p join sel{i - 1} s
                      on s.qid = p.qid and s.nid = p._b
                    group by p.qid, p._a),
-        cand{i} as (select sl.qid, sl.nid, sl.cos_sim,
-                           {MMR_LAM_MICRO}*{_MMR_MICRO.format("sl.cos_sim")}
+        cand{i} as (select sl.qid, sl.nid, sl.{disp},
+                           {MMR_LAM_MICRO}*sl.rel_micro
                              - {MMR_MU_MICRO}*coalesce(pen.pen, 0) as mmr_nano
                     from sl
                     left join pen{i} pen
@@ -7226,8 +7228,8 @@ def _mmr_step_sql(i: int) -> str:
                     where not exists (select 1 from sel{i - 1} s
                                       where s.qid = sl.qid
                                         and s.nid = sl.nid)),
-        s{i} as (select qid, nid, cos_sim, mmr_nano, {i} as step from (
-                   select qid, nid, cos_sim, mmr_nano,
+        s{i} as (select qid, nid, {disp}, mmr_nano, {i} as step from (
+                   select qid, nid, {disp}, mmr_nano,
                           row_number() over (partition by qid
                                              order by mmr_nano desc, nid) as r
                    from cand{i}) t where r = 1),
@@ -7263,24 +7265,26 @@ register_extra(
         sc as (select q.qid, e.vec_id as nid,
                       round(list_cosine_similarity(q.qv, e.v), 6) as cos_sim
                from q cross join e where q.qid <> e.vec_id),
-        sl as (select qid, nid, cos_sim from (
+        sl as (select qid, nid, cos_sim,
+                      {_MMR_MICRO.format("cos_sim")} as rel_micro
+               from (
                  select qid, nid, cos_sim,
                         row_number() over (partition by qid
                                            order by cos_sim desc, nid) as r
                  from sc) t where r <= {MMR_SHORTLIST}),
         pp as (select a.qid, a.nid as _a, b.nid as _b,
-                      round(list_cosine_similarity(ea.v, eb.v), 6) as _sab
+                      {_MMR_MICRO.format(
+                          "round(list_cosine_similarity(ea.v, eb.v), 6)"
+                      )} as sim_micro
                from sl a join sl b on a.qid = b.qid and a.nid <> b.nid
                join e ea on ea.vec_id = a.nid
                join e eb on eb.vec_id = b.nid),
         s1 as (select qid, nid, cos_sim, mmr_nano, 1 as step from (
                  select qid, nid, cos_sim,
-                        {MMR_LAM_MICRO}*{_MMR_MICRO.format("cos_sim")}
-                          as mmr_nano,
+                        {MMR_LAM_MICRO}*rel_micro as mmr_nano,
                         row_number() over (partition by qid
-                                           order by
-                                             {MMR_LAM_MICRO}*{_MMR_MICRO.format("cos_sim")}
-                                               desc, nid) as r
+                                           order by {MMR_LAM_MICRO}*rel_micro
+                                                      desc, nid) as r
                  from sl) t where r = 1),
         sel1 as (select qid, nid from s1),
         {_mmr_step_sql(2)},
@@ -7403,6 +7407,79 @@ def _retrieval_eval_oracle() -> str:
 
 
 register_extra("retrieval_eval", q_retrieval_eval, _retrieval_eval_oracle())
+
+
+# ---------------------------------------------------------------------------
+# late-r7 addition: BM25 × MMR — the full RAG passage-selection shape
+# (lexical relevance, embedding-space diversity) as one composed,
+# hash-oracled query. Shares the greedy fragments with mmr_rerank and
+# the BM25 chain with bm25_topk/hybrid_rrf.
+
+BMMR_SHORTLIST = 8
+
+
+def q_bm25_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified BM25 retrieval (operators/retrieval.py::bm25_mmr):
+    BM25 shortlist per term query, then MMR picks where redundancy is
+    hashed-embedding cosine — near-duplicate passages can't crowd the
+    context window. Relevance = per-query max-normalized BM25 lifted
+    to micro-units; greedy loop shared with mmr_rerank
+    (similarity._mmr_greedy), both engines integer-exact."""
+    from . import retrieval
+
+    docs = _table(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        BM25_QUERY_TERMS, "query_id string, term string"
+    )
+    out = retrieval.bm25_mmr(
+        docs, qdf, k=MMR_K, lam=MMR_LAM, shortlist=BMMR_SHORTLIST
+    )
+    return out.select(
+        "qid", "nid", "rel", "mmr_nano",
+        F.col("step").cast("bigint").alias("step"),
+    ).orderBy("qid", "step")
+
+
+register_extra(
+    "bm25_mmr",
+    q_bm25_mmr,
+    f"""with {_HASHED_EMB_CTES},
+        bsl as (select query_id as qid, doc_id as nid, score_micro
+                from ({_bm25_sql(
+                    "select doc_id as id, text as txt from documents",
+                    "doc_id",
+                    BMMR_SHORTLIST,
+                )})),
+        mx as (select qid, max(score_micro) as _mx from bsl group by qid),
+        sl as (select b.qid, b.nid,
+                      round(b.score_micro::DOUBLE / m._mx::DOUBLE, 6) as rel,
+                      cast(floor(b.score_micro::DOUBLE / m._mx::DOUBLE
+                                 * 1000000 + 0.5) as bigint) as rel_micro
+               from bsl b join mx m using (qid)),
+        pp as (select a.qid, a.nid as _a, b.nid as _b,
+                      {_MMR_MICRO.format(
+                          "round(list_cosine_similarity("
+                          "ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]"
+                          "), 6)"
+                      )} as sim_micro
+               from sl a join sl b on a.qid = b.qid and a.nid <> b.nid
+               join emb ea on ea.doc_id = a.nid
+               join emb eb on eb.doc_id = b.nid),
+        s1 as (select qid, nid, rel, mmr_nano, 1 as step from (
+                 select qid, nid, rel,
+                        {MMR_LAM_MICRO}*rel_micro as mmr_nano,
+                        row_number() over (partition by qid
+                                           order by {MMR_LAM_MICRO}*rel_micro
+                                                      desc, nid) as r
+                 from sl) t where r = 1),
+        sel1 as (select qid, nid from s1),
+        {_mmr_step_sql(2, "rel")},
+        {_mmr_step_sql(3, "rel")}
+        select qid, nid, rel, mmr_nano, step from (
+          select * from s1 union all select * from s2
+          union all select * from s3)
+        order by qid, step""",
+)
 
 
 # late-r7 window rotation #2: promote the two new hash-oracled

@@ -317,3 +317,74 @@ def label_ranking_metrics(
     return out.select(
         "qid", "n_rel", "hits", "rr", "recall_at_k", "ndcg_at_k"
     )
+
+
+def bm25_mmr(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    lam: float = 0.7,
+    shortlist: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 relevance × embedding diversity — the full RAG selection
+    shape: retrieve a BM25 ``shortlist`` per term query, then pick
+    ``k`` passages by MMR where redundancy is cosine similarity in
+    hashed-embedding space (integer components, so the diversity
+    signal is engine-exact like everything else).
+
+    Relevance is per-query max-normalized BM25 (``score_micro /
+    max(score_micro)`` — exact bigint operands, so both engines
+    compute the identical double) lifted to micro-units; the greedy
+    loop is :func:`wasaffi_spark.operators.similarity._mmr_greedy`, so
+    this and the vector form share one pick/tiebreak contract.
+
+    Scale: BM25 is the linear stage (posting-list joins); the
+    embedding build is in-row; MMR itself touches Q·shortlist² rows.
+    Returns ``(qid, nid, rel, mmr_nano, step)``.
+    """
+    from . import similarity
+
+    sl0 = bm25_topk(docs, queries, k=shortlist, text_col=text_col, id_col=id_col)
+    emb = similarity.hashed_embedding(docs, text_col=text_col, id_col=id_col)
+    mx = sl0.groupBy("query_id").agg(F.max("score_micro").alias("_mx"))
+    ratio = F.col("score_micro").cast("double") / F.col("_mx").cast("double")
+    sl = (
+        sl0.join(mx, "query_id")
+        .select(
+            F.col("query_id").alias("qid"),
+            F.col(id_col).alias("nid"),
+            F.round(ratio, 6).alias("rel"),
+            F.floor(ratio * 1_000_000 + F.lit(0.5)).cast("long").alias("rel_micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e = emb.select(F.col(id_col).alias("_eid"), F.col("embedding").alias("_ev"))
+    a = sl.join(e, sl["nid"] == e["_eid"]).select(
+        "qid", F.col("nid").alias("_a"), F.col("_ev").alias("_av")
+    )
+    b = sl.join(e, sl["nid"] == e["_eid"]).select(
+        "qid", F.col("nid").alias("_b"), F.col("_ev").alias("_bv")
+    )
+    pp = (
+        a.join(b, "qid")
+        .where(F.col("_a") != F.col("_b"))
+        .select(
+            "qid",
+            "_a",
+            "_b",
+            F.floor(
+                F.round(similarity.cosine(F.col("_av"), F.col("_bv")), 6)
+                * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("sim_micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lam_micro = int(round(lam * 1_000_000))
+    return similarity._mmr_greedy(
+        sl, pp, k, lam_micro, 1_000_000 - lam_micro, "rel"
+    )

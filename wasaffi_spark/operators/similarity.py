@@ -1303,6 +1303,59 @@ def ivf_topk_lloyd(
     )
 
 
+def _mmr_greedy(
+    sl: DataFrame,
+    pp: DataFrame,
+    k: int,
+    lam_micro: int,
+    mu_micro: int,
+    disp: str,
+) -> DataFrame:
+    """Shared greedy MMR selection loop (integer-exact — see
+    :func:`mmr_topk` for why floats never touch the argmax): ``sl`` is
+    the per-query shortlist ``(qid, nid, <disp>, rel_micro)``, ``pp``
+    the pairwise-similarity frame ``(qid, _a, _b, sim_micro)``; one
+    definition so the vector form (:func:`mmr_topk`) and the BM25 form
+    (retrieval.bm25_mmr) can never drift in their pick/tiebreak
+    contract. Returns ``(qid, nid, <disp>, mmr_nano, step)``."""
+    w_pick = Window.partitionBy("qid").orderBy(
+        F.col("mmr_nano").desc(), F.col("nid").asc()
+    )
+    first = (
+        sl.withColumn("mmr_nano", F.lit(lam_micro) * F.col("rel_micro"))
+        .withColumn("_r", F.row_number().over(w_pick))
+        .where(F.col("_r") == 1)
+        .select("qid", "nid", disp, "mmr_nano", F.lit(1).alias("step"))
+    )
+    selected = first.localCheckpoint(eager=True)
+    for i in range(2, k + 1):
+        rem = sl.join(selected.select("qid", "nid"), ["qid", "nid"], "left_anti")
+        pen = (
+            pp.join(
+                selected.select("qid", F.col("nid").alias("_b")),
+                ["qid", "_b"],
+            )
+            .groupBy("qid", F.col("_a").alias("nid"))
+            .agg(F.max("sim_micro").alias("_pen"))
+        )
+        cand = rem.join(pen, ["qid", "nid"], "left").select(
+            "qid",
+            "nid",
+            disp,
+            (
+                F.lit(lam_micro) * F.col("rel_micro")
+                - F.lit(mu_micro) * F.coalesce(F.col("_pen"), F.lit(0))
+            ).alias("mmr_nano"),
+        )
+        pick = (
+            cand.withColumn("_r", F.row_number().over(w_pick))
+            .where(F.col("_r") == 1)
+            .select("qid", "nid", disp, "mmr_nano", F.lit(i).alias("step"))
+        )
+        selected = selected.union(pick).localCheckpoint(eager=True)
+    return selected
+
+
 def mmr_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1384,42 +1437,14 @@ def mmr_topk(
         )
         .localCheckpoint(eager=True)
     )
-    w_pick = Window.partitionBy("qid").orderBy(
-        F.col("mmr_nano").desc(), F.col("nid").asc()
+    return _mmr_greedy(
+        sl.withColumn("rel_micro", micro(F.col("cos_sim"))),
+        pp.withColumn("sim_micro", micro(F.col("_sab"))),
+        k,
+        lam_micro,
+        mu_micro,
+        "cos_sim",
     )
-    first = (
-        sl.withColumn("mmr_nano", F.lit(lam_micro) * micro(F.col("cos_sim")))
-        .withColumn("_r", F.row_number().over(w_pick))
-        .where(F.col("_r") == 1)
-        .select("qid", "nid", "cos_sim", "mmr_nano", F.lit(1).alias("step"))
-    )
-    selected = first.localCheckpoint(eager=True)
-    for i in range(2, k + 1):
-        rem = sl.join(selected.select("qid", "nid"), ["qid", "nid"], "left_anti")
-        pen = (
-            pp.join(
-                selected.select("qid", F.col("nid").alias("_b")),
-                ["qid", "_b"],
-            )
-            .groupBy("qid", F.col("_a").alias("nid"))
-            .agg(F.max(micro(F.col("_sab"))).alias("_pen"))
-        )
-        cand = rem.join(pen, ["qid", "nid"], "left").select(
-            "qid",
-            "nid",
-            "cos_sim",
-            (
-                F.lit(lam_micro) * micro(F.col("cos_sim"))
-                - F.lit(mu_micro) * F.coalesce(F.col("_pen"), F.lit(0))
-            ).alias("mmr_nano"),
-        )
-        pick = (
-            cand.withColumn("_r", F.row_number().over(w_pick))
-            .where(F.col("_r") == 1)
-            .select("qid", "nid", "cos_sim", "mmr_nano", F.lit(i).alias("step"))
-        )
-        selected = selected.union(pick).localCheckpoint(eager=True)
-    return selected
 
 
 def prototype_prune(
