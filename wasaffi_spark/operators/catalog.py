@@ -7492,3 +7492,15 @@ register_extra(
 # The window stays exactly 50.
 _promote("ann_ivf_lloyd", "knn_descent")
 _demote("mutual_knn", "ivf_pq_topk")
+
+
+# late-r7 window rotation #3: driver-attest the curation + rerank
+# additions (prototype_prune, mmr_rerank — both MATCH at both SFs
+# under both comparators locally). Demoted veterans, driver-green
+# r4/r5/r6: dsir_select (the importance family keeps
+# temperature_mixture / curriculum_interleave / mixture_epochs
+# in-window) and train_classifier (its grading twin classifier_eval
+# stays, and the training loop is pinned by the hash-exact oracle in
+# the sweep). The window stays exactly 50.
+_promote("prototype_prune", "mmr_rerank")
+_demote("dsir_select", "train_classifier")
