@@ -7044,10 +7044,17 @@ register_extra(
 # self-join + distinct + top-k window, exactly mirroring
 # similarity.knn_descent's plan.
 
-DESCENT_K = 3
-DESCENT_ROUNDS = 2
+# operating point (measured, tools/ann_recall.py ladder + local curve):
+# NN-descent's exploration bandwidth scales with the INTERNAL graph
+# width, so build wider than you emit — at n=2000/20 clusters, k'=8
+# with 4 rounds lifts top-3 graph recall 0.70 -> 0.93 where k'=3
+# stalls at 0.73 even after 8 rounds. The declared query runs the
+# wide graph and emits the top-DESCENT_EMIT slice.
+DESCENT_K = 8
+DESCENT_ROUNDS = 4
 DESCENT_MAX_REVERSE = 16
-DESCENT_RING = 2
+DESCENT_RING = 4
+DESCENT_EMIT = 3
 
 
 def _descent_round_sql(n: int, prev: str) -> str:
@@ -7055,33 +7062,39 @@ def _descent_round_sql(n: int, prev: str) -> str:
     degree (deterministic smallest-src sample), offer each node its
     neighbours' neighbours, keep the best DESCENT_K by the shared
     (cos desc, dst asc) contract."""
+    # every CTE is AS MATERIALIZED: each round references the previous
+    # one several times (forward edges, reverse edges, candidate join,
+    # keep-set), and with 4 unrolled rounds a non-materialized chain
+    # re-inlines exponentially — DuckDB then evaluates the seed
+    # O(branching^rounds) times (observed: the 4-round oracle ran
+    # minutes instead of seconds before this)
     return f"""
-        rev{n} as (select src, dst from (
+        rev{n} as materialized (select src, dst from (
                      select dst as src, src as dst,
                             row_number() over (partition by dst
                                                order by src) as rr
                      from {prev}) t
                    where rr <= {DESCENT_MAX_REVERSE}),
-        und{n} as (select src, dst from {prev}
+        und{n} as materialized (select src, dst from {prev}
                    union all
                    select src, dst from rev{n}),
-        cand{n} as (select a.src as src, b.dst as dst
+        cand{n} as materialized (select a.src as src, b.dst as dst
                     from und{n} a join und{n} b on a.dst = b.src
                     where a.src <> b.dst
                     union
                     select src, dst from {prev}),
-        sc{n} as (select c.src, c.dst,
+        sc{n} as materialized (select c.src, c.dst,
                          round(list_cosine_similarity(va.ev, vb.ev), 6)
                            as cos_sim
                   from cand{n} c
                   join v va on va.vec_id = c.src
                   join v vb on vb.vec_id = c.dst),
-        rk{n} as (select src, dst, cos_sim,
+        rk{n} as materialized (select src, dst, cos_sim,
                          row_number() over (partition by src
                                             order by cos_sim desc, dst)
                            as rnk
                   from sc{n}),
-        e{n + 1} as (select src, dst, cos_sim, rnk from rk{n}
+        e{n + 1} as materialized (select src, dst, cos_sim, rnk from rk{n}
                      where rnk <= {DESCENT_K})"""
 
 
@@ -7101,9 +7114,13 @@ def q_knn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, k=DESCENT_K, rounds=DESCENT_ROUNDS,
         max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
     )
-    return out.select(
-        "src", "dst", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
-    ).orderBy("src", "rnk")
+    return (
+        out.where(F.col("rank") <= DESCENT_EMIT)
+        .select(
+            "src", "dst", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
+        )
+        .orderBy("src", "rnk")
+    )
 
 
 register_extra(
@@ -7134,10 +7151,14 @@ register_extra(
                        row_number() over (partition by src
                                           order by cos_sim desc, dst) as rnk
                 from ssc),
-        es as (select src, dst, cos_sim from srk where rnk <= {DESCENT_K}),
+        es as materialized (select src, dst, cos_sim from srk
+                            where rnk <= {DESCENT_K}),
         {_descent_round_sql(0, "es")},
-        {_descent_round_sql(1, "e1")}
+        {_descent_round_sql(1, "e1")},
+        {_descent_round_sql(2, "e2")},
+        {_descent_round_sql(3, "e3")}
         select src, dst, cos_sim, rnk from e{DESCENT_ROUNDS}
+        where rnk <= {DESCENT_EMIT}
         order by src, rnk""",
 )
 
