@@ -732,3 +732,62 @@ def test_streaming_filtered_semantic_gate_respects_attribute(spark):
         for r in spark.sql("select vec_id from sem_dup_nofilt").collect()
     }
     assert filtered <= unfiltered
+
+
+@needs_data
+def test_streaming_prototype_gate_equals_batch(spark):
+    """Stateless prototype-redundancy gate (streaming/vectors.py::
+    prototype_gate_stream): streamed kept-set must equal (1) the SAME
+    operator evaluated in batch mode (all expressions batch-legal),
+    and (2) the batch prototype_prune kept-set on the calibration
+    corpus itself whenever no distance tie straddles the per-cell
+    boundary (the dist-only stream rule and the (dist, id) batch rule
+    agree except on boundary ties, which this fixture lacks)."""
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators.similarity import prototype_prune
+    from wasaffi_spark.sources.parquet import read_parquet
+    from wasaffi_spark.streaming import vectors as svec
+    from wasaffi_spark.streaming.events import run_to_memory
+
+    emb = read_parquet(spark, os.path.join(SF_SMOKE, "embeddings.parquet"))
+
+    stream = svec.read_embeddings_stream(spark, SF_SMOKE)
+    run_to_memory(
+        svec.prototype_gate_stream(stream, emb, frac=0.3, n_cells=8),
+        "proto_gate",
+        output_mode="append",
+    )
+    streamed = {
+        r["vec_id"] for r in spark.sql("select vec_id from proto_gate").collect()
+    }
+    batch_twin = {
+        r["vec_id"]
+        for r in svec.prototype_gate_stream(emb, emb, frac=0.3, n_cells=8).collect()
+    }
+    assert streamed == batch_twin
+
+    batch_kept = {
+        r["vec_id"]
+        for r in prototype_prune(emb, frac=0.3, keep="hard", n_cells=8).collect()
+    }
+    # guard: the equality below is only meaningful tie-free — check no
+    # kept/dropped pair shares a distance at the boundary
+    all_rows = prototype_prune(emb, frac=0.0, keep="hard", n_cells=8).collect()
+    by_cell = {}
+    for r in all_rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    tie_free = all(
+        len({x.proto_dist for x in rows}) == len(rows)
+        or all(
+            (x.vec_id in batch_kept) == (y.vec_id in batch_kept)
+            for x in rows
+            for y in rows
+            if x.proto_dist == y.proto_dist and x.vec_id != y.vec_id
+        )
+        for rows in by_cell.values()
+    )
+    if tie_free:
+        assert streamed == batch_kept
+    else:  # still a hard invariant: stream keeps a superset (ties kept)
+        assert streamed >= batch_kept

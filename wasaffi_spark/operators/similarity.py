@@ -1458,6 +1458,7 @@ def prototype_prune(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: str = IVF_SEED,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Prototype-distance data pruning (Sorscher et al., NeurIPS 2022
     "Beyond neural scaling laws"): cluster the corpus embeddings,
@@ -1484,9 +1485,10 @@ def prototype_prune(
     """
     if keep not in ("hard", "easy"):
         raise ValueError(f"keep must be 'hard' or 'easy', got {keep!r}")
-    cents = lloyd_centroids(
-        corpus, n_cells, iters, dim, quant, vec_col, id_col, seed
-    )
+    if cents is None:
+        cents = lloyd_centroids(
+            corpus, n_cells, iters, dim, quant, vec_col, id_col, seed
+        )
     assigned = ivf_assign_hashed(
         corpus, cents, n_cells, dim, quant, vec_col, id_col
     )

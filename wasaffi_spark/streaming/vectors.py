@@ -171,3 +171,110 @@ def semantic_neardup_ids_stream(
         .dropDuplicates([id_col])
     )
     return hits
+
+
+def prototype_gate_stream(
+    emb_stream: DataFrame,
+    known_corpus: DataFrame,
+    frac: float = 0.25,
+    n_cells: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    quant: int = PQ_QUANT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+) -> DataFrame:
+    """Continuous-ingest prototype-redundancy gate — the streaming twin
+    of :func:`~wasaffi_spark.operators.similarity.prototype_prune`
+    (Sorscher et al. pruning at ingest): drop arriving vectors that
+    are MORE prototypical than the per-cell boundary calibrated on the
+    known corpus, keep everything that adds spread.
+
+    Calibration is batch, gating is stateless: the Lloyd-trained
+    centroids and the per-cell distance cutoff (the smallest
+    ``proto_dist`` the batch rule keeps at ``frac``) are computed once
+    on the static side — both O(n_cells), the bounded-collect class —
+    and each arriving vector assigns to its cell IN-ROW (argmin over
+    literal snapped centroids, the same expression trick as
+    :func:`semantic_neardup_ids_stream`) and compares its own exact
+    integer-grid distance against the literal cutoff map. No join, no
+    window, no state at all: the gate is a pure projection + filter,
+    so it runs at ingest line rate and is trivially append-legal.
+
+    A cell with no calibration members keeps everything (cutoff 0 —
+    no evidence of redundancy there). The dist-only boundary matches
+    the batch rule everywhere except exact distance TIES at the
+    boundary (batch breaks those on id, which has no meaning for
+    unseen stream ids) — pinned stream≡batch on a tie-free fixture.
+    Returns kept rows ``(id_col, cell, proto_dist)``.
+    """
+    import math
+
+    from ..operators.similarity import lloyd_centroids, prototype_prune
+
+    cents = lloyd_centroids(
+        known_corpus, n_cells, iters, dim, quant, vec_col, id_col, seed
+    )
+    cent_rows = cents.collect()  # O(n_cells) — bounded by construction
+    kept = prototype_prune(
+        known_corpus, frac, "hard", n_cells, iters, dim, quant,
+        vec_col, id_col, seed, cents=cents,
+    )
+    cut_rows = (
+        kept.groupBy("cell").agg(F.min("proto_dist").alias("_cut")).collect()
+    )  # O(n_cells)
+    cut = {int(r["cell"]): int(r["_cut"]) for r in cut_rows}
+
+    def grid(x):
+        return F.floor(x.cast("double") * F.lit(quant) + F.lit(0.5))
+
+    def cell_dist(row) -> F.Column:
+        cv = row["cv"]
+        v = F.col(vec_col)
+        acc = F.lit(0).cast("bigint")
+        for i in range(dim):
+            c_snap = int(math.floor(float(cv[i]) * quant + 0.5))
+            d = grid(F.element_at(v, i + 1)) - F.lit(c_snap)
+            acc = acc + (d * d).cast("bigint")
+        return acc
+
+    # packed-min over literal centroid structs = the ivf_assign_hashed
+    # argmin contract (dist asc, cell asc), in one expression
+    assign = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        cell_dist(r).alias("d"),
+                        F.lit(int(r["cell"])).cast("int").alias("cell"),
+                    )
+                    for r in cent_rows
+                ]
+            )
+        ),
+        1,
+        1,
+    )[0]
+    cutoff = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[
+                    x
+                    for c, v in sorted(cut.items())
+                    for x in (F.lit(int(c)), F.lit(int(v)))
+                ]
+            ),
+            F.col("cell"),
+        ),
+        F.lit(0),
+    )
+    return (
+        emb_stream.select(
+            F.col(id_col),
+            assign.getField("cell").alias("cell"),
+            assign.getField("d").alias("proto_dist"),
+        )
+        .where(F.col("proto_dist") >= cutoff)
+        .select(id_col, "cell", "proto_dist")
+    )
