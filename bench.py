@@ -165,6 +165,7 @@ HEADLINE = [
     "mmr_rerank",
     "retrieval_eval",
     "bm25_mmr",
+    "pca_power",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -601,3 +601,37 @@ def test_bm25_mmr_contract(spark):
         assert [r.step for r in rows] == list(range(1, len(rows) + 1))
         assert rows[0].rel == 1.0
         assert len({r.nid for r in rows}) == len(rows)
+
+
+def test_top_pc_power_matches_numpy_eigenvector(spark):
+    # planted dominant direction u: corpus rows = a*u + noise; after 3
+    # grid-exact power rounds the returned w must align with numpy's
+    # top eigenvector of G'G (|cos| >= 0.99 — sign is convention)
+    import numpy as np
+
+    rng = random.Random(23)
+    u = [1.0 if i < 8 else 0.0 for i in range(64)]
+    rows = []
+    for i in range(80):
+        a = rng.uniform(0.5, 1.0) * (1 if i % 2 else -1)
+        v = [a * u[j] + 0.05 * rng.uniform(-1, 1) for j in range(64)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    w = np.array(similarity.top_pc_power(df, iters=3), dtype=float)
+
+    G = np.array(
+        [[float(np.floor(x * similarity.PQ_QUANT + 0.5)) for x in r[1]] for r in rows]
+    )
+    C = G.T @ G
+    vals, vecs = np.linalg.eigh(C)
+    v1 = vecs[:, -1]
+    cos = abs(float(w @ v1) / (np.linalg.norm(w) * np.linalg.norm(v1)))
+    assert cos >= 0.99, cos
+
+
+def test_top_pc_power_deterministic_under_repartition(spark):
+    df = _plain(spark, 50)
+    a = similarity.top_pc_power(df, iters=2)
+    b = similarity.top_pc_power(df.repartition(7), iters=2)
+    assert a == b
+    assert max(abs(x) for x in a) == 1024  # L-inf normalized to scale

@@ -7515,6 +7515,82 @@ _promote("ann_ivf_lloyd", "knn_descent")
 _demote("mutual_knn", "ivf_pq_topk")
 
 
+# ---------------------------------------------------------------------------
+# late-r7 addition: top principal direction by grid-exact power
+# iteration — PCA's eigensolver as the third oracle-replayable
+# training loop (k-means -> Lloyd, NN-descent, now power iteration).
+# The matvec y = G'(G*w) is two exact bigint passes (no dim x dim
+# covariance materializes); normalization is identical double ops in
+# every engine (exact bigint->double conversions under the documented
+# 2^53 bound).
+
+PCA_ITERS = 3
+PCA_QUANT = similarity.PQ_QUANT
+PCA_SCALE = 1024
+PCA_DIM = 64
+
+
+def _pca_iter_sql(n: int) -> str:
+    dim, q, sc = PCA_DIM, PCA_QUANT, PCA_SCALE
+    s_expr = " + ".join(f"g._g{j} * w.w{j}" for j in range(dim))
+    y_cols = ", ".join(
+        f"sum(g._g{j} * s.s)::bigint as y{j}" for j in range(dim)
+    )
+    m_expr = "greatest(" + ", ".join(f"abs(y{j})" for j in range(dim)) + ")"
+    w_cols = ", ".join(
+        f"cast(coalesce(floor(y.y{j}::DOUBLE * {sc}"
+        f" / nullif(m.m, 0)::DOUBLE + 0.5), 0) as bigint) as w{j}"
+        for j in range(dim)
+    )
+    return f"""
+        s{n} as materialized (
+          select g.vec_id, ({s_expr}) as s from g cross join w{n} w),
+        y{n} as materialized (
+          select {y_cols} from g join s{n} s using (vec_id)),
+        m{n} as (select {m_expr} as m from y{n}),
+        w{n + 1} as materialized (
+          select {w_cols} from y{n} y cross join m{n} m)"""
+
+
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus (operators/
+    similarity.py::top_pc_power): 3 power-iteration rounds on the
+    integer grid, returned as 64 (dim_idx, w) rows with L-inf norm
+    PCA_SCALE. The aggregates are distributed; only the O(dim)
+    renormalization touches the driver (bounded-collect class). The
+    oracle replays every round as unrolled materialized CTEs."""
+    emb = _table(spark, sf_dir, "embeddings")
+    w = similarity.top_pc_power(
+        emb, iters=PCA_ITERS, dim=PCA_DIM, quant=PCA_QUANT, scale=PCA_SCALE
+    )
+    return spark.createDataFrame(
+        [(j, int(w[j])) for j in range(PCA_DIM)], "dim_idx bigint, w bigint"
+    ).orderBy("dim_idx")
+
+
+def _pca_oracle() -> str:
+    dim, q, sc = PCA_DIM, PCA_QUANT, PCA_SCALE
+    g_cols = ", ".join(
+        f"cast(floor(embedding[{j + 1}]*{q} + 0.5) as bigint) as _g{j}"
+        for j in range(dim)
+    )
+    w0_cols = ", ".join(f"{sc} as w{j}" for j in range(dim))
+    final_list = "list_value(" + ", ".join(
+        f"w{j}" for j in range(dim)
+    ) + ")"
+    its = ",".join(_pca_iter_sql(n) for n in range(PCA_ITERS))
+    return f"""with g as materialized (
+          select vec_id, {g_cols} from embeddings),
+        w0 as (select {w0_cols}),
+        {its}
+        select u.j as dim_idx, ({final_list})[u.j + 1] as w
+        from w{PCA_ITERS}, (select unnest(generate_series(0, {dim - 1})) as j) u
+        order by u.j"""
+
+
+register_extra("pca_power", q_pca_power, _pca_oracle())
+
+
 # late-r7 window rotation #3: driver-attest the curation + rerank
 # additions (prototype_prune, mmr_rerank — both MATCH at both SFs
 # under both comparators locally). Demoted veterans, driver-green

@@ -1356,6 +1356,80 @@ def _mmr_greedy(
     return selected
 
 
+def top_pc_power(
+    corpus: DataFrame,
+    iters: int = 3,
+    dim: int = 64,
+    quant: int = PQ_QUANT,
+    scale: int = 1024,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[int]:
+    """Top principal direction by POWER ITERATION on the integer grid —
+    the third member of the oracle-replayable-training family
+    (:func:`lloyd_centroids` replays k-means, :func:`knn_descent`
+    replays NN-descent, this replays the eigensolver): each iteration
+    is the matrix-free matvec ``y = Gᵀ(G·w)`` over the grid-snapped
+    corpus ``G`` (two passes of exact bigint sums — no dim×dim
+    covariance ever materializes), then an L∞ renormalization
+    ``w ← floor(y·scale/max|y| + 0.5)``.
+
+    Engine-exactness argument, step by step: ``G`` entries and ``w``
+    are bigints, so ``s = G·w`` and ``y = Gᵀs`` are exact integer sums
+    (associative — partitioning-independent); the normalization
+    converts two bigints to doubles — EXACT conversions while
+    ``|y| < 2⁵³`` (bound below) — and performs the same
+    multiply/divide/floor in every engine, so the next ``w`` is
+    bit-identical whether computed by Spark + driver Python or by the
+    SQL oracle's unrolled CTEs. The O(dim) per-iteration collect is
+    the bounded-collect class (same as BPE's merge pick and the
+    streaming gates' literal centroids).
+
+    Magnitude bound: ``|y| ≤ N·dim·quant²·scale``. With the defaults
+    that stays under 2⁵³ for N up to ~10⁵; at corpus scale run the fit
+    on a hash-sample exactly like :func:`hashed_centroids` seeds (the
+    principal direction is a statistic, not a per-row artifact).
+
+    Returns the final ``w`` as a Python list of ``dim`` ints (L∞ norm
+    = ``scale``, sign fixed by the deterministic all-ones start) —
+    project with ``Σ gⱼ·wⱼ`` for whitening-lite, principal-axis
+    outlier scoring, or PQ pre-rotation.
+    """
+    import math
+
+    gcols = [
+        F.floor(
+            F.element_at(F.col(vec_col), j + 1).cast("double") * quant
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias(f"_g{j}")
+        for j in range(dim)
+    ]
+    # N×dim longs — materialize once; every iteration reads this table
+    gdf = corpus.select(*gcols).localCheckpoint(eager=True)
+    w = [scale] * dim
+    for _ in range(iters):
+        s = None
+        for j in range(dim):
+            t = F.col(f"_g{j}") * F.lit(w[j])
+            s = t if s is None else s + t
+        row = gdf.withColumn("_s", s).agg(
+            *[
+                F.sum(F.col(f"_g{j}") * F.col("_s")).alias(f"_y{j}")
+                for j in range(dim)
+            ]
+        ).collect()[0]
+        y = [int(row[f"_y{j}"] or 0) for j in range(dim)]
+        m = max(abs(v) for v in y)
+        if m == 0:
+            return [0] * dim
+        # identical double ops to the oracle: exact bigint→double
+        # conversions (|y| < 2^53), one multiply, one divide, floor
+        w = [int(math.floor(float(v) * scale / float(m) + 0.5)) for v in y]
+    return w
+
+
 def mmr_topk(
     queries: DataFrame,
     corpus: DataFrame,
