@@ -1385,10 +1385,12 @@ def top_pc_power(
     the bounded-collect class (same as BPE's merge pick and the
     streaming gates' literal centroids).
 
-    Magnitude bound: ``|y| ≤ N·dim·quant²·scale``. With the defaults
-    that stays under 2⁵³ for N up to ~10⁵; at corpus scale run the fit
-    on a hash-sample exactly like :func:`hashed_centroids` seeds (the
-    principal direction is a statistic, not a per-row artifact).
+    Magnitude bound: with unit-ish inputs (|x| ≲ 2) each round has
+    ``|s| ≤ dim·2·quant·scale ≈ 1.3e8`` and ``|y| ≤ N·2·quant·|s| ≈
+    N·2.7e11`` — under the 2⁵³ exact-double-conversion bound for N up
+    to ~3·10⁴. Beyond that, run the fit on a hash-sample exactly like
+    :func:`hashed_centroids` seeds (the principal direction is a
+    statistic, not a per-row artifact).
 
     Returns the final ``w`` as a Python list of ``dim`` ints (L∞ norm
     = ``scale``, sign fixed by the deterministic all-ones start) —
