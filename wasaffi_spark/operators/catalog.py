@@ -7591,6 +7591,65 @@ def _pca_oracle() -> str:
 register_extra("pca_power", q_pca_power, _pca_oracle())
 
 
+PCA_OUTLIER_K = 10
+
+
+def q_pca_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Principal-axis outlier scoring — the consumer side of
+    `pca_power`: project every vector onto the trained top direction
+    (exact bigint dot of grid ints x the integer w) and return the
+    PCA_OUTLIER_K largest |projection| rows — the corrupted-embedding
+    / mislabeled-cluster screen a curation pass runs after the fit.
+    Distributed projection + TakeOrderedAndProject; w rides in as
+    literals (O(dim) driver artifact, bounded-collect class)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    w = similarity.top_pc_power(
+        emb, iters=PCA_ITERS, dim=PCA_DIM, quant=PCA_QUANT, scale=PCA_SCALE
+    )
+    g = [
+        F.floor(
+            F.element_at(F.col("embedding"), j + 1).cast("double") * PCA_QUANT
+            + F.lit(0.5)
+        ).cast("long")
+        for j in range(PCA_DIM)
+    ]
+    proj = None
+    for j in range(PCA_DIM):
+        t = g[j] * F.lit(int(w[j]))
+        proj = t if proj is None else proj + t
+    out = emb.select(
+        "vec_id", proj.alias("proj"), F.abs(proj).alias("abs_proj")
+    )
+    return (
+        out.orderBy(F.col("abs_proj").desc(), F.col("vec_id").asc())
+        .limit(PCA_OUTLIER_K)
+        .select("vec_id", "proj")
+        .orderBy(F.col("vec_id"))
+    )
+
+
+def _pca_outliers_oracle() -> str:
+    dim, q = PCA_DIM, PCA_QUANT
+    proj = " + ".join(
+        f"g._g{j} * w.w{j}" for j in range(dim)
+    )
+    # reuse the full train chain, then project and take the top-k tail
+    base = _pca_oracle()
+    head = base[: base.rindex("select u.j")]
+    return f"""{head}proj as (
+          select g.vec_id, ({proj}) as proj
+          from g cross join w{PCA_ITERS} w),
+        tail as (
+          select vec_id, proj,
+                 row_number() over (order by abs(proj) desc, vec_id) as r
+          from proj)
+        select vec_id, proj from tail where r <= {PCA_OUTLIER_K}
+        order by vec_id"""
+
+
+register_extra("pca_outliers", q_pca_outliers, _pca_outliers_oracle())
+
+
 # late-r7 window rotation #3: driver-attest the curation + rerank
 # additions (prototype_prune, mmr_rerank — both MATCH at both SFs
 # under both comparators locally). Demoted veterans, driver-green
