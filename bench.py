@@ -166,6 +166,13 @@ HEADLINE = [
     "retrieval_eval",
     "bm25_mmr",
     "pca_power",
+    # new in r8: the r1-equivalent text_stats slice (so the 2x guard
+    # compares same work — text_stats itself outgrew its r1 row by
+    # design, see R1_NAME), IVF-shortlisted MMR (the declared MMR plan
+    # no longer contains a QxN crossJoin), principal-axis outliers
+    "text_stats_r1",
+    "mmr_rerank_ivf",
+    "pca_outliers",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or
@@ -177,6 +184,11 @@ R1_NAME = {
     "outer_join_topk": "topk",  # r2 adds the outer join + aggregation
     "subqueries_cte": "subquery_scalar",  # r2 adds IN-subqueries + CTE + scalars
     "events_session_window": "events_sessions",  # native session_window variant
+    # r8: the guard compares the frozen r1 text_stats time against the
+    # SAME-work r1 slice; the widened query (r2 ~tripled its feature
+    # set, see R2_WIDENED) is benched without an r1 row.
+    "text_stats": None,
+    "text_stats_r1": "text_stats",
 }
 
 # Queries whose r2 shape computes strictly MORE than the r1 row it is
@@ -258,6 +270,20 @@ def main() -> None:
     # data-proportional cost — and best-of-3 also rides out host-level
     # noise windows (measured 2× run-to-run swings on an idle box); the
     # best warm run is the number that extrapolates to cluster scale.
+    # Environment evidence (VERDICT r7 Next-round #5): record host load
+    # around the timed region so every snapshot carries its own
+    # contamination signal — the r6 +21% drift was background load, and
+    # the controlled-rerun postmortem only worked because the pinned
+    # runs logged theirs. Protocol: snapshots should be pinned solo
+    # runs (no concurrent sweep/pytest); load1/cpus >> 0 at start or a
+    # big end-start jump flags a contaminated artifact.
+    def _env_probe() -> dict:
+        la = os.getloadavg()
+        n_procs = sum(1 for d in os.listdir("/proc") if d.isdigit())
+        return {"load1": round(la[0], 2), "load5": round(la[1], 2),
+                "n_procs": n_procs}
+
+    env_evidence = {"cpus_host": os.cpu_count(), "start": _env_probe()}
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -274,6 +300,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    env_evidence["end"] = _env_probe()
     total = round(sum(timings.values()), 3)
     baseline = {
         name: R1_TIMES.get(R1_NAME.get(name, name)) for name in HEADLINE
@@ -303,6 +330,8 @@ def main() -> None:
             "queries": timings,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "cpus": cpus,
+            "load1": [env_evidence["start"]["load1"],
+                      env_evidence["end"]["load1"]],
         },
         separators=(",", ":"),
     )
@@ -316,6 +345,8 @@ def main() -> None:
                 "queries": slim,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
+                "load1": [env_evidence["start"]["load1"],
+                          env_evidence["end"]["load1"]],
             },
             separators=(",", ":"),
         )
@@ -330,32 +361,7 @@ def main() -> None:
                     "per_query": baseline,
                 },
                 "regressions": regressions,
-                "r7_controlled_reruns": {
-                    "question": (
-                        "VERDICT r6 flagged the 36 queries shared by "
-                        "BENCH_r05/r06 as uniformly ~21% slower "
-                        "(89.8s -> 108.4s) — plan regression or "
-                        "environment?"
-                    ),
-                    "method": (
-                        "two pinned back-to-back bench.py runs on an "
-                        "idle box (load ~0.5/32 cpus, no concurrent "
-                        "sweep/pytest), 2026-08-14/15, same code as "
-                        "the r7 snapshot"
-                    ),
-                    "result": (
-                        "run1 x0.882, run2 x0.817 of the BENCH_r06 "
-                        "40-query common tail; run2 x0.993 of the "
-                        "BENCH_r05 tail — the +21% does NOT reproduce. "
-                        "Named cause: the r6 end-of-round snapshot ran "
-                        "under background load (the uniform shift, "
-                        "clean 2x-regression guard, and full recovery "
-                        "on an idle box are inconsistent with any "
-                        "plan-level change). Run-to-run spread on the "
-                        "105-query set: run2/run1 median 0.92, p90 "
-                        "1.11."
-                    ),
-                },
+                "environment": env_evidence,
                 "sf": sf,
                 "cpus": cpus,
             },

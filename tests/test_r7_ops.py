@@ -528,7 +528,7 @@ def test_label_ranking_metrics_hand_computed(spark):
     g = retrieval.ndcg_gains(3)
     assert (r.n_rel, r.hits) == (2, 2)
     assert r.rr == 0.5
-    assert r.recall_at_k == 1.0
+    assert r.recall_capped_at_k == 1.0
     assert r.ndcg_at_k == round((g[1] + g[2]) / (g[0] + g[1]), 6)
 
 
@@ -545,9 +545,9 @@ def test_label_ranking_metrics_perfect_and_zero(spark):
         "qid bigint, nid bigint, rank int",
     )
     out = {r.qid: r for r in retrieval.label_ranking_metrics(results, labels, k=2).collect()}
-    assert out[0].rr == 1.0 and out[0].recall_at_k == 1.0 and out[0].ndcg_at_k == 1.0
+    assert out[0].rr == 1.0 and out[0].recall_capped_at_k == 1.0 and out[0].ndcg_at_k == 1.0
     assert out[9].n_rel == 0
-    assert out[9].rr == 0.0 and out[9].recall_at_k == 0.0 and out[9].ndcg_at_k == 0.0
+    assert out[9].rr == 0.0 and out[9].recall_capped_at_k == 0.0 and out[9].ndcg_at_k == 0.0
 
 
 def test_bm25_mmr_lambda_one_is_bm25_order(spark):

@@ -131,6 +131,15 @@ class Engine:
         cluster-side ``count()`` on its row RDD — only per-partition
         counts reach the driver, never result rows, so analyzing a
         huge-result query is safe (no aggregate-wrapping caveat).
+
+        Observability caveat: the RDD count runs OUTSIDE
+        ``SQLExecution.withNewExecutionId`` (the wrapper is a curried
+        Scala closure, not py4j-callable), so the run does not appear
+        in the Spark SQL UI tab and ``QueryExecutionListener``s do not
+        fire; accumulator-backed per-node metrics still populate,
+        which is what the returned plan text renders. If SQL-tab /
+        listener parity matters, ``collect()`` the inner query
+        instead and accept driver materialization.
         """
         df = self.spark.sql(inner)
         qe = df._jdf.queryExecution()

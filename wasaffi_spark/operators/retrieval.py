@@ -215,10 +215,18 @@ def label_ranking_metrics(
     id_col: str = "vec_id",
     label_col: str = "label",
 ) -> DataFrame:
-    """Retrieval-quality metrics — reciprocal rank, recall@k, nDCG@k —
-    of a ranked result set against LABEL relevance (a neighbour is
-    relevant iff it shares the query's label: the standard proxy
-    ground truth for embedding retrieval evaluation).
+    """Retrieval-quality metrics — reciprocal rank, R-capped recall@k,
+    nDCG@k — of a ranked result set against LABEL relevance (a
+    neighbour is relevant iff it shares the query's label: the
+    standard proxy ground truth for embedding retrieval evaluation).
+
+    ``recall_capped_at_k`` divides hits by ``min(n_rel, k)`` — the
+    capped form (sometimes called R-capped recall / "recall with
+    R-truncation"), which reaches 1.0 when every retrievable slot is
+    filled even if the label class is larger than k. It deliberately
+    differs from textbook recall@k (``hits / n_rel``) whenever
+    ``n_rel > k``; divide ``hits`` by ``n_rel`` downstream if you need
+    the uncapped form.
 
     ``results`` is any ranked frame ``(qid, nid, rank)`` — evaluate a
     brute-force run, an IVF run, an MMR rerank, whatever; the metrics
@@ -229,7 +237,8 @@ def label_ranking_metrics(
     literal table (exact bigint sums), ``n_rel`` comes from one
     broadcast label-count aggregate, and the only divisions are
     single exact-operand doubles rounded to 6. Per-query output
-    ``(qid, n_rel, hits, rr, recall_at_k, ndcg_at_k)``; macro-average
+    ``(qid, n_rel, hits, rr, recall_capped_at_k, ndcg_at_k)``;
+    macro-average
     driver-side or with one more tiny aggregate.
 
     Scale: one broadcast join per side (labels ride the id join), one
@@ -285,7 +294,7 @@ def label_ranking_metrics(
             ),
         )
         .withColumn(
-            "recall_at_k",
+            "recall_capped_at_k",
             F.round(
                 F.coalesce(
                     F.try_divide(
@@ -315,7 +324,7 @@ def label_ranking_metrics(
         )
     )
     return out.select(
-        "qid", "n_rel", "hits", "rr", "recall_at_k", "ndcg_at_k"
+        "qid", "n_rel", "hits", "rr", "recall_capped_at_k", "ndcg_at_k"
     )
 
 

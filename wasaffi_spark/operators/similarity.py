@@ -1432,6 +1432,39 @@ def top_pc_power(
     return w
 
 
+def ivf_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    dim: int = 64,
+    quant: int = PQ_QUANT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+) -> DataFrame:
+    """Hashed-IVF candidate GENERATION without the scoring tail:
+    returns the distinct ``(qid, nid)`` pairs a hashed-IVF probe would
+    score (``qid != nid``) — the pluggable shortlist generator for
+    rerank-shaped consumers (:func:`mmr_topk` ``candidates=``). Each
+    corpus vector lives in exactly one cell (argmin assignment), so
+    the probe join already yields distinct pairs. Same routing
+    contract as :func:`ivf_topk_hashed` (shared :func:`_ivf_probes`);
+    candidates per query ∝ N·n_probe/n_cells."""
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    assigned, probes = _ivf_probes(
+        q, corpus, n_cells, n_probe, dim, quant, vec_col, id_col, seed,
+        carry=(),
+    )
+    c = assigned.select(F.col(id_col).alias("nid"), "cell")
+    return (
+        F.broadcast(probes)
+        .join(c, ["cell"])
+        .where(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+    )
+
+
 def mmr_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1440,6 +1473,7 @@ def mmr_topk(
     shortlist: int = 12,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversified top-k (Carbonell &
     Goldstein, SIGIR 1998) — the standard RAG/retrieval rerank that
@@ -1448,10 +1482,13 @@ def mmr_topk(
     what's already selected, so near-duplicate passages can't crowd
     the context window.
 
-    Two-stage: an exact cosine ``shortlist`` per query (swap any ANN
-    index in as the candidate generator at corpus scale — MMR only
-    ever reads the shortlist), then ``k`` greedy selection steps over
-    it. The blend is computed in INTEGER space: the 6-dp cosines lift
+    Two-stage: an exact cosine ``shortlist`` per query, then ``k``
+    greedy selection steps over it. The shortlist generator is
+    pluggable: pass ``candidates`` — any ``(qid, nid)`` pair frame,
+    e.g. :func:`ivf_candidates` — and only those pairs are scored (the
+    corpus-scale shape; the Q×N ``crossJoin`` default is the exact
+    small-Q rerank). MMR only ever reads the shortlist, so the greedy
+    tail and its oracle are identical under either generator. The blend is computed in INTEGER space: the 6-dp cosines lift
     to micro-units (bigint) and the score is ``lam_micro·cos_micro −
     mu_micro·pen_micro`` — floats never touch the argmax. This is not
     pedantry: ``round(0.7·cos, 6)`` lands exactly on the 7th-decimal
@@ -1477,14 +1514,14 @@ def mmr_topk(
     micro = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)).cast("long")  # noqa: E731
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    scored = (
-        q.crossJoin(c)
-        .where(F.col("qid") != F.col("nid"))
-        .select(
-            "qid",
-            "nid",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
-        )
+    if candidates is None:
+        pairs = q.crossJoin(c)
+    else:
+        pairs = candidates.select("qid", "nid").join(q, "qid").join(c, "nid")
+    scored = pairs.where(F.col("qid") != F.col("nid")).select(
+        "qid",
+        "nid",
+        F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
     )
     w_sl = Window.partitionBy("qid").orderBy(
         F.col("cos_sim").desc(), F.col("nid").asc()
@@ -1637,14 +1674,18 @@ def filtered_ivf_topk(
     )
     c = assigned.select(
         F.col(id_col).alias("nid"),
-        F.col(filter_col).alias("_fc"),
+        F.col(filter_col).alias("_fq"),
         F.col(vec_col).alias("nv"),
         "cell",
     ).withColumn("_nn", _norm(F.col("nv")))
+    # the attribute equality is a JOIN KEY, not a post-join filter:
+    # under the non-broadcast shuffle variant the exchange then hashes
+    # on (attribute, cell) so hot cells split across attribute values
+    # and the shuffle groups are exactly the candidate groups
     scored = (
         F.broadcast(probes)
-        .join(c, ["cell"])
-        .where((F.col("qid") != F.col("nid")) & (F.col("_fq") == F.col("_fc")))
+        .join(c, ["_fq", "cell"])
+        .where(F.col("qid") != F.col("nid"))
         .select(
             "qid",
             "nid",
@@ -2689,10 +2730,11 @@ def knn_descent(
     node offers back (deterministic smallest-``src`` sample — the
     same valve family as ``max_bucket_size``); per-round candidate
     rows are then ≤ N·(k + max_reverse)² + kN, independent of hub
-    skew. The ring position is a global row_number over (hash, id) —
-    an id+hash-only frame; at 100 TB swap in ranking.py's
-    range-exchange rank, the contract (dense 0..N-1 positions in hash
-    order) is unchanged. Edges (``kN`` rows) localCheckpoint per
+    skew. The ring position is the dense 0..N-1 rank over (hash, id)
+    computed by :func:`ranking.global_row_number` — a range exchange +
+    per-range row_number, never a single-partition global sort, so the
+    position frame scales like any other shuffle. Edges (``kN`` rows)
+    localCheckpoint per
     round, so plan depth stays O(1) in ``rounds``. Returns ``(src,
     dst, cos_sim, rank)`` — each node's refined top-``k``;
     ``rounds=0, ring=0`` is exactly the sign-LSH seed graph.
@@ -2714,12 +2756,19 @@ def knn_descent(
         F.col("cos_sim").desc(), F.col("dst").asc()
     )
     if ring:
+        from wasaffi_spark.operators import ranking
+
         h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
-        w_pos = Window.orderBy(F.col("_h").asc(), F.col(id_col).asc())
+        # dense 0..N-1 ring positions in (hash, id) order via the
+        # range-exchange rank (ranking.py) — a global Window.orderBy
+        # here would be a single-partition sort of the whole corpus
         pos = (
-            df.select(id_col)
-            .withColumn("_h", h)
-            .withColumn("pos", F.row_number().over(w_pos) - 1)
+            ranking.global_row_number(
+                df.select(id_col).withColumn("_h", h),
+                [F.col("_h").asc(), F.col(id_col).asc()],
+                out_col="_grn",
+            )
+            .withColumn("pos", F.col("_grn") - F.lit(1))
             .select(id_col, "pos")
         )
         if _materialize:
@@ -2807,6 +2856,112 @@ def knn_descent(
         if _materialize:
             edges = edges.localCheckpoint(eager=True)
     return edges
+
+
+def graph_search_topk(
+    queries: DataFrame,
+    graph: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    beam: int = 8,
+    rounds: int = 3,
+    n_entry: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+    _materialize: bool = True,
+) -> DataFrame:
+    """Greedy beam search over a prebuilt kNN graph — the SEARCH side
+    of :func:`knn_descent`'s build side, the HNSW-layer-0 shape
+    (Malkov & Yashunin, TPAMI 2020): start each query at deterministic
+    entry points, repeatedly offer the beam its graph neighbours, keep
+    the ``beam`` best, answer with the top-``k`` after ``rounds``
+    bounded expansion steps.
+
+    Entry points are the first ``n_entry`` nodes of the SAME
+    ``md5(seed || id)`` hash ring the graph build used (via
+    :func:`ranking.global_row_number` — no single-partition sort), so
+    the whole search is a pure function of (corpus, seed): batched
+    rather than per-query-sequential (classic best-first pops one
+    candidate at a time; expanding the whole beam per round is the
+    batch form that maps to joins), with bounded rounds instead of a
+    data-dependent termination test — which is exactly what makes it
+    oracle-unrollable like the build side.
+
+    Deterministic end to end: scores are the shared 6-dp rounded
+    cosine, beam membership tiebreaks on ``nid`` — each round replays
+    as one unrolled CTE block (expand ∪ keep → distinct → score →
+    top-beam window).
+
+    Scale: per round the frontier is Q·beam rows, the expansion join
+    touches ≤ Q·beam·k graph edges (equi-join on ``src``), and scoring
+    joins the corpus by id for ≤ Q·beam·(k+1) candidate vectors — the
+    corpus itself never rescans; work is O(Q · beam · k · rounds),
+    independent of N once the graph is built. Frontiers
+    localCheckpoint per round (plan depth O(1) in ``rounds``;
+    ``_materialize=False`` is the plan-audit seam). Returns ``(qid,
+    nid, cos_sim, rank)``, rank 1..k; recall depends on graph quality
+    and ``rounds`` (measured in tools/ann_recall.py vs the IVF
+    rungs)."""
+    from wasaffi_spark.operators import ranking
+
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).withColumn("_nq", _norm(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")
+    ).withColumn("_nn", _norm(F.col("nv")))
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    entries = (
+        ranking.global_row_number(
+            corpus.select(id_col).withColumn("_h", h),
+            [F.col("_h").asc(), F.col(id_col).asc()],
+            out_col="_grn",
+        )
+        .where(F.col("_grn") <= n_entry)
+        .select(F.col(id_col).alias("nid"))
+    )
+    g = graph.select("src", "dst")
+    w_beam = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("nid").asc()
+    )
+
+    def _score_topn(pairs: DataFrame, n: int) -> DataFrame:
+        scored = (
+            pairs.join(q, "qid")
+            .join(c, "nid")
+            .where(F.col("qid") != F.col("nid"))
+            .select(
+                "qid",
+                "nid",
+                _cosine_prenorm(
+                    F.col("qv"), F.col("nv"), F.col("_nq"), F.col("_nn")
+                ).alias("cos_sim"),
+            )
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w_beam))
+            .where(F.col("rank") <= n)
+            .select("qid", "nid", "cos_sim", "rank")
+        )
+
+    frontier = _score_topn(
+        q.select("qid").crossJoin(F.broadcast(entries)), beam
+    )
+    if _materialize:
+        frontier = frontier.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        expanded = (
+            frontier.select("qid", F.col("nid").alias("src"))
+            .join(g, "src")
+            .select("qid", F.col("dst").alias("nid"))
+            .union(frontier.select("qid", "nid"))
+            .distinct()
+        )
+        frontier = _score_topn(expanded, beam)
+        if _materialize:
+            frontier = frontier.localCheckpoint(eager=True)
+    return frontier.where(F.col("rank") <= k)
 
 
 def hashed_embedding(
