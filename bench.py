@@ -173,6 +173,12 @@ HEADLINE = [
     "text_stats_r1",
     "mmr_rerank_ivf",
     "pca_outliers",
+    # new in r8: graph-ANN beam search (search side of knn_descent),
+    # unigram-LM tokenizer train + apply (the fifth oracle-replayed
+    # training loop)
+    "graph_search_topk",
+    "unigram_lm",
+    "unigram_fertility",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

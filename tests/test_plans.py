@@ -532,6 +532,32 @@ def test_knn_descent_rounds_are_equi_joins_only(spark):
 
 
 @needs_data
+def test_graph_search_no_corpus_scan_no_global_sort(spark):
+    """Beam search full lineage (checkpoints disabled): expansion and
+    scoring joins are equi-joins (hash/sort-merge), the ring overlay
+    joins on position, the per-query beam windows are partitioned by
+    qid, and nothing materializes a single-partition exchange or a
+    CartesianProduct — the only nested-loop node allowed is the
+    bounded entry-points broadcast."""
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators import similarity
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    emb = read_parquet(spark, SF_SMOKE + "/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 4)
+    graph = similarity.knn_descent(emb, k=4, rounds=0, ring=2)
+    out = similarity.graph_search_topk(
+        queries, graph, emb, k=3, beam=4, rounds=2, n_entry=4, ring=2,
+        _materialize=False,
+    )
+    f = plan_facts(out)
+    assert "CartesianProduct" not in f.text
+    assert "Exchange SinglePartition" not in f.text, f.text
+    assert "BatchEvalPython" not in f.text
+
+
+@needs_data
 def test_mmr_ivf_candidates_join_is_hash_on_cell(spark):
     """The IVF shortlist generator feeding mmr_rerank_ivf: the
     candidate join must be a broadcast HASH join on the probed cell id

@@ -287,6 +287,31 @@ def run_variants(sim, F, queries, emb) -> dict:
             "metric": "whole-graph edge recall",
         }
         print(f"  {name}: graph-recall@{K}={recall} {best:.3f}s", flush=True)
+
+    # graph SEARCH (r8): beam search over the wide NN-descent graph —
+    # the consumer of the build side above, graded per-query against
+    # the same exact truth as the IVF rungs. sec includes the graph
+    # build (amortized across queries in production — the search
+    # itself is O(Q·beam·k·rounds), corpus-independent).
+    for name, rounds in (
+        ("graph_search_r1", 1),
+        ("graph_search_r3", 3),
+    ):
+        def sfn(rounds=rounds):
+            g = sim.knn_descent(emb, k=8, rounds=4, ring=4)
+            return sim.graph_search_topk(
+                queries, g, emb, k=K, beam=8, rounds=rounds, n_entry=4
+            )
+
+        got = {(r["qid"], r["nid"]) for r in sfn().collect()}
+        recall = round(len(got & truth) / len(truth), 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            sfn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        results[name] = {"recall_at_k": recall, "sec": round(best, 3)}
+        print(f"  {name}: recall@{K}={recall} {best:.3f}s", flush=True)
     return results
 
 

@@ -261,6 +261,24 @@ PROBES = {
         "O(N·n_probe/n_cells) — constant job-count overhead from the "
         "eager train rounds, linear work"
     ),
+    "graph_search_topk": (
+        "graph-ANN beam search (r8): dominated by the knn_descent "
+        "build (linear per round, see knn_descent); the search itself "
+        "is Q*beam*k*rounds rows — constant in N once built; entry "
+        "points ride the range-exchange rank"
+    ),
+    "mmr_rerank_ivf": (
+        "IVF-shortlisted MMR (r8): candidate generation is the IVF "
+        "probe join (O(N*n_probe/n_cells)); pairwise sims and the k "
+        "greedy steps touch only Q*shortlist^2 rows — constant in N"
+    ),
+    "unigram_lm": (
+        "unigram-LM trainer (r8): one corpus-linear word-frequency "
+        "pass; each EM round is UNI_MAXLEN broadcast vocab joins + a "
+        "per-word top-1 window over the WORD table (sub-linear in "
+        "corpus size: vocab growth is sub-linear in tokens), vocab "
+        "collect bounded at O(SEED_V + alphabet)"
+    ),
 }
 
 

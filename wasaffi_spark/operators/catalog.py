@@ -7180,10 +7180,11 @@ def q_knn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register_extra(
-    "knn_descent",
-    q_knn_descent,
-    f"""with {_knn_edges_ctes(DESCENT_K)},
+# the full NN-descent BUILD chain (seed cells + hash ring + 4 unrolled
+# rounds -> e4 = the refined top-DESCENT_K graph) as one shared CTE
+# fragment: graph_search_topk's oracle replays the identical build
+# before searching it, so the two declared queries can never drift.
+_DESCENT_GRAPH_CTES = f"""{_knn_edges_ctes(DESCENT_K)},
         hr as (select vec_id,
                       row_number() over (
                         order by md5('{similarity.IVF_SEED}' || vec_id),
@@ -7213,10 +7214,154 @@ register_extra(
         {_descent_round_sql(0, "es")},
         {_descent_round_sql(1, "e1")},
         {_descent_round_sql(2, "e2")},
-        {_descent_round_sql(3, "e3")}
+        {_descent_round_sql(3, "e3")}"""
+
+
+register_extra(
+    "knn_descent",
+    q_knn_descent,
+    f"""with {_DESCENT_GRAPH_CTES}
         select src, dst, cos_sim, rnk from e{DESCENT_ROUNDS}
         where rnk <= {DESCENT_EMIT}
         order by src, rnk""",
+)
+
+
+# ---------------------------------------------------------------------------
+# r8 addition: greedy beam search over the NN-descent graph — the
+# SEARCH-side counterpart of the r7 build side (HNSW layer-0 shape,
+# Malkov & Yashunin TPAMI 2020), completing the graph-ANN family.
+# Bounded rounds + the shared rounded-cosine scoring make the whole
+# search oracle-unrollable on top of the shared _DESCENT_GRAPH_CTES
+# build replay.
+
+GS_K = 3
+GS_BEAM = 8
+GS_ROUNDS = 4
+GS_RING = 4
+GS_ENTRY = 4
+
+
+def q_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN search (operators/similarity.py::graph_search_topk):
+    build the NN-descent graph (same operating point as knn_descent),
+    then answer the probe queries by greedy beam expansion over the
+    graph UNION the GS_RING-successor hash-ring overlay (the
+    DiskANN-style navigable long edges — without them greedy ascent
+    stalls in the entry cluster, see graph_search_topk's docstring)
+    from deterministic ring entry points: GS_ROUNDS rounds of
+    offer-the-beam-its-neighbours, keep-best-GS_BEAM, emit top-GS_K.
+    Post-build work is O(Q*beam*k*rounds), independent of corpus size
+    — the property that makes graph ANN the high-recall scale path.
+    The oracle replays the graph build (shared _DESCENT_GRAPH_CTES)
+    and every beam round as unrolled CTEs."""
+    emb = _table(spark, sf_dir, "embeddings")
+    graph = similarity.knn_descent(
+        emb, k=DESCENT_K, rounds=DESCENT_ROUNDS,
+        max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
+    )
+    queries = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    out = similarity.graph_search_topk(
+        queries, graph, emb, k=GS_K, beam=GS_BEAM, rounds=GS_ROUNDS,
+        n_entry=GS_ENTRY, ring=GS_RING,
+    )
+    return out.select(
+        "qid", "nid", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
+    ).orderBy("qid", "rnk")
+
+
+register_extra(
+    "graph_search_topk",
+    q_graph_search,
+    f"""with {_DESCENT_GRAPH_CTES},
+        g as materialized (select src, dst from e{DESCENT_ROUNDS}
+                           union
+                           select src, dst from ringe),
+        q as (select vec_id as qid, ev as qv from v
+              where vec_id < {ANN_QUERY_MAX_ID}),
+        ent as (select vec_id as nid from hr where pos < {GS_ENTRY}),
+        gsc_0 as (select q.qid, ent.nid,
+                        round(list_cosine_similarity(q.qv, vv.ev), 6)
+                          as cos_sim
+                 from q cross join ent
+                 join v vv on vv.vec_id = ent.nid
+                 where q.qid <> ent.nid),
+        b0 as materialized (select qid, nid, cos_sim, rnk from (
+                 select qid, nid, cos_sim,
+                        row_number() over (partition by qid
+                                           order by cos_sim desc, nid) as rnk
+                 from gsc_0) t where rnk <= 8),
+        ex0 as (select b.qid, g.dst as nid
+                  from b0 b join g on g.src = b.nid
+                  union
+                  select qid, nid from b0),
+        gsc0 as (select x.qid, x.nid,
+                         round(list_cosine_similarity(q.qv, vv.ev), 6)
+                           as cos_sim
+                  from ex0 x
+                  join q on q.qid = x.qid
+                  join v vv on vv.vec_id = x.nid
+                  where x.qid <> x.nid),
+        b1 as materialized (select qid, nid, cos_sim, rnk from (
+                   select qid, nid, cos_sim,
+                          row_number() over (partition by qid
+                                             order by cos_sim desc, nid)
+                            as rnk
+                   from gsc0) t where rnk <= 8),
+        ex1 as (select b.qid, g.dst as nid
+                  from b1 b join g on g.src = b.nid
+                  union
+                  select qid, nid from b1),
+        gsc1 as (select x.qid, x.nid,
+                         round(list_cosine_similarity(q.qv, vv.ev), 6)
+                           as cos_sim
+                  from ex1 x
+                  join q on q.qid = x.qid
+                  join v vv on vv.vec_id = x.nid
+                  where x.qid <> x.nid),
+        b2 as materialized (select qid, nid, cos_sim, rnk from (
+                   select qid, nid, cos_sim,
+                          row_number() over (partition by qid
+                                             order by cos_sim desc, nid)
+                            as rnk
+                   from gsc1) t where rnk <= 8),
+        ex2 as (select b.qid, g.dst as nid
+                  from b2 b join g on g.src = b.nid
+                  union
+                  select qid, nid from b2),
+        gsc2 as (select x.qid, x.nid,
+                         round(list_cosine_similarity(q.qv, vv.ev), 6)
+                           as cos_sim
+                  from ex2 x
+                  join q on q.qid = x.qid
+                  join v vv on vv.vec_id = x.nid
+                  where x.qid <> x.nid),
+        b3 as materialized (select qid, nid, cos_sim, rnk from (
+                   select qid, nid, cos_sim,
+                          row_number() over (partition by qid
+                                             order by cos_sim desc, nid)
+                            as rnk
+                   from gsc2) t where rnk <= 8),
+        ex3 as (select b.qid, g.dst as nid
+                  from b3 b join g on g.src = b.nid
+                  union
+                  select qid, nid from b3),
+        gsc3 as (select x.qid, x.nid,
+                         round(list_cosine_similarity(q.qv, vv.ev), 6)
+                           as cos_sim
+                  from ex3 x
+                  join q on q.qid = x.qid
+                  join v vv on vv.vec_id = x.nid
+                  where x.qid <> x.nid),
+        b4 as materialized (select qid, nid, cos_sim, rnk from (
+                   select qid, nid, cos_sim,
+                          row_number() over (partition by qid
+                                             order by cos_sim desc, nid)
+                            as rnk
+                   from gsc3) t where rnk <= 8)
+        select qid, nid, cos_sim, rnk from b4
+        where rnk <= 3
+        order by qid, rnk""",
 )
 
 
@@ -7773,6 +7918,193 @@ def _pca_outliers_oracle() -> str:
 register_extra("pca_outliers", q_pca_outliers, _pca_outliers_oracle())
 
 
+# ---------------------------------------------------------------------------
+# r8 addition: unigram-LM (SentencePiece-style) tokenizer trainer —
+# the fifth oracle-replayable training loop (k-means/Lloyd, NN-descent,
+# power iteration, logistic GD, BPE, now hard-EM unigram). Probabilities
+# on an integer grid, Viterbi on a literal-injected integer log-gain
+# table (the ndcg_gains trick — neither engine evaluates log2), DP and
+# both EM rounds unrolled into the oracle. See operators/unigram.py.
+
+from . import unigram  # noqa: E402
+
+_UNI_GAINS = "[" + ", ".join(str(g) for g in unigram.log_gains()) + "]"
+
+
+def _uni_grid_sql(name: str, base: str) -> str:
+    """Grid quantization CTE pair: p_q = max((2·cnt·Q + total) div
+    (2·total), 1) + the literal-table gain, matching
+    unigram._grid_probs."""
+    q = unigram.UNI_Q
+    return f"""{name}_t as (select sum(cnt)::bigint as total from {base}),
+        {name} as materialized (
+          select x.piece, x.cnt, x.p_q, lg.g
+          from (select b.piece, b.cnt,
+                       greatest((2*b.cnt*{q} + t.total) // (2*t.total), 1)
+                         as p_q
+                from {base} b cross join {name}_t t) x
+          join lg on lg.v = x.p_q)"""
+
+
+def _uni_dp_sql(tag: str, vocab: str, src: str) -> str:
+    """Unrolled Viterbi DP over end positions 1..UNI_MAXLEN, matching
+    unigram.viterbi_segment: stage j joins all reachable prefixes
+    (pos in [j-PIECE_MAXLEN, j-1]) with the vocab on the candidate
+    substring, argmax per word on (score desc, prev asc). Emits
+    ``{tag}best`` = (word, freq, seq, n_pieces)."""
+    ml, pl = unigram.UNI_MAXLEN, unigram.UNI_PIECE_MAXLEN
+    parts = [
+        f"""{tag}d0 as (select word, freq, 0 as pos, 0::bigint as score,
+                     '' as seq from {src})"""
+    ]
+    for j in range(1, ml + 1):
+        parts.append(
+            f"""{tag}c{j} as (
+          select d.word, d.freq, d.pos as prev, d.score + v.g as score,
+                 d.seq || v.piece || chr(31) as seq
+          from {tag}d{j - 1} d
+          join {vocab} v
+            on v.piece = substr(d.word, d.pos + 1, {j} - d.pos)
+          where d.pos >= {j - pl} and d.pos < {j}
+            and length(d.word) >= {j}),
+        {tag}b{j} as (select word, freq, {j} as pos, score, seq from (
+          select word, freq, score, seq,
+                 row_number() over (partition by word
+                                    order by score desc, prev asc) as r
+          from {tag}c{j}) t where r = 1),
+        {tag}d{j} as materialized (
+          select word, freq, pos, score, seq from {tag}d{j - 1}
+          union all
+          select word, freq, pos, score, seq from {tag}b{j})"""
+        )
+    parts.append(
+        f"""{tag}best as materialized (
+          select word, freq, seq,
+                 len(list_filter(string_split(seq, chr(31)),
+                                 x -> x <> ''))::bigint as n_pieces
+          from {tag}d{ml} where pos = length(word))"""
+    )
+    return ",\n        ".join(parts)
+
+
+def _uni_mstep_sql(tag: str, vocab: str, nextbase: str) -> str:
+    """M-step CTEs: re-count pieces from ``{tag}best`` (weighted by
+    word freq), prune abandoned multi-char pieces, keep singles —
+    matching unigram._mstep."""
+    return f"""{tag}pc as (
+          select piece, sum(freq)::bigint as cnt from (
+            select unnest(list_filter(string_split(seq, chr(31)),
+                                      x -> x <> '')) as piece,
+                   freq
+            from {tag}best) group by piece),
+        {nextbase} as (
+          select v.piece, coalesce(p.cnt, 0)::bigint as cnt
+          from {vocab} v left join {tag}pc p using (piece)
+          where length(v.piece) = 1 or coalesce(p.cnt, 0) > 0)"""
+
+
+def _uni_train_ctes() -> str:
+    """The full training chain: word table -> seed substring counts ->
+    voc0 -> (DP, M-step) x UNI_ITERS -> voc{ITERS}. Shared by the
+    unigram_lm and unigram_fertility oracles."""
+    ml, pl = unigram.UNI_MAXLEN, unigram.UNI_PIECE_MAXLEN
+    sv = unigram.UNI_SEED_V
+    head = rf"""lg as (select unnest(generate_series(1, {unigram.UNI_Q})) as v,
+                    unnest({_UNI_GAINS}) as g),
+        utok as (
+          select unnest(list_filter(string_split_regex(lower(coalesce(text,
+                                                                      '')),
+                                                       '\s+'),
+                                    x -> x <> '')) as word
+          from documents),
+        uw as materialized (
+          select word, count(*)::bigint as freq from utok
+          where strpos(word, chr(31)) = 0 and length(word) <= {ml}
+          group by word),
+        usp as (select substr(word, i.i, l.l) as piece, freq
+                from uw,
+                     unnest(generate_series(1, length(word))) as i(i),
+                     unnest(generate_series(1, {pl})) as l(l)
+                where i.i + l.l - 1 <= length(word)),
+        usc as (select piece, sum(freq)::bigint as cnt from usp
+                group by piece),
+        useed as (select piece, cnt from usc where length(piece) = 1
+                  union all
+                  select piece, cnt from (
+                    select piece, cnt,
+                           row_number() over (order by cnt desc, piece asc)
+                             as r
+                    from usc where length(piece) >= 2) t
+                  where r <= {sv})"""
+    parts = [head, _uni_grid_sql("uvoc0", "useed")]
+    for r in range(unigram.UNI_ITERS):
+        parts.append(_uni_dp_sql(f"u{r}", f"uvoc{r}", "uw"))
+        parts.append(_uni_mstep_sql(f"u{r}", f"uvoc{r}", f"uvb{r + 1}"))
+        parts.append(_uni_grid_sql(f"uvoc{r + 1}", f"uvb{r + 1}"))
+    return ",\n        ".join(parts)
+
+
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (operators/unigram.py::
+    unigram_train): seed vocab (all chars + top-UNI_SEED_V substrings)
+    -> UNI_ITERS x (integer-grid Viterbi E-step, prune-and-regrid
+    M-step) over the <=UNI_MAXLEN-char word-frequency table. Output is
+    the learned vocabulary (piece, cnt, p_q). The oracle replays the
+    seed counting, both Viterbi DPs (unrolled over word positions),
+    and both M-steps as chained CTEs."""
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    return unigram.unigram_train(docs).orderBy("piece")
+
+
+register_extra(
+    "unigram_lm",
+    q_unigram_lm,
+    f"""with {_uni_train_ctes()}
+        select piece, cnt, p_q from uvoc{unigram.UNI_ITERS}
+        order by piece""",
+)
+
+
+def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY path for the unigram model (operators/
+    unigram.py::unigram_fertility): segment the corpus' <=UNI_MAXLEN-
+    char word slice (the trained coverage) under the final vocabulary
+    and emit per-document word count, piece count, and fertility
+    (pieces per word) — directly comparable against bpe_fertility's
+    number for the BPE tokenizer on the same corpus. The Viterbi runs
+    once on the distinct word table; documents join the tiny
+    word->n_pieces map."""
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    voc = unigram.unigram_train(docs)
+    return unigram.unigram_fertility(docs, voc).orderBy("doc_id")
+
+
+register_extra(
+    "unigram_fertility",
+    q_unigram_fertility,
+    rf"""with {_uni_train_ctes()},
+        {_uni_dp_sql("ua", f"uvoc{unigram.UNI_ITERS}", "uw")},
+        udtok as (
+          select doc_id,
+                 unnest(list_filter(string_split_regex(lower(coalesce(text,
+                                                                      '')),
+                                                       '\s+'),
+                                    x -> x <> '')) as word
+          from documents),
+        udwf as (select doc_id, word, count(*)::bigint as dfreq from udtok
+                 where strpos(word, chr(31)) = 0
+                   and length(word) <= {unigram.UNI_MAXLEN}
+                 group by doc_id, word),
+        ufert as (select d.doc_id, sum(d.dfreq)::bigint as n_words,
+                         sum(d.dfreq * b.n_pieces)::bigint as n_pieces
+                  from udwf d join uabest b using (word)
+                  group by d.doc_id)
+        select doc_id, n_words, n_pieces,
+               round(n_pieces::double / n_words::double, 6) as fertility
+        from ufert order by doc_id""",
+)
+
+
 # late-r7 window rotation #3: driver-attest the curation + rerank
 # additions (prototype_prune, mmr_rerank — both MATCH at both SFs
 # under both comparators locally). Demoted veterans, driver-green
@@ -7783,3 +8115,40 @@ register_extra("pca_outliers", q_pca_outliers, _pca_outliers_oracle())
 # the sweep). The window stays exactly 50.
 _promote("prototype_prune", "mmr_rerank")
 _demote("dsir_select", "train_classifier")
+
+# round-8 driver-window rotation (VERDICT r7 next-round #1): free the
+# two structurally-no-oracle slots — ann_ivf_trained / compression_ratio
+# can only ever produce `err: no_oracle` driver rows (MLlib float
+# training and zlib are not SQL-expressible; both stay pytest-attested
+# extras) — and promote the never-driver-attested r7 extras
+# (retrieval_eval, bm25_mmr, pca_power — sweep-MATCH at both SFs under
+# both comparators since r7) plus the r8 additions (mmr_rerank_ivf,
+# pca_outliers, graph_search_topk, unigram_lm). The five demoted
+# veterans are all driver-green 3-5 consecutive rounds with their
+# families still represented in-window: semantic_dedup (4 rounds;
+# text_semantic_dedup + semantic_dedup_pruned stay), curriculum_
+# interleave (4; temperature_mixture/mixture_epochs/curation_pipeline
+# stay), embedding_clusters (4; knn_triangles + knn_descent +
+# graph_search_topk carry the graph family), quality_buckets (3;
+# length_percentiles/lang_top_tokens/ngram_lang stay), bpe_merges (3;
+# bpe_fertility stays and its oracle replays the full train chain).
+# The window stays exactly 50, now with zero rows-only entries —
+# every declared query is hash-checkable.
+_promote(
+    "retrieval_eval",
+    "bm25_mmr",
+    "pca_power",
+    "mmr_rerank_ivf",
+    "pca_outliers",
+    "graph_search_topk",
+    "unigram_lm",
+)
+_demote(
+    "ann_ivf_trained",
+    "compression_ratio",
+    "semantic_dedup",
+    "curriculum_interleave",
+    "embedding_clusters",
+    "quality_buckets",
+    "bpe_merges",
+)
