@@ -143,4 +143,4 @@ def test_entry_contract(spark):
     # pipeline extension that is in the current window, not on a
     # specific operator that rotation may demote (r6: the remaining
     # relational anchor is subqueries_cte)
-    assert names.index("semantic_dedup") < names.index("subqueries_cte")
+    assert names.index("text_semantic_dedup") < names.index("subqueries_cte")

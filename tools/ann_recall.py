@@ -293,9 +293,16 @@ def run_variants(sim, F, queries, emb) -> dict:
     # the same exact truth as the IVF rungs. sec includes the graph
     # build (amortized across queries in production — the search
     # itself is O(Q·beam·k·rounds), corpus-independent).
+    # rounds is the navigation budget: each round the beam explores
+    # beam*(k+ring) candidates, and the ring teleports need a few
+    # rounds to land in the query's cluster before graph edges refine
+    # (expected rounds ~ n_clusters/(beam*ring), independent of N for
+    # fixed cluster structure). r4 is the declared operating point.
     for name, rounds in (
         ("graph_search_r1", 1),
         ("graph_search_r3", 3),
+        ("graph_search_r4", 4),
+        ("graph_search_r6", 6),
     ):
         def sfn(rounds=rounds):
             g = sim.knn_descent(emb, k=8, rounds=4, ring=4)
