@@ -179,6 +179,8 @@ HEADLINE = [
     "graph_search_topk",
     "unigram_lm",
     "unigram_fertility",
+    # late r8: semi-supervised label propagation over the kNN graph
+    "label_propagation",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -532,6 +532,24 @@ def test_knn_descent_rounds_are_equi_joins_only(spark):
 
 
 @needs_data
+def test_unigram_viterbi_is_shuffle_free(spark):
+    """The in-row Viterbi E-step must be a pure projection over the
+    word table — no Exchange, no Join, no Python island anywhere in
+    its plan (the vocab rides in as a literal map)."""
+    from wasaffi_spark.operators import unigram
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, SF_SMOKE + "/documents.parquet")
+    words = unigram.train_words(docs).localCheckpoint(eager=True)
+    rows = unigram._vocab_rows(unigram.seed_vocab(words))
+    segs = unigram.viterbi_segment(words, rows)
+    f = plan_facts(segs)
+    assert "Exchange" not in f.text, f.text
+    assert "Join" not in f.text
+    assert "EvalPython" not in f.text
+
+
+@needs_data
 def test_graph_search_no_corpus_scan_no_global_sort(spark):
     """Beam search full lineage (checkpoints disabled): expansion and
     scoring joins are equi-joins (hash/sort-merge), the ring overlay

@@ -198,3 +198,77 @@ def test_mmr_candidates_allpairs_equals_default(spark):
     assert sorted(map(tuple, base.collect())) == sorted(
         map(tuple, seamed.collect())
     )
+
+
+# ------------------------------------------------------- label propagation
+
+
+def test_label_propagation_hand_computed(spark):
+    """Chain 1-2-3-4 with a seed at node 1: labels spread one hop per
+    round (node 3 labeled after 2 rounds, node 4 still null); a node
+    pulled between two equally-frequent labels adopts the smaller
+    (deterministic tiebreak); seed labels are clamped."""
+    from wasaffi_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11)],
+        "src bigint, dst bigint",
+    )
+    nodes = spark.createDataFrame(
+        [
+            (1, 7, True),
+            (2, None, False),
+            (3, None, False),
+            (4, None, False),
+            # tie fixture: 11 sees labels 9 (from 12) and 5 (from 10)
+            (10, 5, True),
+            (11, None, False),
+            (12, 9, True),
+        ],
+        "vec_id bigint, label int, is_seed boolean",
+    )
+    out = {
+        r.vec_id: (r.label, r.is_seed)
+        for r in label_propagation(edges, nodes, rounds=2).collect()
+    }
+    assert out[1] == (7, True)
+    assert out[2][0] == 7 and out[3][0] == 7
+    assert out[4][0] is None  # 3 hops away, 2 rounds
+    assert out[11][0] == 5  # tie between 5 and 9 -> smaller label
+
+
+def test_label_propagation_seed_clamped(spark):
+    """A seed surrounded by differently-labeled neighbours never
+    flips."""
+    from wasaffi_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (4, 2)], "src bigint, dst bigint"
+    )
+    nodes = spark.createDataFrame(
+        [(1, 1, True), (3, 1, True), (4, 1, True), (2, 0, True)],
+        "vec_id bigint, label int, is_seed boolean",
+    )
+    out = {
+        r.vec_id: r.label
+        for r in label_propagation(edges, nodes, rounds=3).collect()
+    }
+    assert out[2] == 0
+
+
+@needs_data
+def test_viterbi_inrow_equals_joins(spark):
+    """The single-pass in-row DP must equal the unrolled join+window
+    formulation (the literal transcription of the oracle's CTE rounds)
+    row for row on a real corpus slice."""
+    from wasaffi_spark.operators import unigram
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    docs = read_parquet(spark, SF_SMOKE + "/documents.parquet")
+    words = unigram.train_words(docs).localCheckpoint(eager=True)
+    rows = unigram._vocab_rows(unigram.seed_vocab(words))
+    a = sorted(map(tuple, unigram.viterbi_segment(words, rows).collect()))
+    b = sorted(
+        map(tuple, unigram._viterbi_segment_joins(words, rows).collect())
+    )
+    assert a == b

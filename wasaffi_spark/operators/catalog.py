@@ -7366,6 +7366,95 @@ register_extra(
 
 
 # ---------------------------------------------------------------------------
+# r8 addition: label propagation over the NN-descent graph — the
+# semi-supervised pseudo-labeling pass of a curation pipeline (a small
+# trusted labeled slice spreads through the embedding kNN graph so
+# mixture/filter stages can act on labels the corpus mostly lacks).
+# Deterministic hard-label form: integer neighbour-label counts,
+# (count desc, label asc) argmax, seeds clamped, bounded synchronous
+# rounds — unrolled into the oracle over the shared build chain.
+
+LP_ROUNDS = 2
+LP_SEED_MOD = 5
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label spreading (operators/graph.py::
+    label_propagation): seeds = the vec_id % LP_SEED_MOD == 0 slice
+    keeps its true label (the "trusted 20%"), everything else starts
+    unlabeled; LP_ROUNDS synchronous rounds over the UNDIRECTED
+    NN-descent graph adopt each node's argmax neighbour label. The
+    oracle replays the graph build (shared _DESCENT_GRAPH_CTES) and
+    both rounds; unreached nodes surface as NULL labels — part of the
+    hashed contract, not an error."""
+    from . import graph as graph_ops
+
+    emb = _table(spark, sf_dir, "embeddings")
+    g = similarity.knn_descent(
+        emb, k=DESCENT_K, rounds=DESCENT_ROUNDS,
+        max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
+    )
+    nodes = emb.select(
+        "vec_id",
+        F.when(
+            F.pmod(F.col("vec_id"), F.lit(LP_SEED_MOD)) == 0, F.col("label")
+        ).alias("label"),
+        (F.pmod(F.col("vec_id"), F.lit(LP_SEED_MOD)) == 0).alias("is_seed"),
+    )
+    out = graph_ops.label_propagation(g, nodes, rounds=LP_ROUNDS)
+    return out.orderBy("vec_id")
+
+
+register_extra(
+    "label_propagation",
+    q_label_propagation,
+    f"""with {_DESCENT_GRAPH_CTES},
+        lpund as materialized (
+            select src, dst from e{DESCENT_ROUNDS}
+            union
+            select dst, src from e{DESCENT_ROUNDS}),
+        lpst0 as materialized (
+            select vec_id,
+                   case when vec_id % {LP_SEED_MOD} = 0 then label end
+                     as lab,
+                   (vec_id % {LP_SEED_MOD} = 0) as seed
+            from embeddings),
+        lpm0 as (select u.dst as vec_id, s.lab, count(*)::bigint as c
+                  from lpund u join lpst0 s on s.vec_id = u.src
+                  where s.lab is not null
+                  group by u.dst, s.lab),
+        lppick0 as (select vec_id, lab from (
+                  select vec_id, lab,
+                         row_number() over (partition by vec_id
+                                            order by c desc, lab asc) as r
+                  from lpm0) t where r = 1),
+        lpst1 as materialized (
+                  select s.vec_id,
+                         case when s.seed then s.lab
+                              else coalesce(p.lab, s.lab) end as lab,
+                         s.seed
+                  from lpst0 s left join lppick0 p using (vec_id)),
+        lpm1 as (select u.dst as vec_id, s.lab, count(*)::bigint as c
+                  from lpund u join lpst1 s on s.vec_id = u.src
+                  where s.lab is not null
+                  group by u.dst, s.lab),
+        lppick1 as (select vec_id, lab from (
+                  select vec_id, lab,
+                         row_number() over (partition by vec_id
+                                            order by c desc, lab asc) as r
+                  from lpm1) t where r = 1),
+        lpst2 as materialized (
+                  select s.vec_id,
+                         case when s.seed then s.lab
+                              else coalesce(p.lab, s.lab) end as lab,
+                         s.seed
+                  from lpst1 s left join lppick1 p using (vec_id))
+        select vec_id, lab as label, seed as is_seed from lpst2
+        order by vec_id""",
+)
+
+
+# ---------------------------------------------------------------------------
 # late-r7 addition: prototype-distance data pruning (Sorscher et al.,
 # NeurIPS 2022 "Beyond neural scaling laws") — the embedding-side
 # curation gate: per-cluster percentile banding over distance to the

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def connected_components(
@@ -238,4 +239,90 @@ def triangle_count(
     )
     return nodes.groupBy("node").agg(
         F.count("*").cast("bigint").alias("n_triangles")
+    )
+
+
+def label_propagation(
+    graph: DataFrame,
+    nodes: DataFrame,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    seed_col: str = "is_seed",
+    _materialize: bool = True,
+) -> DataFrame:
+    """Synchronous label propagation over an edge list (Zhu &
+    Ghahramani 2002 / Raghavan et al. 2007, in its deterministic
+    hard-label form) — the semi-supervised PSEUDO-LABELING pass of a
+    curation pipeline: a small trusted labeled slice (human-rated
+    quality tiers, verified language tags, licensed/unlicensed flags)
+    spreads through the embedding kNN graph to label the rest of the
+    corpus, so downstream mixture/filter stages can act on labels the
+    corpus mostly doesn't have.
+
+    ``nodes`` carries ``(id_col, label_col nullable, seed_col bool)``;
+    ``graph`` is any ``(src, dst)`` edge list (the NN-descent graph in
+    the declared query) — treated as UNDIRECTED (edges mirrored +
+    distinct). Each round, every node with ≥ 1 labeled in-neighbour
+    adopts the argmax neighbour label (count desc, label asc — the
+    deterministic tiebreak); nodes with no labeled neighbour keep
+    their previous label; SEED labels are clamped and never change.
+    Bounded synchronous rounds + integer counts + total-order
+    tiebreaks make the whole loop replay under the SQL oracle as
+    unrolled CTE rounds, exactly like :func:`pagerank`'s recipe.
+
+    Scale: one round = one equi-join of the (mirrored) edge list with
+    the labeled state + one (node, label) count groupBy + one argmax
+    window partitioned by node — all linear in |E|; the state frame
+    (|V| rows) localCheckpoints per round so plan depth stays O(1) in
+    ``rounds``. Labels spread one hop per round: ``rounds`` bounds the
+    certification radius, not a convergence guess."""
+    und = (
+        graph.select("src", "dst")
+        .union(
+            graph.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    if _materialize:
+        und = und.localCheckpoint(eager=True)
+    state = nodes.select(
+        F.col(id_col).alias("_nid"),
+        F.col(label_col).alias("_lab"),
+        F.col(seed_col).cast("boolean").alias("_seed"),
+    )
+    w_pick = Window.partitionBy("_nid").orderBy(
+        F.col("_c").desc(), F.col("_lab").asc()
+    )
+    for _ in range(rounds):
+        msgs = (
+            und.join(
+                state.where(F.col("_lab").isNotNull()).select(
+                    F.col("_nid").alias("src"), "_lab"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("_nid"), "_lab")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        pick = (
+            msgs.withColumn("_r", F.row_number().over(w_pick))
+            .where(F.col("_r") == 1)
+            .select("_nid", F.col("_lab").alias("_plab"))
+        )
+        state = state.join(pick, "_nid", "left").select(
+            "_nid",
+            F.when(F.col("_seed"), F.col("_lab"))
+            .otherwise(F.coalesce(F.col("_plab"), F.col("_lab")))
+            .alias("_lab"),
+            "_seed",
+        )
+        if _materialize:
+            state = state.localCheckpoint(eager=True)
+    return state.select(
+        F.col("_nid").alias(id_col),
+        F.col("_lab").alias(label_col),
+        F.col("_seed").alias(seed_col),
     )

@@ -162,9 +162,94 @@ def viterbi_segment(
     maxlen: int = UNI_MAXLEN,
     piece_maxlen: int = UNI_PIECE_MAXLEN,
 ) -> DataFrame:
-    """Hard-EM E-step / apply pass: per word, the max-product
-    segmentation under the integer grid probs, as an unrolled DP over
-    end positions. Returns ``(word, freq, seq, n_pieces)`` with
+    """Hard-EM E-step / apply pass: per word, the max-score
+    segmentation under the integer log gains, as ONE in-row
+    ``aggregate()`` over end positions — the single-pass-apply design
+    the BPE tokenizer uses (bpe.bpe_segment): the vocab rides in as a
+    literal ``piece -> gain`` map (O(SEED_V + alphabet) entries —
+    data, not plan operators) and the whole DP runs in whole-stage
+    codegen with ZERO joins and ZERO shuffles. The outer fold walks
+    end positions j = 1..len(word), appending dp[j]; the inner fold
+    walks candidate split points i in [j-piece_maxlen, j-1] keeping
+    the best (score desc, i asc — strictly-greater-replaces over
+    ascending i IS the smaller-i tiebreak) with an ``ok`` flag for
+    unreachable positions. Each dp entry carries its segmentation
+    string, so no backtrace pass exists to diverge — the same
+    recurrence the SQL oracle replays as unrolled join-CTE rounds.
+
+    Returns ``(word, freq, seq, n_pieces)`` with ``seq`` the
+    SEP-terminated piece string; words with no path (a character
+    outside the vocab — impossible for the training corpus, whose
+    singles ARE its characters) are dropped, matching the oracle's
+    no-row-at-final-position behavior.
+
+    The join+window formulation this replaced
+    (:func:`_viterbi_segment_joins`) is kept as the cross-check seam
+    (pytest pins in-row == joins): 8 stages x (broadcast join +
+    per-word window) cost ~15 s of pure stage overhead per pass even
+    on a 31-word table — the per-row DP is the plan that survives
+    100 TB (corpus-linear, embarrassingly parallel, shuffle-free)."""
+    vm_pairs = []
+    for piece, _cnt, _p_q, g in vocab_rows:
+        vm_pairs.append(F.lit(piece))
+        vm_pairs.append(F.lit(int(g)).cast("long"))
+    dp_expr = f"""
+        aggregate(
+          sequence(1, length(word)),
+          array(named_struct('ok', true, 'score', cast(0 as bigint),
+                             'seq', '')),
+          (acc, j) -> acc || array(
+            aggregate(
+              sequence(greatest(j - {piece_maxlen}, 0), j - 1),
+              named_struct('ok', false, 'score', cast(0 as bigint),
+                           'seq', ''),
+              (best, i) -> CASE
+                WHEN element_at(acc, i + 1).ok
+                     AND try_element_at(_vm,
+                           substring(word, i + 1, j - i)) IS NOT NULL
+                     AND (NOT best.ok
+                          OR element_at(acc, i + 1).score
+                             + try_element_at(_vm,
+                                 substring(word, i + 1, j - i))
+                             > best.score)
+                THEN named_struct(
+                       'ok', true,
+                       'score', element_at(acc, i + 1).score
+                                + try_element_at(_vm,
+                                    substring(word, i + 1, j - i)),
+                       'seq', element_at(acc, i + 1).seq
+                              || substring(word, i + 1, j - i)
+                              || chr(31))
+                ELSE best END)))"""
+    return (
+        words.where(F.length("word") <= maxlen)
+        .withColumn("_vm", F.create_map(*vm_pairs))
+        .withColumn("_dp", F.expr(dp_expr))
+        .withColumn("_last", F.expr("element_at(_dp, length(word) + 1)"))
+        .where(F.col("_last.ok"))
+        .select(
+            "word",
+            "freq",
+            F.col("_last.seq").alias("seq"),
+            F.size(
+                F.filter(
+                    F.split(F.col("_last.seq"), SEP),
+                    lambda x: x != F.lit(""),
+                )
+            ).cast("long").alias("n_pieces"),
+        )
+    )
+
+
+def _viterbi_segment_joins(
+    words: DataFrame,
+    vocab_rows: list,
+    maxlen: int = UNI_MAXLEN,
+    piece_maxlen: int = UNI_PIECE_MAXLEN,
+) -> DataFrame:
+    """The unrolled join+window Viterbi — the literal DataFrame
+    transcription of the oracle's CTE rounds, kept as the cross-check
+    twin for :func:`viterbi_segment` (pytest pins in-row == joins). Returns ``(word, freq, seq, n_pieces)`` with
     ``seq`` the ``\\x1f``-terminated piece string. Every stage is one
     broadcast vocab join + one per-word top-1 window; rows only exist
     for positions ≤ len(word), so the frame is ≤ (maxlen+1)·|words|."""
