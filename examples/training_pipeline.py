@@ -151,6 +151,19 @@ def main() -> None:
         "doc_id",
     ).persist()
 
+    # 5c. tokenizer fit + fertility check, in-engine (r8): train the
+    #     unigram-LM tokenizer on the CLEANED corpus and read the
+    #     fertility (pieces per word over the trained coverage) — the
+    #     pre-training sanity statistic that tells you whether the
+    #     corpus and tokenizer fit each other before any GPU spins up.
+    #     BPE (operators/bpe.py) is the drop-in alternative.
+    from wasaffi_spark.operators import unigram
+
+    uvoc = unigram.unigram_train(docs)
+    ufert = unigram.unigram_fertility(docs, uvoc).agg(
+        F.sum("n_pieces").alias("p"), F.sum("n_words").alias("w")
+    ).collect()[0]
+
     # 6. per-domain cap (no single source dominates), then domain
     #    mixture + deterministic split + chunking
     docs = pipeline.domain_cap(
@@ -191,6 +204,10 @@ def main() -> None:
     card = pipeline.corpus_report(docs)
     print(f"\ndocs: {n0} → exact-dedup {n_exact} → near-dedup {n_near}"
           f" → decontaminated {n_clean} → quality-kept {n_q}")
+    print(
+        f"unigram tokenizer: vocab {uvoc.count()} pieces, corpus "
+        f"fertility {ufert.p / ufert.w:.3f} pieces/word"
+    )
     print("per-domain dataset card (top 5 by docs):")
     card.orderBy(F.desc("n_docs")).show(5, truncate=False)
     print("gopher rule firings among dropped docs:")

@@ -7675,7 +7675,9 @@ register_extra(
 
 # ---------------------------------------------------------------------------
 # late-r7 addition: retrieval-quality evaluation — reciprocal rank,
-# recall@k, nDCG@k of the hashed-IVF retriever against label relevance
+# R-capped recall@k (recall_capped_at_k = hits / min(n_rel, k); see
+# retrieval.label_ranking_metrics for the capped-vs-textbook note),
+# nDCG@k of the hashed-IVF retriever against label relevance
 # (same-label = relevant, the standard proxy ground truth). DCG gains
 # are precomputed integers injected as literals into BOTH engines, so
 # neither ever evaluates log2 (libm-divergence-proof, the BM25
@@ -7688,8 +7690,9 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query retrieval metrics (operators/retrieval.py::
     label_ranking_metrics) over the hashed-IVF run at k=EVAL_K: the
     eval harness every retrieval change gets graded by, as a first-
-    class oracled operator. rr/recall@k/ndcg@k with integer-exact DCG
-    (literal gain table), n_rel from one broadcast label count."""
+    class oracled operator. rr / recall_capped_at_k / ndcg@k with
+    integer-exact DCG (literal gain table), n_rel from one broadcast
+    label count."""
     from . import retrieval
 
     emb = _table(spark, sf_dir, "embeddings")
