@@ -286,10 +286,19 @@ def main() -> None:
     # runs (no concurrent sweep/pytest); load1/cpus >> 0 at start or a
     # big end-start jump flags a contaminated artifact.
     def _env_probe() -> dict:
-        la = os.getloadavg()
-        n_procs = sum(1 for d in os.listdir("/proc") if d.isdigit())
-        return {"load1": round(la[0], 2), "load5": round(la[1], 2),
-                "n_procs": n_procs}
+        # getloadavg / /proc are POSIX/Linux-only; the probe is
+        # evidence, not a dependency — emit nulls rather than crash
+        # the bench on other hosts (ADVICE r8).
+        try:
+            la = os.getloadavg()
+            load1, load5 = round(la[0], 2), round(la[1], 2)
+        except (OSError, AttributeError):
+            load1 = load5 = None
+        try:
+            n_procs = sum(1 for d in os.listdir("/proc") if d.isdigit())
+        except OSError:
+            n_procs = None
+        return {"load1": load1, "load5": load5, "n_procs": n_procs}
 
     env_evidence = {"cpus_host": os.cpu_count(), "start": _env_probe()}
     timings: dict[str, float] = {}

@@ -204,10 +204,13 @@ def main() -> None:
     card = pipeline.corpus_report(docs)
     print(f"\ndocs: {n0} → exact-dedup {n_exact} → near-dedup {n_near}"
           f" → decontaminated {n_clean} → quality-kept {n_q}")
-    print(
-        f"unigram tokenizer: vocab {uvoc.count()} pieces, corpus "
-        f"fertility {ufert.p / ufert.w:.3f} pieces/word"
-    )
+    if ufert.w:  # guard: quality filtering can drop every coverable word
+        print(
+            f"unigram tokenizer: vocab {uvoc.count()} pieces, corpus "
+            f"fertility {ufert.p / ufert.w:.3f} pieces/word"
+        )
+    else:
+        print("unigram tokenizer: no words within coverage — fertility n/a")
     print("per-domain dataset card (top 5 by docs):")
     card.orderBy(F.desc("n_docs")).show(5, truncate=False)
     print("gopher rule firings among dropped docs:")

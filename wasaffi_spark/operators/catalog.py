@@ -7238,8 +7238,12 @@ register_extra(
 GS_K = 3
 GS_BEAM = 8
 GS_ROUNDS = 4
-GS_RING = 4
+GS_RING = DESCENT_RING  # the oracle reuses the build chain's `ringe`
+# CTE for the navigable-overlay edges, so the search-time ring width
+# MUST equal the build-time one; an independent GS_RING would desync
+# the declared query from its oracle (ADVICE r8).
 GS_ENTRY = 4
+assert GS_RING == DESCENT_RING
 
 
 def q_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7290,7 +7294,7 @@ register_extra(
                  select qid, nid, cos_sim,
                         row_number() over (partition by qid
                                            order by cos_sim desc, nid) as rnk
-                 from gsc_0) t where rnk <= 8),
+                 from gsc_0) t where rnk <= {GS_BEAM}),
         ex0 as (select b.qid, g.dst as nid
                   from b0 b join g on g.src = b.nid
                   union
@@ -7307,7 +7311,7 @@ register_extra(
                           row_number() over (partition by qid
                                              order by cos_sim desc, nid)
                             as rnk
-                   from gsc0) t where rnk <= 8),
+                   from gsc0) t where rnk <= {GS_BEAM}),
         ex1 as (select b.qid, g.dst as nid
                   from b1 b join g on g.src = b.nid
                   union
@@ -7324,7 +7328,7 @@ register_extra(
                           row_number() over (partition by qid
                                              order by cos_sim desc, nid)
                             as rnk
-                   from gsc1) t where rnk <= 8),
+                   from gsc1) t where rnk <= {GS_BEAM}),
         ex2 as (select b.qid, g.dst as nid
                   from b2 b join g on g.src = b.nid
                   union
@@ -7341,7 +7345,7 @@ register_extra(
                           row_number() over (partition by qid
                                              order by cos_sim desc, nid)
                             as rnk
-                   from gsc2) t where rnk <= 8),
+                   from gsc2) t where rnk <= {GS_BEAM}),
         ex3 as (select b.qid, g.dst as nid
                   from b3 b join g on g.src = b.nid
                   union
@@ -7358,9 +7362,9 @@ register_extra(
                           row_number() over (partition by qid
                                              order by cos_sim desc, nid)
                             as rnk
-                   from gsc3) t where rnk <= 8)
+                   from gsc3) t where rnk <= {GS_BEAM})
         select qid, nid, cos_sim, rnk from b4
-        where rnk <= 3
+        where rnk <= {GS_K}
         order by qid, rnk""",
 )
 
