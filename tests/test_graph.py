@@ -51,3 +51,17 @@ def test_pagerank_hand_computed(spark):
         for r in graph.pagerank(edges.repartition(4), iterations=2).collect()
     }
     assert again == got  # bigint arithmetic: layout-independent, bit-exact
+
+
+def test_chain_converges_in_log_rounds(spark):
+    # 256-edge chain (257 nodes): hash-min alone needs ~256 rounds (one
+    # hop per round); hash-min + pointer-doubling shortcut halves the
+    # distance-to-root each round → O(log N). log2(257) ≈ 8; allow the
+    # +1 hop per round interplay and the fixpoint-detection round.
+    n = 256
+    got = cc(spark, [(i, i + 1) for i in range(n)])
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+    assert graph.connected_components.last_iterations <= 11, (
+        graph.connected_components.last_iterations
+    )

@@ -6,13 +6,22 @@ inherently *iterative* computation — not expressible as one SQL query —
 so this is the canonical driver-controlled loop over distributed joins
 (the same shape MLlib/GraphX use):
 
-    label(v) ← min(label(v), min over neighbors label(u)),  to fixpoint
+    label(v) ← min(label(v), min over neighbors label(u))   # hash-min
+    label(v) ← label(label(v))                               # shortcut
 
-Each iteration is one join + one grouped min (2 shuffles); the iteration
-count is the graph diameter in label-hops (near-dup clusters are
-near-cliques → 2-3 iterations). ``localCheckpoint`` truncates the plan
-lineage every round so the DAG doesn't grow with iterations — the
-classic iterative-Spark pitfall.
+Each iteration is one |E| join + one grouped min for the hash-min step,
+plus one |V| self-join for the pointer-doubling shortcut (Shiloach &
+Vishkin 1982; the hash-min + shortcut recipe of Kiveris et al. 2014,
+"Connected Components in MapReduce and Beyond"). Hash-min alone needs
+diameter-many rounds — an adversarial chain-shaped duplicate graph
+(A≈B≈C≈… paragraph chains) makes that linear in chain length; the
+shortcut composes the label map with itself each round, so the
+distance-to-root halves and the loop converges in O(log diameter)
+rounds (pytest pins ≤ 11 rounds on a 256-edge chain where hash-min
+alone needs 256). Near-dup clusters are near-cliques → 2-3 iterations
+either way. ``localCheckpoint`` truncates the plan lineage every round
+so the DAG doesn't grow with iterations — the classic iterative-Spark
+pitfall.
 
 The DuckDB oracle computes the same labels with a recursive CTE
 (transitive closure + min), which is exact but quadratic per clique —
@@ -37,11 +46,23 @@ def connected_components(
     Returns ``(node, component)`` for every node appearing in an edge,
     where ``component`` is the minimum node id in the node's component.
 
+    Every label value is itself a node id (labels start as self-ids and
+    only ever take mins of existing labels), so the shortcut step is an
+    inner self-join of the label map on ``label = a`` — label(label(v))
+    is always defined. The min-label fixpoint is unchanged by the
+    shortcut (at the hash-min fixpoint every label already equals its
+    component min, so label∘label = label); only the round COUNT drops,
+    so downstream consumers (entity_clusters, cluster_canonical,
+    SemDeDup clusters) and the recursive-CTE oracle are unaffected.
+
     Convergence is detected from one cheap aggregate per round: labels
-    are monotonically non-increasing under min-propagation, so the label
-    sum is strictly decreasing until the fixpoint — no per-round
-    join+count needed. Raises if ``max_iterations`` is hit before the
-    fixpoint (silently-partial components would corrupt dedup clusters).
+    are monotonically non-increasing under min-propagation and
+    shortcutting, so the label sum is strictly decreasing until the
+    fixpoint — no per-round join+count needed. Raises if
+    ``max_iterations`` is hit before the fixpoint (silently-partial
+    components would corrupt dedup clusters). The round count of the
+    last call is exposed as ``connected_components.last_iterations``
+    (test instrumentation).
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = sym.union(
@@ -54,12 +75,25 @@ def connected_components(
     converged = False
     try:
         prev_sum = None
-        for _ in range(max_iterations):
+        for it in range(max_iterations):
             msgs = sym.join(labels, on="a").select(
                 F.col("b").alias("a"), F.col("label")
             )
             new_labels = (
                 labels.unionByName(msgs).groupBy("a").agg(F.min("label").alias("label"))
+            )
+            # pointer-doubling shortcut: label ← label(label). One |V|
+            # self-join on the (unique-keyed) label map; halves the
+            # remaining distance to the component min each round.
+            new_labels = (
+                new_labels.join(
+                    new_labels.select(
+                        F.col("a").alias("label"),
+                        F.col("label").alias("_label2"),
+                    ),
+                    on="label",
+                )
+                .select("a", F.col("_label2").alias("label"))
             )
             new_labels = new_labels.localCheckpoint(eager=True)
             [row] = new_labels.select(
@@ -68,6 +102,7 @@ def connected_components(
             labels = new_labels
             if row["s"] == prev_sum:
                 converged = True
+                connected_components.last_iterations = it + 1
                 break
             prev_sum = row["s"]
     finally:
