@@ -6996,21 +6996,24 @@ def _lloyd_mean_cols_sql(dim: int = 64) -> str:
     )
 
 
-def _lloyd_iter_sql(n: int, prev: str, dim: int = 64) -> str:
+def _lloyd_iter_sql(n: int, prev: str, dim: int = 64, rel: str = "e") -> str:
     """One unrolled Lloyd iteration (DuckDB CTE fragment): assign every
     vector to its nearest ``prev`` centroid (packed-min integer argmin,
     ties to the smaller cell — the ivf_assign_hashed contract), average
-    members on the grid, keep the previous centroid for emptied cells."""
+    members on the grid, keep the previous centroid for emptied cells.
+    ``rel`` names the member relation the iteration trains on (aliased
+    to ``e`` inside) — the ivf_append oracle trains on the base slice
+    only."""
     cv_new = "list_value(" + ", ".join(f"m.c{i}" for i in range(1, dim + 1)) + ")"
     return f"""
         ad{n} as (select e.vec_id, c.cell, {_ivf_l2_sql("e.v", "c.cv")} as d
-                  from e cross join {prev} c),
+                  from {rel} e cross join {prev} c),
         as{n} as (select vec_id,
                          cast(min(d * {LLOYD_CELLS} + cell) % {LLOYD_CELLS}
                               as int) as cell
                   from ad{n} group by vec_id),
         m{n} as (select a.cell, {_lloyd_mean_cols_sql(dim)}
-                 from as{n} a join e using (vec_id) group by a.cell),
+                 from as{n} a join {rel} e using (vec_id) group by a.cell),
         c{n + 1} as (select p.cell,
                             case when m.cell is null then p.cv
                                  else {cv_new} end as cv
@@ -7064,6 +7067,99 @@ register_extra(
     "ann_ivf_lloyd",
     q_ann_ivf_lloyd,
     f"""with {_LLOYD_TRAIN_ASSIGN_CTES},
+        q as (select vec_id as qid, v as qv from e
+              where vec_id < {ANN_QUERY_MAX_ID}),
+        qd as (select q.qid, c.cell, {_ivf_l2_sql("q.qv", "c.cv")} as d
+               from q cross join c2 c),
+        probes as (
+          select qid, cell from (
+            select qid, cell,
+                   row_number() over (partition by qid order by d, cell) as pr
+            from qd) t
+          where pr <= {LLOYD_PROBE}),
+        cand as (select p.qid, a.vec_id as nid
+                 from probes p join assign a using (cell)),
+        scored as (
+          select c.qid, c.nid,
+                 round(list_cosine_similarity(q2.qv, e2.v), 6) as cos_sim
+          from cand c
+          join q q2 on q2.qid = c.qid
+          join e e2 on e2.vec_id = c.nid
+          where c.qid <> c.nid),
+        rankd as (
+          select qid, nid, cos_sim,
+                 row_number() over (partition by qid
+                                    order by cos_sim desc, nid) as rnk
+          from scored)
+       select qid, nid, cos_sim, rnk from rankd
+       where rnk <= {ANN_K} order by qid, rnk""",
+)
+
+
+# ---------------------------------------------------------------------------
+# r9 addition: incremental IVF index maintenance — the production
+# INSERT path (VERDICT r8 What's-missing #5). A continuously-ingesting
+# 100 TB pipeline does not retrain per batch: the codebook is trained
+# on a base snapshot and FROZEN, and each ingest batch is assigned to
+# it in O(|batch|) (FAISS add-after-train). The declared query splits
+# the corpus into base (7/8, by id residue so the proportion holds at
+# every SF) and an ingest batch (1/8), trains Lloyd on the base only,
+# appends the batch postings via similarity.ivf_append, and searches
+# the union — every stage integer-exact, so the oracle replays train
+# (over the base slice), both assignments, and the probe search.
+
+IAP_MOD = 8  # vec_id % IAP_MOD == IAP_MOD-1 is the ingest batch
+
+
+def q_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over an incrementally-maintained index (operators/
+    similarity.py::ivf_append_topk): Lloyd codebook trained on the
+    base 7/8 snapshot and frozen; the 1/8 ingest batch is appended by
+    assign-to-frozen-codebook (similarity.ivf_append — O(|batch|),
+    postings-delta only); the probe search runs over old∪new
+    postings. Append-then-search ≡ rebuild-assignment against the
+    same codebook (pytest-pinned row identity)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
+    batch = emb.where(F.col("vec_id") % IAP_MOD == IAP_MOD - 1)
+    queries = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    out = similarity.ivf_append_topk(
+        queries, base, batch, k=ANN_K, n_cells=LLOYD_CELLS,
+        n_probe=LLOYD_PROBE, iters=LLOYD_ITERS,
+    )
+    return out.select(
+        "qid", "nid", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
+    ).orderBy("qid", "rnk")
+
+
+# frozen-codebook train (base slice) + full-corpus assignment chain:
+# identical to _LLOYD_TRAIN_ASSIGN_CTES except training reads eb.
+_LLOYD_APPEND_CTES = f"""e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        eb as (select vec_id, v from e where vec_id % {IAP_MOD} <> {IAP_MOD - 1}),
+        seeds as (
+          select v as sv,
+                 row_number() over (
+                   order by md5('{similarity.IVF_SEED}' || vec_id), vec_id) - 1
+                   as cell
+          from eb
+          order by md5('{similarity.IVF_SEED}' || vec_id), vec_id
+          limit {LLOYD_CELLS}),
+        c0 as (select cell, {_lloyd_snap_sql("sv")} as cv from seeds),
+        {_lloyd_iter_sql(0, "c0", rel="eb")},
+        {_lloyd_iter_sql(1, "c1", rel="eb")},
+        adf as (select e.vec_id, c.cell, {_ivf_l2_sql("e.v", "c.cv")} as d
+                from e cross join c2 c),
+        assign as (
+          select vec_id,
+                 cast(min(d * {LLOYD_CELLS} + cell) % {LLOYD_CELLS} as int)
+                   as cell
+          from adf group by vec_id)"""
+
+
+register_extra(
+    "ivf_append",
+    q_ivf_append,
+    f"""with {_LLOYD_APPEND_CTES},
         q as (select vec_id as qid, v as qv from e
               where vec_id < {ANN_QUERY_MAX_ID}),
         qd as (select q.qid, c.cell, {_ivf_l2_sql("q.qv", "c.cv")} as d

@@ -1032,6 +1032,7 @@ def _ivf_probes(
     carry: tuple = ("qv",),
     corpus_carry: tuple = (),
     cents: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared hashed-IVF routing used by every composed index
     (:func:`ivf_topk_hashed`, :func:`ivf_sq8_topk`, :func:`ivf_bq_topk`,
@@ -1045,13 +1046,16 @@ def _ivf_probes(
     corpus ``(id_col, vec_col, cell, *corpus_carry)`` and the
     per-query probed cells ``(qid, *carry, cell)``. Pass ``cents`` to
     reuse an already-built centroid frame (saves one corpus scan when
-    the caller needs the centroids itself, e.g. for residuals)."""
+    the caller needs the centroids itself, e.g. for residuals); pass
+    ``assigned`` to search a PRE-BUILT postings frame (the incremental
+    ivf_append path — the corpus is then never reassigned)."""
     if cents is None:
         cents = hashed_centroids(corpus, n_cells, vec_col, id_col, seed)
-    assigned = ivf_assign_hashed(
-        corpus, cents, n_cells, dim, quant, vec_col, id_col,
-        extra_cols=corpus_carry,
-    )
+    if assigned is None:
+        assigned = ivf_assign_hashed(
+            corpus, cents, n_cells, dim, quant, vec_col, id_col,
+            extra_cols=corpus_carry,
+        )
     d = _pq_grid_dist(F.col(qvec_col), F.col("cv"), 0, dim, quant)
     qd = q.crossJoin(F.broadcast(cents)).select(
         "qid", *carry, "cell", d.alias("_d")
@@ -1276,6 +1280,107 @@ def ivf_topk_lloyd(
     assigned, probes = _ivf_probes(
         q, corpus, n_cells, n_probe, dim, quant, vec_col, id_col, seed,
         cents=cents,
+    )
+    c = assigned.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "cell"
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(c, ["cell"])
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    return _ranked_shortlist(
+        scored,
+        [F.col("cos_sim").desc(), F.col("nid").asc()],
+        ["qid", "nid", "cos_sim"],
+        k,
+        None,
+        queries,
+        corpus,
+        vec_col,
+        id_col,
+    )
+
+
+def ivf_append(
+    batch: DataFrame,
+    cents: DataFrame,
+    n_cells: int = 16,
+    dim: int = 64,
+    quant: int = PQ_QUANT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental IVF index maintenance — the WRITE path of a
+    continuously-ingesting 100 TB pipeline: assign a new-vector batch
+    to a FROZEN codebook (``cents`` from :func:`lloyd_centroids` or
+    :func:`hashed_centroids`) and return the postings-delta rows
+    ``(id_col, vec_col, cell)`` to append to the index, WITHOUT
+    retraining or touching existing postings.
+
+    This is exactly how production IVF indexes (FAISS ``add`` after
+    ``train``) ingest: the codebook is trained once on a base snapshot
+    and frozen; each ingest batch pays one broadcast of ``n_cells``
+    centroids + one groupBy(id) over the BATCH only — O(|batch|), not
+    O(|index|). Because :func:`ivf_assign_hashed` is per-row (integer
+    grid argmin, no batch-level state), appending then searching is
+    ROW-IDENTICAL to having assigned base∪batch in one pass against
+    the same codebook — the insert≡rebuild-assignment equivalence the
+    pytest pins. Codebook drift under a shifting ingest distribution
+    is handled by periodic re-train + re-snapshot, not by this path.
+    """
+    return ivf_assign_hashed(
+        batch, cents, n_cells, dim, quant, vec_col, id_col
+    )
+
+
+def ivf_append_topk(
+    queries: DataFrame,
+    base: DataFrame,
+    batch: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    iters: int = 2,
+    dim: int = 64,
+    quant: int = PQ_QUANT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+) -> DataFrame:
+    """IVF ANN over an INCREMENTALLY-MAINTAINED index: the Lloyd
+    codebook is trained on ``base`` only and frozen, ``base`` postings
+    come from the build-time assignment, ``batch`` postings from
+    :func:`ivf_append` — then the standard probe-join search
+    (:func:`ivf_topk_lloyd`'s exact tail) runs over the UNION of old
+    and appended postings. The declared composed form of the
+    production insert path: search results over old∪new are identical
+    to a full rebuild whose training saw only ``base`` (pinned by
+    pytest), and the whole flow — train, both assignments, probes,
+    ranks — stays integer-exact and DuckDB-replayable.
+
+    Scale: the append touches only the batch (one broadcast + one
+    groupBy over |batch| rows); the union is a metadata-only concat of
+    two bucketed postings tables; search cost is unchanged
+    (candidates ∝ (N_base+N_batch)·n_probe/n_cells per query)."""
+    cents = lloyd_centroids(
+        base, n_cells, iters, dim, quant, vec_col, id_col, seed
+    )
+    postings = ivf_assign_hashed(
+        base, cents, n_cells, dim, quant, vec_col, id_col
+    ).unionByName(
+        ivf_append(batch, cents, n_cells, dim, quant, vec_col, id_col)
+    )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    corpus = base.unionByName(batch)
+    assigned, probes = _ivf_probes(
+        q, corpus, n_cells, n_probe, dim, quant, vec_col, id_col, seed,
+        cents=cents, assigned=postings,
     )
     c = assigned.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "cell"
@@ -2998,6 +3103,90 @@ def graph_search_topk(
         if _materialize:
             frontier = frontier.localCheckpoint(eager=True)
     return frontier.where(F.col("rank") <= k)
+
+
+def graph_insert(
+    batch: DataFrame,
+    graph: DataFrame,
+    base: DataFrame,
+    k: int = 8,
+    beam: int = 8,
+    rounds: int = 4,
+    n_entry: int = 4,
+    ring: int = 4,
+    max_reverse: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+    _materialize: bool = True,
+) -> DataFrame:
+    """Incremental graph-ANN index maintenance — the search-then-link
+    INSERT of HNSW/Vamana (Malkov & Yashunin TPAMI 2020 §4 insert;
+    DiskANN's FreshVamana shape): for every new vector in ``batch``,
+    find its ``k`` nearest BASE nodes by :func:`graph_search_topk`
+    over the frozen base ``graph``, emit those as the new node's
+    out-adjacency, and SPLICE the reverse edges — each touched base
+    node merges the new in-candidates into its existing out-list and
+    re-ranks to the top-``k`` by the shared (cos desc, dst asc)
+    contract. Reverse candidates per base node are valve-capped at
+    ``max_reverse`` (deterministic smallest-new-id sample — the same
+    valve :func:`knn_descent` uses for reverse degree), so one hub-shaped
+    batch cannot blow up any node's merge.
+
+    Batch semantics: the batch searches a FROZEN snapshot, so new→new
+    links are not formed here (they appear at the next descent round /
+    rebuild) — the standard batched-ingest contract; a production
+    pipeline alternates append batches with periodic re-descent
+    exactly like IVF alternates :func:`ivf_append` with re-training.
+
+    Deterministic end to end (bounded search rounds, rounded-cosine
+    scores, id tiebreaks), so the whole insert — base build replay,
+    per-new-node beam search, valve, splice re-rank — unrolls under
+    the DuckDB oracle.
+
+    Scale: search is O(|batch|·beam·(k+ring)·rounds), independent of
+    base size; the splice touches ≤ |batch|·k base adjacency lists
+    (one equi-join on src + one bounded window) — the whole insert
+    never scans the base corpus beyond the id-lookup joins of the
+    search itself. Returns the updated adjacency slice:
+    ``(src, dst, cos_sim, rank)`` for every new node (its fresh
+    out-edges) and every spliced base node (its re-ranked out-edges).
+    """
+    found = graph_search_topk(
+        batch, graph, base, k=k, beam=beam, rounds=rounds,
+        n_entry=n_entry, ring=ring, vec_col=vec_col, id_col=id_col,
+        seed=seed, _materialize=_materialize,
+    )
+    if _materialize:
+        found = found.localCheckpoint(eager=True)
+    fwd = found.select(
+        F.col("qid").alias("src"), F.col("nid").alias("dst"),
+        "cos_sim", "rank",
+    )
+    # reverse candidates: base node <- new node, same rounded score;
+    # valve: each base node accepts at most max_reverse in-candidates
+    # (smallest new id first — knn_descent's reverse-valve contract)
+    w_valve = Window.partitionBy("src").orderBy(F.col("dst").asc())
+    revc = (
+        found.select(
+            F.col("nid").alias("src"), F.col("qid").alias("dst"), "cos_sim"
+        )
+        .withColumn("_rr", F.row_number().over(w_valve))
+        .where(F.col("_rr") <= max_reverse)
+        .select("src", "dst", "cos_sim")
+    )
+    affected = revc.select("src").distinct()
+    old = graph.join(affected, "src").select("src", "dst", "cos_sim")
+    w_rank = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst").asc()
+    )
+    upd = (
+        old.unionByName(revc)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "cos_sim", "rank")
+    )
+    return fwd.unionByName(upd)
 
 
 def hashed_embedding(
