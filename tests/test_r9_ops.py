@@ -203,3 +203,56 @@ def test_graph_insert_deterministic(spark):
     a = similarity.graph_insert(batch, graph, base, k=4, beam=8, rounds=3)
     b = similarity.graph_insert(batch, graph, base, k=4, beam=8, rounds=3)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ------------------------------------------------------ tokenizer compare
+
+
+def test_bpe_apply_words_roundtrip_and_matches_segment(spark):
+    """bpe_apply_words must (a) be round-trip lossless (replace(seq,
+    SEP, '') == word — the invariant tokenizer_compare declares as a
+    hash-checked zero column) and (b) aggregate back to exactly
+    bpe_segment's per-document counts when summed over word
+    instances — the per-word and per-doc apply paths cannot drift."""
+    from wasaffi_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat the cat"),
+            (1, "a cat and a hat and a mat"),
+            (2, "the hat sat on a cat"),
+        ],
+        "doc_id bigint, text string",
+    )
+    merges = bpe.bpe_train(docs, k_merges=4)
+    words = bpe.word_freq_table(docs).select("word")
+    aw = bpe.bpe_apply_words(words, merges)
+    rows = aw.collect()
+    assert rows
+    for r in rows:
+        assert r.seq.replace(bpe.SEP, "") == r.word, (r.word, r.seq)
+
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    dwf = (
+        docs.select("doc_id", F.explode(toks).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("dfreq"))
+    )
+    via_words = {
+        r.doc_id: (r.t, r.w)
+        for r in dwf.join(aw, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("dfreq") * F.col("n_sub")).alias("t"),
+            F.sum("dfreq").alias("w"),
+        )
+        .collect()
+    }
+    via_segment = {
+        r.doc_id: (r.n_bpe_tokens, r.n_words)
+        for r in bpe.bpe_segment(docs, merges).collect()
+    }
+    assert via_words == via_segment

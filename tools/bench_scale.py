@@ -285,6 +285,20 @@ PROBES = {
         "corpus size: vocab growth is sub-linear in tokens), vocab "
         "collect bounded at O(SEED_V + alphabet)"
     ),
+    "ivf_append": (
+        "incremental IVF insert (r9): train is Lloyd on the 7/8 base "
+        "(linear passes collapsing to n_cells×dim longs); the append "
+        "is one broadcast + groupBy over the 1/8 batch only; search "
+        "candidates O(N·n_probe/n_cells) — the whole flow linear"
+    ),
+    "graph_insert": (
+        "incremental graph-ANN insert (r9): dominated by the base "
+        "knn_descent build (linear per round); the batch search is "
+        "|batch|·beam·(k+ring)·rounds — |batch| grows with N at the "
+        "fixed 1/8 split so the ladder reads linear; the splice is "
+        "one equi-join on ≤ |batch|·k affected adjacencies + a "
+        "bounded window"
+    ),
 }
 
 

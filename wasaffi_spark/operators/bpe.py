@@ -148,6 +148,58 @@ def bpe_train(
     return out
 
 
+def bpe_apply_words(
+    words: DataFrame,
+    merges: DataFrame,
+    word_col: str = "word",
+) -> DataFrame:
+    """Apply a learned merge table to a DISTINCT word table — the
+    per-word half of :func:`bpe_segment`'s single-pass apply (same
+    broadcast ``(rank, pat, rep)`` fold, same two-sweep replace rule),
+    exposed so tokenizer-comparison queries can score BPE and unigram
+    on the identical word slice and check the detokenize round-trip.
+    Returns ``(word_col, seq, n_sub)`` with ``seq`` the SEP-delimited
+    symbol string (``replace(seq, SEP, '') = word`` — the round-trip
+    invariant BPE merges preserve by construction).
+
+    Scale: one row per distinct word (sub-linear in corpus size), the
+    merge table rides in as data — corpus-independent apply cost."""
+    seqs = words.select(word_col, _char_seq(word_col).alias("seq"))
+    mtab = merges.select(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("rank").cast("int").alias("rank"),
+                    F.concat(
+                        F.lit(SEP),
+                        F.col("left_sym"),
+                        F.lit(SEP),
+                        F.col("right_sym"),
+                        F.lit(SEP),
+                    ).alias("pat"),
+                    F.concat(F.lit(SEP), F.col("merged"), F.lit(SEP)).alias(
+                        "rep"
+                    ),
+                )
+            )
+        ).alias("_merges")
+    )
+    seqs = seqs.crossJoin(F.broadcast(mtab)).select(
+        word_col,
+        F.aggregate(
+            F.col("_merges"),
+            F.col("seq"),
+            lambda acc, m: F.replace(
+                F.replace(acc, m["pat"], m["rep"]), m["pat"], m["rep"]
+            ),
+        ).alias("seq"),
+    )
+    syms = F.filter(F.split(F.col("seq"), SEP), lambda x: x != F.lit(""))
+    return seqs.select(
+        word_col, "seq", F.size(syms).cast("long").alias("n_sub")
+    )
+
+
 def bpe_segment(
     df: DataFrame,
     merges: DataFrame,

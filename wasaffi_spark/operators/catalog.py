@@ -3713,12 +3713,12 @@ def q_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `mutual_knn`/`knn_triangles`/`embedding_clusters` oracles (via
 # _MUTUAL_KNN_CTES) and the `knn_descent` oracle so the cell routing,
 # scoring, and tiebreak contract can never drift apart.
-def _knn_edges_ctes(k: int) -> str:
-    return f"""{_auto_bits_ctes()},
-        {_rh_cell_ctes()},
+def _knn_edges_ctes(k: int, src: str = "embeddings") -> str:
+    return f"""{_auto_bits_ctes(src)},
+        {_rh_cell_ctes(src)},
         v as (select e.vec_id, e.embedding::DOUBLE[] as ev,
                      coalesce(cm.cell, 0) as cell
-              from embeddings e
+              from {src} e
               left join cellmap cm on cm._cid = e.vec_id),
         scored as (
           select a.vec_id as src, b.vec_id as dst,
@@ -7280,17 +7280,20 @@ def q_knn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounds -> e4 = the refined top-DESCENT_K graph) as one shared CTE
 # fragment: graph_search_topk's oracle replays the identical build
 # before searching it, so the two declared queries can never drift.
-_DESCENT_GRAPH_CTES = f"""{_knn_edges_ctes(DESCENT_K)},
+# ``src`` names the corpus relation — graph_insert's oracle builds the
+# base graph over the 7/8 base slice only.
+def _descent_graph_ctes(src: str = "embeddings") -> str:
+    return f"""{_knn_edges_ctes(DESCENT_K, src)},
         hr as (select vec_id,
                       row_number() over (
                         order by md5('{similarity.IVF_SEED}' || vec_id),
                                  vec_id) - 1 as pos
-               from embeddings),
+               from {src}),
         ringe as (select a.vec_id as src, b.vec_id as dst
                   from hr a
                   cross join range(1, {DESCENT_RING + 1}) o
                   join hr b on b.pos = (a.pos + o.range)
-                               % (select count(*) from embeddings)
+                               % (select count(*) from {src})
                   where a.vec_id <> b.vec_id),
         seedp as (select src, dst from e
                   union
@@ -7311,6 +7314,9 @@ _DESCENT_GRAPH_CTES = f"""{_knn_edges_ctes(DESCENT_K)},
         {_descent_round_sql(1, "e1")},
         {_descent_round_sql(2, "e2")},
         {_descent_round_sql(3, "e3")}"""
+
+
+_DESCENT_GRAPH_CTES = _descent_graph_ctes()
 
 
 register_extra(
@@ -7370,6 +7376,48 @@ def q_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rnk")
 
 
+def _gs_entry_sql(beam: int = GS_BEAM) -> str:
+    """Entry scoring + initial beam (gsc_0 -> b0, DuckDB CTE fragment):
+    score the entry set for every query, keep the best ``beam`` by the
+    shared (cos desc, nid asc) contract. References the fixed CTE names
+    ``q`` (qid, qv), ``v`` (vec_id, ev), ``ent`` (nid) — shared by the
+    graph_search_topk and graph_insert oracles."""
+    return f"""gsc_0 as (select q.qid, ent.nid,
+                        round(list_cosine_similarity(q.qv, vv.ev), 6)
+                          as cos_sim
+                 from q cross join ent
+                 join v vv on vv.vec_id = ent.nid
+                 where q.qid <> ent.nid),
+        b0 as materialized (select qid, nid, cos_sim, rnk from (
+                 select qid, nid, cos_sim,
+                        row_number() over (partition by qid
+                                           order by cos_sim desc, nid) as rnk
+                 from gsc_0) t where rnk <= {beam})"""
+
+
+def _gs_round_sql(n: int, beam: int = GS_BEAM) -> str:
+    """One unrolled beam round (ex{n} -> b{n+1}): offer the beam its
+    ``g``-neighbours, rescore against ``v``, keep the best ``beam``."""
+    return f"""
+        ex{n} as (select b.qid, g.dst as nid
+                  from b{n} b join g on g.src = b.nid
+                  union
+                  select qid, nid from b{n}),
+        gsc{n} as (select x.qid, x.nid,
+                         round(list_cosine_similarity(q.qv, vv.ev), 6)
+                           as cos_sim
+                  from ex{n} x
+                  join q on q.qid = x.qid
+                  join v vv on vv.vec_id = x.nid
+                  where x.qid <> x.nid),
+        b{n + 1} as materialized (select qid, nid, cos_sim, rnk from (
+                   select qid, nid, cos_sim,
+                          row_number() over (partition by qid
+                                             order by cos_sim desc, nid)
+                            as rnk
+                   from gsc{n}) t where rnk <= {beam})"""
+
+
 register_extra(
     "graph_search_topk",
     q_graph_search,
@@ -7380,88 +7428,96 @@ register_extra(
         q as (select vec_id as qid, ev as qv from v
               where vec_id < {ANN_QUERY_MAX_ID}),
         ent as (select vec_id as nid from hr where pos < {GS_ENTRY}),
-        gsc_0 as (select q.qid, ent.nid,
-                        round(list_cosine_similarity(q.qv, vv.ev), 6)
-                          as cos_sim
-                 from q cross join ent
-                 join v vv on vv.vec_id = ent.nid
-                 where q.qid <> ent.nid),
-        b0 as materialized (select qid, nid, cos_sim, rnk from (
-                 select qid, nid, cos_sim,
-                        row_number() over (partition by qid
-                                           order by cos_sim desc, nid) as rnk
-                 from gsc_0) t where rnk <= {GS_BEAM}),
-        ex0 as (select b.qid, g.dst as nid
-                  from b0 b join g on g.src = b.nid
-                  union
-                  select qid, nid from b0),
-        gsc0 as (select x.qid, x.nid,
-                         round(list_cosine_similarity(q.qv, vv.ev), 6)
-                           as cos_sim
-                  from ex0 x
-                  join q on q.qid = x.qid
-                  join v vv on vv.vec_id = x.nid
-                  where x.qid <> x.nid),
-        b1 as materialized (select qid, nid, cos_sim, rnk from (
-                   select qid, nid, cos_sim,
-                          row_number() over (partition by qid
-                                             order by cos_sim desc, nid)
-                            as rnk
-                   from gsc0) t where rnk <= {GS_BEAM}),
-        ex1 as (select b.qid, g.dst as nid
-                  from b1 b join g on g.src = b.nid
-                  union
-                  select qid, nid from b1),
-        gsc1 as (select x.qid, x.nid,
-                         round(list_cosine_similarity(q.qv, vv.ev), 6)
-                           as cos_sim
-                  from ex1 x
-                  join q on q.qid = x.qid
-                  join v vv on vv.vec_id = x.nid
-                  where x.qid <> x.nid),
-        b2 as materialized (select qid, nid, cos_sim, rnk from (
-                   select qid, nid, cos_sim,
-                          row_number() over (partition by qid
-                                             order by cos_sim desc, nid)
-                            as rnk
-                   from gsc1) t where rnk <= {GS_BEAM}),
-        ex2 as (select b.qid, g.dst as nid
-                  from b2 b join g on g.src = b.nid
-                  union
-                  select qid, nid from b2),
-        gsc2 as (select x.qid, x.nid,
-                         round(list_cosine_similarity(q.qv, vv.ev), 6)
-                           as cos_sim
-                  from ex2 x
-                  join q on q.qid = x.qid
-                  join v vv on vv.vec_id = x.nid
-                  where x.qid <> x.nid),
-        b3 as materialized (select qid, nid, cos_sim, rnk from (
-                   select qid, nid, cos_sim,
-                          row_number() over (partition by qid
-                                             order by cos_sim desc, nid)
-                            as rnk
-                   from gsc2) t where rnk <= {GS_BEAM}),
-        ex3 as (select b.qid, g.dst as nid
-                  from b3 b join g on g.src = b.nid
-                  union
-                  select qid, nid from b3),
-        gsc3 as (select x.qid, x.nid,
-                         round(list_cosine_similarity(q.qv, vv.ev), 6)
-                           as cos_sim
-                  from ex3 x
-                  join q on q.qid = x.qid
-                  join v vv on vv.vec_id = x.nid
-                  where x.qid <> x.nid),
-        b4 as materialized (select qid, nid, cos_sim, rnk from (
-                   select qid, nid, cos_sim,
-                          row_number() over (partition by qid
-                                             order by cos_sim desc, nid)
-                            as rnk
-                   from gsc3) t where rnk <= {GS_BEAM})
-        select qid, nid, cos_sim, rnk from b4
+        {_gs_entry_sql()},
+        {_gs_round_sql(0)},
+        {_gs_round_sql(1)},
+        {_gs_round_sql(2)},
+        {_gs_round_sql(3)}
+        select qid, nid, cos_sim, rnk from b{GS_ROUNDS}
         where rnk <= {GS_K}
         order by qid, rnk""",
+)
+
+
+# ---------------------------------------------------------------------------
+# r9 addition: incremental graph-ANN index maintenance — the
+# search-then-link INSERT of HNSW/Vamana (VERDICT r8 What's-missing
+# #5, the graph half): the base graph is built once (the shared
+# descent chain, over the 7/8 base slice), each new vector finds its
+# neighbours by beam search over the FROZEN graph, and the touched
+# base adjacencies merge the valve-capped reverse edges and re-rank.
+# Deterministic end to end, so the oracle replays base build, every
+# beam round, the valve, and the splice.
+
+
+def q_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental graph-ANN insert (operators/similarity.py::
+    graph_insert): the 1/8 ingest batch searches the frozen base
+    graph (same operating point as graph_search_topk) for its
+    DESCENT_K nearest base nodes, links forward, and splices
+    valve-capped reverse edges into the touched base adjacencies
+    (re-ranked to top-DESCENT_K). Insert work is
+    O(|batch|·beam·(k+ring)·rounds) + one bounded splice join —
+    independent of base size post-build. Insert≡rebuild pinned by
+    pytest on the orthogonal-cluster fixture (incl. eviction)."""
+    emb = _table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
+    batch = emb.where(F.col("vec_id") % IAP_MOD == IAP_MOD - 1)
+    graph = similarity.knn_descent(
+        base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
+        max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
+    )
+    out = similarity.graph_insert(
+        batch, graph, base, k=DESCENT_K, beam=GS_BEAM, rounds=GS_ROUNDS,
+        n_entry=GS_ENTRY, ring=GS_RING, max_reverse=DESCENT_MAX_REVERSE,
+    )
+    return out.select(
+        "src", "dst", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
+    ).orderBy("src", "rnk")
+
+
+register_extra(
+    "graph_insert",
+    q_graph_insert,
+    f"""with ebase as (select vec_id, embedding from embeddings
+                       where vec_id % {IAP_MOD} <> {IAP_MOD - 1}),
+        {_descent_graph_ctes("ebase")},
+        g as materialized (select src, dst from e{DESCENT_ROUNDS}
+                           union
+                           select src, dst from ringe),
+        q as (select vec_id as qid, embedding::DOUBLE[] as qv
+              from embeddings
+              where vec_id % {IAP_MOD} = {IAP_MOD - 1}),
+        ent as (select vec_id as nid from hr where pos < {GS_ENTRY}),
+        {_gs_entry_sql()},
+        {_gs_round_sql(0)},
+        {_gs_round_sql(1)},
+        {_gs_round_sql(2)},
+        {_gs_round_sql(3)},
+        found as (select qid, nid, cos_sim, rnk from b{GS_ROUNDS}
+                  where rnk <= {DESCENT_K}),
+        fwd as (select qid as src, nid as dst, cos_sim, rnk from found),
+        revr as (select nid as src, qid as dst, cos_sim,
+                        row_number() over (partition by nid
+                                           order by qid) as rr
+                 from found),
+        revv as (select src, dst, cos_sim from revr
+                 where rr <= {DESCENT_MAX_REVERSE}),
+        aff as (select distinct src from revv),
+        old as (select g0.src, g0.dst, g0.cos_sim
+                from e{DESCENT_ROUNDS} g0 join aff using (src)),
+        mrg as (select src, dst, cos_sim from old
+                union all
+                select src, dst, cos_sim from revv),
+        upd as (select src, dst, cos_sim, rnk from (
+                  select src, dst, cos_sim,
+                         row_number() over (partition by src
+                                            order by cos_sim desc, dst)
+                           as rnk
+                  from mrg) t where rnk <= {DESCENT_K})
+        select src, dst, cos_sim, rnk from (
+          select * from fwd union all select * from upd) u
+        order by src, rnk""",
 )
 
 
@@ -8294,6 +8350,169 @@ register_extra(
         select doc_id, n_words, n_pieces,
                round(n_pieces::double / n_words::double, 6) as fertility
         from ufert order by doc_id""",
+)
+
+
+# ---------------------------------------------------------------------------
+# r9 addition: the tokenizer A/B — BPE and unigram fertility measured
+# on the SAME corpus slice (≤ UNI_MAXLEN-char words, the unigram
+# coverage) per language, plus the detokenize round-trip property
+# (``replace(seq, SEP, '') = word``) for BOTH tokenizers as hash-
+# checked zero columns. This is the table a tokenizer decision
+# actually reads: which model spends fewer pieces per word on which
+# language, certified round-trip-lossless. The oracle replays BOTH
+# training chains (the unrolled BPE merges and the unigram hard-EM)
+# and both apply passes over the shared distinct-word table.
+
+
+def q_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language BPE-vs-unigram fertility A/B on the shared
+    ≤ UNI_MAXLEN-char word slice (operators/bpe.py::bpe_apply_words +
+    operators/unigram.py::viterbi_segment, both single-pass in-row
+    applies over the distinct word table), with round-trip-failure
+    counts for both tokenizers (0 by construction — declared and
+    hash-checked rather than assumed)."""
+    from . import bpe
+
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    dwf = (
+        docs.select("doc_id", F.explode(toks).alias("word"))
+        .where(
+            (~F.col("word").contains(unigram.SEP))
+            & (F.length("word") <= unigram.UNI_MAXLEN)
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("dfreq"))
+    )
+    words = dwf.groupBy("word").agg(F.sum("dfreq").alias("freq"))
+
+    uvoc = unigram.unigram_train(docs)
+    g_arr = F.array(*[F.lit(g) for g in unigram.log_gains()])
+    vg = uvoc.withColumn(
+        "g", F.element_at(g_arr, F.col("p_q").cast("int")).cast("long")
+    )
+    usegs = unigram.viterbi_segment(words, unigram._vocab_rows(vg)).select(
+        "word",
+        F.col("n_pieces").alias("_up"),
+        (
+            F.replace(F.col("seq"), F.lit(unigram.SEP), F.lit(""))
+            != F.col("word")
+        ).cast("long").alias("_ubad"),
+    )
+    merges = bpe.bpe_train(docs, k_merges=BPE_K)
+    bsegs = bpe.bpe_apply_words(words.select("word"), merges).select(
+        "word",
+        F.col("n_sub").alias("_bp"),
+        (
+            F.replace(F.col("seq"), F.lit(unigram.SEP), F.lit(""))
+            != F.col("word")
+        ).cast("long").alias("_bbad"),
+    )
+    langs = _table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        dwf.join(usegs, "word")
+        .join(bsegs, "word")
+        .join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("dfreq").cast("bigint").alias("n_words"),
+            F.sum(F.col("dfreq") * F.col("_bp")).cast("bigint")
+            .alias("bpe_pieces"),
+            F.sum(F.col("dfreq") * F.col("_up")).cast("bigint")
+            .alias("uni_pieces"),
+            F.sum(F.col("dfreq") * F.col("_bbad")).cast("bigint")
+            .alias("bpe_rt_bad"),
+            F.sum(F.col("dfreq") * F.col("_ubad")).cast("bigint")
+            .alias("uni_rt_bad"),
+        )
+        .withColumn(
+            "bpe_fertility",
+            F.round(F.col("bpe_pieces") / F.col("n_words"), 6),
+        )
+        .withColumn(
+            "uni_fertility",
+            F.round(F.col("uni_pieces") / F.col("n_words"), 6),
+        )
+        .orderBy("lang")
+    )
+
+
+def _tokenizer_compare_oracle() -> str:
+    d = "chr(31)"
+    k = BPE_K
+    train = _bpe_oracle(k)
+    bpe_train_ctes = train[: train.index("select rank::int")].rstrip().rstrip(
+        "\n "
+    )
+    apply_blocks = []
+    for r in range(k):
+        pat = f"(select {d} || left_sym || {d} || right_sym || {d} from b{r})"
+        rep = f"(select {d} || merged || {d} from b{r})"
+        apply_blocks.append(
+            f"""ta{r + 1} as (
+          select word,
+                 replace(replace(seq, {pat}, {rep}), {pat}, {rep}) as seq
+          from ta{r})"""
+        )
+    return (
+        f"""{bpe_train_ctes},
+        {_uni_train_ctes()},
+        {_uni_dp_sql("tu", f"uvoc{unigram.UNI_ITERS}", "uw")},
+        ta0 as (select word,
+                       {d} ||
+                       array_to_string(
+                         list_transform(generate_series(1, len(word)),
+                                        i -> substr(word, i, 1)), {d})
+                       || {d} as seq
+                from uw),
+        """
+        + ",\n        ".join(apply_blocks)
+        + rf""",
+        tb as (select word,
+                      len(list_filter(string_split(seq, {d}),
+                                      x -> x <> ''))::bigint as bp,
+                      case when replace(seq, {d}, '') <> word
+                           then 1 else 0 end as bbad
+               from ta{k}),
+        tun as (select word, n_pieces as up,
+                       case when replace(seq, {d}, '') <> word
+                            then 1 else 0 end as ubad
+                from tubest),
+        tdw as (select doc_id,
+                       unnest(list_filter(
+                         string_split_regex(lower(coalesce(text, '')),
+                                            '\s+'),
+                         x -> x <> '')) as word
+                from documents),
+        tdwf as (select doc_id, word, count(*)::bigint as dfreq from tdw
+                 where strpos(word, {d}) = 0
+                   and length(word) <= {unigram.UNI_MAXLEN}
+                 group by doc_id, word),
+        tj as (select w.doc_id, w.dfreq, b.bp, b.bbad, u.up, u.ubad
+               from tdwf w join tb b using (word) join tun u using (word)),
+        tl as (select d.lang, j.* from tj j
+               join documents d using (doc_id)),
+        tagg as (select lang,
+                        sum(dfreq)::bigint as n_words,
+                        sum(dfreq * bp)::bigint as bpe_pieces,
+                        sum(dfreq * up)::bigint as uni_pieces,
+                        sum(dfreq * bbad)::bigint as bpe_rt_bad,
+                        sum(dfreq * ubad)::bigint as uni_rt_bad
+                 from tl group by lang)
+        select lang, n_words, bpe_pieces, uni_pieces, bpe_rt_bad,
+               uni_rt_bad,
+               round(bpe_pieces / n_words, 6) as bpe_fertility,
+               round(uni_pieces / n_words, 6) as uni_fertility
+        from tagg order by lang"""
+    )
+
+
+register_extra(
+    "tokenizer_compare", q_tokenizer_compare, _tokenizer_compare_oracle()
 )
 
 
