@@ -181,6 +181,13 @@ HEADLINE = [
     "unigram_fertility",
     # late r8: semi-supervised label propagation over the kNN graph
     "label_propagation",
+    # new in r9: incremental index maintenance — assign-to-frozen-
+    # codebook IVF append and search-then-link graph insert — plus the
+    # per-language BPE-vs-unigram fertility A/B with round-trip
+    # certification
+    "ivf_append",
+    "graph_insert",
+    "tokenizer_compare",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or
@@ -240,9 +247,41 @@ R1_TIMES = {
 }
 
 
+def _load1() -> float | None:
+    try:
+        return os.getloadavg()[0]
+    except (OSError, AttributeError):
+        return None
+
+
+# A start load1 above this on an otherwise-dedicated box means some
+# other process is competing for the cores — the r6/r8 snapshot drifts
+# were exactly this (VERDICT r8 What's-wrong #2).
+IDLE_LOAD1 = 1.0
+IDLE_WAIT_BUDGET_S = 150.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    # Self-protecting artifact, part 1 (VERDICT r8 What's-wrong #2):
+    # bounded wait-until-idle BEFORE any Spark work, so a snapshot taken
+    # while a sweep/pytest run is draining waits it out instead of
+    # recording load-contaminated times; if the budget runs out the
+    # stdout line carries "contaminated": true so the artifact labels
+    # itself instead of silently lying.
+    waited = 0.0
+    pre_load1 = _load1()
+    while (
+        pre_load1 is not None
+        and pre_load1 > IDLE_LOAD1
+        and waited < IDLE_WAIT_BUDGET_S
+    ):
+        time.sleep(10)
+        waited += 10
+        pre_load1 = _load1()
+    contaminated = pre_load1 is not None and pre_load1 > IDLE_LOAD1
 
     import __spark_entry__ as entrymod
     from wasaffi_spark.conf import recommended_builder
@@ -255,6 +294,22 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # Self-protecting artifact, part 2 (VERDICT r8 What's-wrong #3):
+    # the benign DAGScheduler late-task/cleaned-stage race logs a
+    # ~1.3k-char "attempted to access non-existent accumulator" stack
+    # trace at ERROR level; rc stays 0 and the metrics parse, but the
+    # trace eats most of the driver's bounded tail capture and a
+    # slightly longer one would clip the JSON line (the BENCH_r02
+    # failure mode). It is rc-0 noise in this process — turn the logger
+    # OFF for the bench run only.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.OFF,
+        )
+    except Exception:
+        pass  # log4j API drift — the slim-line defense below still holds
 
     queries = entrymod.queries()
     queries.update(entrymod.extra_queries())
@@ -300,7 +355,13 @@ def main() -> None:
             n_procs = None
         return {"load1": load1, "load5": load5, "n_procs": n_procs}
 
-    env_evidence = {"cpus_host": os.cpu_count(), "start": _env_probe()}
+    env_evidence = {
+        "cpus_host": os.cpu_count(),
+        "start": _env_probe(),
+        "pre_wait_s": waited,
+        "pre_load1": round(pre_load1, 2) if pre_load1 is not None else None,
+        "contaminated": contaminated,
+    }
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
@@ -349,6 +410,7 @@ def main() -> None:
             "cpus": cpus,
             "load1": [env_evidence["start"]["load1"],
                       env_evidence["end"]["load1"]],
+            "contaminated": contaminated,
         },
         separators=(",", ":"),
     )
@@ -364,6 +426,7 @@ def main() -> None:
                 "cpus": cpus,
                 "load1": [env_evidence["start"]["load1"],
                           env_evidence["end"]["load1"]],
+                "contaminated": contaminated,
             },
             separators=(",", ":"),
         )

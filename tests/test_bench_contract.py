@@ -28,7 +28,10 @@ def test_headline_names_resolve():
 def test_stdout_line_fits_tail_capture():
     import bench
 
-    # worst-case serialization: every query at a 4-digit seconds value
+    # worst-case serialization: every query at a 4-digit seconds value,
+    # with the env-evidence fields the real line carries (load1 pair +
+    # the r9 contamination stamp)
+    extras = {"load1": [99.99, 99.99], "contaminated": False}
     line = json.dumps(
         {
             "metric": "headline_queries_total_wall_sec",
@@ -37,6 +40,7 @@ def test_stdout_line_fits_tail_capture():
             "queries": {n: 99.999 for n in bench.HEADLINE},
             "sf": 0.1,
             "cpus": 32,
+            **extras,
         },
         separators=(",", ":"),
     )
@@ -54,6 +58,7 @@ def test_stdout_line_fits_tail_capture():
                 "queries": slim,
                 "sf": 0.1,
                 "cpus": 32,
+                **extras,
             },
             separators=(",", ":"),
         )

@@ -791,3 +791,71 @@ def test_streaming_prototype_gate_equals_batch(spark):
         assert streamed == batch_kept
     else:  # still a hard invariant: stream keeps a superset (ties kept)
         assert streamed >= batch_kept
+
+
+@needs_data
+def test_streaming_pseudo_label_gate_equals_batch(spark):
+    """Stateless pseudo-labeling gate (streaming/vectors.py::
+    pseudo_label_stream — the stream-static twin of
+    graph.label_propagation): the streamed (id, cell, label) rows must
+    equal (1) the SAME operator evaluated in batch mode (all
+    expressions batch-legal), and (2) an independent recomputation of
+    the per-cell argmax vote with label_propagation's (count desc,
+    label asc) tiebreak; arriving vectors landing in a cell with no
+    labeled member must come out NULL-labeled."""
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators.similarity import (
+        hashed_centroids,
+        ivf_assign_hashed,
+    )
+    from wasaffi_spark.sources.parquet import read_parquet
+    from wasaffi_spark.streaming import vectors as svec
+    from wasaffi_spark.streaming.events import run_to_memory
+
+    emb = read_parquet(spark, os.path.join(SF_SMOKE, "embeddings.parquet"))
+    # trusted labeled slice: every 5th vector keeps its label, the rest
+    # of the known corpus is unlabeled (rides along with NULL)
+    known = emb.select(
+        "vec_id",
+        "embedding",
+        F.when(F.pmod("vec_id", F.lit(5)) == 0, F.col("label")).alias(
+            "label"
+        ),
+    )
+
+    stream = svec.read_embeddings_stream(spark, SF_SMOKE)
+    run_to_memory(
+        svec.pseudo_label_stream(stream, known, n_cells=8),
+        "pseudo_label_gate",
+        output_mode="append",
+    )
+    streamed = {
+        (r.vec_id, r.cell, r.label)
+        for r in spark.sql(
+            "select vec_id, cell, label from pseudo_label_gate"
+        ).collect()
+    }
+    assert len(streamed) == emb.count()
+    batch_twin = {
+        (r.vec_id, r.cell, r.label)
+        for r in svec.pseudo_label_stream(emb, known, n_cells=8).collect()
+    }
+    assert streamed == batch_twin
+
+    # independent vote recomputation from the assigned known corpus
+    cents = hashed_centroids(known, 8)
+    rows = ivf_assign_hashed(
+        known, cents, 8, extra_cols=("label",)
+    ).collect()
+    votes: dict[int, dict[int, int]] = {}
+    for r in rows:
+        if r.label is not None:
+            votes.setdefault(r.cell, {}).setdefault(r.label, 0)
+            votes[r.cell][r.label] += 1
+    want_label = {
+        cell: min(cnts, key=lambda lab: (-cnts[lab], lab))
+        for cell, cnts in votes.items()
+    }
+    for vec_id, cell, label in streamed:
+        assert label == want_label.get(cell), (vec_id, cell, label)

@@ -8563,3 +8563,35 @@ _demote(
     "quality_buckets",
     "bpe_merges",
 )
+
+# round-9 driver-window rotation (VERDICT r8 next-round #1 + #2 + #6):
+# retire the rotation debt — the three r8 extras that were never
+# driver-attested (label_propagation, unigram_fertility, text_stats_r1
+# — all sweep-MATCH at both SFs under both comparators since r8) —
+# and declare the three r9 additions (ivf_append, graph_insert,
+# tokenizer_compare). The six demoted veterans are driver-green 3-5
+# consecutive rounds with their families still represented in-window:
+# classifier_eval (4 rounds; lm_doc_score carries training),
+# text_ann_ivf (4; ann_ivf_lloyd + ivf_append + the quantized ladder
+# carry IVF), text_semantic_dedup (4; semantic_dedup_pruned stays),
+# bpe_fertility (3; tokenizer_compare replays the full BPE train+apply
+# chain in its oracle, unigram_lm/unigram_fertility carry the family),
+# containment_pairs (3; fuzzy_pairs + simhash_pairs carry pair-gen),
+# events_ewma (3; events_sliding + interval_overlap carry temporal).
+# The window stays exactly 50, all hash-checkable.
+_promote(
+    "label_propagation",
+    "unigram_fertility",
+    "text_stats_r1",
+    "ivf_append",
+    "graph_insert",
+    "tokenizer_compare",
+)
+_demote(
+    "classifier_eval",
+    "text_ann_ivf",
+    "text_semantic_dedup",
+    "bpe_fertility",
+    "containment_pairs",
+    "events_ewma",
+)

@@ -278,3 +278,100 @@ def prototype_gate_stream(
         .where(F.col("proto_dist") >= cutoff)
         .select(id_col, "cell", "proto_dist")
     )
+
+
+def pseudo_label_stream(
+    emb_stream: DataFrame,
+    known_corpus: DataFrame,
+    label_col: str = "label",
+    n_cells: int = 16,
+    dim: int = 64,
+    quant: int = PQ_QUANT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+) -> DataFrame:
+    """Continuous-ingest pseudo-labeling gate — the streaming twin of
+    :func:`~wasaffi_spark.operators.graph.label_propagation` (VERDICT
+    r8 next-round #5): arriving vectors adopt the argmax label of
+    their labeled static neighbourhood at ingest, so downstream
+    mixture/filter stages can act on a label the arriving document
+    doesn't carry.
+
+    The aggregation lives entirely on the STATIC side, which is what
+    keeps the stream stateless and append-legal: the labeled known
+    corpus assigns to its cells once (batch), and the per-cell label
+    vote — ``count desc, label asc``, label_propagation's exact
+    deterministic tiebreak — collapses to an O(n_cells) cell→label
+    table, localCheckpointed so no trigger replays it. Each arriving
+    vector then assigns to its cell IN-ROW (the same literal
+    snapped-centroid argmin as :func:`prototype_gate_stream` —
+    ivf_assign_hashed's packed-min contract in one expression) and
+    adopts the cell's label through a broadcast stream-static left
+    join. No window, no streaming aggregation, no state store; a
+    vector landing in a cell with no labeled members keeps a NULL
+    label (no evidence — same contract as an unreached
+    label_propagation node).
+
+    Every op here is batch-legal too, so the stream≡batch pin runs
+    the SAME function over the static frame and compares row sets.
+    Returns ``(id_col, cell, label_col)``.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    cents = hashed_centroids(known_corpus, n_cells, vec_col, id_col, seed)
+    cent_rows = cents.collect()  # O(n_cells) — bounded by construction
+    assigned = ivf_assign_hashed(
+        known_corpus, cents, n_cells, dim, quant, vec_col, id_col,
+        extra_cols=(label_col,),
+    )
+    w_vote = Window.partitionBy("cell").orderBy(
+        F.col("_c").desc(), F.col(label_col).asc()
+    )
+    cell_label = (
+        assigned.where(F.col(label_col).isNotNull())
+        .groupBy("cell", label_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn("_r", F.row_number().over(w_vote))
+        .where(F.col("_r") == 1)
+        .select("cell", F.col(label_col).alias("_plab"))
+        .localCheckpoint(eager=True)
+    )
+
+    def grid(x):
+        return F.floor(x.cast("double") * F.lit(quant) + F.lit(0.5))
+
+    def cell_dist(row) -> F.Column:
+        cv = row["cv"]
+        v = F.col(vec_col)
+        acc = F.lit(0).cast("bigint")
+        for i in range(dim):
+            c_snap = int(math.floor(float(cv[i]) * quant + 0.5))
+            d = grid(F.element_at(v, i + 1)) - F.lit(c_snap)
+            acc = acc + (d * d).cast("bigint")
+        return acc
+
+    assign = F.slice(
+        F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        cell_dist(r).alias("d"),
+                        F.lit(int(r["cell"])).cast("int").alias("cell"),
+                    )
+                    for r in cent_rows
+                ]
+            )
+        ),
+        1,
+        1,
+    )[0]
+    return (
+        emb_stream.select(
+            F.col(id_col), assign.getField("cell").alias("cell")
+        )
+        .join(F.broadcast(cell_label), ["cell"], "left")
+        .select(id_col, "cell", F.col("_plab").alias(label_col))
+    )
