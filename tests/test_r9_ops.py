@@ -256,3 +256,96 @@ def test_bpe_apply_words_roundtrip_and_matches_segment(spark):
         for r in bpe.bpe_segment(docs, merges).collect()
     }
     assert via_words == via_segment
+
+
+# ---------------------------------------------------------- graph_delete
+
+
+def test_graph_delete_repairs_cluster_neighbourhood(spark):
+    """Delete-with-repair on the orthogonal-cluster fixture: removing
+    one node per cluster must (a) leave no edge pointing into the
+    deleted set, (b) reconnect every affected node to ALL of its
+    surviving in-cluster siblings — the point of the FreshDiskANN
+    bridge rule: the hole a deleted hub leaves must not disconnect
+    its cluster — and (c) never invent an edge the rebuild truth
+    (brute top-k over corpus∖D) wouldn't have. The repaired adjacency
+    is NOT asserted equal to the full rebuild: local repair routes
+    around the hole via the deleted node's own out-neighbours, so
+    out-cluster tail edges only a global rebuild would discover are
+    out of contract by design (the docstring's accumulated-deletions
+    caveat — production interleaves repairs with periodic rebuilds)."""
+    import numpy as np
+
+    from wasaffi_spark.operators import similarity
+
+    rng = np.random.default_rng(19)
+    centers = np.zeros((4, 16))
+    for j in range(4):
+        centers[j, j] = 20.0
+    corpus = _emb_df(
+        spark,
+        [
+            (
+                i,
+                [float(x) for x in centers[i % 4]
+                 + 0.05 * rng.standard_normal(16)],
+            )
+            for i in range(28)
+        ],
+    )
+    graph = similarity.knn_descent(corpus, k=6, rounds=4, ring=4)
+    dele = corpus.where(F.col("vec_id") < 4).select("vec_id")  # one per cluster
+    out = similarity.graph_delete(dele, graph, corpus, k=6).collect()
+    assert out
+    deleted = {0, 1, 2, 3}
+    assert not {r.src for r in out} & deleted
+    assert not {r.dst for r in out} & deleted
+
+    got = {(r.src, r.dst) for r in out}
+    aff = sorted({r.src for r in out})
+    # (b) full surviving in-cluster neighbourhood present
+    want_cluster = {
+        (b, s)
+        for b in aff
+        for s in range(4, 28)
+        if s != b and s % 4 == b % 4
+    }
+    assert want_cluster <= got
+    # (c) nothing outside the rebuild truth
+    survivors = corpus.where(F.col("vec_id") >= 4)
+    truth = {
+        (r.qid, r.nid)
+        for r in similarity.brute_force_topk(
+            survivors.where(F.col("vec_id").isin(aff)), survivors, k=6
+        ).collect()
+    }
+    assert got <= truth
+
+
+def test_graph_delete_deterministic_and_bounded(spark):
+    import numpy as np
+
+    from wasaffi_spark.operators import similarity
+
+    rng = np.random.default_rng(23)
+    corpus = _emb_df(
+        spark,
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)],
+    )
+    graph = similarity.knn_descent(corpus, k=4, rounds=2, ring=2)
+    dele = corpus.where(F.col("vec_id") % 10 == 0).select("vec_id")
+    a = similarity.graph_delete(dele, graph, corpus, k=4)
+    b = similarity.graph_delete(dele, graph, corpus, k=4)
+    ra = sorted(map(tuple, a.collect()))
+    assert ra == sorted(map(tuple, b.collect()))
+    # only affected nodes emit rows, each with at most k edges
+    by_src: dict[int, int] = {}
+    for r in ra:
+        by_src[r[0]] = by_src.get(r[0], 0) + 1
+    assert all(c <= 4 for c in by_src.values())
+    into_del = {
+        r.src
+        for r in graph.where(F.col("dst").isin([0, 10, 20, 30])).collect()
+        if r.src % 10 != 0
+    }
+    assert set(by_src) == into_del

@@ -319,6 +319,41 @@ def run_variants(sim, F, queries, emb) -> dict:
             best = min(best, time.perf_counter() - t0)
         results[name] = {"recall_at_k": recall, "sec": round(best, 3)}
         print(f"  {name}: recall@{K}={recall} {best:.3f}s", flush=True)
+
+    # graph INSERT (r9): search-then-link a 1/8 ingest batch into the
+    # frozen 7/8 base graph — link recall grades the forward edges the
+    # insert writes (top-K slice) against the exact new→base truth:
+    # the number that certifies the incremental path keeps the index
+    # navigable instead of silently degrading it.
+    base = emb.where(F.col("vec_id") % 8 != 7)
+    batch = emb.where(F.col("vec_id") % 8 == 7)
+    truth_ins = {
+        (r["qid"], r["nid"])
+        for r in sim.brute_force_topk(batch, base, k=K).collect()
+    }
+
+    def ifn():
+        g = sim.knn_descent(base, k=8, rounds=4, ring=4)
+        out = sim.graph_insert(
+            batch, g, base, k=8, beam=8, rounds=4, n_entry=4, ring=4
+        )
+        return out.where(
+            (F.col("src") % 8 == 7) & (F.col("rank") <= K)
+        ).select(F.col("src").alias("qid"), F.col("dst").alias("nid"))
+
+    got = {(r["qid"], r["nid"]) for r in ifn().collect()}
+    recall = round(len(got & truth_ins) / len(truth_ins), 4)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ifn().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    results["graph_insert_links"] = {
+        "recall_at_k": recall,
+        "sec": round(best, 3),
+        "metric": "inserted-node link recall vs exact new->base top-k",
+    }
+    print(f"  graph_insert_links: recall@{K}={recall} {best:.3f}s", flush=True)
     return results
 
 

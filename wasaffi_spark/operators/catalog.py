@@ -7521,6 +7521,77 @@ register_extra(
 )
 
 
+# r9 addition: incremental graph-ANN DELETE with repair — the other
+# half of the maintenance story (FreshDiskANN delete rule): dropping a
+# node must patch the holes it leaves (in-neighbours inherit its
+# out-neighbours as repair candidates) or accumulated deletions
+# fragment the graph and recall silently decays. Registered as an
+# extra (rotation policy: extras first; the r9 window is full).
+
+GDEL_MOD = 16  # vec_id % GDEL_MOD == 3 is the deleted slice
+
+
+def q_graph_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN delete-with-repair (operators/similarity.py::
+    graph_delete): build the full-corpus NN-descent graph (the
+    knn_descent operating point), delete the vec_id % 16 == 3 slice,
+    and emit the repaired top-DESCENT_K adjacency of every affected
+    node — surviving edges ∪ scored bridge candidates (the deleted
+    node's out-neighbours), re-ranked under the shared contract.
+    Repair work ∝ edges-into-deleted × k, never the whole graph."""
+    emb = _table(spark, sf_dir, "embeddings")
+    graph = similarity.knn_descent(
+        emb, k=DESCENT_K, rounds=DESCENT_ROUNDS,
+        max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
+    )
+    dele = emb.where(F.col("vec_id") % GDEL_MOD == 3).select("vec_id")
+    out = similarity.graph_delete(dele, graph, emb, k=DESCENT_K)
+    return out.select(
+        "src", "dst", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
+    ).orderBy("src", "rnk")
+
+
+register_extra(
+    "graph_delete",
+    q_graph_delete,
+    f"""with {_DESCENT_GRAPH_CTES},
+        del as (select vec_id as did from embeddings
+                where vec_id % {GDEL_MOD} = 3),
+        gg as materialized (select src, dst, cos_sim
+                            from e{DESCENT_ROUNDS}),
+        ginto as (select g.src, g.dst as mid from gg g
+                  join del on del.did = g.dst
+                  where g.src not in (select did from del)),
+        aff as (select distinct src from ginto),
+        dout as (select g.src as mid, g.dst as cd from gg g
+                 join del on del.did = g.src
+                 where g.dst not in (select did from del)),
+        cand as (select distinct i.src, o.cd as dst
+                 from ginto i join dout o using (mid)
+                 where i.src <> o.cd),
+        sc as (select c.src, c.dst,
+                      round(list_cosine_similarity(va.ev, vb.ev), 6)
+                        as cos_sim
+               from cand c
+               join v va on va.vec_id = c.src
+               join v vb on vb.vec_id = c.dst),
+        surv as (select g.src, g.dst, g.cos_sim from gg g
+                 join aff using (src)
+                 where g.dst not in (select did from del)),
+        mrg as (select src, dst, cos_sim from surv
+                union
+                select src, dst, cos_sim from sc),
+        upd as (select src, dst, cos_sim, rnk from (
+                  select src, dst, cos_sim,
+                         row_number() over (partition by src
+                                            order by cos_sim desc, dst)
+                           as rnk
+                  from mrg) t where rnk <= {DESCENT_K})
+        select src, dst, cos_sim, rnk from upd
+        order by src, rnk""",
+)
+
+
 # ---------------------------------------------------------------------------
 # r8 addition: label propagation over the NN-descent graph — the
 # semi-supervised pseudo-labeling pass of a curation pipeline (a small

@@ -3189,6 +3189,105 @@ def graph_insert(
     return fwd.unionByName(upd)
 
 
+def graph_delete(
+    delete_ids: DataFrame,
+    graph: DataFrame,
+    corpus: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    _materialize: bool = True,
+) -> DataFrame:
+    """Incremental graph-ANN DELETE with repair — the other half of
+    :func:`graph_insert`'s maintenance story (the FreshDiskANN /
+    FreshVamana delete rule, Singh et al. 2021): removing a node must
+    not just drop edges, it must PATCH the holes it leaves, or the
+    graph fragments and search recall silently decays as deletions
+    accumulate.
+
+    For a deleted set ``D``: (1) all adjacency rows of ``D`` itself
+    are dropped; (2) every surviving node ``b`` with an edge into some
+    ``d ∈ D`` loses that edge and receives ``d``'s out-neighbours
+    (minus ``D``, minus itself) as REPAIR CANDIDATES — the local
+    detour around the hole; (3) ``b``'s surviving edges ∪ scored
+    repair candidates re-rank to the top-``k`` by the shared
+    (cos desc, dst asc) contract. Deterministic end to end, so the
+    oracle replays drop, bridge, scoring, and re-rank.
+
+    Scale: the bridge join touches |edges into D| × k candidate rows
+    and only AFFECTED adjacency lists re-rank — never the whole graph;
+    scoring joins the corpus by id for candidate vectors only. Returns
+    the updated adjacency slice ``(src, dst, cos_sim, rank)`` for
+    every affected node (rows for unaffected nodes are unchanged by
+    definition; deleted nodes emit nothing)."""
+    d = delete_ids.select(F.col(id_col).alias("_did")).distinct()
+    if _materialize:
+        d = d.localCheckpoint(eager=True)
+    g = graph.select("src", "dst", "cos_sim")
+    # edges b -> d into the deleted set (b itself surviving)
+    into = (
+        g.join(d, g.src == F.col("_did"), "left_anti")
+        .join(d, F.col("dst") == F.col("_did"))
+        .select("src", F.col("dst").alias("_mid"))
+    )
+    affected = into.select("src").distinct()
+    # d's out-neighbours = repair candidates around the hole
+    dout = (
+        g.join(d, g.src == F.col("_did"))
+        .select(F.col("src").alias("_mid"), F.col("dst").alias("_cd"))
+        .join(d, F.col("_cd") == F.col("_did"), "left_anti")
+    )
+    cand = (
+        into.join(dout, "_mid")
+        .select("src", F.col("_cd").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    v = corpus.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv"))
+    v = v.withColumn("_vn", _norm(F.col("_vv")))
+    scored_cand = (
+        cand.join(
+            v.select(
+                F.col("_vid").alias("src"), F.col("_vv").alias("av"),
+                F.col("_vn").alias("_na"),
+            ),
+            "src",
+        )
+        .join(
+            v.select(
+                F.col("_vid").alias("dst"), F.col("_vv").alias("bv"),
+                F.col("_vn").alias("_nb"),
+            ),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            _cosine_prenorm(
+                F.col("av"), F.col("bv"), F.col("_na"), F.col("_nb")
+            ).alias("cos_sim"),
+        )
+    )
+    # surviving edges of the affected nodes (scores already on the graph)
+    surv = (
+        g.join(affected, "src")
+        .join(d, F.col("dst") == F.col("_did"), "left_anti")
+        .select("src", "dst", "cos_sim")
+    )
+    # a repair candidate can coincide with a surviving edge; the shared
+    # rounded-cosine makes the rows byte-identical, so a set-union
+    # dedups them exactly
+    merged = surv.union(scored_cand).distinct()
+    w_rank = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst").asc()
+    )
+    return (
+        merged.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "cos_sim", "rank")
+    )
+
+
 def hashed_embedding(
     df: DataFrame,
     dim: int = 64,
