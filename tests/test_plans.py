@@ -599,3 +599,79 @@ def test_mmr_ivf_candidates_join_is_hash_on_cell(spark):
     assert re.search(r"keys \[1\]: \[cell#\d+", f.text), \
         "join key must be cell"
     assert "EvalPython" not in f.text
+
+
+@needs_data
+def test_graph_insert_splice_is_equi_joins_only(spark):
+    """graph_insert full lineage past the (checkpointed) search: the
+    reverse-valve window partitions by the spliced node, the affected-
+    adjacency join and the candidate merge are equi-joins — no
+    CartesianProduct, no single-partition exchange, no Python island
+    (the graph build's cell assignment is upstream of the checkpoint)."""
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators import similarity
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    emb = read_parquet(spark, SF_SMOKE + "/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 8 != 7)
+    batch = emb.where(F.col("vec_id") % 8 == 7)
+    graph = similarity.knn_descent(base, k=4, rounds=0, ring=2)
+    out = similarity.graph_insert(
+        batch, graph, base, k=4, beam=4, rounds=1, n_entry=4, ring=2
+    )
+    f = plan_facts(out)
+    assert "CartesianProduct" not in f.text
+    assert "Exchange SinglePartition" not in f.text, f.text
+    assert "BatchEvalPython" not in f.text
+
+
+@needs_data
+def test_graph_delete_repair_is_equi_joins_only(spark):
+    """graph_delete full lineage: the into-deleted probe, the bridge
+    join, candidate scoring, and the surviving-edge anti-joins are all
+    equi/anti hash joins; the re-rank window partitions by src — no
+    CartesianProduct, no single-partition exchange, no Python island."""
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators import similarity
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    emb = read_parquet(spark, SF_SMOKE + "/embeddings.parquet")
+    graph = similarity.knn_descent(emb, k=4, rounds=0, ring=2)
+    dele = emb.where(F.col("vec_id") % 16 == 3).select("vec_id")
+    out = similarity.graph_delete(dele, graph, emb, k=4, _materialize=False)
+    f = plan_facts(out)
+    assert "CartesianProduct" not in f.text
+    assert "Exchange SinglePartition" not in f.text, f.text
+    assert "BatchEvalPython" not in f.text
+
+
+@needs_data
+def test_ivf_append_search_reuses_postings(spark):
+    """ivf_append_topk: the probe join must be a broadcast hash join on
+    the cell id over the UNION of base + appended postings (no corpus
+    reassignment on the search path — _ivf_probes' assigned= seam), and
+    the whole composed plan carries no CartesianProduct beyond the
+    bounded centroid broadcasts and no single-partition exchange."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators import similarity
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    emb = read_parquet(spark, SF_SMOKE + "/embeddings.parquet")
+    base = emb.where(F.col("vec_id") % 8 != 7)
+    batch = emb.where(F.col("vec_id") % 8 == 7)
+    queries = emb.where(F.col("vec_id") < 4)
+    out = similarity.ivf_append_topk(
+        queries, base, batch, k=3, n_cells=8, n_probe=2, iters=1
+    )
+    f = plan_facts(out)
+    assert "CartesianProduct" not in f.text
+    assert "Exchange SinglePartition" not in f.text, f.text
+    assert re.findall(r"\(\d+\) BroadcastHashJoin", f.text), \
+        "probe join must be a broadcast hash join"
+    assert re.search(r"keys \[1\]: \[cell#\d+", f.text), \
+        "join key must be cell"
