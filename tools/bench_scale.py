@@ -299,6 +299,14 @@ PROBES = {
         "one equi-join on ≤ |batch|·k affected adjacencies + a "
         "bounded window"
     ),
+    "graph_delete": (
+        "incremental graph-ANN delete-with-repair (r9): dominated by "
+        "the full-corpus knn_descent build (linear per round); the "
+        "repair itself is |edges into D|×k bridge candidates + one "
+        "re-rank window over affected adjacencies only — both grow "
+        "with N at the fixed 1/16 deleted slice, so the ladder reads "
+        "linear"
+    ),
 }
 
 
