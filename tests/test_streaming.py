@@ -859,3 +859,43 @@ def test_streaming_pseudo_label_gate_equals_batch(spark):
     }
     for vec_id, cell, label in streamed:
         assert label == want_label.get(cell), (vec_id, cell, label)
+
+
+@needs_data
+def test_streaming_ivf_append_equals_batch(spark):
+    """The streaming write path of the incremental IVF index
+    (streaming/vectors.py::ivf_append_stream): the streamed postings
+    rows must be IDENTICAL to the batch similarity.ivf_append
+    assignment of the same vectors against the same frozen codebook —
+    the in-row literal-centroid argmin IS ivf_assign_hashed's
+    packed-min contract."""
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators import similarity
+    from wasaffi_spark.sources.parquet import read_parquet
+    from wasaffi_spark.streaming import vectors as svec
+    from wasaffi_spark.streaming.events import run_to_memory
+
+    emb = read_parquet(spark, os.path.join(SF_SMOKE, "embeddings.parquet"))
+    base = emb.where(F.col("vec_id") % 8 != 7)
+
+    stream = svec.read_embeddings_stream(spark, SF_SMOKE)
+    run_to_memory(
+        svec.ivf_append_stream(stream, base, n_cells=8),
+        "ivf_append_gate",
+        output_mode="append",
+    )
+    streamed = {
+        (r.vec_id, r.cell)
+        for r in spark.sql("select vec_id, cell from ivf_append_gate").collect()
+    }
+    assert len(streamed) == emb.count()
+
+    cents = similarity.lloyd_centroids(base, n_cells=8, iters=2)
+    batch = {
+        (r.vec_id, r.cell)
+        for r in similarity.ivf_append(emb, cents, n_cells=8)
+        .select("vec_id", "cell")
+        .collect()
+    }
+    assert streamed == batch

@@ -34,6 +34,49 @@ from ..operators.similarity import (
 )
 
 
+def _literal_cell_structs(
+    cent_rows: list,
+    vec_col: str,
+    dim: int,
+    quant: int,
+) -> F.Column:
+    """Sorted array of (grid-L2-distance, cell) structs against LITERAL
+    snapped centroids — ivf_assign_hashed's packed-min argmin contract
+    ((dist asc, cell asc)) as ONE streaming-legal expression. Element 1
+    is the assignment; a `slice` of the first n is the probe set. The
+    in-row twin every vector gate shares (semantic near-dup probing,
+    prototype gating, pseudo-labeling, postings append)."""
+    import math
+
+    def grid(x):
+        return F.floor(x.cast("double") * F.lit(quant) + F.lit(0.5))
+
+    def cell_dist(row) -> F.Column:
+        # per-dimension grid L2 against a LITERAL centroid: snap both
+        # sides exactly as _pq_grid_dist does (the centroid snaps on
+        # the driver with the same floor(x*quant + 0.5))
+        cv = row["cv"]
+        v = F.col(vec_col)
+        acc = F.lit(0).cast("bigint")
+        for i in range(dim):
+            c_snap = int(math.floor(float(cv[i]) * quant + 0.5))
+            d = grid(F.element_at(v, i + 1)) - F.lit(c_snap)
+            acc = acc + (d * d).cast("bigint")
+        return acc
+
+    return F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    cell_dist(r).alias("d"),
+                    F.lit(int(r["cell"])).cast("int").alias("cell"),
+                )
+                for r in cent_rows
+            ]
+        )
+    )
+
+
 def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the embeddings parquet (same single-file /
     directory handling as ``read_documents_stream``)."""
@@ -117,37 +160,14 @@ def semantic_neardup_ids_stream(
         .localCheckpoint(eager=True)
     )
 
-    def grid(x):
-        return F.floor(x.cast("double") * F.lit(quant) + F.lit(0.5))
-
-    def cell_dist(row) -> F.Column:
-        # per-dimension grid L2 against a LITERAL centroid: snap both
-        # sides exactly as _pq_grid_dist does (the centroid snaps on
-        # the driver with the same floor(x*quant + 0.5))
-        import math
-
-        cv = row["cv"]
-        v = F.col(vec_col)
-        acc = F.lit(0).cast("bigint")
-        for i in range(dim):
-            c_snap = int(math.floor(float(cv[i]) * quant + 0.5))
-            d = grid(F.element_at(v, i + 1)) - F.lit(c_snap)
-            acc = acc + (d * d).cast("bigint")
-        return acc
-
-    probe_structs = F.array(
-        *[
-            F.struct(
-                cell_dist(r).alias("d"),
-                F.lit(int(r["cell"])).cast("int").alias("cell"),
-            )
-            for r in cent_rows
-        ]
-    )
     stream_cols = [
         F.col(id_col),
         F.col(vec_col),
-        F.slice(F.array_sort(probe_structs), 1, n_probe).alias("_pc"),
+        F.slice(
+            _literal_cell_structs(cent_rows, vec_col, dim, quant),
+            1,
+            n_probe,
+        ).alias("_pc"),
     ]
     if filter_col is not None:
         stream_cols.append(F.col(filter_col))
@@ -209,8 +229,6 @@ def prototype_gate_stream(
     unseen stream ids) — pinned stream≡batch on a tie-free fixture.
     Returns kept rows ``(id_col, cell, proto_dist)``.
     """
-    import math
-
     from ..operators.similarity import lloyd_centroids, prototype_prune
 
     cents = lloyd_centroids(
@@ -226,35 +244,10 @@ def prototype_gate_stream(
     )  # O(n_cells)
     cut = {int(r["cell"]): int(r["_cut"]) for r in cut_rows}
 
-    def grid(x):
-        return F.floor(x.cast("double") * F.lit(quant) + F.lit(0.5))
-
-    def cell_dist(row) -> F.Column:
-        cv = row["cv"]
-        v = F.col(vec_col)
-        acc = F.lit(0).cast("bigint")
-        for i in range(dim):
-            c_snap = int(math.floor(float(cv[i]) * quant + 0.5))
-            d = grid(F.element_at(v, i + 1)) - F.lit(c_snap)
-            acc = acc + (d * d).cast("bigint")
-        return acc
-
     # packed-min over literal centroid structs = the ivf_assign_hashed
     # argmin contract (dist asc, cell asc), in one expression
     assign = F.slice(
-        F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        cell_dist(r).alias("d"),
-                        F.lit(int(r["cell"])).cast("int").alias("cell"),
-                    )
-                    for r in cent_rows
-                ]
-            )
-        ),
-        1,
-        1,
+        _literal_cell_structs(cent_rows, vec_col, dim, quant), 1, 1
     )[0]
     cutoff = F.coalesce(
         F.element_at(
@@ -317,8 +310,6 @@ def pseudo_label_stream(
     the SAME function over the static frame and compares row sets.
     Returns ``(id_col, cell, label_col)``.
     """
-    import math
-
     from pyspark.sql.window import Window
 
     cents = hashed_centroids(known_corpus, n_cells, vec_col, id_col, seed)
@@ -340,33 +331,8 @@ def pseudo_label_stream(
         .localCheckpoint(eager=True)
     )
 
-    def grid(x):
-        return F.floor(x.cast("double") * F.lit(quant) + F.lit(0.5))
-
-    def cell_dist(row) -> F.Column:
-        cv = row["cv"]
-        v = F.col(vec_col)
-        acc = F.lit(0).cast("bigint")
-        for i in range(dim):
-            c_snap = int(math.floor(float(cv[i]) * quant + 0.5))
-            d = grid(F.element_at(v, i + 1)) - F.lit(c_snap)
-            acc = acc + (d * d).cast("bigint")
-        return acc
-
     assign = F.slice(
-        F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        cell_dist(r).alias("d"),
-                        F.lit(int(r["cell"])).cast("int").alias("cell"),
-                    )
-                    for r in cent_rows
-                ]
-            )
-        ),
-        1,
-        1,
+        _literal_cell_structs(cent_rows, vec_col, dim, quant), 1, 1
     )[0]
     return (
         emb_stream.select(
@@ -374,4 +340,45 @@ def pseudo_label_stream(
         )
         .join(F.broadcast(cell_label), ["cell"], "left")
         .select(id_col, "cell", F.col("_plab").alias(label_col))
+    )
+
+
+def ivf_append_stream(
+    emb_stream: DataFrame,
+    known_corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    quant: int = PQ_QUANT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+) -> DataFrame:
+    """Continuous-ingest postings maintenance — the STREAMING write
+    path of :func:`~wasaffi_spark.operators.similarity.ivf_append`: a
+    production index ingests continuously, so the postings-delta
+    (id, cell) rows should flow from the stream, not from periodic
+    batch re-assignments. The Lloyd codebook trains once on the known
+    corpus and freezes (O(n_cells) collect — the bounded class); each
+    arriving vector assigns IN-ROW against the literal snapped
+    centroids (:func:`_literal_cell_structs` — ivf_assign_hashed's
+    exact packed-min contract) and emits its postings row. A pure
+    stateless projection: no join, no window, no state store —
+    ingest-line-rate append legality, and the streamed rows are
+    IDENTICAL to the batch ``ivf_append`` postings for the same
+    vectors (pinned stream≡batch). Sink the rows partitioned/bucketed
+    by ``cell`` and every downstream probe join is shuffle-free.
+    Returns ``(id_col, cell)``.
+    """
+    from ..operators.similarity import lloyd_centroids
+
+    cents = lloyd_centroids(
+        known_corpus, n_cells, iters, dim, quant, vec_col, id_col, seed
+    )
+    cent_rows = cents.collect()  # O(n_cells) — bounded by construction
+    assign = F.slice(
+        _literal_cell_structs(cent_rows, vec_col, dim, quant), 1, 1
+    )[0]
+    return emb_stream.select(
+        F.col(id_col), assign.getField("cell").alias("cell")
     )
