@@ -355,6 +355,11 @@ def main() -> None:
             n_procs = None
         return {"load1": load1, "load5": load5, "n_procs": n_procs}
 
+    # "pre" (before ANY Spark work, after the idle wait) is the honest
+    # EXTERNAL-load signal — the post-warmup "start" probe necessarily
+    # carries our own JVM-startup/warmup load (a 32-thread warmup pushes
+    # load1 to ~2-4 even on an idle box), so the stdout line reports
+    # pre, not start, and the contamination verdict keys on pre.
     env_evidence = {
         "cpus_host": os.cpu_count(),
         "start": _env_probe(),
@@ -408,7 +413,7 @@ def main() -> None:
             "queries": timings,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "cpus": cpus,
-            "load1": [env_evidence["start"]["load1"],
+            "load1": [env_evidence["pre_load1"],
                       env_evidence["end"]["load1"]],
             "contaminated": contaminated,
         },
@@ -424,7 +429,7 @@ def main() -> None:
                 "queries": slim,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": cpus,
-                "load1": [env_evidence["start"]["load1"],
+                "load1": [env_evidence["pre_load1"],
                           env_evidence["end"]["load1"]],
                 "contaminated": contaminated,
             },
