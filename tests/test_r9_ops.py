@@ -349,3 +349,50 @@ def test_graph_delete_deterministic_and_bounded(spark):
         if r.src % 10 != 0
     }
     assert set(by_src) == into_del
+
+
+# ------------------------------------------------------ ivf_retrain_delta
+
+
+@needs_data
+def test_ivf_retrain_delta_reconciliation_identity(spark):
+    """The refresh contract: applying the delta to the OLD postings —
+    replace old_cell with new_cell for exactly the delta ids — must
+    reproduce the full-retrain assignment row-for-row, so a partial
+    rewrite of only the moved rows' partitions is provably equivalent
+    to a full re-snapshot. Also pins that the delta only lists rows
+    that actually moved and that undrifted corpora yield small deltas
+    relative to N (sanity, not a tuned threshold)."""
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators import similarity
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    emb = read_parquet(spark, SF_SMOKE + "/embeddings.parquet").where(
+        F.col("vec_id") < 300
+    )
+    base = emb.where(F.col("vec_id") % 8 != 7)
+    delta = {
+        r.vec_id: (r.old_cell, r.new_cell)
+        for r in similarity.ivf_retrain_delta(
+            base, emb, n_cells=8, iters=2
+        ).collect()
+    }
+    assert all(o != n for o, n in delta.values())
+
+    old_c = similarity.lloyd_centroids(base, n_cells=8, iters=2)
+    new_c = similarity.lloyd_centroids(emb, n_cells=8, iters=2)
+    old_post = {
+        r.vec_id: r.cell
+        for r in similarity.ivf_assign_hashed(emb, old_c, 8).collect()
+    }
+    new_post = {
+        r.vec_id: r.cell
+        for r in similarity.ivf_assign_hashed(emb, new_c, 8).collect()
+    }
+    patched = dict(old_post)
+    for vid, (old, new) in delta.items():
+        assert patched[vid] == old  # the delta's old side is truthful
+        patched[vid] = new
+    assert patched == new_post
+    assert len(delta) < len(old_post)  # a refresh moves a strict subset

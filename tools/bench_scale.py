@@ -299,6 +299,12 @@ PROBES = {
         "one equi-join on ≤ |batch|·k affected adjacencies + a "
         "bounded window"
     ),
+    "ivf_retrain_delta": (
+        "codebook-refresh delta (r9): two Lloyd trains (each linear, "
+        "partials collapse to n_cells×dim longs) + two broadcast "
+        "assignment passes over the corpus + one id-equi-join — all "
+        "linear; output ∝ moved rows only"
+    ),
     "graph_delete": (
         "incremental graph-ANN delete-with-repair (r9): dominated by "
         "the full-corpus knn_descent build (linear per round); the "

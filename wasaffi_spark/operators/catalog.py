@@ -6996,28 +6996,33 @@ def _lloyd_mean_cols_sql(dim: int = 64) -> str:
     )
 
 
-def _lloyd_iter_sql(n: int, prev: str, dim: int = 64, rel: str = "e") -> str:
+def _lloyd_iter_sql(
+    n: int, prev: str, dim: int = 64, rel: str = "e", tag: str = ""
+) -> str:
     """One unrolled Lloyd iteration (DuckDB CTE fragment): assign every
     vector to its nearest ``prev`` centroid (packed-min integer argmin,
     ties to the smaller cell — the ivf_assign_hashed contract), average
     members on the grid, keep the previous centroid for emptied cells.
     ``rel`` names the member relation the iteration trains on (aliased
     to ``e`` inside) — the ivf_append oracle trains on the base slice
-    only."""
+    only. ``tag`` namespaces the chain's CTE names so one oracle can
+    replay TWO independent train loops (the ivf_retrain_delta oracle
+    runs an old-codebook chain and a new-codebook chain side by
+    side)."""
     cv_new = "list_value(" + ", ".join(f"m.c{i}" for i in range(1, dim + 1)) + ")"
     return f"""
-        ad{n} as (select e.vec_id, c.cell, {_ivf_l2_sql("e.v", "c.cv")} as d
+        {tag}ad{n} as (select e.vec_id, c.cell, {_ivf_l2_sql("e.v", "c.cv")} as d
                   from {rel} e cross join {prev} c),
-        as{n} as (select vec_id,
+        {tag}as{n} as (select vec_id,
                          cast(min(d * {LLOYD_CELLS} + cell) % {LLOYD_CELLS}
                               as int) as cell
-                  from ad{n} group by vec_id),
-        m{n} as (select a.cell, {_lloyd_mean_cols_sql(dim)}
-                 from as{n} a join {rel} e using (vec_id) group by a.cell),
-        c{n + 1} as (select p.cell,
+                  from {tag}ad{n} group by vec_id),
+        {tag}m{n} as (select a.cell, {_lloyd_mean_cols_sql(dim)}
+                 from {tag}as{n} a join {rel} e using (vec_id) group by a.cell),
+        {tag}c{n + 1} as (select p.cell,
                             case when m.cell is null then p.cv
                                  else {cv_new} end as cv
-                     from {prev} p left join m{n} m using (cell))"""
+                     from {prev} p left join {tag}m{n} m using (cell))"""
 
 
 def q_ann_ivf_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7186,6 +7191,61 @@ register_extra(
           from scored)
        select qid, nid, cos_sim, rnk from rankd
        where rnk <= {ANN_K} order by qid, rnk""",
+)
+
+
+# r9 addition: codebook-refresh delta — the third IVF-maintenance leg
+# (insert = ivf_append; refresh = retrain + move ONLY the rows whose
+# cell changed). The old chain is literally _LLOYD_APPEND_CTES (the
+# frozen base-trained codebook assigning the full corpus); the new
+# chain replays a full-corpus retrain under the r-tag namespace.
+
+
+def q_ivf_retrain_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-refresh delta (operators/similarity.py::
+    ivf_retrain_delta): retrain Lloyd on the full corpus vs the frozen
+    base-trained codebook and emit only the rows whose assignment
+    changes — (vec_id, old_cell, new_cell), the minimal move plan a
+    refresh job executes on the cell-bucketed postings layout.
+    Delta-applied-to-old ≡ new assignment pinned by pytest."""
+    emb = _table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
+    out = similarity.ivf_retrain_delta(
+        base, emb, n_cells=LLOYD_CELLS, iters=LLOYD_ITERS
+    )
+    return out.select(
+        "vec_id",
+        F.col("old_cell").cast("int").alias("old_cell"),
+        F.col("new_cell").cast("int").alias("new_cell"),
+    ).orderBy("vec_id")
+
+
+register_extra(
+    "ivf_retrain_delta",
+    q_ivf_retrain_delta,
+    f"""with {_LLOYD_APPEND_CTES},
+        rseeds as (
+          select v as sv,
+                 row_number() over (
+                   order by md5('{similarity.IVF_SEED}' || vec_id), vec_id) - 1
+                   as cell
+          from e
+          order by md5('{similarity.IVF_SEED}' || vec_id), vec_id
+          limit {LLOYD_CELLS}),
+        rc0 as (select cell, {_lloyd_snap_sql("sv")} as cv from rseeds),
+        {_lloyd_iter_sql(0, "rc0", rel="e", tag="r")},
+        {_lloyd_iter_sql(1, "rc1", rel="e", tag="r")},
+        radf as (select e.vec_id, c.cell, {_ivf_l2_sql("e.v", "c.cv")} as d
+                 from e cross join rc2 c),
+        rassign as (
+          select vec_id,
+                 cast(min(d * {LLOYD_CELLS} + cell) % {LLOYD_CELLS} as int)
+                   as cell
+          from radf group by vec_id)
+        select a.vec_id, a.cell as old_cell, r.cell as new_cell
+        from assign a join rassign r using (vec_id)
+        where a.cell <> r.cell
+        order by vec_id""",
 )
 
 

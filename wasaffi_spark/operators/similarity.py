@@ -1408,6 +1408,55 @@ def ivf_append_topk(
     )
 
 
+def ivf_retrain_delta(
+    base: DataFrame,
+    full: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    quant: int = PQ_QUANT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+) -> DataFrame:
+    """Codebook-refresh DELTA — the third leg of IVF maintenance next
+    to :func:`ivf_append` (insert) and periodic retrain: when the
+    frozen codebook has drifted (ingest distribution shift), retrain
+    Lloyd on the full corpus and emit ONLY the postings whose cell
+    assignment CHANGES — ``(id_col, old_cell, new_cell)``. At 100 TB
+    this is the difference between re-snapshotting the whole
+    cell-bucketed postings layout and rewriting just the moved rows'
+    partitions: the delta fraction is typically small when drift is
+    (two trained codebooks mostly agree on stable regions), and the
+    delta frame IS the minimal move plan a refresh job executes.
+
+    Reconciliation identity (pytest-pinned): applying the delta to the
+    old postings — replace ``old_cell`` with ``new_cell`` for the ids
+    in the delta — reproduces the new assignment row-for-row, so a
+    partial rewrite is provably equivalent to the full re-snapshot.
+
+    Both codebooks and both assignments are the grid-exact Lloyd
+    machinery, so the whole comparison is engine-exact and the oracle
+    replays BOTH train loops side by side. Scale: two broadcast
+    assignment passes over the corpus + one id-equi-join — all linear,
+    no new shuffle class."""
+    old_c = lloyd_centroids(
+        base, n_cells, iters, dim, quant, vec_col, id_col, seed
+    )
+    new_c = lloyd_centroids(
+        full, n_cells, iters, dim, quant, vec_col, id_col, seed
+    )
+    old_a = ivf_assign_hashed(
+        full, old_c, n_cells, dim, quant, vec_col, id_col
+    ).select(id_col, F.col("cell").alias("old_cell"))
+    new_a = ivf_assign_hashed(
+        full, new_c, n_cells, dim, quant, vec_col, id_col
+    ).select(id_col, F.col("cell").alias("new_cell"))
+    return old_a.join(new_a, id_col).where(
+        F.col("old_cell") != F.col("new_cell")
+    )
+
+
 def _mmr_greedy(
     sl: DataFrame,
     pp: DataFrame,
