@@ -899,3 +899,87 @@ def test_streaming_ivf_append_equals_batch(spark):
         .collect()
     }
     assert streamed == batch
+
+
+@needs_data
+def test_graph_insert_sink_equals_sequential_batch(spark, tmp_path):
+    """foreachBatch graph maintenance (streaming/vectors.py::
+    graph_insert_sink): streaming the ingest slice through the sink in
+    two micro-batches must leave EXACTLY the state that two sequential
+    batch graph_insert calls produce — same latest-wins adjacency,
+    batch 2 inserted against the batch-1-updated graph (the
+    frozen-snapshot-per-batch contract)."""
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators import similarity
+    from wasaffi_spark.sources.parquet import read_parquet
+    from wasaffi_spark.streaming import vectors as svec
+
+    emb = read_parquet(spark, os.path.join(SF_SMOKE, "embeddings.parquet")).where(
+        F.col("vec_id") < 200
+    )
+    base = emb.where(F.col("vec_id") % 8 != 7)
+    ingest = emb.where(F.col("vec_id") % 8 == 7)
+
+    # two parquet files => two micro-batches under maxFilesPerTrigger=1
+    ingest_dir = str(tmp_path / "ingest")
+    ingest.where(F.col("vec_id") < 100).coalesce(1).write.parquet(
+        ingest_dir + "/f0"
+    )
+    ingest.where(F.col("vec_id") >= 100).coalesce(1).write.parquet(
+        ingest_dir + "/f1"
+    )
+    stream = (
+        spark.readStream.schema(ingest.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(ingest_dir)
+    )
+
+    state_dir = str(tmp_path / "state")
+    kw = dict(k=4, beam=8, rounds=3, n_entry=3, ring=3, max_reverse=8,
+              descent_rounds=2)
+    q = svec.graph_insert_sink(stream, spark, state_dir, base, **kw)
+    q.awaitTermination()
+    got = {
+        tuple(r)
+        for r in svec.read_graph_state(spark, state_dir).collect()
+    }
+
+    # replicate sequentially, honoring the sink's actual batch order
+    import glob
+
+    b_ids = sorted(
+        int(p.rsplit("batch_id=", 1)[1])
+        for p in glob.glob(os.path.join(state_dir, "vectors", "batch_id=*"))
+        if not p.endswith("=-1")
+    )
+    assert b_ids == [0, 1]
+    seq_kw = dict(k=4, beam=8, rounds=3, n_entry=3, ring=3, max_reverse=8)
+    graph = similarity.knn_descent(
+        base, k=4, rounds=2, max_reverse=8, ring=3
+    ).localCheckpoint(eager=True)
+    corpus = base.select("vec_id", "embedding")
+    state = {}  # src -> set of rows (latest wins)
+    for r in graph.collect():
+        state.setdefault(r.src, set()).add((r.src, r.dst, r.cos_sim, r.rank))
+    for bid in b_ids:
+        bvec = spark.read.parquet(
+            os.path.join(state_dir, "vectors", f"batch_id={bid}")
+        ).select("vec_id", "embedding")
+        cur_rows = [row for rows in state.values() for row in rows]
+        cur_graph = spark.createDataFrame(
+            cur_rows, "src bigint, dst bigint, cos_sim double, rank int"
+        )
+        upd = similarity.graph_insert(
+            bvec, cur_graph, corpus, **seq_kw
+        ).collect()
+        by_src = {}
+        for r in upd:
+            by_src.setdefault(r.src, set()).add(
+                (r.src, r.dst, r.cos_sim, r.rank)
+            )
+        state.update(by_src)
+        corpus = corpus.unionByName(bvec).localCheckpoint(eager=True)
+    want = {row for rows in state.values() for row in rows}
+    assert got == want

@@ -382,3 +382,126 @@ def ivf_append_stream(
     return emb_stream.select(
         F.col(id_col), assign.getField("cell").alias("cell")
     )
+
+
+def graph_insert_sink(
+    emb_stream: DataFrame,
+    spark: SparkSession,
+    state_dir: str,
+    base: DataFrame,
+    k: int = 8,
+    beam: int = 8,
+    rounds: int = 4,
+    n_entry: int = 4,
+    ring: int = 4,
+    max_reverse: int = 16,
+    descent_rounds: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+):
+    """Continuous graph-ANN index maintenance via ``foreachBatch`` —
+    the streaming face of
+    :func:`~wasaffi_spark.operators.similarity.graph_insert`, following
+    the ``incremental_dedup_sink`` recipe exactly: the beam search +
+    splice is a multi-round iterative join pipeline the declarative
+    streaming API can't express, and foreachBatch is the escape hatch
+    Spark provides for precisely this merge-style sink.
+
+    State lives in files under ``state_dir`` (parquet here;
+    Delta/Iceberg in production):
+
+    - ``graph/batch_id=<n>`` — adjacency rows (src, dst, cos_sim,
+      rank). graph_insert REWRITES affected adjacencies, so the
+      current graph is LATEST-WINS per src across partitions (one
+      max-batch window at read time — the SCD-1 read shape; compact
+      periodically in production).
+    - ``vectors/batch_id=<n>`` — the accumulated corpus (id, vector),
+      needed to score future batches' candidates.
+
+    Initialization happens once when the state dir is absent: the
+    NN-descent build over ``base`` seeds ``graph/batch_id=-1`` and
+    ``base``'s vectors seed ``vectors/batch_id=-1`` (wiping instead
+    would orphan every prior insert). Each micro-batch then reads the
+    pre-batch state (``batch_id < current`` — the idempotent-replay
+    exclusion: foreachBatch is at-least-once and a replayed batch must
+    recompute from the same pre-state and overwrite its own
+    partition), runs the batch insert against the frozen snapshot, and
+    writes the updated slice + the batch's vectors into its own
+    partitions.
+
+    Scale: per batch, exactly graph_insert's cost —
+    O(|batch|·beam·(k+ring)·rounds) search + a bounded splice; the
+    latest-wins read is one window over the adjacency table (bucket by
+    src in production so it's partition-local). Nothing driver-side.
+    """
+    import os as _os
+
+    from ..operators.similarity import graph_insert, knn_descent
+
+    graph_path = _os.path.join(state_dir, "graph")
+    vec_path = _os.path.join(state_dir, "vectors")
+    if not _os.path.exists(graph_path):
+        g0 = knn_descent(
+            base, k=k, rounds=descent_rounds, max_reverse=max_reverse,
+            ring=ring, vec_col=vec_col, id_col=id_col, seed=seed,
+        )
+        g0.write.parquet(_os.path.join(graph_path, "batch_id=-1"))
+    if not _os.path.exists(vec_path):
+        base.select(id_col, vec_col).write.parquet(
+            _os.path.join(vec_path, "batch_id=-1")
+        )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        b = batch_df.sparkSession
+        corpus = (
+            b.read.parquet(vec_path)
+            .where(F.col("batch_id") < batch_id)
+            .select(id_col, vec_col)
+        )
+        raw = b.read.parquet(graph_path).where(F.col("batch_id") < batch_id)
+        # latest-wins per src: an adjacency rewritten by a later batch
+        # fully replaces the node's earlier rows
+        latest = raw.groupBy("src").agg(F.max("batch_id").alias("batch_id"))
+        graph = raw.join(latest, ["src", "batch_id"]).select(
+            "src", "dst", "cos_sim", "rank"
+        )
+        batch_vecs = batch_df.select(id_col, vec_col)
+        upd = graph_insert(
+            batch_vecs, graph, corpus, k=k, beam=beam, rounds=rounds,
+            n_entry=n_entry, ring=ring, max_reverse=max_reverse,
+            vec_col=vec_col, id_col=id_col, seed=seed,
+        )
+        upd = upd.localCheckpoint(eager=True)
+        upd.write.mode("overwrite").parquet(
+            _os.path.join(graph_path, f"batch_id={batch_id}")
+        )
+        batch_vecs.write.mode("overwrite").parquet(
+            _os.path.join(vec_path, f"batch_id={batch_id}")
+        )
+
+    return (
+        emb_stream.writeStream.foreachBatch(process_batch)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", _os.path.join(state_dir, "_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_graph_state(
+    spark: SparkSession, state_dir: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """Resolve the current adjacency from a :func:`graph_insert_sink`
+    state dir — latest-wins per src across batch partitions."""
+    import os as _os
+
+    raw = spark.read.parquet(_os.path.join(state_dir, "graph"))
+    latest = raw.groupBy("src").agg(F.max("batch_id").alias("batch_id"))
+    return raw.join(latest, ["src", "batch_id"]).select(
+        "src", "dst", "cos_sim", "rank"
+    )
