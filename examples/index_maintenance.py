@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""The vector-index LIFECYCLE a continuously-ingesting corpus runs —
+every stage an engine operator, end to end on /root/testdata/sf0.001:
+
+    1. BUILD    — Lloyd-IVF codebook + postings; NN-descent kNN graph
+    2. SEARCH   — probe-join IVF search; graph beam search
+    3. APPEND   — new batch assigned to the FROZEN codebook
+                  (similarity.ivf_append, O(|batch|)); search-then-link
+                  into the frozen graph (similarity.graph_insert)
+    4. DELETE   — FreshDiskANN delete-with-repair (graph_delete):
+                  in-neighbours of deleted nodes inherit their
+                  out-neighbours, holes get patched
+    5. REFRESH  — retrain the codebook and compute the MINIMAL move
+                  plan (similarity.ivf_retrain_delta): only rows whose
+                  cell changed are rewritten, delta-applied-to-old ≡
+                  full retrain
+
+Run: python examples/index_maintenance.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("index-maintenance")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from wasaffi_spark.operators import similarity
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    emb = read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
+    base = emb.where(F.col("vec_id") % 8 != 7)
+    batch = emb.where(F.col("vec_id") % 8 == 7)
+    queries = emb.where(F.col("vec_id") < 4)
+    n_base, n_batch = base.count(), batch.count()
+    print(f"corpus: {n_base} base + {n_batch} ingest-batch vectors")
+
+    # 1-2. build + search (IVF)
+    cents = similarity.lloyd_centroids(base, n_cells=16, iters=2)
+    postings = similarity.ivf_assign_hashed(base, cents, 16)
+    print("IVF built: 16 trained cells;", postings.count(), "postings")
+
+    # 3a. append the batch to the frozen codebook — O(|batch|)
+    delta_postings = similarity.ivf_append(batch, cents, n_cells=16)
+    print("appended", delta_postings.count(), "postings (codebook frozen)")
+    hits = similarity.ivf_append_topk(
+        queries, base, batch, k=3, n_cells=16, n_probe=2, iters=2
+    )
+    print("search over old∪new postings:")
+    hits.orderBy("qid", "rank").show(6, truncate=False)
+
+    # 3b. graph insert — search-then-link against the frozen graph
+    graph = similarity.knn_descent(base, k=8, rounds=4, ring=4)
+    upd = similarity.graph_insert(batch, graph, base, k=8, beam=8, rounds=4)
+    new_edges = upd.where(F.col("src") % 8 == 7)
+    spliced = upd.where(F.col("src") % 8 != 7)
+    print(
+        f"graph insert: {new_edges.count()} new-node edges, "
+        f"{spliced.select('src').distinct().count()} base adjacencies spliced"
+    )
+
+    # 4. delete-with-repair
+    dele = emb.where(F.col("vec_id") % 16 == 3).select("vec_id")
+    repaired = similarity.graph_delete(dele, graph, base, k=8)
+    print(
+        f"graph delete: {dele.count()} nodes removed, "
+        f"{repaired.select('src').distinct().count()} adjacencies repaired "
+        "(no hole left behind)"
+    )
+
+    # 5. codebook refresh: the minimal move plan
+    moves = similarity.ivf_retrain_delta(base, emb, n_cells=16, iters=2)
+    n_moved = moves.count()
+    n_total = emb.count()
+    print(
+        f"codebook refresh: {n_moved}/{n_total} postings move "
+        f"({100.0 * n_moved / n_total:.1f}% — only these partitions "
+        "rewrite; the rest of the layout is untouched)"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

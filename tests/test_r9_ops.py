@@ -381,7 +381,12 @@ def test_ivf_retrain_delta_reconciliation_identity(spark):
     assert all(o != n for o, n in delta.values())
 
     old_c = similarity.lloyd_centroids(base, n_cells=8, iters=2)
-    new_c = similarity.lloyd_centroids(emb, n_cells=8, iters=2)
+    # the refresh WARM-STARTS from the deployed codebook (cell ids stay
+    # anchored; a cold retrain would relabel cells wholesale and the
+    # "delta" would be label permutation, not drift)
+    new_c = similarity.lloyd_centroids(
+        emb, n_cells=8, iters=2, init_cents=old_c
+    )
     old_post = {
         r.vec_id: r.cell
         for r in similarity.ivf_assign_hashed(emb, old_c, 8).collect()

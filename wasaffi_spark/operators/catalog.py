@@ -7224,15 +7224,7 @@ register_extra(
     "ivf_retrain_delta",
     q_ivf_retrain_delta,
     f"""with {_LLOYD_APPEND_CTES},
-        rseeds as (
-          select v as sv,
-                 row_number() over (
-                   order by md5('{similarity.IVF_SEED}' || vec_id), vec_id) - 1
-                   as cell
-          from e
-          order by md5('{similarity.IVF_SEED}' || vec_id), vec_id
-          limit {LLOYD_CELLS}),
-        rc0 as (select cell, {_lloyd_snap_sql("sv")} as cv from rseeds),
+        rc0 as (select cell, cv from c2),
         {_lloyd_iter_sql(0, "rc0", rel="e", tag="r")},
         {_lloyd_iter_sql(1, "rc1", rel="e", tag="r")},
         radf as (select e.vec_id, c.cell, {_ivf_l2_sql("e.v", "c.cv")} as d
