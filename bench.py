@@ -188,6 +188,9 @@ HEADLINE = [
     "ivf_append",
     "graph_insert",
     "tokenizer_compare",
+    # late r9: the delete and refresh legs of index maintenance
+    "graph_delete",
+    "ivf_retrain_delta",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or
