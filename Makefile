@@ -2,7 +2,7 @@
 # the Spark build: no compile step, so "all" is test; "wasm"-phase
 # equivalents are the oracle/bench harnesses.
 
-.PHONY: all test oracle bench example pipeline-example smoke
+.PHONY: all test oracle bench example pipeline-example maintenance-example smoke
 
 all: test
 
@@ -24,6 +24,11 @@ example:
 # the full LLM training-data flow at sf0.001 -> /tmp/wasaffi_training_set
 pipeline-example:
 	python examples/training_pipeline.py
+
+# the vector-index lifecycle: build -> search -> append -> insert ->
+# delete-with-repair -> warm codebook refresh (r9 maintenance legs)
+maintenance-example:
+	python examples/index_maintenance.py
 
 smoke:
 	python -m pytest tests/test_engine_udf.py tests/test_ddl.py -q
