@@ -297,22 +297,44 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    # Self-protecting artifact, part 2 (VERDICT r8 What's-wrong #3):
-    # the benign DAGScheduler late-task/cleaned-stage race logs a
-    # ~1.3k-char "attempted to access non-existent accumulator" stack
-    # trace at ERROR level; rc stays 0 and the metrics parse, but the
-    # trace eats most of the driver's bounded tail capture and a
-    # slightly longer one would clip the JSON line (the BENCH_r02
-    # failure mode). It is rc-0 noise in this process — turn the logger
-    # OFF for the bench run only.
+    # Self-protecting artifact, part 2 (VERDICT r8 What's-wrong #3,
+    # narrowed per ADVICE r9): the benign DAGScheduler
+    # late-task/cleaned-stage race logs a ~1.3k-char "attempted to
+    # access non-existent accumulator" stack trace at ERROR level; rc
+    # stays 0 and the metrics parse, but the trace eats most of the
+    # driver's bounded tail capture and a slightly longer one would
+    # clip the JSON line (the BENCH_r02 failure mode). Instead of
+    # turning the logger OFF (which would also hide GENUINE scheduler
+    # errors), attach a message-targeted log4j2 RegexFilter that DENIES
+    # only that known-benign message — every other DAGScheduler ERROR
+    # still reaches the tail. Falls back to logger-OFF only if the
+    # filter API drifted (and records which path ran in the env
+    # evidence).
     try:
         jvm = spark.sparkContext._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.scheduler.DAGScheduler",
-            jvm.org.apache.logging.log4j.Level.OFF,
+        result = jvm.org.apache.logging.log4j.core.Filter.Result
+        flt = jvm.org.apache.logging.log4j.core.filter.RegexFilter.createFilter(
+            ".*(non-existent accumulator|Failed to update accumulator).*",
+            None,
+            True,
+            result.valueOf("DENY"),
+            result.valueOf("NEUTRAL"),
         )
+        ctx = jvm.org.apache.logging.log4j.core.LoggerContext.getContext(False)
+        ctx.getConfiguration().getLoggerConfig(
+            "org.apache.spark.scheduler.DAGScheduler"
+        ).addFilter(flt)
+        dag_log_mode = "regex-filter"
     except Exception:
-        pass  # log4j API drift — the slim-line defense below still holds
+        try:
+            jvm = spark.sparkContext._jvm
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                "org.apache.spark.scheduler.DAGScheduler",
+                jvm.org.apache.logging.log4j.Level.OFF,
+            )
+            dag_log_mode = "logger-off-fallback"
+        except Exception:
+            dag_log_mode = "none"  # slim-line defense below still holds
 
     queries = entrymod.queries()
     queries.update(entrymod.extra_queries())
@@ -369,6 +391,7 @@ def main() -> None:
         "pre_wait_s": waited,
         "pre_load1": round(pre_load1, 2) if pre_load1 is not None else None,
         "contaminated": contaminated,
+        "dag_log_suppression": dag_log_mode,
     }
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -4297,7 +4297,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_train(docs, k_merges=BPE_K).orderBy("rank")
 
 
-def _bpe_oracle(k: int) -> str:
+def _bpe_oracle_parts(k: int) -> tuple:
     d = "chr(31)"
     head = rf"""with tok as (
           select unnest(list_filter(string_split_regex(lower(coalesce(text,
@@ -4347,14 +4347,24 @@ def _bpe_oracle(k: int) -> str:
         f"select rank::int as rank, left_sym, right_sym, merged, pair_count from b{r}"
         for r in range(k)
     )
-    return (
-        head
-        + ",\n        "
-        + ",\n        ".join(blocks)
-        + "\n        "
-        + union
-        + "\n        order by rank"
-    )
+    ctes = head + ",\n        " + ",\n        ".join(blocks)
+    select = union + "\n        order by rank"
+    return ctes, select
+
+
+def _bpe_oracle_ctes(k: int) -> str:
+    """The BPE training chain's CTE prefix (everything before the final
+    b0..b{k-1} UNION) — the reusable half that downstream oracles
+    (bpe_fertility, tokenizer_compare) extend with their own apply
+    chains. Exposed as a first-class helper instead of substring
+    surgery on the rendered SQL (ADVICE r9: a rewording of the final
+    SELECT used to raise ValueError at import time in two places)."""
+    return _bpe_oracle_parts(k)[0]
+
+
+def _bpe_oracle(k: int) -> str:
+    ctes, select = _bpe_oracle_parts(k)
+    return ctes + "\n        " + select
 
 
 register_extra("bpe_merges", q_bpe_merges, _bpe_oracle(BPE_K))
@@ -4378,13 +4388,11 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_fertility_oracle(k: int) -> str:
     d = "chr(31)"
-    train = _bpe_oracle(k)
     # reuse the training chain: everything before the final UNION of
-    # b0..b{k-1} (the CTE definitions are self-contained; the union
-    # tail starts at the FIRST "select rank::int" line)
-    train_ctes = train[: train.index("select rank::int")].rstrip().rstrip(
-        "\n "
-    )
+    # b0..b{k-1} (the CTE definitions are self-contained; exposed by
+    # _bpe_oracle_ctes so this composition can't break on a rewording
+    # of the train oracle's final SELECT — ADVICE r9)
+    train_ctes = _bpe_oracle_ctes(k)
     apply_blocks = []
     for r in range(k):
         pat = f"(select {d} || left_sym || {d} || right_sym || {d} from b{r})"
@@ -8567,10 +8575,9 @@ def q_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _tokenizer_compare_oracle() -> str:
     d = "chr(31)"
     k = BPE_K
-    train = _bpe_oracle(k)
-    bpe_train_ctes = train[: train.index("select rank::int")].rstrip().rstrip(
-        "\n "
-    )
+    # CTE prefix via the first-class helper (ADVICE r9: no substring
+    # surgery on the rendered train SQL)
+    bpe_train_ctes = _bpe_oracle_ctes(k)
     apply_blocks = []
     for r in range(k):
         pat = f"(select {d} || left_sym || {d} || right_sym || {d} from b{r})"

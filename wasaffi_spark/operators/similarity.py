@@ -1214,6 +1214,19 @@ def lloyd_centroids(
         # defensively so any caller-constructed frame obeys the
         # integer-grid contract
         cents = init_cents.select("cell", snap.alias("cv"))
+        # A codebook trained with a different n_cells would not fail
+        # loudly downstream: ivf_assign_hashed's packed-min
+        # min(d*n_cells+cell) % n_cells silently WRAPS cell ids
+        # >= n_cells onto wrong cells (ADVICE r9). The codebook is
+        # n_cells rows by construction, so this collect is O(n_cells).
+        cells = sorted(r["cell"] for r in cents.select("cell").collect())
+        if cells != list(range(n_cells)):
+            raise ValueError(
+                f"init_cents is not a dense codebook for n_cells="
+                f"{n_cells}: got {len(cells)} cells, "
+                f"min={cells[0] if cells else None}, "
+                f"max={cells[-1] if cells else None}"
+            )
     else:
         cents = hashed_centroids(
             corpus, n_cells, vec_col, id_col, seed

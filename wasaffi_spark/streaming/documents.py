@@ -115,21 +115,28 @@ def incremental_dedup_sink(
     """
     import os
 
+    from .state import seed_state
+
     state_path = os.path.join(state_dir, "state")
     docs_path = os.path.join(state_dir, "docs")
-    if not os.path.exists(state_path):
-        hash_schema = f"text_hash string, {id_col} bigint"
-        spark.createDataFrame([], hash_schema).write.parquet(
-            os.path.join(state_path, "batch_id=-1")
-        )
-    if not os.path.exists(docs_path):
-        doc_schema = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}"
-            for f in docs_stream.schema.fields
-        )
-        spark.createDataFrame([], doc_schema).write.parquet(
-            os.path.join(docs_path, "batch_id=-1")
-        )
+    # crash-safe init (ADVICE r9): seed_state keys on the committed
+    # _SUCCESS marker via the Hadoop FS API and overwrites uncommitted
+    # debris — see streaming/state.py.
+    hash_schema = f"text_hash string, {id_col} bigint"
+    seed_state(
+        spark,
+        os.path.join(state_path, "batch_id=-1"),
+        spark.createDataFrame([], hash_schema),
+    )
+    doc_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in docs_stream.schema.fields
+    )
+    seed_state(
+        spark,
+        os.path.join(docs_path, "batch_id=-1"),
+        spark.createDataFrame([], doc_schema),
+    )
     stream_cols = list(docs_stream.columns)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:

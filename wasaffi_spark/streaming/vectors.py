@@ -438,19 +438,26 @@ def graph_insert_sink(
     import os as _os
 
     from ..operators.similarity import graph_insert, knn_descent
+    from .state import seed_committed, seed_state
 
     graph_path = _os.path.join(state_dir, "graph")
     vec_path = _os.path.join(state_dir, "vectors")
-    if not _os.path.exists(graph_path):
+    # crash-safe init (ADVICE r9): key on the committed _SUCCESS marker
+    # inside batch_id=-1 via the Hadoop FS API (not bare driver-local
+    # directory existence), and overwrite so a half-written seed from a
+    # crashed first attempt is healed instead of skipped over.
+    seed_graph = _os.path.join(graph_path, "batch_id=-1")
+    if not seed_committed(spark, seed_graph):
         g0 = knn_descent(
             base, k=k, rounds=descent_rounds, max_reverse=max_reverse,
             ring=ring, vec_col=vec_col, id_col=id_col, seed=seed,
         )
-        g0.write.parquet(_os.path.join(graph_path, "batch_id=-1"))
-    if not _os.path.exists(vec_path):
-        base.select(id_col, vec_col).write.parquet(
-            _os.path.join(vec_path, "batch_id=-1")
-        )
+        seed_state(spark, seed_graph, g0)
+    seed_state(
+        spark,
+        _os.path.join(vec_path, "batch_id=-1"),
+        base.select(id_col, vec_col),
+    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql.window import Window
