@@ -983,3 +983,83 @@ def test_graph_insert_sink_equals_sequential_batch(spark, tmp_path):
         corpus = corpus.unionByName(bvec).localCheckpoint(eager=True)
     want = {row for rows in state.values() for row in rows}
     assert got == want
+
+
+@needs_data
+def test_graph_delete_sink_equals_sequential_batch(spark, tmp_path):
+    """foreachBatch delete maintenance (streaming/vectors.py::
+    graph_delete_sink): streaming two delete micro-batches against a
+    seeded graph state must leave EXACTLY the state two sequential
+    batch graph_delete calls produce — same latest-wins adjacency,
+    batch 2 deleted against the batch-1-repaired graph, tombstoned
+    srcs gone from the resolved state, and no surviving edge pointing
+    into the deleted set."""
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators import similarity
+    from wasaffi_spark.operators.similarity import graph_apply_delta
+    from wasaffi_spark.sources.parquet import read_parquet
+    from wasaffi_spark.streaming import vectors as svec
+
+    emb = read_parquet(spark, os.path.join(SF_SMOKE, "embeddings.parquet")).where(
+        F.col("vec_id") < 200
+    )
+    d0 = emb.where(F.col("vec_id") % 16 == 3).select("vec_id")
+    d1 = emb.where(F.col("vec_id") % 16 == 8).select("vec_id")
+
+    del_dir = str(tmp_path / "dels")
+    d0.coalesce(1).write.parquet(del_dir + "/f0")
+    d1.coalesce(1).write.parquet(del_dir + "/f1")
+    stream = (
+        spark.readStream.schema(d0.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(del_dir)
+    )
+
+    state_dir = str(tmp_path / "state")
+    q = svec.graph_delete_sink(
+        stream, spark, state_dir, base=emb, k=4, descent_rounds=2,
+        max_reverse=8, ring=3,
+    )
+    q.awaitTermination()
+    got = {
+        tuple(r)
+        for r in svec.read_graph_state(spark, state_dir).collect()
+    }
+
+    # replicate sequentially, honoring the sink's actual batch order
+    import glob
+
+    batches = {}
+    for p in glob.glob(os.path.join(state_dir, "deleted", "batch_id=*")):
+        bid = int(p.rsplit("batch_id=", 1)[1])
+        if bid >= 0:
+            batches[bid] = spark.read.parquet(p).select("vec_id")
+    assert sorted(batches) == [0, 1]
+
+    graph = similarity.knn_descent(
+        emb, k=4, rounds=2, max_reverse=8, ring=3
+    ).localCheckpoint(eager=True)
+    corpus = emb.select("vec_id", "embedding")
+    all_del = None
+    for bid in sorted(batches):
+        dele = batches[bid]
+        rep = similarity.graph_delete(dele, graph, corpus, k=4)
+        dd = dele.withColumnRenamed("vec_id", "_did")
+        graph = (
+            graph_apply_delta(graph, rep)
+            .join(dd, F.col("src") == F.col("_did"), "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        corpus = corpus.join(
+            dd, F.col("vec_id") == F.col("_did"), "left_anti"
+        ).localCheckpoint(eager=True)
+        all_del = dele if all_del is None else all_del.unionByName(dele)
+    want = {tuple(r) for r in graph.collect()}
+    assert got == want
+
+    deleted_ids = {r.vec_id for r in all_del.collect()}
+    assert deleted_ids
+    assert all(r[0] not in deleted_ids for r in got)  # src never deleted
+    assert all(r[1] not in deleted_ids for r in got)  # no edge into deleted

@@ -313,6 +313,14 @@ PROBES = {
         "with N at the fixed 1/16 deleted slice, so the ladder reads "
         "linear"
     ),
+    "graph_maintained_search": (
+        "composed insert→delete→search (r10): sums its parts — base "
+        "build linear, insert |batch|·beam·(k+ring)·rounds at the "
+        "fixed 1/8 split, repair |edges into D|·k at the fixed 1/13 "
+        "slice, final search O(Q·beam·(k+ring)·rounds) with Q fixed; "
+        "the delta applications are bounded anti-joins — the ladder "
+        "reads linear-on-chord like its three constituents"
+    ),
 }
 
 

