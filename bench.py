@@ -191,6 +191,12 @@ HEADLINE = [
     # late r9: the delete and refresh legs of index maintenance
     "graph_delete",
     "ivf_retrain_delta",
+    # new in r10: the composed post-maintenance search (insert + delete
+    # + beam search over the maintained adjacency) and the nightly
+    # incremental-snapshot report (state-joined dedup + codebook append
+    # + mixture-weight refresh)
+    "graph_maintained_search",
+    "incremental_snapshot",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or
