@@ -197,6 +197,9 @@ HEADLINE = [
     # + mixture-weight refresh)
     "graph_maintained_search",
     "incremental_snapshot",
+    # late r10: the IVF analogue of the composed post-maintenance
+    # search (append + delete + probe search over maintained postings)
+    "ivf_maintained_topk",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -296,3 +296,79 @@ def test_incremental_snapshot_query_plan_has_anti_join(spark):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "LeftAnti" in plan, plan[:2000]
+
+
+# ------------------------------------------------------- ivf_maintained
+
+
+def test_ivf_maintained_postings_equal_rebuild_of_alive(spark):
+    """For the inverted-list index, incremental maintenance is EXACT:
+    assign(base) ∪ append(batch) − deleted must be ROW-IDENTICAL to a
+    one-pass assignment of the alive corpus against the same frozen
+    codebook — nothing a rebuild would improve (contrast the graph
+    family, where the analogous pin holds only in the equivalence
+    regime)."""
+    import os
+
+    import pytest
+
+    from tests.conftest import SF_SMOKE
+
+    if not os.path.isdir(SF_SMOKE):
+        pytest.skip("testdata not present")
+    from wasaffi_spark.operators import similarity
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    emb = read_parquet(spark, SF_SMOKE + "/embeddings.parquet").where(
+        F.col("vec_id") < 200
+    )
+    base = emb.where(F.col("vec_id") % 8 != 7)
+    batch = emb.where(F.col("vec_id") % 8 == 7)
+    dele = emb.where(F.col("vec_id") % 13 == 4).select("vec_id")
+    cents = similarity.lloyd_centroids(base, n_cells=8, iters=2)
+    maintained = similarity.ivf_delete(
+        dele,
+        similarity.ivf_assign_hashed(base, cents, 8).unionByName(
+            similarity.ivf_append(batch, cents, n_cells=8)
+        ),
+    ).select("vec_id", "cell")
+    alive = emb.join(
+        dele.withColumnRenamed("vec_id", "_d"),
+        F.col("vec_id") == F.col("_d"), "left_anti",
+    )
+    rebuild = similarity.ivf_assign_hashed(alive, cents, 8).select(
+        "vec_id", "cell"
+    )
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, rebuild.collect())
+    )
+
+
+def test_ivf_maintained_topk_excludes_deleted(spark):
+    import os
+
+    import pytest
+
+    from tests.conftest import SF_SMOKE
+
+    if not os.path.isdir(SF_SMOKE):
+        pytest.skip("testdata not present")
+    from wasaffi_spark.operators import similarity
+    from wasaffi_spark.sources.parquet import read_parquet
+
+    emb = read_parquet(spark, SF_SMOKE + "/embeddings.parquet").where(
+        F.col("vec_id") < 200
+    )
+    base = emb.where(F.col("vec_id") % 8 != 7)
+    batch = emb.where(F.col("vec_id") % 8 == 7)
+    dele = emb.where(F.col("vec_id") % 13 == 4).select("vec_id")
+    queries = emb.where(
+        (F.col("vec_id") < 8) & (F.col("vec_id") % 13 != 4)
+    )
+    got = similarity.ivf_maintained_topk(
+        queries, base, batch, dele, k=3, n_cells=8, n_probe=2, iters=2
+    ).collect()
+    assert got
+    deleted = {r.vec_id for r in dele.collect()}
+    assert all(r.nid not in deleted for r in got)
+    assert all(r.qid not in deleted for r in got)

@@ -313,6 +313,18 @@ PROBES = {
         "with N at the fixed 1/16 deleted slice, so the ladder reads "
         "linear"
     ),
+    "ivf_maintained_topk": (
+        "IVF CRUD-then-search (r10): train linear on base, append "
+        "O(|batch|), delete one broadcast anti-join, probe search "
+        "candidates ∝ N·n_probe/n_cells with Q fixed — linear"
+    ),
+    "incremental_snapshot": (
+        "nightly ingest report (r10): hash anti-join + batch-internal "
+        "dedup groupBy carry (hash, id) rows; embedding build in-row "
+        "over admitted docs; codebook assignment one broadcast; "
+        "per-domain legs O(domains) — linear in corpus at the fixed "
+        "1/8 batch split"
+    ),
     "graph_maintained_search": (
         "composed insert→delete→search (r10): sums its parts — base "
         "build linear, insert |batch|·beam·(k+ring)·rounds at the "

@@ -9081,3 +9081,80 @@ _demote(
     "hybrid_rrf",
     "lang_top_tokens",
 )
+
+
+# ---------------------------------------------------------------------------
+# late-r10 addition: IVF CRUD-then-search — ivf_maintained_topk, the
+# IVF analogue of graph_maintained_search (append + delete applied
+# before the probe search), closing the composed post-maintenance
+# search row for BOTH index families. The IVF delete needs no repair
+# (postings rows are independent — one anti-join), so maintained
+# postings are EXACTLY the rebuild assignment of the alive corpus
+# against the same frozen codebook (pytest-pinned row identity).
+# Registered as an extra (rotation policy: the r10 window is full).
+
+IMS_DEL_MOD = 13  # coprime to IAP_MOD=8: the deleted slice hits both
+IMS_DEL_RES = 4   # base postings and just-appended batch postings.
+
+
+def q_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over the fully maintained index (operators/
+    similarity.py::ivf_maintained_topk): frozen base-trained Lloyd
+    codebook, 1/8 batch appended (ivf_append), vec_id % 13 == 4 slice
+    deleted (ivf_delete — one anti-join, no repair needed in an
+    inverted-list index), probe search over the maintained postings.
+    Alive probe queries; oracle replays train, both assignments, the
+    delete filter, and the search."""
+    emb = _table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
+    batch = emb.where(F.col("vec_id") % IAP_MOD == IAP_MOD - 1)
+    dele = emb.where(
+        F.pmod(F.col("vec_id"), F.lit(IMS_DEL_MOD)) == IMS_DEL_RES
+    ).select("vec_id")
+    queries = emb.where(
+        (F.col("vec_id") < ANN_QUERY_MAX_ID)
+        & (F.pmod(F.col("vec_id"), F.lit(IMS_DEL_MOD)) != IMS_DEL_RES)
+    )
+    out = similarity.ivf_maintained_topk(
+        queries, base, batch, dele, k=ANN_K, n_cells=LLOYD_CELLS,
+        n_probe=LLOYD_PROBE, iters=LLOYD_ITERS,
+    )
+    return out.select(
+        "qid", "nid", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
+    ).orderBy("qid", "rnk")
+
+
+register_extra(
+    "ivf_maintained_topk",
+    q_ivf_maintained,
+    f"""with {_LLOYD_APPEND_CTES},
+        massign as (select vec_id, cell from assign
+                    where vec_id % {IMS_DEL_MOD} <> {IMS_DEL_RES}),
+        q as (select vec_id as qid, v as qv from e
+              where vec_id < {ANN_QUERY_MAX_ID}
+                and vec_id % {IMS_DEL_MOD} <> {IMS_DEL_RES}),
+        qd as (select q.qid, c.cell, {_ivf_l2_sql("q.qv", "c.cv")} as d
+               from q cross join c2 c),
+        probes as (
+          select qid, cell from (
+            select qid, cell,
+                   row_number() over (partition by qid order by d, cell) as pr
+            from qd) t
+          where pr <= {LLOYD_PROBE}),
+        cand as (select p.qid, a.vec_id as nid
+                 from probes p join massign a using (cell)),
+        scored as (
+          select c.qid, c.nid,
+                 round(list_cosine_similarity(q2.qv, e2.v), 6) as cos_sim
+          from cand c
+          join q q2 on q2.qid = c.qid
+          join e e2 on e2.vec_id = c.nid
+          where c.qid <> c.nid),
+        rankd as (
+          select qid, nid, cos_sim,
+                 row_number() over (partition by qid
+                                    order by cos_sim desc, nid) as rnk
+          from scored)
+       select qid, nid, cos_sim, rnk from rankd
+       where rnk <= {ANN_K} order by qid, rnk""",
+)

@@ -1434,6 +1434,100 @@ def ivf_append_topk(
     )
 
 
+def ivf_delete(
+    delete_ids: DataFrame,
+    postings: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF postings DELETE — the trivial half of inverted-list index
+    maintenance, included so the IVF lifecycle is explicitly symmetric
+    with the graph family's: unlike :func:`graph_delete`, removing a
+    vector from an inverted list needs NO repair (postings rows are
+    independent; nothing points at them), so the delete is one
+    anti-join on id. At 100 TB: partition-local when the postings are
+    bucketed by ``cell`` and the delete set is broadcast; in a
+    Delta/Iceberg layout it is a tombstone merge. Returns the
+    maintained postings frame unchanged in schema."""
+    d = delete_ids.select(F.col(id_col)).distinct()
+    return postings.join(d, id_col, "left_anti")
+
+
+def ivf_maintained_topk(
+    queries: DataFrame,
+    base: DataFrame,
+    batch: DataFrame,
+    delete_ids: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    iters: int = 2,
+    dim: int = 64,
+    quant: int = PQ_QUANT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+) -> DataFrame:
+    """IVF ANN over a FULLY maintained index — append AND delete
+    applied before the search (the IVF analogue of
+    :func:`graph_maintained_search`, closing the CRUD-then-search
+    composition for both index families): the Lloyd codebook trains on
+    ``base`` and freezes, ``batch`` postings come from
+    :func:`ivf_append`, ``delete_ids`` (which may include
+    just-appended ids) drop via :func:`ivf_delete`, and the standard
+    probe-join search runs over the maintained postings. The
+    maintained postings are ROW-IDENTICAL to a one-pass assignment of
+    the alive corpus against the same frozen codebook (pinned by
+    pytest) — for IVF, unlike the graph, incremental maintenance is
+    EXACT, not an approximation a rebuild would improve.
+
+    Scale: append O(|batch|), delete one broadcast anti-join,
+    search candidates ∝ N_alive·n_probe/n_cells per query."""
+    cents = lloyd_centroids(
+        base, n_cells, iters, dim, quant, vec_col, id_col, seed
+    )
+    postings = ivf_assign_hashed(
+        base, cents, n_cells, dim, quant, vec_col, id_col
+    ).unionByName(
+        ivf_append(batch, cents, n_cells, dim, quant, vec_col, id_col)
+    )
+    postings = ivf_delete(delete_ids, postings, id_col)
+    d = delete_ids.select(F.col(id_col).alias("_did")).distinct()
+    alive = (
+        base.select(id_col, vec_col)
+        .unionByName(batch.select(id_col, vec_col))
+        .join(d, F.col(id_col) == F.col("_did"), "left_anti")
+    )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    assigned, probes = _ivf_probes(
+        q, alive, n_cells, n_probe, dim, quant, vec_col, id_col, seed,
+        cents=cents, assigned=postings,
+    )
+    c = assigned.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "cell"
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(c, ["cell"])
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    return _ranked_shortlist(
+        scored,
+        [F.col("cos_sim").desc(), F.col("nid").asc()],
+        ["qid", "nid", "cos_sim"],
+        k,
+        None,
+        queries,
+        alive,
+        vec_col,
+        id_col,
+    )
+
+
 def ivf_retrain_delta(
     base: DataFrame,
     full: DataFrame,
