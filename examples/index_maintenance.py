@@ -14,6 +14,11 @@ every stage an engine operator, end to end on /root/testdata/sf0.001:
                   plan (similarity.ivf_retrain_delta): only rows whose
                   cell changed are rewritten, delta-applied-to-old ≡
                   full retrain
+    6. SERVE    — the query a production index actually answers AFTER
+                  all that CRUD: search over the maintained index, for
+                  both families (similarity.graph_maintained_search /
+                  ivf_maintained_topk), with routing structures
+                  recomputed over the alive corpus
 
 Run: python examples/index_maintenance.py
 """
@@ -89,6 +94,21 @@ def main() -> None:
         f"({100.0 * n_moved / n_total:.1f}% — only these partitions "
         "rewrite; the rest of the layout is untouched)"
     )
+
+    # 6. serve: search AFTER the CRUD settled — both index families.
+    # The delete slice (vec_id % 13 == 4) hits base AND just-appended
+    # ids; queries are alive probes.
+    dele2 = emb.where(F.col("vec_id") % 13 == 4).select("vec_id")
+    q_alive = queries.where(F.col("vec_id") % 13 != 4)
+    print("IVF search over append+delete-maintained postings:")
+    similarity.ivf_maintained_topk(
+        q_alive, base, batch, dele2, k=3, n_cells=16, n_probe=2, iters=2
+    ).orderBy("qid", "rank").show(6, truncate=False)
+    print("graph beam search over the insert+delete-maintained graph:")
+    similarity.graph_maintained_search(
+        q_alive, graph, base, batch, dele2, k=3, k_graph=8, beam=8,
+        rounds=4,
+    ).orderBy("qid", "rank").show(6, truncate=False)
     spark.stop()
 
 
