@@ -38,7 +38,7 @@ def test_catalog_well_formed():
 
 @needs_data
 def test_scan_and_cross_counts(spark):
-    [row] = relational.QUERIES["subqueries_cte"](spark, SF_SMOKE).collect()
+    [row] = _rq("subqueries_cte")(spark, SF_SMOKE).collect()
     assert row["lineitem_cnt"] == 6000  # scan count(*)
     assert row["region_pairs"] == 25  # region × region cross join
     assert 0 <= row["cnt"] <= 1500
@@ -91,7 +91,7 @@ def test_window_fns_partitions(spark):
 @needs_data
 def test_semi_anti_counts_consistent(spark):
     # semi/anti live inside subqueries_cte since the round-3 merge
-    [row] = relational.QUERIES["subqueries_cte"](spark, SF_SMOKE).collect()
+    [row] = _rq("subqueries_cte")(spark, SF_SMOKE).collect()
     n_cust = spark.table("customer").count()
     assert 0 <= row["semi_cnt"] <= n_cust
     assert 0 <= row["anti_cnt"] <= n_cust
@@ -110,7 +110,7 @@ def test_reshape_setops_branches(spark):
 
 @needs_data
 def test_udf_pow_values(spark):
-    rows = relational.QUERIES["udf_pow"](spark, SF_SMOKE).collect()
+    rows = _rq("udf_pow")(spark, SF_SMOKE).collect()
     for r in rows:
         assert r["sq"] == float(r["l_linenumber"]) ** 2
 
@@ -146,4 +146,10 @@ def test_entry_contract(spark):
     from wasaffi_spark.operators import catalog as op_catalog
 
     ext_idx = [names.index(n) for n in names if n in op_catalog.QUERIES]
-    assert ext_idx and max(ext_idx) < names.index("subqueries_cte")
+    rel_idx = [
+        names.index(n) for n in names if n in relational.QUERIES
+    ]
+    # rotation-proof structurally (the r10 rotation demoted the
+    # previously-named anchor too): every extension entry precedes
+    # every relational entry, whatever the current window contents
+    assert ext_idx and rel_idx and max(ext_idx) < min(rel_idx)
