@@ -200,6 +200,9 @@ HEADLINE = [
     # late r10: the IVF analogue of the composed post-maintenance
     # search (append + delete + probe search over maintained postings)
     "ivf_maintained_topk",
+    # late r10: warm re-descent over the maintained graph — the
+    # refresh leg that recovers new->new links and repair tail edges
+    "graph_refresh",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

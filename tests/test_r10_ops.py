@@ -372,3 +372,92 @@ def test_ivf_maintained_topk_excludes_deleted(spark):
     deleted = {r.vec_id for r in dele.collect()}
     assert all(r.nid not in deleted for r in got)
     assert all(r.qid not in deleted for r in got)
+
+
+# ----------------------------------------------------------- graph_refresh
+
+
+def test_graph_refresh_equals_longer_descent(spark):
+    """refresh(descent(a rounds), b rounds) must be ROW-IDENTICAL to
+    descent(a+b rounds): the warm refresh runs knn_descent's OWN round
+    loop (shared _nn_descent_rounds), so the two paths cannot drift."""
+    import numpy as np
+
+    from wasaffi_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(8)]) for i in range(60)
+    ]
+    emb = _emb_df(spark, rows)
+    g2 = similarity.knn_descent(emb, k=4, rounds=2, ring=2)
+    refreshed = similarity.graph_refresh(g2, emb, k=4, rounds=2)
+    g4 = similarity.knn_descent(emb, k=4, rounds=4, ring=2)
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, g4.collect())
+    )
+
+
+def test_graph_refresh_noop_at_fixpoint(spark):
+    """Refreshing the EXACT top-k graph changes nothing (candidates
+    include the current edges, and the exact top-k wins every re-rank)
+    — refreshing is always safe to schedule."""
+    import numpy as np
+
+    from wasaffi_spark.operators import similarity
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)
+    ]
+    emb = _emb_df(spark, rows)
+    exact = similarity.brute_force_topk(emb, emb, k=4).toDF(
+        "src", "dst", "cos_sim", "rank"
+    )
+    refreshed = similarity.graph_refresh(exact, emb, k=4, rounds=1)
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
+def test_graph_refresh_recovers_new_to_new_links(spark):
+    """The gap refresh exists to close: after a batch insert, two new
+    nodes in the same cluster have NO edge between them (inserts search
+    a frozen snapshot — the documented boundary). One warm refresh
+    round must create the new→new links, because each new node's
+    forward edges reach the spliced base nodes whose adjacencies now
+    contain the other new node."""
+    import numpy as np
+
+    from wasaffi_spark.operators import similarity
+
+    rng = np.random.default_rng(21)
+    center = 10.0 * np.ones(8)
+    # the two new nodes share a sideways offset from the base cluster,
+    # so cos(new, new) ≈ 1.0 strictly beats cos(new, base) ≈ 0.997 —
+    # mutual top-k membership is deterministic, not a noise coin flip
+    offset = np.zeros(8)
+    offset[1] = 2.0
+    base = _emb_df(
+        spark,
+        [(i, [float(x) for x in center + 0.05 * rng.standard_normal(8)])
+         for i in range(8)],
+    )
+    batch = _emb_df(
+        spark,
+        [(100 + j, [float(x) for x in center + offset
+                    + 0.02 * rng.standard_normal(8)])
+         for j in range(2)],
+    )
+    graph = similarity.knn_descent(base, k=4, rounds=3, ring=3)
+    ins = similarity.graph_insert(
+        batch, graph, base, k=4, beam=8, rounds=3, n_entry=3, ring=3
+    )
+    g1 = similarity.graph_apply_delta(graph, ins)
+    pre = {(r.src, r.dst) for r in g1.collect()}
+    assert (100, 101) not in pre and (101, 100) not in pre
+    corpus = base.unionByName(batch)
+    refreshed = similarity.graph_refresh(g1, corpus, k=4, rounds=1)
+    post = {(r.src, r.dst) for r in refreshed.collect()}
+    # in one tight cluster the two new points are mutual near-neighbours
+    assert (100, 101) in post and (101, 100) in post

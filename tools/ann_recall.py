@@ -439,6 +439,45 @@ def run_variants(sim, F, queries, emb) -> dict:
         f"{best:.3f}s",
         flush=True,
     )
+
+    # graph REFRESH (r10): one warm NN-descent round over the
+    # maintained adjacency before searching — how much of the
+    # maintained-vs-rebuilt recall gap does the cheap warm refresh
+    # (1 round vs a 4-round cold rebuild) buy back? This is the number
+    # that prices the re-descent cadence (SCALE.md).
+    def xfn():
+        g = sim.knn_descent(base, k=8, rounds=4, ring=4)
+        ins = sim.graph_insert(
+            batch, g, base, k=8, beam=8, rounds=4, n_entry=4, ring=4
+        )
+        g1 = sim.graph_apply_delta(g, ins).localCheckpoint(eager=True)
+        corpus = base.unionByName(batch).select("vec_id", "embedding")
+        rep = sim.graph_delete(dele, g1, corpus, k=8)
+        dd = dele.withColumnRenamed("vec_id", "_d2")
+        g2 = (
+            sim.graph_apply_delta(g1, rep)
+            .join(dd, F.col("src") == F.col("_d2"), "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        g3 = sim.graph_refresh(g2, alive, k=8, rounds=1)
+        return sim.graph_search_topk(
+            q_alive, g3, alive, k=K, beam=8, rounds=4, n_entry=4
+        )
+
+    got_x = {(r["qid"], r["nid"]) for r in xfn().collect()}
+    results["graph_refreshed_search"] = {
+        "recall_at_k": round(len(got_x & truth_alive) / len(truth_alive), 4),
+        "metric": (
+            "graph_maintained_search + ONE warm graph_refresh round "
+            "before the search; compare against maintained (no refresh) "
+            "and rebuilt_recall_at_k above"
+        ),
+    }
+    print(
+        f"  graph_refreshed_search: recall@{K}="
+        f"{results['graph_refreshed_search']['recall_at_k']}",
+        flush=True,
+    )
     return results
 
 

@@ -313,6 +313,12 @@ PROBES = {
         "with N at the fixed 1/16 deleted slice, so the ladder reads "
         "linear"
     ),
+    "graph_refresh": (
+        "warm re-descent over the maintained graph (r10): the chain "
+        "sums graph_maintained_search's parts plus ONE descent round "
+        "— per-round candidates ≤ N·(k+max_reverse)², same bound as a "
+        "knn_descent build round; linear-on-chord like the build"
+    ),
     "ivf_maintained_topk": (
         "IVF CRUD-then-search (r10): train linear on base, append "
         "O(|batch|), delete one broadcast anti-join, probe search "

@@ -7276,11 +7276,13 @@ DESCENT_RING = 4
 DESCENT_EMIT = 3
 
 
-def _descent_round_sql(n: int, prev: str) -> str:
+def _descent_round_sql(n: int, prev: str, v: str = "v") -> str:
     """One unrolled NN-descent round (DuckDB CTE fragment): cap reverse
     degree (deterministic smallest-src sample), offer each node its
     neighbours' neighbours, keep the best DESCENT_K by the shared
-    (cos desc, dst asc) contract."""
+    (cos desc, dst asc) contract. ``v`` names the vectors CTE (default
+    the build chain's; the warm graph_refresh round scores against the
+    alive corpus instead — same parametrization as _gs_round_sql)."""
     # every CTE is AS MATERIALIZED: each round references the previous
     # one several times (forward edges, reverse edges, candidate join,
     # keep-set), and with 4 unrolled rounds a non-materialized chain
@@ -7306,8 +7308,8 @@ def _descent_round_sql(n: int, prev: str) -> str:
                          round(list_cosine_similarity(va.ev, vb.ev), 6)
                            as cos_sim
                   from cand{n} c
-                  join v va on va.vec_id = c.src
-                  join v vb on vb.vec_id = c.dst),
+                  join {v} va on va.vec_id = c.src
+                  join {v} vb on vb.vec_id = c.dst),
         rk{n} as materialized (select src, dst, cos_sim,
                          row_number() over (partition by src
                                             order by cos_sim desc, dst)
@@ -7720,10 +7722,7 @@ def q_graph_maintained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rnk")
 
 
-register_extra(
-    "graph_maintained_search",
-    q_graph_maintained_search,
-    f"""with ebase as (select vec_id, embedding from embeddings
+_GMS_CHAIN_CTES = f"""ebase as (select vec_id, embedding from embeddings
                        where vec_id % {IAP_MOD} <> {IAP_MOD - 1}),
         {_descent_graph_ctes("ebase")},
         g as materialized (select src, dst from e{DESCENT_ROUNDS}
@@ -7804,7 +7803,13 @@ register_extra(
               union all
               select src, dst, cos_sim from dupd),
         alive as (select vec_id from embeddings
-                  where vec_id % {GMS_DEL_MOD} <> {GMS_DEL_RES}),
+                  where vec_id % {GMS_DEL_MOD} <> {GMS_DEL_RES})"""
+
+
+register_extra(
+    "graph_maintained_search",
+    q_graph_maintained_search,
+    f"""with {_GMS_CHAIN_CTES},
         hr2 as (select vec_id,
                        row_number() over (
                          order by md5('{similarity.IVF_SEED}' || vec_id),
@@ -9157,4 +9162,73 @@ register_extra(
           from scored)
        select qid, nid, cos_sim, rnk from rankd
        where rnk <= {ANN_K} order by qid, rnk""",
+)
+
+
+# ---------------------------------------------------------------------------
+# late-r10 addition: the REFRESH leg of the graph-index lifecycle —
+# graph_refresh, warm re-descent over the maintained (inserted +
+# deleted) adjacency: the periodic step the maintenance boundary note
+# promises (inserts form no new→new links; local repair misses tail
+# edges), the graph analogue of the warm codebook refresh
+# (ivf_retrain_delta). The Spark loop is knn_descent's OWN round loop
+# (shared _nn_descent_rounds — refresh(a)+b ≡ descent(a+b) pinned);
+# the oracle composes the shared maintained-graph chain
+# (_GMS_CHAIN_CTES) with one shared descent round scored against the
+# alive corpus.
+
+GREF_ROUNDS = 1
+
+
+def q_graph_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warm graph refresh (operators/similarity.py::graph_refresh):
+    build the base graph, insert the 1/8 batch, delete the
+    vec_id % 13 == 4 slice with repair, then run GREF_ROUNDS
+    NN-descent rounds over the maintained adjacency seeded from the
+    CURRENT edges (not LSH cells) — recovering the new→new links and
+    tail edges incremental maintenance cannot see, at a fraction of a
+    cold rebuild (1 warm round vs 4 cold). Emits the refreshed
+    adjacency; the oracle replays the full chain + the round."""
+    emb = _table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
+    batch = emb.where(F.col("vec_id") % IAP_MOD == IAP_MOD - 1)
+    graph = similarity.knn_descent(
+        base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
+        max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
+    )
+    dele = emb.where(
+        F.pmod(F.col("vec_id"), F.lit(GMS_DEL_MOD)) == GMS_DEL_RES
+    ).select("vec_id")
+    ins = similarity.graph_insert(
+        batch, graph, base, k=DESCENT_K, beam=GS_BEAM, rounds=GS_ROUNDS,
+        n_entry=GS_ENTRY, ring=GS_RING, max_reverse=DESCENT_MAX_REVERSE,
+    )
+    g1 = similarity.graph_apply_delta(graph, ins).localCheckpoint(
+        eager=True
+    )
+    corpus = emb.select("vec_id", "embedding")
+    rep = similarity.graph_delete(dele, g1, corpus, k=DESCENT_K)
+    d = dele.withColumnRenamed("vec_id", "_did")
+    g2 = (
+        similarity.graph_apply_delta(g1, rep)
+        .join(d, F.col("src") == F.col("_did"), "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    alive = emb.join(d, F.col("vec_id") == F.col("_did"), "left_anti")
+    out = similarity.graph_refresh(
+        g2, alive, k=DESCENT_K, rounds=GREF_ROUNDS,
+        max_reverse=DESCENT_MAX_REVERSE,
+    )
+    return out.select(
+        "src", "dst", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
+    ).orderBy("src", "rnk")
+
+
+register_extra(
+    "graph_refresh",
+    q_graph_refresh,
+    f"""with {_GMS_CHAIN_CTES},
+        {_descent_round_sql(DESCENT_ROUNDS, "g2", v="vall")}
+        select src, dst, cos_sim, rnk from e{DESCENT_ROUNDS + 1}
+        order by src, rnk""",
 )

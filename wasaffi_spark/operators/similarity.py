@@ -3089,6 +3089,28 @@ def knn_descent(
         ).where(F.col("rank") <= k).select("src", "dst", "cos_sim", "rank")
         if _materialize:
             edges = edges.localCheckpoint(eager=True)
+    return _nn_descent_rounds(
+        edges, va, vb, rounds, k, max_reverse, _materialize
+    )
+
+
+def _nn_descent_rounds(
+    edges: DataFrame,
+    va: DataFrame,
+    vb: DataFrame,
+    rounds: int,
+    k: int,
+    max_reverse: int | None,
+    _materialize: bool,
+) -> DataFrame:
+    """The NN-descent round loop, shared verbatim by
+    :func:`knn_descent` (cold build from LSH cells + ring) and
+    :func:`graph_refresh` (warm re-descent from a maintained
+    adjacency) — one definition so the two paths cannot drift (pinned:
+    refresh(descent(a rounds), b rounds) ≡ descent(a+b rounds))."""
+    w_rank = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst").asc()
+    )
     for _ in range(rounds):
         fwd = edges.select("src", "dst")
         rev = edges.select(
@@ -3137,6 +3159,64 @@ def knn_descent(
         if _materialize:
             edges = edges.localCheckpoint(eager=True)
     return edges
+
+
+def graph_refresh(
+    graph: DataFrame,
+    corpus: DataFrame,
+    k: int = 8,
+    rounds: int = 1,
+    max_reverse: int | None = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    _materialize: bool = True,
+) -> DataFrame:
+    """Warm-started re-descent over a MAINTAINED adjacency — the
+    REFRESH leg of the graph-index lifecycle, the analogue of
+    :func:`ivf_retrain_delta`'s warm start, and the periodic step the
+    documented maintenance boundary promises (SCALE.md: batch inserts
+    form no new→new links and local delete-repair misses tail edges a
+    global rebuild would find — production interleaves incremental ops
+    with re-descent; this IS that re-descent, declared).
+
+    Runs ``rounds`` NN-descent rounds (the exact
+    :func:`_nn_descent_rounds` loop :func:`knn_descent` uses — pinned:
+    refreshing a ``rounds=a`` build for ``b`` rounds equals a
+    ``rounds=a+b`` build) seeded from the CURRENT graph instead of LSH
+    cells + ring. Because the seed is an already-navigable graph, the
+    warm refresh converges in 1-2 rounds where a cold build needs 4 —
+    the same economics as the warm codebook refresh. At the exact
+    top-``k`` fixpoint a refresh round is a no-op (pinned), so
+    refreshing is always safe.
+
+    Scale: per round ≤ N·(k + max_reverse)² candidate rows — identical
+    to a build round; ``graph`` must carry scored rows (src, dst,
+    cos_sim), which every maintenance output in this module does.
+    Returns the refreshed ``(src, dst, cos_sim, rank)`` top-``k``."""
+    v = corpus.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv")
+    ).withColumn("_vn", _norm(F.col("_vv")))
+    va = v.select(
+        F.col("_vid").alias("src"), F.col("_vv").alias("av"),
+        F.col("_vn").alias("_na"),
+    )
+    vb = v.select(
+        F.col("_vid").alias("dst"), F.col("_vv").alias("bv"),
+        F.col("_vn").alias("_nb"),
+    )
+    w_rank = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst").asc()
+    )
+    # normalize the warm seed to ranked top-k (maintenance outputs are
+    # already exactly this shape, so for them the re-rank is a no-op)
+    edges = (
+        graph.select("src", "dst", "cos_sim")
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+    )
+    return _nn_descent_rounds(
+        edges, va, vb, rounds, k, max_reverse, _materialize
+    )
 
 
 def graph_search_topk(
