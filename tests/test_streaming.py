@@ -1063,3 +1063,139 @@ def test_graph_delete_sink_equals_sequential_batch(spark, tmp_path):
     assert deleted_ids
     assert all(r[0] not in deleted_ids for r in got)  # src never deleted
     assert all(r[1] not in deleted_ids for r in got)  # no edge into deleted
+
+
+@needs_data
+def test_snapshot_sink_equals_sequential_batch(spark, tmp_path):
+    """foreachBatch nightly snapshot (streaming/documents.py::
+    snapshot_sink): streaming the ingest slice in two micro-batches
+    must publish, per batch, EXACTLY the report a sequential
+    pipeline.incremental_snapshot call over the same pre-batch state
+    produces, and leave hash/counts/postings state matching the
+    admitted sets (counts state is additive, so pre-batch totals are
+    partition sums)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators import pipeline as pipe
+    from wasaffi_spark.operators import similarity
+    from wasaffi_spark.sources.parquet import read_parquet
+    from wasaffi_spark.streaming import documents as sdoc
+
+    DIM, CELLS = 16, 8
+    docs = read_parquet(spark, os.path.join(SF_SMOKE, "documents.parquet"))
+    base = docs.where(F.col("doc_id") % 4 != 3)
+    ingest = docs.where(F.col("doc_id") % 4 == 3)
+    mid = ingest.approxQuantile("doc_id", [0.5], 0.0)[0]
+
+    th = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    base_hashes = base.groupBy(th.alias("text_hash")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    base_counts = (
+        base_hashes.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_d"))
+    )
+    bemb = (
+        similarity.hashed_embedding(base, dim=DIM)
+        .where(F.col("norm_sq") > 0)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+    )
+    cents = similarity.hashed_centroids(bemb, CELLS).localCheckpoint(
+        eager=True
+    )
+
+    # two parquet files => two micro-batches under maxFilesPerTrigger=1
+    ingest_dir = str(tmp_path / "ingest")
+    lo = ingest.where(F.col("doc_id") <= mid)
+    hi = ingest.where(F.col("doc_id") > mid)
+    lo.coalesce(1).write.parquet(ingest_dir + "/f0")
+    hi.coalesce(1).write.parquet(ingest_dir + "/f1")
+    stream = (
+        spark.readStream.schema(ingest.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(ingest_dir)
+    )
+
+    state_dir = str(tmp_path / "state")
+    q = sdoc.snapshot_sink(
+        stream, spark, state_dir, cents,
+        base_hashes=base_hashes, base_domain_counts=base_counts,
+        n_cells=CELLS, dim=DIM,
+    )
+    q.awaitTermination()
+
+    b_ids = sorted(
+        int(p.rsplit("batch_id=", 1)[1])
+        for p in glob.glob(os.path.join(state_dir, "report", "batch_id=*"))
+    )
+    assert b_ids == [0, 1]
+    # identify which file landed in which micro-batch from the admitted
+    # ids (the two files occupy disjoint doc_id ranges)
+    s0 = spark.read.parquet(
+        os.path.join(state_dir, "state", "batch_id=0")
+    )
+    assert s0.count() > 0
+    first_lo = s0.agg(F.max("doc_id")).first()[0] <= mid
+    slices = [lo, hi] if first_lo else [hi, lo]
+
+    seen = base_hashes.select("text_hash")
+    counts = base_counts
+    for bid, batch_docs in zip(b_ids, slices):
+        want_df = pipe.incremental_snapshot(
+            batch_docs, seen, counts, cents, n_cells=CELLS, dim=DIM
+        )
+        want = {tuple(r) for r in want_df.collect()}
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(state_dir, "report", f"batch_id={bid}")
+            ).select(*want_df.columns).collect()
+        }
+        assert got == want, f"report mismatch at batch {bid}"
+
+        _, _, fresh = pipe.snapshot_admission(batch_docs, seen)
+        fresh = fresh.localCheckpoint(eager=True)
+        got_state = {
+            (r.text_hash, r.doc_id)
+            for r in spark.read.parquet(
+                os.path.join(state_dir, "state", f"batch_id={bid}")
+            ).collect()
+        }
+        want_state = {
+            (r["_th"], r["doc_id"])
+            for r in fresh.select("_th", "doc_id").collect()
+        }
+        assert got_state == want_state, f"hash state mismatch at batch {bid}"
+        got_post = {
+            (r.cell, r.vec_id)
+            for r in spark.read.parquet(
+                os.path.join(state_dir, "postings", f"batch_id={bid}")
+            ).collect()
+        }
+        emb = (
+            similarity.hashed_embedding(fresh, dim=DIM)
+            .where(F.col("norm_sq") > 0)
+            .select(F.col("doc_id").alias("vec_id"), "embedding")
+        )
+        want_post = {
+            (r.cell, r.vec_id)
+            for r in similarity.ivf_assign_hashed(
+                emb, cents, CELLS, dim=DIM
+            ).select("cell", "vec_id").collect()
+        }
+        assert got_post == want_post, f"postings mismatch at batch {bid}"
+
+        seen = seen.union(
+            fresh.select(F.col("_th").alias("text_hash"))
+        ).localCheckpoint(eager=True)
+        delta = fresh.groupBy("lang").agg(F.count("*").alias("n_d"))
+        counts = (
+            counts.unionByName(delta)
+            .groupBy("lang")
+            .agg(F.sum("n_d").alias("n_d"))
+            .localCheckpoint(eager=True)
+        )

@@ -558,6 +558,39 @@ def corpus_report(
     )
 
 
+def snapshot_admission(
+    batch_docs: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    domain_col: str = "lang",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The admission legs of the nightly snapshot, shared between the
+    batch report (:func:`incremental_snapshot`) and the streaming sink
+    (:func:`~wasaffi_spark.streaming.documents.snapshot_sink`) so the
+    two faces cannot drift: hash the batch texts (md5, the same 16-byte
+    key the persisted state stores), drop rows whose hash the state has
+    seen (ONE anti-join — the base corpus text is never re-read), then
+    exact-dedup WITHIN the batch (min-id per hash, exact_dedup's keeper
+    rule).
+
+    Returns ``(hashed, cand, fresh)``: the hashed batch (all rows, with
+    the ``_th`` hash column), the state-novel candidates, and the
+    admitted keepers — the three frames whose per-domain counts are the
+    report's ``n_batch`` / ``n_dup_seen`` / ``n_dup_batch`` / ``n_fresh``
+    ledger."""
+    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    hashed = batch_docs.select(
+        F.col(id_col), F.col(domain_col), F.col(text_col),
+        h.alias("_th"),
+    )
+    seen = seen_hashes.select(F.col("text_hash").alias("_th")).distinct()
+    cand = hashed.join(seen, "_th", "left_anti")
+    keep = cand.groupBy("_th").agg(F.min(id_col).alias(id_col))
+    fresh = cand.join(keep, [id_col, "_th"], "left_semi")
+    return hashed, cand, fresh
+
+
 def incremental_snapshot(
     batch_docs: DataFrame,
     seen_hashes: DataFrame,
@@ -609,15 +642,9 @@ def incremental_snapshot(
     """
     from .similarity import hashed_embedding, ivf_assign_hashed
 
-    h = F.md5(F.coalesce(F.col(text_col), F.lit("")))
-    hashed = batch_docs.select(
-        F.col(id_col), F.col(domain_col), F.col(text_col),
-        h.alias("_th"),
+    hashed, cand, fresh = snapshot_admission(
+        batch_docs, seen_hashes, text_col, id_col, domain_col
     )
-    seen = seen_hashes.select(F.col("text_hash").alias("_th")).distinct()
-    cand = hashed.join(seen, "_th", "left_anti")
-    keep = cand.groupBy("_th").agg(F.min(id_col).alias(id_col))
-    fresh = cand.join(keep, [id_col, "_th"], "left_semi")
 
     per_batch = hashed.groupBy(domain_col).agg(
         F.count("*").alias("n_batch")

@@ -351,3 +351,145 @@ def quality_scored_stream(
         docs_stream, model, n_buckets, text_col, id_col
     )
     return scored.where(F.col("prob") >= threshold)
+
+
+def snapshot_sink(
+    docs_stream: DataFrame,
+    spark: SparkSession,
+    state_dir: str,
+    cents: DataFrame,
+    base_hashes: DataFrame | None = None,
+    base_domain_counts: DataFrame | None = None,
+    n_cells: int = 16,
+    dim: int = 64,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "lang",
+):
+    """The nightly snapshot run as a continuous-ingest sink: ONE
+    ``foreachBatch`` body that executes, per micro-batch, exactly the
+    three incremental legs of :func:`~wasaffi_spark.operators.pipeline.
+    incremental_snapshot` against on-disk state — the streaming face of
+    the batch report, sharing its admission plan
+    (``pipeline.snapshot_admission``) so the two cannot drift:
+
+    1. **admit** — anti-join the batch's text hashes against the
+       persisted hash table, min-id dedup within the batch;
+    2. **append** — assign the admitted docs' hashed embeddings to the
+       FROZEN codebook ``cents`` and persist the postings delta
+       (``ivf_append``'s write path);
+    3. **report** — one row per domain with the dedup ledger and the
+       ``keep_bp_old``/``keep_bp_new`` temperature-weight diff,
+       computed by calling ``pipeline.incremental_snapshot`` itself on
+       the pre-batch state.
+
+    State layout under ``state_dir`` (all parquet, all
+    ``batch_id=<n>``-partitioned, seeded crash-safely at ``batch_id=-1``
+    via :func:`~wasaffi_spark.streaming.state.seed_state`):
+    ``state`` (text_hash, id), ``counts`` (domain, n_d — ADDITIVE
+    partials: pre-batch totals are the sum over earlier partitions, so
+    no partition is ever rewritten), ``postings`` (cell, vec_id),
+    ``report`` (the per-batch published report), and ``cents`` (the
+    frozen codebook, written once).
+
+    Replay semantics follow the house sink recipe
+    (:func:`incremental_dedup_sink`): every read excludes
+    ``batch_id >= current``, every write overwrites the batch's own
+    partition — at-least-once foreachBatch becomes effectively-once.
+
+    Scale: the anti-join and the batch dedup shuffle (hash, id) rows
+    only; the codebook is an ``n_cells``-row broadcast; the counts
+    state is O(domains · batches) and compacts trivially. Nothing
+    corpus-sized is ever re-read — the point of the nightly design.
+    """
+    from ..operators.pipeline import (
+        incremental_snapshot,
+        snapshot_admission,
+    )
+    from ..operators.similarity import hashed_embedding, ivf_assign_hashed
+    from .state import seed_state
+
+    state_path = os.path.join(state_dir, "state")
+    counts_path = os.path.join(state_dir, "counts")
+    postings_path = os.path.join(state_dir, "postings")
+    report_path = os.path.join(state_dir, "report")
+    cents_path = os.path.join(state_dir, "cents")
+
+    if base_hashes is None:
+        base_hashes = spark.createDataFrame(
+            [], f"text_hash string, {id_col} bigint"
+        )
+    if base_domain_counts is None:
+        base_domain_counts = spark.createDataFrame(
+            [], f"{domain_col} string, n_d bigint"
+        )
+    seed_state(
+        spark,
+        os.path.join(state_path, "batch_id=-1"),
+        base_hashes.select(
+            "text_hash", F.col(id_col).cast("bigint").alias(id_col)
+        ),
+    )
+    seed_state(
+        spark,
+        os.path.join(counts_path, "batch_id=-1"),
+        base_domain_counts.select(
+            domain_col, F.col("n_d").cast("bigint").alias("n_d")
+        ),
+    )
+    seed_state(spark, cents_path, cents)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.sparkSession
+        seen = b.read.parquet(state_path).where(
+            F.col("batch_id") < batch_id
+        )
+        counts = (
+            b.read.parquet(counts_path)
+            .where(F.col("batch_id") < batch_id)
+            .groupBy(domain_col)
+            .agg(F.sum("n_d").alias("n_d"))
+        )
+        frozen = b.read.parquet(cents_path)
+        report = incremental_snapshot(
+            batch_df, seen, counts, frozen,
+            n_cells=n_cells, dim=dim, alpha=alpha,
+            text_col=text_col, id_col=id_col, domain_col=domain_col,
+        )
+        report.write.mode("overwrite").parquet(
+            os.path.join(report_path, f"batch_id={batch_id}")
+        )
+        _, _, fresh = snapshot_admission(
+            batch_df, seen, text_col, id_col, domain_col
+        )
+        # materialize once: the three state writes must see the SAME
+        # admitted set (and not recompute the anti-join thrice)
+        fresh = fresh.localCheckpoint(eager=True)
+        fresh.select(
+            F.col("_th").alias("text_hash"), F.col(id_col)
+        ).write.mode("overwrite").parquet(
+            os.path.join(state_path, f"batch_id={batch_id}")
+        )
+        fresh.groupBy(domain_col).agg(
+            F.count("*").alias("n_d")
+        ).write.mode("overwrite").parquet(
+            os.path.join(counts_path, f"batch_id={batch_id}")
+        )
+        emb = hashed_embedding(
+            fresh, dim=dim, text_col=text_col, id_col=id_col
+        ).where(F.col("norm_sq") > 0)
+        ivf_assign_hashed(
+            emb.select(F.col(id_col).alias("vec_id"), "embedding"),
+            frozen, n_cells, dim=dim,
+        ).select("cell", "vec_id").write.mode("overwrite").parquet(
+            os.path.join(postings_path, f"batch_id={batch_id}")
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
