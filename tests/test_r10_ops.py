@@ -461,3 +461,100 @@ def test_graph_refresh_recovers_new_to_new_links(spark):
     post = {(r.src, r.dst) for r in refreshed.collect()}
     # in one tight cluster the two new points are mutual near-neighbours
     assert (100, 101) in post and (101, 100) in post
+
+
+# ------------------------------------------------------- compaction_plan
+
+
+def _manifest(spark, rows):
+    return spark.createDataFrame(
+        rows, "part string, file_id bigint, bytes bigint"
+    )
+
+
+def test_compaction_plan_hand_fixture(spark):
+    """Next-Fit bin assignment on a hand-checked manifest: target 100,
+    files (10, 40, 60, 30, 250, 90) in id order → exclusive cumsums
+    0,10,50,110,(keep),110 → bins 0,0,0,1,NULL,1; the 250-byte file is
+    right-sized and kept."""
+    from wasaffi_spark.operators.layout import compaction_plan
+
+    man = _manifest(
+        spark,
+        [("p", 0, 10), ("p", 1, 40), ("p", 2, 60),
+         ("p", 3, 30), ("p", 4, 250), ("p", 5, 90)],
+    )
+    got = {
+        r.file_id: (r.action, r.bin)
+        for r in compaction_plan(man, 100, part_col="part").collect()
+    }
+    assert got == {
+        0: ("pack", 0), 1: ("pack", 0), 2: ("pack", 0),
+        3: ("pack", 1), 4: ("keep", None), 5: ("pack", 1),
+    }
+
+
+def test_compaction_plan_never_crosses_partitions(spark):
+    """Two partitions with identical file lists plan independently —
+    bins restart at 0 per partition key (a bin straddling partition
+    values would defeat partition pruning on the compacted table)."""
+    from wasaffi_spark.operators.layout import compaction_plan
+
+    rows = [(p, i, 50) for p in ("a", "b") for i in range(4)]
+    plan = compaction_plan(_manifest(spark, rows), 100, part_col="part")
+    per_part = {
+        p: sorted(
+            (r.file_id, r.bin)
+            for r in plan.where(F.col("part") == p).collect()
+        )
+        for p in ("a", "b")
+    }
+    assert per_part["a"] == per_part["b"] == [
+        (0, 0), (1, 0), (2, 1), (3, 1),
+    ]
+
+
+def test_compaction_plan_bin_size_bound(spark):
+    """Every packed bin's byte total is < target + the largest small
+    file it holds (the Next-Fit guarantee: a bin only overflows by the
+    file that crossed the boundary), bin ids are contiguous, and the
+    plan emits at most ceil(total/target) output files."""
+    import random
+
+    from wasaffi_spark.operators.layout import compaction_plan
+
+    rng = random.Random(7)
+    rows = [("p", i, rng.randrange(1, 400)) for i in range(200)]
+    target = 512
+    plan = compaction_plan(
+        _manifest(spark, rows), target, part_col="part"
+    ).collect()
+    assert all(r.action == "pack" for r in plan)  # all < 400 < 512
+    by_bin = {}
+    for r in plan:
+        by_bin.setdefault(r.bin, []).append(r.bytes)
+    bins = sorted(by_bin)
+    assert bins == list(range(len(bins)))  # contiguous bin ids
+    for b in bins:
+        assert sum(by_bin[b]) < target + max(by_bin[b])
+    # packing efficiency: offset binning yields at most
+    # ceil(total/target) bins — average output file ~= target, the
+    # point of compaction (a per-bin >= target floor does NOT hold:
+    # a boundary-crossing file shifts the next bin's start)
+    total = sum(r.bytes for r in plan)
+    assert len(bins) <= -(-total // target)
+
+
+def test_compaction_plan_is_metadata_only_window(spark):
+    """The physical plan is one window over the manifest — no join, no
+    corpus access; the planner's cost is O(files) whatever the table
+    holds."""
+    from wasaffi_spark.operators.layout import compaction_plan
+
+    man = _manifest(spark, [("p", i, 10) for i in range(8)])
+    plan = compaction_plan(man, 100, part_col="part")
+    phys = plan._sc._jvm.PythonSQLUtils.explainString(
+        plan._jdf.queryExecution(), "simple"
+    )
+    assert "Window" in phys
+    assert "Join" not in phys and "CartesianProduct" not in phys

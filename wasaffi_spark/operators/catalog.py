@@ -9232,3 +9232,83 @@ register_extra(
         select src, dst, cos_sim, rnk from e{DESCENT_ROUNDS + 1}
         order by src, rnk""",
 )
+
+
+# ---------------------------------------------------------------------------
+# compaction_plan — small-file compaction planning (operators/layout.py):
+# the table-maintenance step that keeps the scan side of every other
+# operator healthy at 100 TB. The manifest here is synthesized from the
+# documents table ((lang, doc_id % CPLAN_MOD) shards with their text
+# byte totals) so the plan is oracle-checkable; in production the input
+# is the table format's file listing.
+
+CPLAN_MOD = 37
+CPLAN_TARGET = 2048
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan (operators/layout.py::
+    compaction_plan): one row per planned output file — packed bins of
+    sub-target files (Next-Fit over the deterministic file order, never
+    across the partition key) plus right-sized files kept as-is. The
+    oracle replays the manifest build, the exclusive running sum, and
+    the bin assignment."""
+    from . import layout
+
+    docs = _table(spark, sf_dir, "documents")
+    man = docs.groupBy(
+        "lang",
+        F.pmod(F.col("doc_id"), F.lit(CPLAN_MOD)).alias("file_id"),
+    ).agg(
+        F.sum(
+            F.length(F.coalesce(F.col("text"), F.lit("")))
+        ).alias("bytes"),
+        F.count("*").alias("n_docs"),
+    )
+    plan = layout.compaction_plan(
+        man, CPLAN_TARGET, part_col="lang"
+    )
+    return (
+        plan.groupBy(
+            "lang",
+            "action",
+            F.coalesce(F.col("bin"), F.col("file_id")).alias("bin_id"),
+        )
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("bytes").alias("bin_bytes"),
+            F.sum("n_docs").alias("n_docs"),
+        )
+        .orderBy("lang", "action", "bin_id")
+    )
+
+
+register_extra(
+    "compaction_plan",
+    q_compaction_plan,
+    f"""with man as (
+          select lang, doc_id % {CPLAN_MOD} as file_id,
+                 sum(length(coalesce(text, '')))::bigint as bytes,
+                 count(*)::bigint as n_docs
+          from documents group by 1, 2),
+        ass as (
+          select lang, file_id, bytes, n_docs,
+                 bytes < {CPLAN_TARGET} as small,
+                 coalesce(sum(case when bytes < {CPLAN_TARGET}
+                                   then bytes end)
+                   over (partition by lang order by file_id
+                         rows between unbounded preceding
+                                  and 1 preceding),
+                   0)::bigint as cum
+          from man)
+        select lang,
+               case when small then 'pack' else 'keep' end as action,
+               (case when small then cum // {CPLAN_TARGET}
+                     else file_id end)::bigint as bin_id,
+               count(*)::bigint as n_files,
+               sum(bytes)::bigint as bin_bytes,
+               sum(n_docs)::bigint as n_docs
+        from ass
+        group by 1, 2, 3
+        order by lang, action, bin_id""",
+)

@@ -126,3 +126,65 @@ def file_skip_fraction(
         elif fx_min <= x_hi and fx_max >= x_lo and fy_min <= y_hi and fy_max >= y_lo:
             hit += 1
     return hit, len(files)
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    part_col: str = "part",
+    id_col: str = "file_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Small-file compaction planner — the OPTIMIZE/rewrite_data_files
+    step every 100 TB table needs on a cadence: a long-lived table
+    accretes files far below the scan-efficient size (streaming sinks,
+    nightly appends, partial rewrites), and scan cost degrades with
+    per-file overhead (footer reads, task scheduling, open/seek) long
+    before data volume grows.
+
+    Input is the table's FILE MANIFEST (one row per data file with its
+    partition key and size — metadata, never data), so the planner's
+    own cost is O(files), not O(table). Files at or above
+    ``target_bytes`` are already right-sized and pass through as
+    ``action='keep'``; smaller files are packed Next-Fit in
+    deterministic ``id_col`` order: exclusive running sum of small-file
+    bytes within the partition, ``bin = cum div target`` — every bin
+    lands within one file of ``target_bytes``, the plan is a pure
+    function of the manifest (re-running a crashed compaction yields
+    the identical plan), and compaction never merges across partition
+    boundaries (bins would straddle partition pruning otherwise).
+
+    Returns the input columns plus ``action`` ('pack' | 'keep') and
+    ``bin`` (the output-file group for packed files; NULL for keeps).
+    One window per partition key over manifest rows — at cluster scale
+    that is millions of metadata rows, trivially parallel in the
+    partition dimension.
+    """
+    from pyspark.sql import Window
+
+    small = F.col(bytes_col) < F.lit(target_bytes)
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(
+        F.sum(F.when(small, F.col(bytes_col)).otherwise(F.lit(0))).over(w),
+        F.lit(0),
+    ).cast("bigint")
+    return (
+        files.select(
+            "*",
+            F.when(small, F.lit("pack"))
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+            F.when(small, cum).alias("_cum"),
+        )
+        .withColumn(
+            # `div` is exact bigint floor-division (cum >= 0), immune to
+            # double rounding however large the partition's byte total
+            "bin",
+            F.expr(f"_cum div {int(target_bytes)}"),
+        )
+        .drop("_cum")
+    )
