@@ -203,6 +203,8 @@ HEADLINE = [
     # late r10: warm re-descent over the maintained graph — the
     # refresh leg that recovers new->new links and repair tail edges
     "graph_refresh",
+    # late r10: small-file compaction planning over the table manifest
+    "compaction_plan",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

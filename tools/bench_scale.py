@@ -339,6 +339,14 @@ PROBES = {
         "the delta applications are bounded anti-joins — the ladder "
         "reads linear-on-chord like its three constituents"
     ),
+    "compaction_plan": (
+        "small-file compaction planning (r10): one groupBy builds the "
+        "manifest (linear scan of text lengths), then ONE window over "
+        "O(files) metadata rows — the replicated corpus grows the scan "
+        "linearly while the manifest stays ~constant (fixed lang × "
+        "CPLAN_MOD shard grid), so the ladder reads linear, dominated "
+        "by the manifest build"
+    ),
 }
 
 
