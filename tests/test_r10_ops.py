@@ -558,3 +558,67 @@ def test_compaction_plan_is_metadata_only_window(spark):
     )
     assert "Window" in phys
     assert "Join" not in phys and "CartesianProduct" not in phys
+
+
+def test_compact_small_files_executes_plan(spark, tmp_path):
+    """compact_small_files rewrites exactly the packed files into ONE
+    parquet file per bin (hash-repartition on bin + partitionBy, no
+    driver loop), preserves every packed row, and leaves right-sized
+    files in place."""
+    import glob
+    import os
+
+    from wasaffi_spark.operators.layout import compact_small_files
+
+    src = str(tmp_path / "src")
+    for i in range(8):
+        (
+            spark.range(i * 10, i * 10 + 10)
+            .withColumn("v", F.col("id") * 2)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    (
+        spark.range(100000, 140000)
+        .withColumn("v", F.col("id") * 2)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(src)
+    )
+    sizes = sorted(
+        os.stat(p).st_size for p in glob.glob(os.path.join(src, "*.parquet"))
+    )
+    # target: bigger than any small file, ~3 smalls per bin, below the
+    # big file so it stays a keep whatever the parquet overhead is
+    target = min(3 * sizes[0], sizes[-1])
+    assert sizes[-2] < target <= sizes[-1]
+
+    out = str(tmp_path / "out")
+    plan = compact_small_files(spark, src, target, out)
+    rows = plan.collect()
+    keeps = [r for r in rows if r.action == "keep"]
+    packs = [r for r in rows if r.action == "pack"]
+    assert len(keeps) == 1 and keeps[0].bytes == sizes[-1]
+    assert len(packs) == 8 and all(r.bin is not None for r in packs)
+
+    bins = sorted({r.bin for r in packs})
+    bin_dirs = sorted(glob.glob(os.path.join(out, "bin=*")))
+    assert [int(d.rsplit("=", 1)[1]) for d in bin_dirs] == bins
+    assert len(bins) > 1  # the fixture genuinely exercises multi-bin
+    for d in bin_dirs:
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+
+    got = {
+        (r.id, r.v)
+        for r in spark.read.parquet(out).select("id", "v").collect()
+    }
+    want = {
+        (r.id, r.v)
+        for r in spark.read.parquet(
+            *[r.path for r in packs]
+        ).collect()
+    }
+    assert got == want
+    # the keep file was not rewritten into the output
+    assert keeps[0].path.startswith(src)

@@ -188,3 +188,73 @@ def compaction_plan(
         )
         .drop("_cum")
     )
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    target_bytes: int,
+    out_dir: str,
+) -> DataFrame:
+    """Execute a :func:`compaction_plan` over a directory of parquet
+    files: sub-target files are read once, tagged with their plan bin
+    via an ``input_file_name()`` broadcast join against the manifest
+    (never a driver-side loop over bins), hash-repartitioned so each
+    bin lands wholly in one task, and written ``partitionBy('bin')`` —
+    exactly ONE output file per bin. Right-sized files are left in
+    place (production renames/links them; rewriting them would be the
+    write amplification compaction exists to avoid).
+
+    The manifest comes from file metadata (one ``os.stat`` per file,
+    no data pages — the analogue of a table format's file listing);
+    file order, and therefore the plan, is deterministic (sorted
+    paths). Returns the per-file plan with the manifest columns so the
+    caller can verify/commit the swap.
+
+    Scale: the data-moving stage is one scan of the small files + one
+    shuffle keyed on (bin), sized to the data being compacted — the
+    keeps, typically the bulk of the table's bytes, are never read.
+    """
+    import glob as _glob
+    import os as _os
+
+    paths = sorted(
+        _glob.glob(_os.path.join(path, "*.parquet"))
+        + _glob.glob(_os.path.join(path, "**", "*.parquet"))
+    )
+    man = spark.createDataFrame(
+        [
+            (i, p, _os.stat(p).st_size)
+            for i, p in enumerate(dict.fromkeys(paths))
+        ],
+        "file_id bigint, path string, bytes bigint",
+    ).withColumn("part", F.lit(""))
+    plan = compaction_plan(man, target_bytes, part_col="part").drop("part")
+    packed = [
+        (r["path"], int(r["bin"]))
+        for r in plan.where(F.col("action") == "pack").collect()
+    ]
+    if packed:
+        bin_of = spark.createDataFrame(
+            packed, "_path string, bin bigint"
+        )
+        n_bins = len({b for _, b in packed})
+        rows = (
+            spark.read.parquet(*[p for p, _ in packed])
+            .withColumn("_path", F.input_file_name())
+            # input_file_name returns a URI (file://...); join on the
+            # decoded local suffix so the manifest's plain paths match
+            .withColumn(
+                "_path",
+                F.url_decode(F.regexp_replace("_path", "^[a-z]+:(//)?", "")),
+            )
+            .join(F.broadcast(bin_of), "_path")
+            .drop("_path")
+        )
+        (
+            rows.repartition(n_bins, "bin")
+            .write.mode("overwrite")
+            .partitionBy("bin")
+            .parquet(out_dir)
+        )
+    return plan
