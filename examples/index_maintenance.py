@@ -19,6 +19,10 @@ every stage an engine operator, end to end on /root/testdata/sf0.001:
                   both families (similarity.graph_maintained_search /
                   ivf_maintained_topk), with routing structures
                   recomputed over the alive corpus
+    7. RE-DESCEND — ONE warm NN-descent round seeded from the
+                  maintained adjacency (similarity.graph_refresh):
+                  recovers the links incremental maintenance cannot
+                  see, at ~¼ the cost of a cold rebuild
 
 Run: python examples/index_maintenance.py
 """
@@ -109,6 +113,41 @@ def main() -> None:
         q_alive, graph, base, batch, dele2, k=3, k_graph=8, beam=8,
         rounds=4,
     ).orderBy("qid", "rank").show(6, truncate=False)
+
+    # 7. warm re-descent: ONE NN-descent round seeded from the
+    # maintained adjacency recovers the new→new links and repair tail
+    # edges the incremental ops cannot see — the periodic step that
+    # resets the maintained-vs-rebuilt recall gap without paying a
+    # cold rebuild (4 rounds from LSH cells)
+    d2 = dele2.withColumnRenamed("vec_id", "_did")
+    g_maint = (
+        similarity.graph_apply_delta(
+            similarity.graph_apply_delta(graph, upd),
+            similarity.graph_delete(
+                dele2,
+                similarity.graph_apply_delta(graph, upd),
+                emb.select("vec_id", "embedding"),
+                k=8,
+            ),
+        )
+        .join(d2, F.col("src") == F.col("_did"), "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    alive = emb.join(d2, F.col("vec_id") == F.col("_did"), "left_anti")
+    refreshed = similarity.graph_refresh(g_maint, alive, k=8, rounds=1)
+    improved = (
+        refreshed.join(
+            g_maint.select("src", "dst"), ["src", "dst"], "left_anti"
+        )
+        .select("src")
+        .distinct()
+        .count()
+    )
+    print(
+        f"warm refresh: 1 descent round over the maintained graph "
+        f"improved {improved} adjacencies (cold rebuild would re-run "
+        "4 rounds from scratch)"
+    )
     spark.stop()
 
 
