@@ -2,7 +2,7 @@
 # the Spark build: no compile step, so "all" is test; "wasm"-phase
 # equivalents are the oracle/bench harnesses.
 
-.PHONY: all test oracle bench example pipeline-example maintenance-example smoke
+.PHONY: all test oracle bench example pipeline-example maintenance-example nightly-example smoke
 
 all: test
 
@@ -29,6 +29,11 @@ pipeline-example:
 # delete-with-repair -> warm codebook refresh (r9 maintenance legs)
 maintenance-example:
 	python examples/index_maintenance.py
+
+# the recurring-ingest story: seeded state -> snapshot_sink micro-batches
+# -> per-night reports -> small-file compaction of the state table
+nightly-example:
+	python examples/nightly_snapshot.py
 
 smoke:
 	python -m pytest tests/test_engine_udf.py tests/test_ddl.py -q
