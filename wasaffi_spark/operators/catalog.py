@@ -9312,3 +9312,24 @@ register_extra(
         group by 1, 2, 3
         order by lang, action, bin_id""",
 )
+
+
+# ---------------------------------------------------------------------------
+# late-r10 rotation amendment: graph_refresh and compaction_plan landed
+# AFTER the round's main rotation — promote them immediately so they
+# are never rotation debt (the r9 verdict's What's-missing #2 pattern:
+# an extra that exists but has no driver row). Two more long-green
+# veterans cede slots: simhash_pairs (4 green rounds; the dedup family
+# stays anchored by fuzzy_pairs, semantic_dedup_pruned and
+# cluster_canonical) and knn_triangles (4 green rounds; the graph
+# family stays anchored by label_propagation and the five graph_*
+# lifecycle queries).
+
+_promote(
+    "graph_refresh",
+    "compaction_plan",
+)
+_demote(
+    "simhash_pairs",
+    "knn_triangles",
+)
