@@ -1199,3 +1199,88 @@ def test_snapshot_sink_equals_sequential_batch(spark, tmp_path):
             .agg(F.sum("n_d").alias("n_d"))
             .localCheckpoint(eager=True)
         )
+
+
+@needs_data
+def test_snapshot_sink_replay_is_idempotent(spark, tmp_path):
+    """The effectively-once contract: re-running an already-committed
+    snapshot micro-batch (the at-least-once foreachBatch replay after a
+    crash-before-checkpoint) leaves every state table EXACTLY as it
+    was — reads exclude the batch's own partitions, writes overwrite
+    them."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.operators import similarity
+    from wasaffi_spark.sources.parquet import read_parquet
+    from wasaffi_spark.streaming import documents as sdoc
+    from wasaffi_spark.streaming.documents import _snapshot_batch
+
+    DIM, CELLS = 16, 8
+    docs = read_parquet(spark, os.path.join(SF_SMOKE, "documents.parquet"))
+    base = docs.where(F.col("doc_id") % 4 != 3)
+    ingest = docs.where(F.col("doc_id") % 4 == 3)
+    mid = ingest.approxQuantile("doc_id", [0.5], 0.0)[0]
+
+    th = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    base_hashes = base.groupBy(th.alias("text_hash")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    bemb = (
+        similarity.hashed_embedding(base, dim=DIM)
+        .where(F.col("norm_sq") > 0)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+    )
+    cents = similarity.hashed_centroids(bemb, CELLS).localCheckpoint(
+        eager=True
+    )
+    ingest_dir = str(tmp_path / "ingest")
+    ingest.where(F.col("doc_id") <= mid).coalesce(1).write.parquet(
+        ingest_dir + "/f0"
+    )
+    ingest.where(F.col("doc_id") > mid).coalesce(1).write.parquet(
+        ingest_dir + "/f1"
+    )
+    stream = (
+        spark.readStream.schema(ingest.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(ingest_dir)
+    )
+    state_dir = str(tmp_path / "state")
+    q = sdoc.snapshot_sink(
+        stream, spark, state_dir, cents, base_hashes=base_hashes,
+        n_cells=CELLS, dim=DIM,
+    )
+    q.awaitTermination()
+
+    def table_rows():
+        out = {}
+        for t in ("state", "counts", "postings", "report"):
+            out[t] = sorted(
+                map(tuple, spark.read.parquet(
+                    os.path.join(state_dir, t)
+                ).collect())
+            )
+        return out
+
+    before = table_rows()
+    # replay the LAST batch: recover which file it held from its own
+    # state partition (disjoint id ranges), then re-run the batch body
+    s1 = spark.read.parquet(os.path.join(state_dir, "state", "batch_id=1"))
+    last_lo = s1.agg(F.max("doc_id")).first()[0] <= mid
+    last = ingest.where(
+        F.col("doc_id") <= mid if last_lo else F.col("doc_id") > mid
+    )
+    _snapshot_batch(
+        last, 1, state_dir, n_cells=CELLS, dim=DIM, alpha=0.5,
+        id_col="doc_id", text_col="text", domain_col="lang",
+    )
+    assert table_rows() == before
+    # and replaying it twice more changes nothing either
+    _snapshot_batch(
+        last, 1, state_dir, n_cells=CELLS, dim=DIM, alpha=0.5,
+        id_col="doc_id", text_col="text", domain_col="lang",
+    )
+    assert table_rows() == before

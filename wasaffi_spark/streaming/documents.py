@@ -441,49 +441,10 @@ def snapshot_sink(
     seed_state(spark, cents_path, cents)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        b = batch_df.sparkSession
-        seen = b.read.parquet(state_path).where(
-            F.col("batch_id") < batch_id
-        )
-        counts = (
-            b.read.parquet(counts_path)
-            .where(F.col("batch_id") < batch_id)
-            .groupBy(domain_col)
-            .agg(F.sum("n_d").alias("n_d"))
-        )
-        frozen = b.read.parquet(cents_path)
-        report = incremental_snapshot(
-            batch_df, seen, counts, frozen,
+        _snapshot_batch(
+            batch_df, batch_id, state_dir,
             n_cells=n_cells, dim=dim, alpha=alpha,
-            text_col=text_col, id_col=id_col, domain_col=domain_col,
-        )
-        report.write.mode("overwrite").parquet(
-            os.path.join(report_path, f"batch_id={batch_id}")
-        )
-        _, _, fresh = snapshot_admission(
-            batch_df, seen, text_col, id_col, domain_col
-        )
-        # materialize once: the three state writes must see the SAME
-        # admitted set (and not recompute the anti-join thrice)
-        fresh = fresh.localCheckpoint(eager=True)
-        fresh.select(
-            F.col("_th").alias("text_hash"), F.col(id_col)
-        ).write.mode("overwrite").parquet(
-            os.path.join(state_path, f"batch_id={batch_id}")
-        )
-        fresh.groupBy(domain_col).agg(
-            F.count("*").alias("n_d")
-        ).write.mode("overwrite").parquet(
-            os.path.join(counts_path, f"batch_id={batch_id}")
-        )
-        emb = hashed_embedding(
-            fresh, dim=dim, text_col=text_col, id_col=id_col
-        ).where(F.col("norm_sq") > 0)
-        ivf_assign_hashed(
-            emb.select(F.col(id_col).alias("vec_id"), "embedding"),
-            frozen, n_cells, dim=dim,
-        ).select("cell", "vec_id").write.mode("overwrite").parquet(
-            os.path.join(postings_path, f"batch_id={batch_id}")
+            id_col=id_col, text_col=text_col, domain_col=domain_col,
         )
 
     return (
@@ -492,4 +453,79 @@ def snapshot_sink(
         .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def _snapshot_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    *,
+    n_cells: int,
+    dim: int,
+    alpha: float,
+    id_col: str,
+    text_col: str,
+    domain_col: str,
+) -> None:
+    """One :func:`snapshot_sink` micro-batch, module-level so the
+    replay contract is directly testable: every read excludes
+    ``batch_id >= current`` (a replayed batch recomputes from exactly
+    the pre-batch state, which can never contain its own partial
+    writes), every write overwrites the batch's own partition —
+    re-running a batch is therefore a byte-identical rewrite, the
+    effectively-once property the at-least-once foreachBatch contract
+    needs (pinned by ``test_snapshot_sink_replay_is_idempotent``)."""
+    from ..operators.pipeline import incremental_snapshot, snapshot_admission
+    from ..operators.similarity import hashed_embedding, ivf_assign_hashed
+
+    state_path = os.path.join(state_dir, "state")
+    counts_path = os.path.join(state_dir, "counts")
+    postings_path = os.path.join(state_dir, "postings")
+    report_path = os.path.join(state_dir, "report")
+    cents_path = os.path.join(state_dir, "cents")
+
+    b = batch_df.sparkSession
+    seen = b.read.parquet(state_path).where(
+        F.col("batch_id") < batch_id
+    )
+    counts = (
+        b.read.parquet(counts_path)
+        .where(F.col("batch_id") < batch_id)
+        .groupBy(domain_col)
+        .agg(F.sum("n_d").alias("n_d"))
+    )
+    frozen = b.read.parquet(cents_path)
+    report = incremental_snapshot(
+        batch_df, seen, counts, frozen,
+        n_cells=n_cells, dim=dim, alpha=alpha,
+        text_col=text_col, id_col=id_col, domain_col=domain_col,
+    )
+    report.write.mode("overwrite").parquet(
+        os.path.join(report_path, f"batch_id={batch_id}")
+    )
+    _, _, fresh = snapshot_admission(
+        batch_df, seen, text_col, id_col, domain_col
+    )
+    # materialize once: the three state writes must see the SAME
+    # admitted set (and not recompute the anti-join thrice)
+    fresh = fresh.localCheckpoint(eager=True)
+    fresh.select(
+        F.col("_th").alias("text_hash"), F.col(id_col)
+    ).write.mode("overwrite").parquet(
+        os.path.join(state_path, f"batch_id={batch_id}")
+    )
+    fresh.groupBy(domain_col).agg(
+        F.count("*").alias("n_d")
+    ).write.mode("overwrite").parquet(
+        os.path.join(counts_path, f"batch_id={batch_id}")
+    )
+    emb = hashed_embedding(
+        fresh, dim=dim, text_col=text_col, id_col=id_col
+    ).where(F.col("norm_sq") > 0)
+    ivf_assign_hashed(
+        emb.select(F.col(id_col).alias("vec_id"), "embedding"),
+        frozen, n_cells, dim=dim,
+    ).select("cell", "vec_id").write.mode("overwrite").parquet(
+        os.path.join(postings_path, f"batch_id={batch_id}")
     )
