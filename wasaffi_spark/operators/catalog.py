@@ -9328,8 +9328,16 @@ register_extra(
 _promote(
     "graph_refresh",
     "compaction_plan",
+    # the only remaining hash-oracled extra with no driver row in ANY
+    # round (it landed mid-r10, after the main rotation): promote it so
+    # the full-attestation invariant — every hash-oracled query has had
+    # a green driver row — holds again after this round's run
+    "ivf_maintained_topk",
 )
 _demote(
     "simhash_pairs",
     "knn_triangles",
+    # 4 green rounds; the mixture machinery stays in-window via
+    # mixture_epochs and incremental_snapshot's keep_bp legs
+    "temperature_mixture",
 )
