@@ -23,6 +23,9 @@ every stage an engine operator, end to end on /root/testdata/sf0.001:
                   maintained adjacency (similarity.graph_refresh):
                   recovers the links incremental maintenance cannot
                   see, at ~¼ the cost of a cold rebuild
+    8. EXPORT   — the train→serve handoff: the refreshed state leaves
+                  as a signed bundle (operators/serving.py) the serving
+                  fleet verifies before trusting
 
 Run: python examples/index_maintenance.py
 """
@@ -147,6 +150,22 @@ def main() -> None:
         f"warm refresh: 1 descent round over the maintained graph "
         f"improved {improved} adjacencies (cold rebuild would re-run "
         "4 rounds from scratch)"
+    )
+
+    # 8. hand off to the serving fleet: export the refreshed state as a
+    # verifiable bundle and prove the copy is intact before it serves
+    from wasaffi_spark.operators import serving
+
+    bundle = "/tmp/wasaffi_index_bundle"
+    serving.export_index_bundle(
+        spark, bundle,
+        {"cents": cents, "postings": postings, "graph": refreshed,
+         "tombstones": dele2},
+    )
+    served = serving.read_index_bundle(spark, bundle)
+    print(
+        "bundle exported + verified:",
+        {k: v.count() for k, v in sorted(served.items())},
     )
     spark.stop()
 

@@ -622,3 +622,92 @@ def test_compact_small_files_executes_plan(spark, tmp_path):
     assert got == want
     # the keep file was not rewritten into the output
     assert keeps[0].path.startswith(src)
+
+
+# --------------------------------------------------------- index bundle
+
+
+def test_index_bundle_roundtrip_and_serve(spark, tmp_path):
+    """Export the full serving state of both index families, read it
+    back with verification, and get IDENTICAL search results from the
+    imported state — the train→serve handoff contract."""
+    from wasaffi_spark.operators import serving, similarity
+
+    base, batch, deletes, queries = _orthogonal_fixture(spark)
+    cents = similarity.lloyd_centroids(base, n_cells=4, iters=2, dim=16)
+    postings = similarity.ivf_assign_hashed(base, cents, 4, dim=16)
+    graph = similarity.knn_descent(base, k=4, rounds=3, ring=3)
+
+    bundle = str(tmp_path / "bundle")
+    man = serving.export_index_bundle(
+        spark, bundle,
+        {"cents": cents, "postings": postings, "graph": graph,
+         "tombstones": deletes},
+    )
+    assert {r.component for r in man.collect()} == {
+        "cents", "postings", "graph", "tombstones"
+    }
+
+    got = serving.read_index_bundle(spark, bundle)
+    assert sorted(map(tuple, got["graph"].collect())) == sorted(
+        map(tuple, graph.collect())
+    )
+    assert sorted(map(tuple, got["cents"].collect())) == sorted(
+        map(tuple, cents.collect())
+    )
+    # serving equivalence: beam search over imported graph == original
+    a = similarity.graph_search_topk(
+        queries, graph, base, k=3, beam=8, rounds=3, n_entry=3, ring=3
+    )
+    b = similarity.graph_search_topk(
+        queries, got["graph"], base, k=3, beam=8, rounds=3, n_entry=3,
+        ring=3,
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_index_bundle_detects_tampering(spark, tmp_path):
+    """A post-export mutation (rewriting one component with a row
+    dropped) must raise BundleIntegrityError naming the component; a
+    same-rowcount value mutation is caught by the signature too."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from wasaffi_spark.operators import serving
+
+    df = spark.createDataFrame(
+        [(i, float(i) / 7) for i in range(100)], "id bigint, v double"
+    )
+    bundle = str(tmp_path / "bundle")
+    serving.export_index_bundle(spark, bundle, {"postings": df})
+
+    # silent truncation: drop a row and rewrite the component in place
+    spark.read.parquet(os.path.join(bundle, "postings")).where(
+        "id <> 42"
+    ).write.mode("overwrite").parquet(os.path.join(bundle, "postings_t"))
+    shutil.rmtree(os.path.join(bundle, "postings"))
+    shutil.move(
+        os.path.join(bundle, "postings_t"), os.path.join(bundle, "postings")
+    )
+    with _pytest.raises(serving.BundleIntegrityError, match="postings"):
+        serving.read_index_bundle(spark, bundle)
+
+    # same row count, one value flipped → signature mismatch
+    bundle2 = str(tmp_path / "bundle2")
+    serving.export_index_bundle(spark, bundle2, {"postings": df})
+    mut = spark.read.parquet(os.path.join(bundle2, "postings")).withColumn(
+        "v", F.when(F.col("id") == 42, F.lit(99.0)).otherwise(F.col("v"))
+    )
+    mut.write.mode("overwrite").parquet(os.path.join(bundle2, "postings_t"))
+    shutil.rmtree(os.path.join(bundle2, "postings"))
+    shutil.move(
+        os.path.join(bundle2, "postings_t"),
+        os.path.join(bundle2, "postings"),
+    )
+    with _pytest.raises(serving.BundleIntegrityError, match="postings"):
+        serving.read_index_bundle(spark, bundle2)
+    # verify=False is the documented escape hatch for forensics
+    got = serving.read_index_bundle(spark, bundle2, verify=False)
+    assert got["postings"].count() == 100
