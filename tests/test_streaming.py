@@ -1284,3 +1284,132 @@ def test_snapshot_sink_replay_is_idempotent(spark, tmp_path):
         id_col="doc_id", text_col="text", domain_col="lang",
     )
     assert table_rows() == before
+
+
+@needs_data
+def test_vacuum_graph_state_preserves_reads_and_continuation(spark, tmp_path):
+    """Offline state compaction (streaming/vectors.py::
+    vacuum_graph_state): after folding every batch partition into the
+    seeds, (a) the resolved adjacency is IDENTICAL to an unvacuumed
+    twin state dir, (b) each table holds only batch_id=-1, and (c) a
+    CONTINUED sink run (new micro-batch against the vacuumed state)
+    still produces exactly what the unvacuumed twin produces — vacuum
+    is invisible to both readers and writers."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.sources.parquet import read_parquet
+    from wasaffi_spark.streaming import vectors as svec
+
+    emb = read_parquet(spark, os.path.join(SF_SMOKE, "embeddings.parquet")).where(
+        F.col("vec_id") < 200
+    )
+    base = emb.where(F.col("vec_id") % 8 != 7)
+    ingest = emb.where(F.col("vec_id") % 8 == 7)
+    ingest_dir = str(tmp_path / "ingest")
+    ingest.where(F.col("vec_id") < 80).coalesce(1).write.parquet(
+        ingest_dir + "/f0"
+    )
+    ingest.where((F.col("vec_id") >= 80) & (F.col("vec_id") < 140)).coalesce(
+        1
+    ).write.parquet(ingest_dir + "/f1")
+
+    kw = dict(k=4, beam=8, rounds=3, n_entry=3, ring=3, max_reverse=8,
+              descent_rounds=2)
+
+    def run(state_dir):
+        stream = (
+            spark.readStream.schema(ingest.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(ingest_dir)
+        )
+        svec.graph_insert_sink(
+            stream, spark, state_dir, base, **kw
+        ).awaitTermination()
+
+    sa, sb = str(tmp_path / "A"), str(tmp_path / "B")
+    run(sa)
+    run(sb)
+
+    folded = svec.vacuum_graph_state(spark, sa)
+    assert folded["graph"] >= 2 and folded["vectors"] >= 2
+    for t in ("graph", "vectors", "deleted"):
+        parts = glob.glob(os.path.join(sa, t, "batch_id=*"))
+        assert [os.path.basename(p) for p in parts] == ["batch_id=-1"], t
+    got = {tuple(r) for r in svec.read_graph_state(spark, sa).collect()}
+    want = {tuple(r) for r in svec.read_graph_state(spark, sb).collect()}
+    assert got == want
+
+    # continuation: a third micro-batch lands AFTER the vacuum
+    ingest.where(F.col("vec_id") >= 140).coalesce(1).write.parquet(
+        ingest_dir + "/f2"
+    )
+    run(sa)
+    run(sb)
+    got = {tuple(r) for r in svec.read_graph_state(spark, sa).collect()}
+    want = {tuple(r) for r in svec.read_graph_state(spark, sb).collect()}
+    assert got == want
+
+
+@needs_data
+def test_vacuum_set_state_dedup_sink_continuation(spark, tmp_path):
+    """vacuum_set_state on the dedup sink's hash table: reads and a
+    continued run are unchanged vs an unvacuumed twin (set semantics —
+    the anti-join reader never cared about duplicates or layout)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from wasaffi_spark.sources.parquet import read_parquet
+    from wasaffi_spark.streaming import documents as sdoc
+    from wasaffi_spark.streaming.state import vacuum_set_state
+
+    docs = read_parquet(spark, os.path.join(SF_SMOKE, "documents.parquet"))
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    src_dir = str(tmp_path / "src")
+    docs.where(F.col("doc_id") <= mid).coalesce(1).write.parquet(
+        src_dir + "/f0"
+    )
+    docs.where(F.col("doc_id") > mid).coalesce(1).write.parquet(
+        src_dir + "/f1"
+    )
+
+    def run(state_dir):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        sdoc.incremental_dedup_sink(stream, spark, state_dir).awaitTermination()
+
+    sa, sb = str(tmp_path / "A"), str(tmp_path / "B")
+    run(sa)
+    run(sb)
+    folded = vacuum_set_state(spark, os.path.join(sa, "state"))
+    assert folded >= 2
+    parts = glob.glob(os.path.join(sa, "state", "batch_id=*"))
+    assert [os.path.basename(p) for p in parts] == ["batch_id=-1"]
+
+    # duplicate re-ingest AFTER the vacuum: the compacted state must
+    # still block every already-seen text
+    docs.where(F.col("doc_id") <= mid).coalesce(1).write.parquet(
+        src_dir + "/f2"
+    )
+    run(sa)
+    run(sb)
+    ga = {
+        (r.text_hash, r.doc_id)
+        for r in spark.read.parquet(os.path.join(sa, "state")).select(
+            "text_hash", "doc_id"
+        ).collect()
+    }
+    gb = {
+        (r.text_hash, r.doc_id)
+        for r in spark.read.parquet(os.path.join(sb, "state")).select(
+            "text_hash", "doc_id"
+        ).collect()
+    }
+    assert ga == gb

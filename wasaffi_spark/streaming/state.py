@@ -22,6 +22,8 @@ directory from a crashed attempt is healed instead of tripped over.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -45,3 +47,71 @@ def seed_state(spark: SparkSession, seed_part: str, df: DataFrame) -> None:
     if seed_committed(spark, seed_part):
         return
     df.write.mode("overwrite").parquet(seed_part)
+
+
+def _batch_parts(spark: SparkSession, table_dir: str) -> list[int]:
+    """Batch ids present under ``table_dir`` (Hadoop FS listing, so all
+    state-dir schemes behave); missing dir → empty list."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(table_dir)
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("batch_id="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def compact_into_seed(
+    spark: SparkSession, table_dir: str, resolved: DataFrame
+) -> int:
+    """OFFLINE state compaction: fold every ``batch_id=<n>`` partition
+    of a sink state table into the seed partition (``batch_id=-1``) —
+    ``resolved`` must already BE the table's resolved content
+    (latest-wins / set-union, tombstones applied or kept by the
+    caller's protocol).
+
+    Crash posture: ``resolved`` is materialized (localCheckpoint)
+    BEFORE the seed overwrite so the write never reads the partitions
+    it replaces; old partitions are then deleted in ASCENDING batch
+    order, so a latest-wins reader stays correct at every intermediate
+    state ({compacted seed} ∪ a suffix of the newest partitions). Run
+    it only while no sink query is active, and if it crashes re-run it
+    to completion before restarting the sink — the standard offline
+    table-maintenance contract (same as any OPTIMIZE/rewrite job).
+
+    Returns the number of partitions folded away."""
+    parts = [b for b in _batch_parts(spark, table_dir) if b >= 0]
+    resolved = resolved.localCheckpoint(eager=True)
+    resolved.write.mode("overwrite").parquet(
+        os.path.join(table_dir, "batch_id=-1")
+    )
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for b in parts:  # ascending — see crash posture above
+        p = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(table_dir, f"batch_id={b}")
+        )
+        fs = p.getFileSystem(hconf)
+        fs.delete(p, True)
+    return len(parts)
+
+
+def vacuum_set_state(spark: SparkSession, table_dir: str) -> int:
+    """Compact an append-only SET-semantics state table (the dedup /
+    snapshot hash tables: readers anti-join or union-distinct, so
+    duplicate rows are never wrong, only wasteful) into its seed
+    partition. NOT for additive-partial tables (snapshot_sink's
+    ``counts``) — a mid-crash re-run would double-count; those stay
+    O(domains·batches) and need no compaction."""
+    cols = [
+        c
+        for c in spark.read.parquet(table_dir).columns
+        if c != "batch_id"
+    ]
+    resolved = spark.read.parquet(table_dir).select(cols).distinct()
+    return compact_into_seed(spark, table_dir, resolved)

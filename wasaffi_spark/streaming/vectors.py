@@ -695,3 +695,58 @@ def read_graph_state(
     except Exception:
         return cur
     return cur.join(d, cur.src == F.col("_did"), "left_anti")
+
+
+def vacuum_graph_state(spark: SparkSession, state_dir: str,
+                       id_col: str = "vec_id") -> dict:
+    """OFFLINE compaction of a :func:`graph_insert_sink` /
+    :func:`graph_delete_sink` state dir — the "compact periodically"
+    step the sink docstrings promise: every micro-batch leaves one
+    partition per table, and after N batches each read resolves
+    latest-wins across N partitions and anti-joins O(total deletes)
+    tombstones. Vacuum folds all three tables back to their seed
+    partitions:
+
+    - ``graph``   → the RESOLVED adjacency (latest-wins, tombstones
+      applied) at ``batch_id=-1``;
+    - ``vectors`` → the ALIVE corpus (tombstones applied, duplicates
+      dropped) at ``batch_id=-1``;
+    - ``deleted`` → EMPTY — valid only because both consumers were
+      compacted with the tombstones already applied, which is why this
+      table is cleared LAST.
+
+    After vacuum the state reads exactly as before (pinned by the
+    vacuum≡no-vacuum continuation pytest) but every read touches one
+    partition per table and zero tombstones, and a restarted sink's
+    init finds committed seeds (no re-seed, so vacuum can never
+    resurrect deleted base vectors).
+
+    Contract (see :func:`~wasaffi_spark.streaming.state.
+    compact_into_seed`): run while no sink query is active; if it
+    crashes, re-run to completion before restarting the sink. Ordering
+    inside: both data tables finish before tombstones clear, so any
+    crash leaves tombstones masking whatever stale rows remain.
+
+    Returns ``{"graph": folded, "vectors": folded, "deleted": folded}``.
+    """
+    import os as _os
+
+    from .state import compact_into_seed
+
+    next_b = 1 << 62  # "after every batch": resolve the full state
+    adj = _read_adjacency_at(spark, state_dir, next_b, id_col)
+    vecs = _read_vectors_at(spark, state_dir, next_b, id_col).distinct()
+    out = {
+        "graph": compact_into_seed(
+            spark, _os.path.join(state_dir, "graph"), adj
+        ),
+        "vectors": compact_into_seed(
+            spark, _os.path.join(state_dir, "vectors"), vecs
+        ),
+        "deleted": compact_into_seed(
+            spark,
+            _os.path.join(state_dir, "deleted"),
+            spark.createDataFrame([], f"{id_col} bigint"),
+        ),
+    }
+    return out
