@@ -21,6 +21,9 @@ compacted by the planner:
     4. COMPACT  — layout.compaction_plan + compact_small_files over
                   the sink's accumulated hash-state files: Next-Fit
                   bins at the target size, ONE output file per bin
+    5. VACUUM   — streaming/state.vacuum_set_state folds the hash
+                  table's batch partitions into its committed seed:
+                  the in-place state-level twin of stage 4
 
 Run: python examples/nightly_snapshot.py [sf_dir] [work_dir]
 Defaults: /root/testdata/sf0.001, /tmp/wasaffi_nightly
@@ -140,6 +143,21 @@ def main() -> None:
         f"{packed.select('bin').distinct().count()} packed bins at "
         f"target {target} B "
         f"(+{plan.where(F.col('action') == 'keep').count()} keeps)"
+    )
+
+    # 5. VACUUM — the in-place, sink-resumable form of the same idea:
+    # fold every batch_id partition of the hash table back into its
+    # committed seed (set semantics — readers anti-join, so this is
+    # provably invisible to them and to a resumed sink)
+    from wasaffi_spark.streaming.state import vacuum_set_state
+
+    before = spark.read.parquet(hash_dir).count()
+    folded = vacuum_set_state(spark, hash_dir)
+    after = spark.read.parquet(hash_dir).count()
+    print(
+        f"vacuum: folded {folded} batch partitions into the seed; "
+        f"{before} rows -> {after} distinct (reads + resumed sinks "
+        "unchanged, one partition per read from here on)"
     )
     spark.stop()
 
