@@ -711,3 +711,46 @@ def test_index_bundle_detects_tampering(spark, tmp_path):
     # verify=False is the documented escape hatch for forensics
     got = serving.read_index_bundle(spark, bundle2, verify=False)
     assert got["postings"].count() == 100
+
+
+# ------------------------------------------------------- recall monitor
+
+
+def test_recall_at_k_semantics(spark):
+    """Integer recall core: per-query intersection counts, zero-hit
+    queries kept via the truth side's query list, result-side extras
+    ignored."""
+    from wasaffi_spark.operators.similarity import recall_at_k
+
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21), (3, 30), (3, 31)],
+        "qid bigint, nid bigint",
+    )
+    got = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21), (2, 77)],
+        "qid bigint, nid bigint",
+    )
+    out = {r.qid: r.hits for r in recall_at_k(got, truth).collect()}
+    assert out == {1: 1, 2: 2, 3: 0}
+
+
+def test_recall_monitor_perfect_in_equivalence_regime(spark):
+    """On the orthogonal fixture (maintained search ≡ brute force,
+    pinned above) the monitor must read hits == k for every query —
+    the gauge agrees with the equivalence proof."""
+    from wasaffi_spark.operators import similarity
+
+    base, batch, deletes, queries = _orthogonal_fixture(spark)
+    graph = similarity.knn_descent(base, k=6, rounds=4, ring=4)
+    got = similarity.graph_maintained_search(
+        queries, graph, base, batch, deletes,
+        k=4, k_graph=6, beam=12, rounds=4, n_entry=4, ring=4,
+    )
+    alive = (
+        base.unionByName(batch)
+        .join(deletes.withColumnRenamed("vec_id", "_d"),
+              F.col("vec_id") == F.col("_d"), "left_anti")
+    )
+    truth = similarity.brute_force_topk(queries, alive, k=4)
+    out = similarity.recall_at_k(got, truth).collect()
+    assert len(out) == 4 and all(r.hits == 4 for r in out), out

@@ -339,6 +339,12 @@ PROBES = {
         "the delta applications are bounded anti-joins — the ladder "
         "reads linear-on-chord like its three constituents"
     ),
+    "graph_recall_monitor": (
+        "nightly recall gauge (r10): the maintained-search chain "
+        "(linear-on-chord, probed above) + one brute-force pass over "
+        "the alive corpus with Q FIXED queries — O(Q·N) with small Q, "
+        "linear; the semi-join + per-query count are O(Q·k)"
+    ),
     "compaction_plan": (
         "small-file compaction planning (r10): one groupBy builds the "
         "manifest (linear scan of text lengths), then ONE window over "

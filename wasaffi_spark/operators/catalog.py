@@ -9341,3 +9341,109 @@ _demote(
     # mixture_epochs and incremental_snapshot's keep_bp legs
     "temperature_mixture",
 )
+
+
+# ---------------------------------------------------------------------------
+# graph_recall_monitor — the nightly recall gauge: recall@k of the
+# MAINTAINED graph index (insert + delete-with-repair applied) against
+# exact brute force over the alive corpus, per query, integer-exact.
+# This is the production signal that decides when graph_refresh runs
+# (SCALE.md: the maintained-vs-rebuilt gap sets the cadence); declaring
+# it makes the gauge itself oracle-checked, not just the index. The
+# oracle composes the FULL maintained-search chain (shared CTEs) with a
+# brute-force ranking over the alive corpus and counts the per-query
+# intersection.
+
+
+def q_graph_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query hits@k of graph_maintained_search vs
+    similarity.brute_force_topk over the alive corpus
+    (operators/similarity.py::recall_at_k) — (qid, hits, k), all
+    integers."""
+    emb = _table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
+    batch = emb.where(F.col("vec_id") % IAP_MOD == IAP_MOD - 1)
+    graph = similarity.knn_descent(
+        base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
+        max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
+    )
+    dele = emb.where(
+        F.pmod(F.col("vec_id"), F.lit(GMS_DEL_MOD)) == GMS_DEL_RES
+    ).select("vec_id")
+    queries = emb.where(
+        (F.col("vec_id") < ANN_QUERY_MAX_ID)
+        & (F.pmod(F.col("vec_id"), F.lit(GMS_DEL_MOD)) != GMS_DEL_RES)
+    )
+    got = similarity.graph_maintained_search(
+        queries, graph, base, batch, dele, k=GS_K, k_graph=DESCENT_K,
+        beam=GS_BEAM, rounds=GS_ROUNDS, n_entry=GS_ENTRY, ring=GS_RING,
+        max_reverse=DESCENT_MAX_REVERSE,
+    )
+    d = dele.withColumnRenamed("vec_id", "_did")
+    alive = emb.join(d, F.col("vec_id") == F.col("_did"), "left_anti")
+    truth = similarity.brute_force_topk(queries, alive, k=GS_K)
+    return (
+        similarity.recall_at_k(got, truth)
+        .select("qid", "hits", F.lit(GS_K).cast("bigint").alias("k"))
+        .orderBy("qid")
+    )
+
+
+register_extra(
+    "graph_recall_monitor",
+    q_graph_recall_monitor,
+    f"""with {_GMS_CHAIN_CTES},
+        hr2 as (select vec_id,
+                       row_number() over (
+                         order by md5('{similarity.IVF_SEED}' || vec_id),
+                                  vec_id) - 1 as pos
+                from alive),
+        ringe2 as (select a.vec_id as src, b.vec_id as dst
+                   from hr2 a
+                   cross join range(1, {GS_RING + 1}) o
+                   join hr2 b on b.pos = (a.pos + o.range)
+                                % (select count(*) from alive)
+                   where a.vec_id <> b.vec_id),
+        g3 as materialized (select src, dst from g2
+                            union
+                            select src, dst from ringe2),
+        q2 as (select vec_id as qid, embedding::DOUBLE[] as qv
+               from embeddings
+               where vec_id < {ANN_QUERY_MAX_ID}
+                 and vec_id % {GMS_DEL_MOD} <> {GMS_DEL_RES}),
+        ent2 as (select vec_id as nid from hr2 where pos < {GS_ENTRY}),
+        {_gs_entry_sql(p="m", q="q2", ent="ent2", v="vall")},
+        {_gs_round_sql(0, p="m", q="q2", g="g3", v="vall")},
+        {_gs_round_sql(1, p="m", q="q2", g="g3", v="vall")},
+        {_gs_round_sql(2, p="m", q="q2", g="g3", v="vall")},
+        {_gs_round_sql(3, p="m", q="q2", g="g3", v="vall")},
+        got as (select qid, nid from mb{GS_ROUNDS}
+                where rnk <= {GS_K}),
+        bfs as (select q2.qid, a.vec_id as nid,
+                       row_number() over (
+                         partition by q2.qid
+                         order by list_cosine_similarity(q2.qv, a.ev)
+                                    desc,
+                                  a.vec_id) as rnk
+                from q2
+                join (select v.vec_id, v.ev from vall v
+                      join alive al on al.vec_id = v.vec_id) a
+                  on a.vec_id <> q2.qid),
+        bf as (select qid, nid from bfs where rnk <= {GS_K})
+        select b.qid,
+               coalesce(sum(case when g.nid is not null
+                                 then 1 end), 0)::bigint as hits,
+               {GS_K}::bigint as k
+        from bf b
+        left join got g on g.qid = b.qid and g.nid = b.nid
+        group by b.qid
+        order by b.qid""",
+)
+
+
+# late additions keep the zero-rotation-debt policy: promoted the same
+# round they land. novelty (4 green rounds) cedes the slot — the text
+# family stays anchored by text_stats_r1, lm_doc_score and the unigram
+# rows.
+_promote("graph_recall_monitor")
+_demote("novelty")

@@ -3723,3 +3723,33 @@ def hashed_embedding(
     return per_doc.select(
         F.col(id_col), dense.alias("embedding")
     ).withColumn("norm_sq", norm_sq)
+
+
+def recall_at_k(
+    result: DataFrame,
+    truth: DataFrame,
+    q_col: str = "qid",
+    n_col: str = "nid",
+) -> DataFrame:
+    """Per-query overlap between an ANN result and the exact truth set —
+    the integer core of every recall@k monitor: ``(qid, hits)`` where
+    ``hits = |result ∩ truth|`` per query (queries with zero hits kept,
+    via the truth side's query list).
+
+    This is the nightly signal the maintenance legs act on: recall of
+    the MAINTAINED index vs exact brute force on a sampled query set
+    decides when to run :func:`graph_refresh` (see the
+    maintained-vs-rebuilt and refreshed rungs in ANN_RECALL.json). One
+    semi-join + one aggregate, both keyed on (query, neighbour) —
+    at scale the sampled query set is small, so both sides broadcast.
+    """
+    hits = (
+        result.join(truth, [q_col, n_col], "left_semi")
+        .groupBy(q_col)
+        .agg(F.count("*").alias("hits"))
+    )
+    qs = truth.select(q_col).distinct()
+    return qs.join(hits, q_col, "left").select(
+        q_col,
+        F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+    )
