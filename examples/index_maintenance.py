@@ -112,10 +112,23 @@ def main() -> None:
         q_alive, base, batch, dele2, k=3, n_cells=16, n_probe=2, iters=2
     ).orderBy("qid", "rank").show(6, truncate=False)
     print("graph beam search over the insert+delete-maintained graph:")
-    similarity.graph_maintained_search(
+    served = similarity.graph_maintained_search(
         q_alive, graph, base, batch, dele2, k=3, k_graph=8, beam=8,
         rounds=4,
-    ).orderBy("qid", "rank").show(6, truncate=False)
+    )
+    served.orderBy("qid", "rank").show(6, truncate=False)
+    # the nightly gauge: does the maintained index still find what
+    # exact search finds? (this number schedules stage 7)
+    d2a = dele2.withColumnRenamed("vec_id", "_d")
+    alive_all = emb.join(d2a, F.col("vec_id") == F.col("_d"), "left_anti")
+    truth = similarity.brute_force_topk(q_alive, alive_all, k=3)
+    rec = similarity.recall_at_k(served, truth).agg(
+        F.sum("hits"), F.count("*")
+    ).first()
+    print(
+        f"recall monitor: {rec[0]}/{3 * rec[1]} maintained-index hits vs "
+        "exact brute force — the gauge that schedules the warm refresh"
+    )
 
     # 7. warm re-descent: ONE NN-descent round seeded from the
     # maintained adjacency recovers the new→new links and repair tail
