@@ -74,3 +74,34 @@ def test_declared_window_exactly_fifty():
     assert set(oracles) <= set(qs)
     # extras never shadow declared names
     assert not (set(entrymod.extra_queries()) & set(qs))
+
+
+def test_driver_window_invariants():
+    """The rotation machinery's structural contract (a mid-r10
+    double-promotion KeyError motivated this pin): the window is
+    exactly 50 queries, every one has an oracle with the SAME key, the
+    window and the extras channel are disjoint, every extra oracle's
+    key is a real extra query, and every hash-oracled query in the
+    repo is either in the window or has had a driver row in some past
+    round (zero rotation debt)."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as entrymod
+
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    xq, xo = entrymod.extra_queries(), entrymod.extra_oracle_sql()
+    assert len(q) == 50
+    assert set(o) == set(q)
+    assert not (set(q) & set(xq))
+    assert set(xo) <= set(xq)
+
+    seen = set()
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for f in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        d = json.load(open(f))
+        seen.update(d if isinstance(d, list) else d.keys())
+    if seen:  # absent in a bare checkout; the invariant needs history
+        debt = set(xo) - seen - set(q)
+        assert not debt, f"hash-oracled extras with no driver row: {sorted(debt)}"
