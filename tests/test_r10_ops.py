@@ -754,3 +754,34 @@ def test_recall_monitor_perfect_in_equivalence_regime(spark):
     truth = similarity.brute_force_topk(queries, alive, k=4)
     out = similarity.recall_at_k(got, truth).collect()
     assert len(out) == 4 and all(r.hits == 4 for r in out), out
+
+
+def test_bundle_diff_statuses(spark, tmp_path):
+    """Manifest-only bundle diff: unchanged / changed / added / removed
+    all classified without reading any component data."""
+    from wasaffi_spark.operators import serving
+
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id bigint, v double"
+    )
+    other = spark.createDataFrame(
+        [(i, float(i) * 2) for i in range(25)], "id bigint, v double"
+    )
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    serving.export_index_bundle(
+        spark, a_dir, {"cents": base, "postings": base, "graph": base}
+    )
+    serving.export_index_bundle(
+        spark, b_dir,
+        {"cents": base, "postings": other, "tombstones": base},
+    )
+    got = {
+        r.component: r.status
+        for r in serving.bundle_diff(spark, a_dir, b_dir).collect()
+    }
+    assert got == {
+        "cents": "unchanged",
+        "postings": "changed",
+        "graph": "removed",
+        "tombstones": "added",
+    }
