@@ -205,9 +205,10 @@ HEADLINE = [
     "graph_refresh",
     # late r10: small-file compaction planning over the table manifest
     "compaction_plan",
-    # late r10: the nightly recall gauge — maintained-index recall@k vs
-    # exact brute force over the alive corpus
+    # late r10: the nightly recall gauges — maintained-index recall@k vs
+    # exact brute force over the alive corpus, both index families
     "graph_recall_monitor",
+    "ivf_recall_monitor",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

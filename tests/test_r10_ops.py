@@ -785,3 +785,25 @@ def test_bundle_diff_statuses(spark, tmp_path):
         "graph": "removed",
         "tombstones": "added",
     }
+
+
+def test_ivf_recall_monitor_perfect_at_full_probe(spark):
+    """With n_probe == n_cells the maintained-IVF search is exact
+    (maintenance is exact + probing every cell degenerates to brute
+    force), so the gauge must read hits == k everywhere — the IVF
+    gauge isolates pure probe loss and nothing else."""
+    from wasaffi_spark.operators import similarity
+
+    base, batch, deletes, queries = _orthogonal_fixture(spark)
+    got = similarity.ivf_maintained_topk(
+        queries, base, batch, deletes, k=4, n_cells=4, n_probe=4,
+        iters=2, dim=16,
+    )
+    alive = (
+        base.unionByName(batch)
+        .join(deletes.withColumnRenamed("vec_id", "_d"),
+              F.col("vec_id") == F.col("_d"), "left_anti")
+    )
+    truth = similarity.brute_force_topk(queries, alive, k=4)
+    out = similarity.recall_at_k(got, truth).collect()
+    assert len(out) == 4 and all(r.hits == 4 for r in out), out

@@ -339,6 +339,11 @@ PROBES = {
         "the delta applications are bounded anti-joins — the ladder "
         "reads linear-on-chord like its three constituents"
     ),
+    "ivf_recall_monitor": (
+        "IVF recall gauge (r10): the maintained-IVF chain (train "
+        "linear, probe candidates ∝ N·n_probe/n_cells) + one exact "
+        "brute-force pass with Q fixed — O(Q·N), linear"
+    ),
     "graph_recall_monitor": (
         "nightly recall gauge (r10): the maintained-search chain "
         "(linear-on-chord, probed above) + one brute-force pass over "

@@ -9441,9 +9441,102 @@ register_extra(
 )
 
 
+# ---------------------------------------------------------------------------
+# ivf_recall_monitor — the IVF family's nightly recall gauge, the twin
+# of graph_recall_monitor (the round's symmetry rule: every lifecycle
+# row exists for BOTH index families): per-query hits@k of the
+# maintained IVF index (append + delete applied, probe search) vs exact
+# brute force over the alive corpus. For IVF the number isolates pure
+# PROBE loss — maintenance is exact (postings ≡ rebuild, pytest-pinned)
+# — so the gauge tunes n_probe the way the graph gauge schedules
+# graph_refresh.
+
+
+def q_ivf_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query hits@k of ivf_maintained_topk vs brute force over the
+    alive corpus (similarity.recall_at_k) — (qid, hits, k), integers."""
+    emb = _table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
+    batch = emb.where(F.col("vec_id") % IAP_MOD == IAP_MOD - 1)
+    dele = emb.where(
+        F.pmod(F.col("vec_id"), F.lit(IMS_DEL_MOD)) == IMS_DEL_RES
+    ).select("vec_id")
+    queries = emb.where(
+        (F.col("vec_id") < ANN_QUERY_MAX_ID)
+        & (F.pmod(F.col("vec_id"), F.lit(IMS_DEL_MOD)) != IMS_DEL_RES)
+    )
+    got = similarity.ivf_maintained_topk(
+        queries, base, batch, dele, k=ANN_K, n_cells=LLOYD_CELLS,
+        n_probe=LLOYD_PROBE, iters=LLOYD_ITERS,
+    )
+    d = dele.withColumnRenamed("vec_id", "_did")
+    alive = emb.join(d, F.col("vec_id") == F.col("_did"), "left_anti")
+    truth = similarity.brute_force_topk(queries, alive, k=ANN_K)
+    return (
+        similarity.recall_at_k(got, truth)
+        .select("qid", "hits", F.lit(ANN_K).cast("bigint").alias("k"))
+        .orderBy("qid")
+    )
+
+
+register_extra(
+    "ivf_recall_monitor",
+    q_ivf_recall_monitor,
+    f"""with {_LLOYD_APPEND_CTES},
+        massign as (select vec_id, cell from assign
+                    where vec_id % {IMS_DEL_MOD} <> {IMS_DEL_RES}),
+        q as (select vec_id as qid, v as qv from e
+              where vec_id < {ANN_QUERY_MAX_ID}
+                and vec_id % {IMS_DEL_MOD} <> {IMS_DEL_RES}),
+        qd as (select q.qid, c.cell, {_ivf_l2_sql("q.qv", "c.cv")} as d
+               from q cross join c2 c),
+        probes as (
+          select qid, cell from (
+            select qid, cell,
+                   row_number() over (partition by qid order by d, cell) as pr
+            from qd) t
+          where pr <= {LLOYD_PROBE}),
+        cand as (select p.qid, a.vec_id as nid
+                 from probes p join massign a using (cell)),
+        scored as (
+          select c.qid, c.nid,
+                 round(list_cosine_similarity(q2.qv, e2.v), 6) as cos_sim
+          from cand c
+          join q q2 on q2.qid = c.qid
+          join e e2 on e2.vec_id = c.nid
+          where c.qid <> c.nid),
+        rankd as (
+          select qid, nid, cos_sim,
+                 row_number() over (partition by qid
+                                    order by cos_sim desc, nid) as rnk
+          from scored),
+        got as (select qid, nid from rankd where rnk <= {ANN_K}),
+        bfs as (select q.qid, a.vec_id as nid,
+                       row_number() over (
+                         partition by q.qid
+                         order by list_cosine_similarity(q.qv, a.v) desc,
+                                  a.vec_id) as rnk
+                from q
+                join (select vec_id, v from e
+                      where vec_id % {IMS_DEL_MOD} <> {IMS_DEL_RES}) a
+                  on a.vec_id <> q.qid),
+        bf as (select qid, nid from bfs where rnk <= {ANN_K})
+        select b.qid,
+               coalesce(sum(case when g.nid is not null
+                                 then 1 end), 0)::bigint as hits,
+               {ANN_K}::bigint as k
+        from bf b
+        left join got g on g.qid = b.qid and g.nid = b.nid
+        group by b.qid
+        order by b.qid""",
+)
+
+
 # late additions keep the zero-rotation-debt policy: promoted the same
 # round they land. novelty (4 green rounds) cedes the slot — the text
 # family stays anchored by text_stats_r1, lm_doc_score and the unigram
-# rows.
-_promote("graph_recall_monitor")
-_demote("novelty")
+# rows; orders_expectations (4) cedes to the IVF gauge (the
+# expectations machinery stays pytest- and sweep-anchored, and the
+# orders table keeps its orders_profile-family extras).
+_promote("graph_recall_monitor", "ivf_recall_monitor")
+_demote("novelty", "orders_expectations")
