@@ -281,6 +281,54 @@ def _load1() -> float | None:
 IDLE_LOAD1 = 1.0
 IDLE_WAIT_BUDGET_S = 150.0
 
+# Per-query transient guard (VERDICT r10 What's-wrong #1): the r10
+# driver run had FOUR consecutive queries at 2-3x their pinned times —
+# a mid-run load transient the start-of-run idle wait cannot see, and
+# best-of-3 cannot ride out when the transient outlasts all three
+# attempts. Guard: any query whose best-of-N exceeds OUTLIER_RATIO x
+# its pinned time (the per-query seconds in the last committed
+# BENCH_LOCAL.json) gets ONE more chance — sleep RERUN_SLEEP_S (long
+# enough for a scheduler blip to drain and load1 to decay), re-run,
+# keep the min. Both timings are recorded, and the query self-labels
+# `contaminated` if even the rerun stays above the ratio — so a bench
+# blip can never silently read as a regression again. The rerun budget
+# is capped so a genuinely-regressed build (every query slow) costs
+# bounded extra wall instead of doubling the run.
+OUTLIER_RATIO = 2.0
+RERUN_SLEEP_S = 15.0
+MAX_RERUNS = 8
+
+
+def _pinned_times(repo_dir: str) -> dict[str, float]:
+    """Per-query seconds from the previously COMMITTED BENCH_LOCAL.json
+    — the reference the outlier guard compares against. Missing file or
+    unparseable content (first run, renamed queries) degrades to {}:
+    the guard simply never fires."""
+    try:
+        with open(os.path.join(repo_dir, "BENCH_LOCAL.json")) as f:
+            q = json.load(f).get("queries", {})
+        return {k: float(v) for k, v in q.items() if v is not None}
+    except (OSError, ValueError, TypeError):
+        return {}
+
+
+def _busy_probe_ms() -> float:
+    """A fixed CPU-bound workload's wall time (min of 3) — an
+    instantaneous external-contention signal that, unlike load1, does
+    not carry the decaying average of OUR OWN just-finished 32-thread
+    burst. Sampled between queries, when the executor pool is idle, a
+    ratio >> 1 vs the start-of-run calibration means another process is
+    competing for cycles right now. Evidence, not a verdict — the
+    contamination verdict keys on measured-vs-pinned time."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(200_000):
+            acc += i * i
+        best = min(best, time.perf_counter() - t0)
+    return best * 1000.0
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -411,7 +459,13 @@ def main() -> None:
         "contaminated": contaminated,
         "dag_log_suppression": dag_log_mode,
     }
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    pinned = _pinned_times(repo_dir)
+    probe_cal_ms = _busy_probe_ms()
+    env_evidence["probe_cal_ms"] = round(probe_cal_ms, 3)
     timings: dict[str, float] = {}
+    per_query_env: dict[str, dict] = {}
+    reruns_left = MAX_RERUNS
     for name in HEADLINE:
         fn = queries[name]
         # Sub-second queries are dominated by host noise (measured 2×
@@ -420,14 +474,50 @@ def main() -> None:
         # irrelevant and extra runs are expensive).
         r1 = R1_TIMES.get(R1_NAME.get(name, name))
         attempts = 5 if (r1 is not None and r1 < 1.0) else 3
+        q_load1 = _load1()
+        q_probe = _busy_probe_ms()
         best = float("inf")
         for _ in range(attempts):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+        qenv = {
+            "load1": round(q_load1, 2) if q_load1 is not None else None,
+            "probe_ratio": round(q_probe / probe_cal_ms, 2),
+        }
+        pin = pinned.get(name)
+        if pin is not None:
+            qenv["pinned"] = pin
+        # Outlier rerun (see OUTLIER_RATIO block comment): one bounded
+        # second chance after the transient had RERUN_SLEEP_S to drain.
+        if pin is not None and best > OUTLIER_RATIO * pin and reruns_left > 0:
+            reruns_left -= 1
+            qenv["first"] = round(best, 3)
+            time.sleep(RERUN_SLEEP_S)
+            qenv["rerun_probe_ratio"] = round(
+                _busy_probe_ms() / probe_cal_ms, 2
+            )
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+        if pin is not None and best > OUTLIER_RATIO * pin:
+            # still slow after the rerun: genuinely regressed OR a long
+            # contamination window — either way the row labels itself
+            qenv["contaminated"] = True
+        per_query_env[name] = qenv
         timings[name] = round(best, 3)
 
     env_evidence["end"] = _env_probe()
+    env_evidence["reruns_used"] = MAX_RERUNS - reruns_left
+    q_contam = sorted(
+        n for n, e in per_query_env.items() if e.get("contaminated")
+    )
+    q_rerun = {
+        n: e["first"] for n, e in per_query_env.items() if "first" in e
+    }
     total = round(sum(timings.values()), 3)
     baseline = {
         name: R1_TIMES.get(R1_NAME.get(name, name)) for name in HEADLINE
@@ -449,36 +539,29 @@ def main() -> None:
     # "parsed": null) — so the stdout line carries ONLY the contract
     # fields, compact-encoded; the r1-baseline comparison and regression
     # guard go to a side file instead.
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_wall_sec",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            "cpus": cpus,
-            "load1": [env_evidence["pre_load1"],
-                      env_evidence["end"]["load1"]],
-            "contaminated": contaminated,
-        },
-        separators=(",", ":"),
-    )
+    # q_contam / reruns are EMPTY on a clean run (the common case), so
+    # the per-query self-labeling costs ~30 chars of the tail budget;
+    # on an r10-style transient they name the affected queries and
+    # carry each one's pre-rerun time, so the artifact explains itself.
+    contract = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "load1": [env_evidence["pre_load1"],
+                  env_evidence["end"]["load1"]],
+        "contaminated": contaminated,
+        "q_contam": q_contam,
+        "reruns": q_rerun,
+    }
+    line = json.dumps(contract, separators=(",", ":"))
     if len(line) > 1800:  # stay clear of the tail buffer no matter what
-        slim = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:40])
-        line = json.dumps(
-            {
-                "metric": "headline_queries_total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": slim,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": cpus,
-                "load1": [env_evidence["pre_load1"],
-                          env_evidence["end"]["load1"]],
-                "contaminated": contaminated,
-            },
-            separators=(",", ":"),
+        contract["queries"] = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:40]
         )
+        line = json.dumps(contract, separators=(",", ":"))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
         json.dump(
             {
@@ -491,6 +574,7 @@ def main() -> None:
                 },
                 "regressions": regressions,
                 "environment": env_evidence,
+                "per_query_env": per_query_env,
                 "sf": sf,
                 "cpus": cpus,
             },
