@@ -198,49 +198,84 @@ def compact_small_files(
 ) -> DataFrame:
     """Execute a :func:`compaction_plan` over a directory of parquet
     files: sub-target files are read once, tagged with their plan bin
-    via an ``input_file_name()`` broadcast join against the manifest
-    (never a driver-side loop over bins), hash-repartitioned so each
-    bin lands wholly in one task, and written ``partitionBy('bin')`` —
+    via an ``input_file_name()`` broadcast join against the PLAN
+    DataFrame itself (no driver-side collect of the plan, no loop over
+    bins), hash-repartitioned so each (partition, bin) lands wholly in
+    one task, and written ``partitionBy(<partition keys>, 'bin')`` —
     exactly ONE output file per bin. Right-sized files are left in
     place (production renames/links them; rewriting them would be the
     write amplification compaction exists to avoid).
 
-    The manifest comes from file metadata (one ``os.stat`` per file,
-    no data pages — the analogue of a table format's file listing);
-    file order, and therefore the plan, is deterministic (sorted
-    paths). Returns the per-file plan with the manifest columns so the
-    caller can verify/commit the swap.
+    The manifest comes from a recursive ``os.walk`` (any nesting
+    depth), one ``os.stat`` per file, no data pages — the analogue of
+    a table format's file listing; file order, and therefore the plan,
+    is deterministic (sorted paths). Hive-partitioned layouts
+    (``k=v/`` directories) derive their partition key from the
+    relative directory, so the planner's never-merge-across-partitions
+    guarantee holds physically: small files are read with ``basePath``
+    (the directory-derived partition columns survive as data columns)
+    and the output reproduces the ``k=v`` layout under each bin's
+    parent. A directory tree that is neither flat nor consistently
+    hive-partitioned raises rather than silently mis-packing.
+
+    Returns the per-file plan with the manifest columns so the caller
+    can verify/commit the swap.
 
     Scale: the data-moving stage is one scan of the small files + one
-    shuffle keyed on (bin), sized to the data being compacted — the
-    keeps, typically the bulk of the table's bytes, are never read.
+    shuffle keyed on (partition, bin), sized to the data being
+    compacted — the keeps, typically the bulk of the table's bytes,
+    are never read, and the plan reaches the join as a broadcast
+    (O(small files) rows), never a driver list.
     """
-    import glob as _glob
     import os as _os
 
-    paths = sorted(
-        _glob.glob(_os.path.join(path, "*.parquet"))
-        + _glob.glob(_os.path.join(path, "**", "*.parquet"))
-    )
+    entries: list[tuple[str, str, int]] = []  # (path, part, bytes)
+    for dirpath, dirnames, filenames in _os.walk(path):
+        dirnames.sort()
+        rel = _os.path.relpath(dirpath, path)
+        part = "" if rel == "." else rel
+        for fn in sorted(filenames):
+            if fn.endswith(".parquet"):
+                p = _os.path.join(dirpath, fn)
+                entries.append((p, part, _os.stat(p).st_size))
+    entries.sort()
+    parts = {part for _, part, _ in entries}
+    if parts <= {""}:
+        part_keys: list[str] = []
+    else:
+        if "" in parts:
+            raise ValueError(
+                "compact_small_files: mixed layout — parquet files both "
+                "at the table root and under subdirectories; compaction "
+                "needs a flat or consistently hive-partitioned tree"
+            )
+        key_sets = {
+            tuple(seg.split("=", 1)[0] for seg in part.split(_os.sep))
+            for part in parts
+        }
+        if len(key_sets) != 1 or any(
+            "=" not in seg for part in parts for seg in part.split(_os.sep)
+        ):
+            raise ValueError(
+                "compact_small_files: subdirectories are not a single "
+                f"consistent hive (k=v) partitioning: {sorted(parts)[:5]}"
+            )
+        part_keys = list(next(iter(key_sets)))
     man = spark.createDataFrame(
-        [
-            (i, p, _os.stat(p).st_size)
-            for i, p in enumerate(dict.fromkeys(paths))
-        ],
-        "file_id bigint, path string, bytes bigint",
-    ).withColumn("part", F.lit(""))
-    plan = compaction_plan(man, target_bytes, part_col="part").drop("part")
-    packed = [
-        (r["path"], int(r["bin"]))
-        for r in plan.where(F.col("action") == "pack").collect()
-    ]
-    if packed:
-        bin_of = spark.createDataFrame(
-            packed, "_path string, bin bigint"
+        [(i, p, b, part) for i, (p, part, b) in enumerate(entries)],
+        "file_id bigint, path string, bytes bigint, part string",
+    )
+    plan = compaction_plan(man, target_bytes, part_col="part")
+    # The read set is decided from the stat sizes already in hand (the
+    # walk is the manifest source); the BIN assignment is joined from
+    # the plan DataFrame — the driver never collects plan rows.
+    small_paths = [p for p, _, b in entries if b < target_bytes]
+    if small_paths:
+        bin_of = plan.where(F.col("action") == "pack").select(
+            F.col("path").alias("_path"), "bin"
         )
-        n_bins = len({b for _, b in packed})
         rows = (
-            spark.read.parquet(*[p for p, _ in packed])
+            spark.read.option("basePath", path).parquet(*small_paths)
             .withColumn("_path", F.input_file_name())
             # input_file_name returns a URI (file://...); join on the
             # decoded local suffix so the manifest's plain paths match
@@ -252,9 +287,9 @@ def compact_small_files(
             .drop("_path")
         )
         (
-            rows.repartition(n_bins, "bin")
+            rows.repartition(*part_keys, "bin")
             .write.mode("overwrite")
-            .partitionBy("bin")
+            .partitionBy(*part_keys, "bin")
             .parquet(out_dir)
         )
     return plan
