@@ -106,6 +106,44 @@ def test_compact_small_files_rejects_non_hive_nesting(spark, tmp_path):
         compact_small_files(spark, src, 10**9, str(tmp_path / "out"))
 
 
+# ------------------------------------------- bundle signature sum lane
+
+
+def test_bundle_sig_catches_even_multiplicity_swap(spark, tmp_path):
+    """An even-multiplicity substitution (a duplicated row pair A,A
+    replaced by C,C) keeps both the row count and the xor lane
+    unchanged — the blind spot ADVICE r10 named. The modular-sum lane
+    must catch it."""
+    import shutil
+
+    from wasaffi_spark.operators import serving
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y")], "id bigint, v string"
+    )
+    swapped = spark.createDataFrame(
+        [(3, "z"), (3, "z"), (2, "y")], "id bigint, v string"
+    )
+    # pin the premise: xor and count agree between the two contents
+    a = serving._component_sig(df).first()
+    b = serving._component_sig(swapped).first()
+    assert (a["n_rows"], a["content_sig"]) == (b["n_rows"], b["content_sig"])
+    assert a["content_sum"] != b["content_sum"]
+
+    bundle = str(tmp_path / "bundle")
+    serving.export_index_bundle(spark, bundle, {"postings": df})
+    swapped.write.mode("overwrite").parquet(
+        os.path.join(bundle, "postings_t")
+    )
+    shutil.rmtree(os.path.join(bundle, "postings"))
+    shutil.move(
+        os.path.join(bundle, "postings_t"),
+        os.path.join(bundle, "postings"),
+    )
+    with pytest.raises(serving.BundleIntegrityError, match="postings"):
+        serving.read_index_bundle(spark, bundle)
+
+
 def test_compact_small_files_no_driver_collect(spark, tmp_path):
     """The pack path never collects plan rows to the driver: the bin
     mapping reaches the tagging join as a broadcast of the plan

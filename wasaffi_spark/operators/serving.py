@@ -4,13 +4,16 @@ At 100 TB the index is built and maintained by the batch/streaming
 pipeline but SERVED by a different fleet; the handoff artifact is a
 versioned directory of the serving state (frozen codebook, postings,
 graph adjacency, tombstones) plus a MANIFEST that makes the copy
-verifiable: per-component row counts and an order-independent content
-signature (bit_xor of per-row md5 prefixes — the
-:func:`~wasaffi_spark.operators.diff.dataset_manifest` technique,
-collapsed to one row per component). The importer recomputes both and
-refuses a bundle that does not match — a truncated copy, a partially
-replicated object-store prefix, or a post-export mutation all surface
-as a loud error instead of silently degraded recall.
+verifiable: per-component row counts and two order-independent content
+signatures over per-row md5 prefixes (bit_xor — the
+:func:`~wasaffi_spark.operators.diff.dataset_manifest` technique — plus
+a modular-sum lane, which catches the even-multiplicity substitutions
+xor alone cancels on). The importer recomputes all three and refuses a
+bundle that does not match — a truncated copy, a partially replicated
+object-store prefix, or a post-export mutation all surface as a loud
+error instead of silently degraded recall. This is CORRUPTION
+detection, not a MAC: whoever can rewrite a component can rewrite the
+adjacent manifest too; keyed authenticity is out of scope.
 
 Everything is one aggregation pass per component (commutative
 signature → shuffle-order free, engine-exact); the manifest itself is
@@ -30,9 +33,20 @@ class BundleIntegrityError(RuntimeError):
 
 
 def _component_sig(df: DataFrame) -> DataFrame:
-    """(n_rows, content_sig) for one component: bit_xor over 60-bit md5
-    prefixes of the canonicalized row (column order fixed by sorting
-    names, so export and import agree whatever the projection order)."""
+    """(n_rows, content_sig, content_sum) for one component: bit_xor
+    AND overflow-wrapping sum over 60-bit md5 prefixes of the
+    canonicalized row (column order fixed by sorting names, so export
+    and import agree whatever the projection order).
+
+    Why two aggregates: xor alone is blind to even-multiplicity
+    substitutions (swap a duplicated row pair A,A for C,C and both the
+    count and the xor survive — ADVICE r10); the additive lane breaks
+    that cancellation for a few cents, since sum{A,A} ≠ sum{C,C}
+    whenever the hashes differ. This is CORRUPTION detection
+    (truncation, partial object-store replication, bit rot, post-export
+    mutation), not a cryptographic MAC — an adversary who can write the
+    component can also rewrite the manifest next to it; authenticity
+    needs a key, which is out of scope for the handoff artifact."""
     cols = sorted(df.columns)
     content = F.md5(
         F.concat_ws(
@@ -44,9 +58,23 @@ def _component_sig(df: DataFrame) -> DataFrame:
         )
     )
     h = F.conv(F.substring(content, 1, 15), 16, 10).cast("bigint")
+    # The additive lane sums two 30-bit halves separately and folds
+    # each mod 2^30 — overflow-safe past 8 billion rows per component
+    # (a raw sum of 60-bit values overflows bigint at ~16 rows), still
+    # one ordinary partial-aggregating sum, and shuffle-order free.
+    lane = F.lit((1 << 30) - 1)
+    lo = F.pmod(
+        F.coalesce(F.sum(F.col("_h").bitwiseAND(lane)), F.lit(0)),
+        F.lit(1 << 30),
+    )
+    hi = F.pmod(
+        F.coalesce(F.sum(F.shiftright("_h", 30)), F.lit(0)),
+        F.lit(1 << 30),
+    )
     return df.select(h.alias("_h")).agg(
         F.count("*").alias("n_rows"),
         F.coalesce(F.bit_xor("_h"), F.lit(0)).alias("content_sig"),
+        (lo + hi * F.lit(1 << 30)).alias("content_sum"),
     )
 
 
@@ -71,9 +99,11 @@ def export_index_bundle(
         # manifest must certify the bytes on disk
         written = spark.read.parquet(os.path.join(out_dir, name))
         r = _component_sig(written).first()
-        rows.append((name, r["n_rows"], r["content_sig"]))
+        rows.append((name, r["n_rows"], r["content_sig"], r["content_sum"]))
     man = spark.createDataFrame(
-        rows, "component string, n_rows bigint, content_sig bigint"
+        rows,
+        "component string, n_rows bigint, content_sig bigint, "
+        "content_sum bigint",
     )
     man.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(out_dir, "MANIFEST")
@@ -91,21 +121,21 @@ def read_index_bundle(
     must both match, else :class:`BundleIntegrityError` names the
     offending component. Returns {component: DataFrame}."""
     man = {
-        r["component"]: (r["n_rows"], r["content_sig"])
+        r["component"]: (r["n_rows"], r["content_sig"], r["content_sum"])
         for r in spark.read.parquet(
             os.path.join(bundle_dir, "MANIFEST")
         ).collect()
     }
     out: dict[str, DataFrame] = {}
-    for name, (n_rows, sig) in sorted(man.items()):
+    for name, want in sorted(man.items()):
         df = spark.read.parquet(os.path.join(bundle_dir, name))
         if verify:
-            got = _component_sig(df).first()
-            if (got["n_rows"], got["content_sig"]) != (n_rows, sig):
+            g = _component_sig(df).first()
+            got = (g["n_rows"], g["content_sig"], g["content_sum"])
+            if got != want:
                 raise BundleIntegrityError(
-                    f"component '{name}': manifest says "
-                    f"(n_rows={n_rows}, sig={sig}), bundle holds "
-                    f"(n_rows={got['n_rows']}, sig={got['content_sig']})"
+                    f"component '{name}': manifest says (n_rows, sig, "
+                    f"sum)={want}, bundle holds {got}"
                 )
         out[name] = df
     return out
@@ -130,11 +160,13 @@ def bundle_diff(
         "component",
         F.col("n_rows").alias("n_rows_a"),
         F.col("content_sig").alias("_sig_a"),
+        F.col("content_sum").alias("_sum_a"),
     )
     b = spark.read.parquet(os.path.join(bundle_b, "MANIFEST")).select(
         "component",
         F.col("n_rows").alias("n_rows_b"),
         F.col("content_sig").alias("_sig_b"),
+        F.col("content_sum").alias("_sum_b"),
     )
     j = a.join(b, "component", "full_outer")
     status = (
@@ -142,6 +174,7 @@ def bundle_diff(
         .when(F.col("_sig_b").isNull(), F.lit("removed"))
         .when(
             (F.col("_sig_a") == F.col("_sig_b"))
+            & (F.col("_sum_a") == F.col("_sum_b"))
             & (F.col("n_rows_a") == F.col("n_rows_b")),
             F.lit("unchanged"),
         )
