@@ -152,7 +152,13 @@ def main() -> None:
     from wasaffi_spark.streaming.state import vacuum_set_state
 
     before = spark.read.parquet(hash_dir).count()
-    folded = vacuum_set_state(spark, hash_dir)
+    # checkpoint-aware: only batches the sink has COMMITTED fold; a
+    # batch left pending by a crash keeps its partition so its replay
+    # stays correct (ADVICE r10)
+    folded = vacuum_set_state(
+        spark, hash_dir,
+        checkpoint_dir=os.path.join(state_dir, "_checkpoint"),
+    )
     after = spark.read.parquet(hash_dir).count()
     print(
         f"vacuum: folded {folded} batch partitions into the seed; "

@@ -15,6 +15,12 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
+
+needs_data = pytest.mark.skipif(
+    not os.path.isdir(SF_SMOKE), reason="testdata not present"
+)
+
 
 # --------------------------------------------- compact_small_files r11
 
@@ -156,3 +162,214 @@ def test_compact_small_files_no_driver_collect(spark, tmp_path):
 
     src = inspect.getsource(layout.compact_small_files)
     assert ".collect()" not in src
+
+
+# ------------------------------------------- replay-safe state vacuum
+
+
+def test_last_committed_batch_and_heal_seed(spark, tmp_path):
+    """Unit semantics of the replay-safety primitives: commit-marker
+    parsing, the cutoff in compact_into_seed, and heal_seed finishing a
+    crashed swap."""
+    from wasaffi_spark.streaming import state as st
+
+    # checkpoint commits: 0 and 1 committed, 2 pending (offsets only)
+    ck = tmp_path / "ckpt"
+    (ck / "commits").mkdir(parents=True)
+    (ck / "commits" / "0").write_text("{}")
+    (ck / "commits" / "1").write_text("{}")
+    (ck / "offsets").mkdir()
+    (ck / "offsets" / "2").write_text("{}")
+    assert st.last_committed_batch(spark, str(ck)) == 1
+    assert st.last_committed_batch(spark, str(tmp_path / "nope")) == -1
+
+    # state table: seed + batches 0,1,2 — fold must stop at the cutoff
+    table = str(tmp_path / "table")
+    for b in (-1, 0, 1, 2):
+        spark.createDataFrame([(b,)], "v bigint").write.parquet(
+            os.path.join(table, f"batch_id={b}")
+        )
+    resolved = (
+        spark.read.parquet(table)
+        .where(F.col("batch_id") <= 1)
+        .select("v")
+    )
+    folded = st.compact_into_seed(
+        spark, table, resolved, max_committed_batch_id=1
+    )
+    assert folded == 2
+    parts = sorted(
+        os.path.basename(p) for p in glob.glob(table + "/batch_id=*")
+    )
+    assert parts == ["batch_id=-1", "batch_id=2"]
+    seed_vals = {
+        r.v
+        for r in spark.read.parquet(
+            os.path.join(table, "batch_id=-1")
+        ).collect()
+    }
+    assert seed_vals == {-1, 0, 1}
+
+    # crashed-swap recovery: committed _seed_tmp + missing seed → heal
+    # renames it in; a stale tmp next to a live seed is discarded
+    import shutil
+
+    shutil.move(
+        os.path.join(table, "batch_id=-1"), os.path.join(table, "_seed_tmp")
+    )
+    st.heal_seed(spark, table)
+    assert os.path.isdir(os.path.join(table, "batch_id=-1"))
+    assert not os.path.exists(os.path.join(table, "_seed_tmp"))
+    os.makedirs(os.path.join(table, "_seed_tmp"))
+    st.heal_seed(spark, table)  # stale (uncommitted) tmp → dropped
+    assert not os.path.exists(os.path.join(table, "_seed_tmp"))
+
+
+@needs_data
+def test_vacuum_set_state_with_pending_replay(spark, tmp_path):
+    """THE ADVICE r10 hazard: the sink stops with batch 1's state
+    writes landed but its checkpoint commit missing. A
+    checkpoint-aware vacuum must leave batch 1's partition out of the
+    seed, so the restarted sink's replay (batch_id < 1 pre-state
+    exclusion) still sees its hashes as fresh and rewrites its
+    partitions with the same non-empty content — no document loss."""
+    from wasaffi_spark.sources.parquet import read_parquet
+    from wasaffi_spark.streaming import documents as sdoc
+    from wasaffi_spark.streaming.state import vacuum_set_state
+
+    docs = read_parquet(
+        spark, os.path.join(SF_SMOKE, "documents.parquet")
+    ).limit(200).localCheckpoint(eager=True)
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    src_dir = str(tmp_path / "src")
+    docs.where(F.col("doc_id") <= mid).coalesce(1).write.parquet(
+        src_dir + "/f0"
+    )
+    docs.where(F.col("doc_id") > mid).coalesce(1).write.parquet(
+        src_dir + "/f1"
+    )
+
+    def run(state_dir):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src_dir)
+        )
+        sdoc.incremental_dedup_sink(
+            stream, spark, state_dir
+        ).awaitTermination()
+
+    sa, sb = str(tmp_path / "A"), str(tmp_path / "B")
+    run(sa)
+    run(sb)
+    docs1 = spark.read.parquet(
+        os.path.join(sa, "docs", "batch_id=1")
+    ).count()
+    assert docs1 > 0
+
+    # simulate the crash: batch 1 committed its state writes but not
+    # its checkpoint marker → it WILL replay on restart
+    os.remove(os.path.join(sa, "_checkpoint", "commits", "1"))
+    crc = os.path.join(sa, "_checkpoint", "commits", ".1.crc")
+    if os.path.exists(crc):  # local-FS checksum sidecar of the marker
+        os.remove(crc)
+
+    folded = vacuum_set_state(
+        spark,
+        os.path.join(sa, "state"),
+        checkpoint_dir=os.path.join(sa, "_checkpoint"),
+    )
+    assert folded == 1  # batch 0 only — batch 1 is pending
+    parts = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(sa, "state", "batch_id=*"))
+    )
+    assert parts == ["batch_id=-1", "batch_id=1"]
+
+    # restart → batch 1 replays against the vacuumed state
+    run(sa)
+    assert (
+        spark.read.parquet(os.path.join(sa, "docs", "batch_id=1")).count()
+        == docs1
+    )
+    ga = {
+        (r.text_hash, r.doc_id)
+        for r in spark.read.parquet(os.path.join(sa, "state"))
+        .select("text_hash", "doc_id")
+        .collect()
+    }
+    gb = {
+        (r.text_hash, r.doc_id)
+        for r in spark.read.parquet(os.path.join(sb, "state"))
+        .select("text_hash", "doc_id")
+        .collect()
+    }
+    assert ga == gb
+    da = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(sa, "docs")).collect()
+    }
+    db = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(sb, "docs")).collect()
+    }
+    assert da == db
+
+
+@needs_data
+def test_vacuum_graph_state_with_pending_replay(spark, tmp_path):
+    """The graph-state twin of the pending-replay hazard: with batch
+    1's commit marker removed, vacuum_graph_state folds only batch 0,
+    and the restarted insert sink's replay reproduces the unvacuumed
+    twin exactly."""
+    from wasaffi_spark.sources.parquet import read_parquet
+    from wasaffi_spark.streaming import vectors as svec
+
+    emb = read_parquet(
+        spark, os.path.join(SF_SMOKE, "embeddings.parquet")
+    ).where(F.col("vec_id") < 120)
+    base = emb.where(F.col("vec_id") % 8 != 7)
+    ingest = emb.where(F.col("vec_id") % 8 == 7)
+    ingest_dir = str(tmp_path / "ingest")
+    ingest.where(F.col("vec_id") < 60).coalesce(1).write.parquet(
+        ingest_dir + "/f0"
+    )
+    ingest.where(F.col("vec_id") >= 60).coalesce(1).write.parquet(
+        ingest_dir + "/f1"
+    )
+    kw = dict(k=4, beam=8, rounds=2, n_entry=3, ring=3, max_reverse=8,
+              descent_rounds=2)
+
+    def run(state_dir):
+        stream = (
+            spark.readStream.schema(ingest.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(ingest_dir)
+        )
+        svec.graph_insert_sink(
+            stream, spark, state_dir, base, **kw
+        ).awaitTermination()
+
+    sa, sb = str(tmp_path / "A"), str(tmp_path / "B")
+    run(sa)
+    run(sb)
+    os.remove(os.path.join(sa, "_checkpoint", "commits", "1"))
+    crc = os.path.join(sa, "_checkpoint", "commits", ".1.crc")
+    if os.path.exists(crc):  # local-FS checksum sidecar of the marker
+        os.remove(crc)
+
+    folded = svec.vacuum_graph_state(spark, sa)
+    assert folded["graph"] == 1 and folded["vectors"] == 1
+    for t in ("graph", "vectors"):
+        parts = sorted(
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(sa, t, "batch_id=*"))
+        )
+        assert parts == ["batch_id=-1", "batch_id=1"], t
+
+    run(sa)  # batch 1 replays
+    got = {tuple(r) for r in svec.read_graph_state(spark, sa).collect()}
+    want = {tuple(r) for r in svec.read_graph_state(spark, sb).collect()}
+    assert got == want

@@ -66,52 +66,149 @@ def _batch_parts(spark: SparkSession, table_dir: str) -> list[int]:
     return sorted(out)
 
 
-def compact_into_seed(
-    spark: SparkSession, table_dir: str, resolved: DataFrame
-) -> int:
-    """OFFLINE state compaction: fold every ``batch_id=<n>`` partition
-    of a sink state table into the seed partition (``batch_id=-1``) —
-    ``resolved`` must already BE the table's resolved content
-    (latest-wins / set-union, tombstones applied or kept by the
-    caller's protocol).
-
-    Crash posture: ``resolved`` is materialized (localCheckpoint)
-    BEFORE the seed overwrite so the write never reads the partitions
-    it replaces; old partitions are then deleted in ASCENDING batch
-    order, so a latest-wins reader stays correct at every intermediate
-    state ({compacted seed} ∪ a suffix of the newest partitions). Run
-    it only while no sink query is active, and if it crashes re-run it
-    to completion before restarting the sink — the standard offline
-    table-maintenance contract (same as any OPTIMIZE/rewrite job).
-
-    Returns the number of partitions folded away."""
-    parts = [b for b in _batch_parts(spark, table_dir) if b >= 0]
-    resolved = resolved.localCheckpoint(eager=True)
-    resolved.write.mode("overwrite").parquet(
-        os.path.join(table_dir, "batch_id=-1")
-    )
+def _fs_path(spark: SparkSession, path: str):
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf), p, jvm
+
+
+def last_committed_batch(spark: SparkSession, checkpoint_dir: str) -> int:
+    """Largest batch id the Structured Streaming checkpoint has
+    COMMITTED — i.e. the largest ``<checkpoint>/commits/<id>`` marker.
+    A batch whose state writes landed but whose commit marker is absent
+    WILL be replayed on restart; everything at or below the returned id
+    will not. Returns -1 for a fresh/absent checkpoint (nothing
+    committed → nothing beyond the seed is safe to fold)."""
+    fs, p, jvm = _fs_path(spark, os.path.join(checkpoint_dir, "commits"))
+    if not fs.exists(p):
+        return -1
+    best = -1
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.isdigit():
+            best = max(best, int(name))
+    return best
+
+
+def heal_seed(spark: SparkSession, table_dir: str) -> None:
+    """Finish (or discard) a crashed :func:`compact_into_seed` swap.
+    The swap writes the new seed to ``_seed_tmp`` (underscore-prefixed
+    → invisible to Spark's data-file discovery) and then renames it
+    over ``batch_id=-1``; a crash between the old seed's removal and
+    the rename leaves a COMMITTED ``_seed_tmp`` and no seed. Healing
+    is idempotent: complete the rename if that window hit, otherwise
+    drop any stale tmp. Callers must heal BEFORE reading state they
+    intend to re-compact."""
+    tmp = os.path.join(table_dir, "_seed_tmp")
+    seed = os.path.join(table_dir, "batch_id=-1")
+    fs, tmp_p, jvm = _fs_path(spark, tmp)
+    if not fs.exists(tmp_p):
+        return
+    seed_p = jvm.org.apache.hadoop.fs.Path(seed)
+    if seed_committed(spark, tmp) and not fs.exists(seed_p):
+        fs.rename(tmp_p, seed_p)
+    else:
+        fs.delete(tmp_p, True)
+
+
+def compact_into_seed(
+    spark: SparkSession,
+    table_dir: str,
+    resolved: DataFrame,
+    max_committed_batch_id: int | None = None,
+) -> int:
+    """OFFLINE state compaction: fold the ``batch_id=<n>`` partitions
+    of a sink state table into the seed partition (``batch_id=-1``) —
+    ``resolved`` must already BE the resolved content OF THE FOLDED
+    PREFIX (latest-wins / set-union, tombstones applied or kept by the
+    caller's protocol).
+
+    Replay safety (ADVICE r10): a stopped sink can still have a batch
+    PENDING in its checkpoint — state writes landed, commit marker
+    didn't — and that batch replays on restart. Folding it into the
+    seed would put its rows at ``batch_id=-1`` (< every live batch), so
+    the replay's pre-state exclusion (``batch_id < current``) no longer
+    excludes them: a set-semantics table then admits nothing fresh and
+    the replay overwrites its partitions with EMPTY data. Pass the
+    checkpoint's :func:`last_committed_batch` as
+    ``max_committed_batch_id`` and only partitions at or below it are
+    folded — a committed batch never replays, a pending one stays in
+    its own partition. ``None`` keeps the fold-everything behavior for
+    state that provably has no pending replay (e.g. after a clean
+    ``availableNow`` termination with ``awaitTermination()``); the
+    vacuum wrappers always pass the cutoff.
+
+    Crash posture: the new seed is first written to a ``_seed_tmp``
+    sibling (underscore-prefixed — Spark's file discovery skips it, so
+    readers never see a half-written seed) and then swapped in via two
+    renames, so the write never reads the partition it replaces (no
+    reliance on executor-held localCheckpoint blocks, ADVICE r10); old
+    partitions are then deleted in ASCENDING batch order, so a
+    latest-wins reader stays correct at every intermediate state
+    ({compacted seed} ∪ a suffix of the newest partitions). Run it only
+    while no sink query is active; if it crashes, re-run it (or any
+    vacuum wrapper — they :func:`heal_seed` first) to completion before
+    restarting the sink — the standard offline table-maintenance
+    contract (same as any OPTIMIZE/rewrite job).
+
+    Returns the number of partitions folded away."""
+    heal_seed(spark, table_dir)
+    parts = [
+        b
+        for b in _batch_parts(spark, table_dir)
+        if b >= 0
+        and (max_committed_batch_id is None or b <= max_committed_batch_id)
+    ]
+    tmp = os.path.join(table_dir, "_seed_tmp")
+    seed = os.path.join(table_dir, "batch_id=-1")
+    # the tmp write is where `resolved` actually executes — it may read
+    # the current seed and every folded partition; none is touched yet
+    resolved.write.mode("overwrite").parquet(tmp)
+    fs, tmp_p, jvm = _fs_path(spark, tmp)
+    seed_p = jvm.org.apache.hadoop.fs.Path(seed)
+    fs.delete(seed_p, True)
+    fs.rename(tmp_p, seed_p)  # crash window covered by heal_seed
     for b in parts:  # ascending — see crash posture above
         p = jvm.org.apache.hadoop.fs.Path(
             os.path.join(table_dir, f"batch_id={b}")
         )
-        fs = p.getFileSystem(hconf)
         fs.delete(p, True)
     return len(parts)
 
 
-def vacuum_set_state(spark: SparkSession, table_dir: str) -> int:
+def vacuum_set_state(
+    spark: SparkSession,
+    table_dir: str,
+    checkpoint_dir: str | None = None,
+) -> int:
     """Compact an append-only SET-semantics state table (the dedup /
     snapshot hash tables: readers anti-join or union-distinct, so
     duplicate rows are never wrong, only wasteful) into its seed
     partition. NOT for additive-partial tables (snapshot_sink's
     ``counts``) — a mid-crash re-run would double-count; those stay
-    O(domains·batches) and need no compaction."""
-    cols = [
-        c
-        for c in spark.read.parquet(table_dir).columns
-        if c != "batch_id"
-    ]
-    resolved = spark.read.parquet(table_dir).select(cols).distinct()
-    return compact_into_seed(spark, table_dir, resolved)
+    O(domains·batches) and need no compaction.
+
+    Pass the sink's ``checkpoint_dir`` (``<state_dir>/_checkpoint`` for
+    the sinks in this package) and only batches the checkpoint has
+    COMMITTED are folded — a batch still pending replay keeps its own
+    partition, so the replay's ``batch_id < current`` pre-state
+    exclusion stays correct (ADVICE r10). ``None`` folds everything and
+    is only safe after a clean ``availableNow`` + ``awaitTermination``
+    stop."""
+    heal_seed(spark, table_dir)
+    cutoff = (
+        None
+        if checkpoint_dir is None
+        else last_committed_batch(spark, checkpoint_dir)
+    )
+    raw = spark.read.parquet(table_dir)
+    if cutoff is not None:
+        raw = raw.where(
+            (raw["batch_id"] <= cutoff) | (raw["batch_id"] == -1)
+        )
+    cols = [c for c in raw.columns if c != "batch_id"]
+    resolved = raw.select(cols).distinct()
+    return compact_into_seed(
+        spark, table_dir, resolved, max_committed_batch_id=cutoff
+    )

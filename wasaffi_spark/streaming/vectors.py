@@ -698,7 +698,8 @@ def read_graph_state(
 
 
 def vacuum_graph_state(spark: SparkSession, state_dir: str,
-                       id_col: str = "vec_id") -> dict:
+                       id_col: str = "vec_id",
+                       respect_checkpoints: bool = True) -> dict:
     """OFFLINE compaction of a :func:`graph_insert_sink` /
     :func:`graph_delete_sink` state dir — the "compact periodically"
     step the sink docstrings promise: every micro-batch leaves one
@@ -727,26 +728,80 @@ def vacuum_graph_state(spark: SparkSession, state_dir: str,
     inside: both data tables finish before tombstones clear, so any
     crash leaves tombstones masking whatever stale rows remain.
 
+    Replay safety (ADVICE r10): "no sink query active" does NOT imply
+    "no pending replay" — a sink can stop with a batch's state writes
+    landed but its checkpoint commit missing, and that batch re-fires
+    on restart. With ``respect_checkpoints`` (the default) the fold
+    stops at the smallest :func:`~wasaffi_spark.streaming.state.
+    last_committed_batch` across the state dir's sink checkpoints
+    (``_checkpoint`` — insert — and ``_checkpoint_delete``): pending
+    partitions keep their own batch ids so the replay's
+    ``batch_id < current`` pre-state exclusion stays correct, and
+    tombstones are CLEARED only when nothing stays unfolded (otherwise
+    the folded prefix's tombstones are kept in the ``deleted`` seed —
+    anti-joins are idempotent, so keeping them is never wrong, only
+    less compact). Set ``respect_checkpoints=False`` only for state
+    built by batch seeding alone (no sink ever ran).
+
     Returns ``{"graph": folded, "vectors": folded, "deleted": folded}``.
     """
     import os as _os
 
-    from .state import compact_into_seed
+    from .state import (
+        _batch_parts,
+        compact_into_seed,
+        heal_seed,
+        last_committed_batch,
+    )
 
-    next_b = 1 << 62  # "after every batch": resolve the full state
-    adj = _read_adjacency_at(spark, state_dir, next_b, id_col)
-    vecs = _read_vectors_at(spark, state_dir, next_b, id_col).distinct()
+    tables = ("graph", "vectors", "deleted")
+    for t in tables:
+        heal_seed(spark, _os.path.join(state_dir, t))
+    cutoff = None
+    if respect_checkpoints:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        cuts = []
+        for ck in ("_checkpoint", "_checkpoint_delete"):
+            p = jvm.org.apache.hadoop.fs.Path(_os.path.join(state_dir, ck))
+            if p.getFileSystem(hconf).exists(p):
+                cuts.append(
+                    last_committed_batch(
+                        spark, _os.path.join(state_dir, ck)
+                    )
+                )
+        if cuts:
+            cutoff = min(cuts)
+    # "after every folded batch": resolve the foldable prefix only
+    bound = (1 << 62) if cutoff is None else cutoff + 1
+    adj = _read_adjacency_at(spark, state_dir, bound, id_col)
+    vecs = _read_vectors_at(spark, state_dir, bound, id_col).distinct()
+    unfolded = cutoff is not None and any(
+        b > cutoff
+        for t in tables
+        for b in _batch_parts(spark, _os.path.join(state_dir, t))
+    )
+    if unfolded:
+        dele = (
+            spark.read.parquet(_os.path.join(state_dir, "deleted"))
+            .where(F.col("batch_id") < bound)
+            .select(id_col)
+            .distinct()
+        )
+    else:
+        dele = spark.createDataFrame([], f"{id_col} bigint")
     out = {
         "graph": compact_into_seed(
-            spark, _os.path.join(state_dir, "graph"), adj
+            spark, _os.path.join(state_dir, "graph"), adj,
+            max_committed_batch_id=cutoff,
         ),
         "vectors": compact_into_seed(
-            spark, _os.path.join(state_dir, "vectors"), vecs
+            spark, _os.path.join(state_dir, "vectors"), vecs,
+            max_committed_batch_id=cutoff,
         ),
         "deleted": compact_into_seed(
-            spark,
-            _os.path.join(state_dir, "deleted"),
-            spark.createDataFrame([], f"{id_col} bigint"),
+            spark, _os.path.join(state_dir, "deleted"), dele,
+            max_committed_batch_id=cutoff,
         ),
     }
     return out
