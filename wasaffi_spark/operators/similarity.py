@@ -1094,6 +1094,13 @@ def _ranked_shortlist(
         .select(*out_cols, "rank")
     )
     if rerank:
+        # Materialize the Q×rerank shortlist (tiny) before the refine
+        # stage: the rerank references it under a broadcast AND the
+        # whole ADC/quantization pipeline above it would otherwise be
+        # recomputed per referencing job — measured 2.5x first-run
+        # swings on pq_topk_rerank (VERDICT r10 What's-wrong #2). Same
+        # lineage-truncation pattern as graph_maintained_search.
+        shortlist = shortlist.localCheckpoint(eager=True)
         return _exact_rerank(shortlist, queries, corpus, k, vec_col, id_col)
     return shortlist
 
