@@ -209,6 +209,12 @@ HEADLINE = [
     # exact brute force over the alive corpus, both index families
     "graph_recall_monitor",
     "ivf_recall_monitor",
+    # new in r11: the gauge→action policy — both monitors' readings
+    # pushed through the integer threshold ladder into the decision
+    # row each family acts on (the most expensive declared query by
+    # construction: it replays BOTH gauges, which are themselves the
+    # two O(Q·N) nightly ground-truth passes)
+    "index_maintenance_policy",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

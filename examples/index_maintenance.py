@@ -19,11 +19,16 @@ every stage an engine operator, end to end on /root/testdata/sf0.001:
                   both families (similarity.graph_maintained_search /
                   ivf_maintained_topk), with routing structures
                   recomputed over the alive corpus
-    7. RE-DESCEND — ONE warm NN-descent round seeded from the
+    7. DECIDE   — the nightly recall gauges feed
+                  operators/serving.py::index_maintenance_policy, which
+                  emits the action each family takes (noop / refresh /
+                  rebuild; noop / raise_n_probe / retrain) — the
+                  gauge→action loop as a declared, hash-oracled operator
+    8. RE-DESCEND — ONE warm NN-descent round seeded from the
                   maintained adjacency (similarity.graph_refresh):
                   recovers the links incremental maintenance cannot
                   see, at ~¼ the cost of a cold rebuild
-    8. EXPORT   — the train→serve handoff: the refreshed state leaves
+    9. EXPORT   — the train→serve handoff: the refreshed state leaves
                   as a signed bundle (operators/serving.py) the serving
                   fleet verifies before trusting
 
@@ -108,29 +113,44 @@ def main() -> None:
     dele2 = emb.where(F.col("vec_id") % 13 == 4).select("vec_id")
     q_alive = queries.where(F.col("vec_id") % 13 != 4)
     print("IVF search over append+delete-maintained postings:")
-    similarity.ivf_maintained_topk(
+    ivf_served = similarity.ivf_maintained_topk(
         q_alive, base, batch, dele2, k=3, n_cells=16, n_probe=2, iters=2
-    ).orderBy("qid", "rank").show(6, truncate=False)
+    )
+    ivf_served.orderBy("qid", "rank").show(6, truncate=False)
     print("graph beam search over the insert+delete-maintained graph:")
     served = similarity.graph_maintained_search(
         q_alive, graph, base, batch, dele2, k=3, k_graph=8, beam=8,
         rounds=4,
     )
     served.orderBy("qid", "rank").show(6, truncate=False)
-    # the nightly gauge: does the maintained index still find what
-    # exact search finds? (this number schedules stage 7)
+
+    # 7. decide: the nightly gauges (recall@k of each maintained index
+    # vs exact brute force over the alive corpus) feed the declared
+    # policy operator, which turns each reading into the maintenance
+    # action — the gauge→action loop closed in code, not prose. The
+    # graph family's decision is what runs stage 8.
+    from wasaffi_spark.operators.serving import index_maintenance_policy
+
     d2a = dele2.withColumnRenamed("vec_id", "_d")
     alive_all = emb.join(d2a, F.col("vec_id") == F.col("_d"), "left_anti")
     truth = similarity.brute_force_topk(q_alive, alive_all, k=3)
-    rec = similarity.recall_at_k(served, truth).agg(
-        F.sum("hits"), F.count("*")
-    ).first()
-    print(
-        f"recall monitor: {rec[0]}/{3 * rec[1]} maintained-index hits vs "
-        "exact brute force — the gauge that schedules the warm refresh"
+    k3 = F.lit(3).cast("bigint")
+    decisions = index_maintenance_policy(
+        {
+            "graph": similarity.recall_at_k(served, truth)
+            .withColumn("k", k3),
+            "ivf": similarity.recall_at_k(ivf_served, truth)
+            .withColumn("k", k3),
+        },
+        # measured ladders: ANN_RECALL.json shows one warm refresh
+        # closes the graph's maintained-vs-rebuilt gap, and the IVF
+        # n_probe ladder prices the raise_n_probe rung
+        {"graph": (9000, 3000), "ivf": (9000, 4000)},
     )
+    print("maintenance policy decisions (gauge readings included):")
+    decisions.show(truncate=False)
 
-    # 7. warm re-descent: ONE NN-descent round seeded from the
+    # 8. warm re-descent: ONE NN-descent round seeded from the
     # maintained adjacency recovers the new→new links and repair tail
     # edges the incremental ops cannot see — the periodic step that
     # resets the maintained-vs-rebuilt recall gap without paying a
@@ -165,7 +185,7 @@ def main() -> None:
         "4 rounds from scratch)"
     )
 
-    # 8. hand off to the serving fleet: export the refreshed state as a
+    # 9. hand off to the serving fleet: export the refreshed state as a
     # verifiable bundle and prove the copy is intact before it serves
     from wasaffi_spark.operators import serving
 

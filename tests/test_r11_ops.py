@@ -373,3 +373,80 @@ def test_vacuum_graph_state_with_pending_replay(spark, tmp_path):
     got = {tuple(r) for r in svec.read_graph_state(spark, sa).collect()}
     want = {tuple(r) for r in svec.read_graph_state(spark, sb).collect()}
     assert got == want
+
+
+# --------------------------------------- index_maintenance_policy
+
+
+def _monitor(spark, hits_list, k=4):
+    return spark.createDataFrame(
+        [(i, h, k) for i, h in enumerate(hits_list)],
+        "qid bigint, hits bigint, k bigint",
+    )
+
+
+def test_policy_flips_each_decision_boundary(spark):
+    """Every rung of the threshold ladder, including both inclusive
+    boundaries: recall_bp >= healthy → ok action, floor <= recall_bp <
+    healthy → degraded action, recall_bp < floor → floor action."""
+    from wasaffi_spark.operators.serving import index_maintenance_policy
+
+    th = {"graph": (9000, 3000)}
+    # 5 queries * k=4 = 20 slots; recall_bp = 10000 * hits / 20
+    cases = [
+        ([4, 4, 4, 4, 4], 10000, "noop"),       # perfect
+        ([4, 4, 4, 4, 2], 9000, "noop"),        # healthy boundary (>=)
+        ([4, 4, 4, 4, 1], 8500, "refresh"),     # just degraded
+        ([2, 2, 1, 1, 0], 3000, "refresh"),     # floor boundary (>=)
+        ([2, 2, 1, 0, 0], 2500, "rebuild"),     # collapsed
+        ([0, 0, 0, 0, 0], 0, "rebuild"),
+    ]
+    for hits, want_bp, want_decision in cases:
+        row = index_maintenance_policy(
+            {"graph": _monitor(spark, hits)}, th
+        ).first()
+        assert row.recall_bp == want_bp, (hits, row)
+        assert row.decision == want_decision, (hits, row)
+        assert row.n_queries == 5 and row.k == 4
+        assert row.total_hits == sum(hits)
+
+
+def test_policy_family_actions_and_ordering(spark):
+    """Default action names differ per family (graph: refresh/rebuild,
+    ivf: raise_n_probe/retrain), rows come out ordered by family, and
+    custom action triples override the defaults."""
+    from wasaffi_spark.operators.serving import index_maintenance_policy
+
+    out = index_maintenance_policy(
+        {
+            "ivf": _monitor(spark, [2, 2, 1, 1, 0]),    # 3000 bp
+            "graph": _monitor(spark, [2, 2, 1, 0, 0]),  # 2500 bp
+        },
+        {"graph": (9000, 3000), "ivf": (9000, 2000)},
+    ).collect()
+    assert [r.family for r in out] == ["graph", "ivf"]
+    assert out[0].decision == "rebuild"
+    assert out[1].decision == "raise_n_probe"
+
+    custom = index_maintenance_policy(
+        {"pq": _monitor(spark, [4, 4, 4, 4, 4])},
+        {"pq": (5000, 1000)},
+        actions={"pq": ("serve", "rebalance", "recode")},
+    ).first()
+    assert custom.decision == "serve" and custom.family == "pq"
+
+    with pytest.raises(ValueError, match="no monitors"):
+        index_maintenance_policy({}, {})
+
+
+def test_policy_is_integer_exact(spark):
+    """recall_bp uses integer div (floor), never float rounding: 1 hit
+    of 3*7=21 slots is 476 bp, not 476.19... and not 477."""
+    from wasaffi_spark.operators.serving import index_maintenance_policy
+
+    row = index_maintenance_policy(
+        {"g": _monitor(spark, [1, 0, 0, 0, 0, 0, 0], k=3)},
+        {"g": (9000, 3000)},
+    ).first()
+    assert row.recall_bp == 476
+    assert dict(row.asDict())["total_hits"] == 1

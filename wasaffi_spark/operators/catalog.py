@@ -7153,26 +7153,36 @@ def q_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # frozen-codebook train (base slice) + full-corpus assignment chain:
 # identical to _LLOYD_TRAIN_ASSIGN_CTES except training reads eb.
-_LLOYD_APPEND_CTES = f"""e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
-        eb as (select vec_id, v from e where vec_id % {IAP_MOD} <> {IAP_MOD - 1}),
-        seeds as (
+def _lloyd_append_ctes(p: str = "") -> str:
+    """The frozen base-trained-codebook assignment chain (2 Lloyd
+    iterations on the base slice, full-corpus assign), with every CTE
+    name optionally prefixed by ``p`` so one oracle can hold this chain
+    NEXT TO the graph-maintenance chain (the index_maintenance_policy
+    oracle replays both gauges; unprefixed, byte-identical to the r9
+    form the ivf_append / monitor oracles share)."""
+    return f"""{p}e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+        {p}eb as (select vec_id, v from {p}e where vec_id % {IAP_MOD} <> {IAP_MOD - 1}),
+        {p}seeds as (
           select v as sv,
                  row_number() over (
                    order by md5('{similarity.IVF_SEED}' || vec_id), vec_id) - 1
                    as cell
-          from eb
+          from {p}eb
           order by md5('{similarity.IVF_SEED}' || vec_id), vec_id
           limit {LLOYD_CELLS}),
-        c0 as (select cell, {_lloyd_snap_sql("sv")} as cv from seeds),
-        {_lloyd_iter_sql(0, "c0", rel="eb")},
-        {_lloyd_iter_sql(1, "c1", rel="eb")},
-        adf as (select e.vec_id, c.cell, {_ivf_l2_sql("e.v", "c.cv")} as d
-                from e cross join c2 c),
-        assign as (
+        {p}c0 as (select cell, {_lloyd_snap_sql("sv")} as cv from {p}seeds),
+        {_lloyd_iter_sql(0, f"{p}c0", rel=f"{p}eb", tag=p)},
+        {_lloyd_iter_sql(1, f"{p}c1", rel=f"{p}eb", tag=p)},
+        {p}adf as (select e.vec_id, c.cell, {_ivf_l2_sql("e.v", "c.cv")} as d
+                from {p}e e cross join {p}c2 c),
+        {p}assign as (
           select vec_id,
                  cast(min(d * {LLOYD_CELLS} + cell) % {LLOYD_CELLS} as int)
                    as cell
-          from adf group by vec_id)"""
+          from {p}adf group by vec_id)"""
+
+
+_LLOYD_APPEND_CTES = _lloyd_append_ctes()
 
 
 register_extra(
@@ -9389,10 +9399,11 @@ def q_graph_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register_extra(
-    "graph_recall_monitor",
-    q_graph_recall_monitor,
-    f"""with {_GMS_CHAIN_CTES},
+# the monitor's full CTE chain and its per-query select are shared
+# with the index_maintenance_policy oracle (which aggregates the same
+# per-query hits into the decision reading) — single definition so the
+# gauge and the policy can never drift.
+_GRM_CTES = f"""{_GMS_CHAIN_CTES},
         hr2 as (select vec_id,
                        row_number() over (
                          order by md5('{similarity.IVF_SEED}' || vec_id),
@@ -9429,14 +9440,21 @@ register_extra(
                 join (select v.vec_id, v.ev from vall v
                       join alive al on al.vec_id = v.vec_id) a
                   on a.vec_id <> q2.qid),
-        bf as (select qid, nid from bfs where rnk <= {GS_K})
-        select b.qid,
+        bf as (select qid, nid from bfs where rnk <= {GS_K})"""
+
+_GRM_SELECT = f"""select b.qid,
                coalesce(sum(case when g.nid is not null
                                  then 1 end), 0)::bigint as hits,
                {GS_K}::bigint as k
         from bf b
         left join got g on g.qid = b.qid and g.nid = b.nid
-        group by b.qid
+        group by b.qid"""
+
+register_extra(
+    "graph_recall_monitor",
+    q_graph_recall_monitor,
+    f"""with {_GRM_CTES}
+        {_GRM_SELECT}
         order by b.qid""",
 )
 
@@ -9479,55 +9497,69 @@ def q_ivf_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register_extra(
-    "ivf_recall_monitor",
-    q_ivf_recall_monitor,
-    f"""with {_LLOYD_APPEND_CTES},
-        massign as (select vec_id, cell from assign
+def _ivf_monitor_ctes(p: str = "") -> str:
+    """The IVF gauge's search-and-brute-force tail (maintained
+    postings → probe search → brute force over alive → per-query
+    candidates), every CTE name prefixed by ``p`` — same sharing
+    contract as :func:`_lloyd_append_ctes`: the policy oracle holds
+    this chain next to the graph chain under a 'p' namespace;
+    unprefixed it is byte-identical to the monitor's r10 form."""
+    return f"""{p}massign as (select vec_id, cell from {p}assign
                     where vec_id % {IMS_DEL_MOD} <> {IMS_DEL_RES}),
-        q as (select vec_id as qid, v as qv from e
+        {p}q as (select vec_id as qid, v as qv from {p}e
               where vec_id < {ANN_QUERY_MAX_ID}
                 and vec_id % {IMS_DEL_MOD} <> {IMS_DEL_RES}),
-        qd as (select q.qid, c.cell, {_ivf_l2_sql("q.qv", "c.cv")} as d
-               from q cross join c2 c),
-        probes as (
+        {p}qd as (select q.qid, c.cell, {_ivf_l2_sql("q.qv", "c.cv")} as d
+               from {p}q q cross join {p}c2 c),
+        {p}probes as (
           select qid, cell from (
             select qid, cell,
                    row_number() over (partition by qid order by d, cell) as pr
-            from qd) t
+            from {p}qd) t
           where pr <= {LLOYD_PROBE}),
-        cand as (select p.qid, a.vec_id as nid
-                 from probes p join massign a using (cell)),
-        scored as (
+        {p}cand as (select p.qid, a.vec_id as nid
+                 from {p}probes p join {p}massign a using (cell)),
+        {p}scored as (
           select c.qid, c.nid,
                  round(list_cosine_similarity(q2.qv, e2.v), 6) as cos_sim
-          from cand c
-          join q q2 on q2.qid = c.qid
-          join e e2 on e2.vec_id = c.nid
+          from {p}cand c
+          join {p}q q2 on q2.qid = c.qid
+          join {p}e e2 on e2.vec_id = c.nid
           where c.qid <> c.nid),
-        rankd as (
+        {p}rankd as (
           select qid, nid, cos_sim,
                  row_number() over (partition by qid
                                     order by cos_sim desc, nid) as rnk
-          from scored),
-        got as (select qid, nid from rankd where rnk <= {ANN_K}),
-        bfs as (select q.qid, a.vec_id as nid,
+          from {p}scored),
+        {p}got as (select qid, nid from {p}rankd where rnk <= {ANN_K}),
+        {p}bfs as (select q.qid, a.vec_id as nid,
                        row_number() over (
                          partition by q.qid
                          order by list_cosine_similarity(q.qv, a.v) desc,
                                   a.vec_id) as rnk
-                from q
-                join (select vec_id, v from e
+                from {p}q q
+                join (select vec_id, v from {p}e
                       where vec_id % {IMS_DEL_MOD} <> {IMS_DEL_RES}) a
                   on a.vec_id <> q.qid),
-        bf as (select qid, nid from bfs where rnk <= {ANN_K})
-        select b.qid,
+        {p}bf as (select qid, nid from {p}bfs where rnk <= {ANN_K})"""
+
+
+def _ivf_monitor_select(p: str = "") -> str:
+    return f"""select b.qid,
                coalesce(sum(case when g.nid is not null
                                  then 1 end), 0)::bigint as hits,
                {ANN_K}::bigint as k
-        from bf b
-        left join got g on g.qid = b.qid and g.nid = b.nid
-        group by b.qid
+        from {p}bf b
+        left join {p}got g on g.qid = b.qid and g.nid = b.nid
+        group by b.qid"""
+
+
+register_extra(
+    "ivf_recall_monitor",
+    q_ivf_recall_monitor,
+    f"""with {_LLOYD_APPEND_CTES},
+        {_ivf_monitor_ctes()}
+        {_ivf_monitor_select()}
         order by b.qid""",
 )
 
@@ -9540,3 +9572,90 @@ register_extra(
 # orders table keeps its orders_profile-family extras).
 _promote("graph_recall_monitor", "ivf_recall_monitor")
 _demote("novelty", "orders_expectations")
+
+
+# ---------------------------------------------------------------------------
+# index_maintenance_policy — the gauge→action rule that closes the
+# maintenance loop (VERDICT r10 What's-missing #3): both recall
+# monitors' readings, aggregated to integer basis points, pushed
+# through the threshold ladder, one DECISION row per index family.
+# The thresholds are measured, not invented: ANN_RECALL.json shows a
+# warm graph_refresh closing the maintained-vs-rebuilt gap (0.571 →
+# 0.762 on planted clusters) — so a degraded-but-not-collapsed graph
+# reading buys a refresh, a collapsed one a rebuild; the IVF family's
+# n_probe ladder (ANN_RECALL ivf_nprobe_ladder) shows probe loss is
+# the only loss (maintenance is exact, pytest-pinned), so its degraded
+# rung raises n_probe and only the floor retrains. The oracle replays
+# BOTH gauges end to end (the graph chain verbatim via _GRM_CTES; the
+# IVF chain under a 'p' CTE namespace) and the integer policy on top —
+# the decision itself is hash-checked, not just the gauges.
+
+GRAPH_HEALTHY_BP = 9000
+GRAPH_FLOOR_BP = 3000
+IVF_HEALTHY_BP = 9000
+IVF_FLOOR_BP = 4000
+
+
+def q_index_maintenance_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/serving.py::index_maintenance_policy over both
+    nightly gauges: (family, n_queries, total_hits, k, recall_bp,
+    healthy_bp, floor_bp, decision) — all integers + the decision
+    string, one row per family. recall_bp = (10000·Σhits) div (Q·k)."""
+    from . import serving
+
+    return serving.index_maintenance_policy(
+        {
+            "graph": q_graph_recall_monitor(spark, sf_dir),
+            "ivf": q_ivf_recall_monitor(spark, sf_dir),
+        },
+        {
+            "graph": (GRAPH_HEALTHY_BP, GRAPH_FLOOR_BP),
+            "ivf": (IVF_HEALTHY_BP, IVF_FLOOR_BP),
+        },
+    )
+
+
+register_extra(
+    "index_maintenance_policy",
+    q_index_maintenance_policy,
+    f"""with {_GRM_CTES},
+        gq as ({_GRM_SELECT}),
+        {_lloyd_append_ctes("p")},
+        {_ivf_monitor_ctes("p")},
+        iq as ({_ivf_monitor_select("p")}),
+        readings as (
+          select 'graph' as family, count(*)::bigint as n_queries,
+                 sum(hits)::bigint as total_hits, max(k)::bigint as k,
+                 {GRAPH_HEALTHY_BP}::bigint as healthy_bp,
+                 {GRAPH_FLOOR_BP}::bigint as floor_bp,
+                 'noop' as ok_act, 'refresh' as deg_act,
+                 'rebuild' as floor_act
+          from gq
+          union all
+          select 'ivf', count(*)::bigint, sum(hits)::bigint,
+                 max(k)::bigint,
+                 {IVF_HEALTHY_BP}::bigint, {IVF_FLOOR_BP}::bigint,
+                 'noop', 'raise_n_probe', 'retrain'
+          from iq),
+        decided as (
+          select family, n_queries, total_hits, k,
+                 (10000 * total_hits) // (n_queries * k) as recall_bp,
+                 healthy_bp, floor_bp,
+                 case when (10000 * total_hits) // (n_queries * k)
+                           >= healthy_bp then ok_act
+                      when (10000 * total_hits) // (n_queries * k)
+                           >= floor_bp then deg_act
+                      else floor_act end as decision
+          from readings)
+        select family, n_queries, total_hits, k, recall_bp,
+               healthy_bp, floor_bp, decision
+        from decided order by family""",
+)
+
+
+# zero-rotation-debt policy: the round's new hash-oracled query enters
+# the driver window the round it lands. graph_search_topk (driver-green
+# r8, sweep-anchored, and its machinery stays windowed through the
+# maintained-search + monitor chains) cedes the slot.
+_promote("index_maintenance_policy")
+_demote("graph_search_topk")
