@@ -18,12 +18,16 @@ compacted by the planner:
     3. REPORT   — the published per-batch, per-domain ledger:
                   dups-vs-state, dups-within-batch, fresh admissions,
                   cells touched, keep_bp old→new sampling-plan diff
-    4. COMPACT  — layout.compaction_plan + compact_small_files over
+    4. PUBLISH  — each night's state leaves as a signed bundle;
+                  serving.bundle_diff against the previous night's
+                  publication names exactly what the serving fleet
+                  re-syncs (the frozen codebook never ships)
+    5. COMPACT  — layout.compaction_plan + compact_small_files over
                   the sink's accumulated hash-state files: Next-Fit
                   bins at the target size, ONE output file per bin
-    5. VACUUM   — streaming/state.vacuum_set_state folds the hash
+    6. VACUUM   — streaming/state.vacuum_set_state folds the hash
                   table's batch partitions into its committed seed:
-                  the in-place state-level twin of stage 4
+                  the in-place state-level twin of stage 5
 
 Run: python examples/nightly_snapshot.py [sf_dir] [work_dir]
 Defaults: /root/testdata/sf0.001, /tmp/wasaffi_nightly
@@ -122,9 +126,39 @@ def main() -> None:
         f"(cells touched: {post.select('cell').distinct().count()})"
     )
 
-    # 4. COMPACT — continuous ingest leaves one small file per night;
-    # pack the hash-state table back to scan-efficient sizes
+    # 4. PUBLISH — the night's serving handoff, DIFFED against the
+    # previous publication: export each night's state as a signed
+    # bundle and let bundle_diff (two manifest reads, no component
+    # data) name exactly what the serving fleet must re-sync. The
+    # frozen codebook never ships; the hash/count/posting tables ship
+    # only when a night actually admitted something.
+    from wasaffi_spark.operators import serving
+
     hash_dir = os.path.join(state_dir, "state")
+
+    def night_state(upto_batch):
+        byb = F.col("batch_id") <= upto_batch
+        return {
+            "cents": cents,  # frozen — identical every night
+            "hashes": spark.read.parquet(hash_dir).where(byb).drop(
+                "batch_id"
+            ),
+            "counts": spark.read.parquet(
+                os.path.join(state_dir, "counts")
+            ).where(byb).drop("batch_id"),
+            "postings": spark.read.parquet(
+                os.path.join(state_dir, "postings")
+            ).where(byb).drop("batch_id"),
+        }
+
+    n1_dir, n2_dir = os.path.join(work, "pub_n1"), os.path.join(work, "pub_n2")
+    serving.export_index_bundle(spark, n1_dir, night_state(0))
+    serving.export_index_bundle(spark, n2_dir, night_state(1 << 30))
+    print("publish: bundle diff night-1 -> tonight (ship `changed` only):")
+    serving.bundle_diff(spark, n1_dir, n2_dir).show(truncate=False)
+
+    # 5. COMPACT — continuous ingest leaves one small file per night;
+    # pack the hash-state table back to scan-efficient sizes
     import glob
 
     parts = [
@@ -145,7 +179,7 @@ def main() -> None:
         f"(+{plan.where(F.col('action') == 'keep').count()} keeps)"
     )
 
-    # 5. VACUUM — the in-place, sink-resumable form of the same idea:
+    # 6. VACUUM — the in-place, sink-resumable form of the same idea:
     # fold every batch_id partition of the hash table back into its
     # committed seed (set semantics — readers anti-join, so this is
     # provably invisible to them and to a resumed sink)
@@ -165,6 +199,7 @@ def main() -> None:
         f"{before} rows -> {after} distinct (reads + resumed sinks "
         "unchanged, one partition per read from here on)"
     )
+
     spark.stop()
 
 

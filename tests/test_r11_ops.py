@@ -450,3 +450,112 @@ def test_policy_is_integer_exact(spark):
     ).first()
     assert row.recall_bp == 476
     assert dict(row.asDict())["total_hits"] == 1
+
+
+# ----------------------------- bundle_diff over the maintained index
+
+
+def test_bundle_diff_crud_matrix(spark, tmp_path):
+    """The serving handoff composed with every maintenance leg: export
+    the base bundle, apply ONE CRUD op, export again, and bundle_diff
+    must name EXACTLY the components that op touches — append moves
+    postings but not the codebook; insert/delete/refresh move the
+    graph (delete also the tombstones) but never the IVF side; retrain
+    moves codebook + postings but never the graph. The matrix is the
+    ship-only-what-changed contract a serving fleet syncs by."""
+    from tests.test_r10_ops import _orthogonal_fixture
+    from wasaffi_spark.operators import serving, similarity
+
+    base, batch, deletes, queries = _orthogonal_fixture(spark)
+    allv = base.unionByName(batch)
+    cents = similarity.lloyd_centroids(base, n_cells=4, iters=2, dim=16)
+    postings = similarity.ivf_assign_hashed(base, cents, 4, dim=16)
+    graph = similarity.knn_descent(base, k=4, rounds=3, ring=3)
+    empty_tomb = spark.createDataFrame([], "vec_id bigint")
+
+    def comps(**over):
+        out = {
+            "cents": cents,
+            "postings": postings,
+            "graph": graph,
+            "tombstones": empty_tomb,
+        }
+        out.update(over)
+        return out
+
+    a_dir = str(tmp_path / "base")
+    serving.export_index_bundle(spark, a_dir, comps())
+
+    upd = similarity.graph_insert(batch, graph, base, k=4, beam=8, rounds=3)
+    ops = {
+        "append": (
+            comps(
+                postings=postings.unionByName(
+                    similarity.ivf_append(batch, cents, n_cells=4, dim=16)
+                )
+            ),
+            {"postings"},
+        ),
+        "insert": (
+            comps(graph=similarity.graph_apply_delta(graph, upd)),
+            {"graph"},
+        ),
+        "delete": (
+            comps(
+                graph=similarity.graph_apply_delta(
+                    graph,
+                    similarity.graph_delete(deletes, graph, base, k=4),
+                ),
+                tombstones=deletes,
+            ),
+            {"graph", "tombstones"},
+        ),
+        "retrain": (
+            comps(
+                cents=similarity.lloyd_centroids(
+                    allv, n_cells=4, iters=2, dim=16
+                ),
+                postings=similarity.ivf_assign_hashed(
+                    allv,
+                    similarity.lloyd_centroids(allv, n_cells=4, iters=2, dim=16),
+                    4,
+                    dim=16,
+                ),
+            ),
+            {"cents", "postings"},
+        ),
+    }
+    for op, (components, want_changed) in ops.items():
+        b_dir = str(tmp_path / op)
+        serving.export_index_bundle(spark, b_dir, components)
+        got = {
+            r.component: r.status
+            for r in serving.bundle_diff(spark, a_dir, b_dir).collect()
+        }
+        changed = {c for c, s in got.items() if s == "changed"}
+        assert changed == want_changed, (op, got)
+        assert all(
+            s in ("changed", "unchanged") for s in got.values()
+        ), (op, got)
+
+    # refresh is measured against the POST-INSERT maintained graph
+    # (over the grown corpus — on the converged base graph alone one
+    # more descent round is a fixed point, correctly diffing as
+    # unchanged): the warm re-descent moves the graph and ONLY the
+    # graph — IVF components never ship for a graph refresh.
+    g1 = similarity.graph_apply_delta(graph, upd).localCheckpoint(
+        eager=True
+    )
+    pre_dir = str(tmp_path / "pre_refresh")
+    serving.export_index_bundle(spark, pre_dir, comps(graph=g1))
+    ref_dir = str(tmp_path / "refresh")
+    serving.export_index_bundle(
+        spark,
+        ref_dir,
+        comps(graph=similarity.graph_refresh(g1, allv, k=4, rounds=1)),
+    )
+    got = {
+        r.component: r.status
+        for r in serving.bundle_diff(spark, pre_dir, ref_dir).collect()
+    }
+    assert {c for c, s in got.items() if s == "changed"} == {"graph"}, got
