@@ -137,6 +137,20 @@ def main() -> None:
                         "a declared hash-oracled query (pq_topk_rerank)."
                     ),
                 },
+                "ivf_nprobe_ladder": {
+                    "note": (
+                        "per-corpus rungs under corpora.*.variants."
+                        "ivf_nprobe_ladder; this top-level copy is the "
+                        "planted_clusters (structured-data) ladder the "
+                        "index_maintenance_policy IVF thresholds cite — "
+                        "healthy/floor basis points should sit between "
+                        "rungs so one raise_n_probe step crosses the "
+                        "healthy line where structure allows"
+                    ),
+                    **out["planted_clusters"]["variants"][
+                        "ivf_nprobe_ladder"
+                    ],
+                },
                 "corpora": out,
             },
             f,
@@ -478,6 +492,45 @@ def run_variants(sim, F, queries, emb) -> dict:
         f"{results['graph_refreshed_search']['recall_at_k']}",
         flush=True,
     )
+
+    # IVF n_probe ladder (VERDICT r10 Next-round #8): the maintained
+    # IVF gauge isolates PURE probe loss (maintenance is exact,
+    # pytest-pinned), so this ladder IS the price list the
+    # index_maintenance_policy raise_n_probe rung acts on — the
+    # monitor's integer recall_bp reading at each n_probe over the
+    # same maintained corpus (append + delete applied) vs exact brute
+    # force over the alive set.
+    ladder = {}
+    n_truth = len(truth_alive)
+    for n_probe in (1, 2, 4, 8):
+        got_l = {
+            (r["qid"], r["nid"])
+            for r in sim.ivf_maintained_topk(
+                q_alive, base, batch, dele, k=K, n_cells=16,
+                n_probe=n_probe, iters=2,
+            ).collect()
+        }
+        hits = len(got_l & truth_alive)
+        ladder[f"n_probe_{n_probe}"] = {
+            "recall_at_k": round(hits / n_truth, 4),
+            "recall_bp": (10000 * hits) // n_truth,
+        }
+        print(
+            f"  ivf_maintained n_probe={n_probe}: "
+            f"recall@{K}={ladder[f'n_probe_{n_probe}']['recall_at_k']}",
+            flush=True,
+        )
+    results["ivf_nprobe_ladder"] = {
+        "n_cells": 16,
+        "metric": (
+            "ivf_maintained_topk (append+delete applied) vs exact brute "
+            "force over the alive corpus — the ivf_recall_monitor "
+            "reading at each n_probe; recall_bp is the integer basis-"
+            "points form index_maintenance_policy thresholds compare "
+            "against"
+        ),
+        "rungs": ladder,
+    }
     return results
 
 

@@ -9659,3 +9659,17 @@ register_extra(
 # maintained-search + monitor chains) cedes the slot.
 _promote("index_maintenance_policy")
 _demote("graph_search_topk")
+
+
+# r11 freshness rotation (VERDICT r10 Next-round #6): zero rotation
+# debt stands, so the window re-checks the STALEST green rows instead —
+# asof_join / clean_pack / decontaminate last had a driver row in r3
+# (sweep-green under both comparators every round since). They re-enter
+# against three of the longest-green rows whose families keep an
+# in-window anchor: media_neardup (7 greens; multimodal stays via
+# media_features + the streaming gates' stream≡batch pytests),
+# mixture_epochs (5 greens; the mixture machinery stays windowed via
+# incremental_snapshot's keep_bp legs), length_percentiles (5 greens;
+# text stats stay via text_stats_r1 + lm_doc_score).
+_promote("asof_join", "clean_pack", "decontaminate")
+_demote("media_neardup", "mixture_epochs", "length_percentiles")
