@@ -350,6 +350,14 @@ PROBES = {
         "the alive corpus with Q FIXED queries — O(Q·N) with small Q, "
         "linear; the semi-join + per-query count are O(Q·k)"
     ),
+    "index_maintenance_policy": (
+        "gauge→action policy (r11): both recall-monitor chains (each "
+        "probed linear above — maintained chain + one O(Q·N) brute "
+        "pass, Q fixed) + an O(Q)-row aggregate and an O(families) "
+        "decision frame on top — the policy adds nothing "
+        "data-proportional, so the ladder reads as the sum of the two "
+        "gauges: linear"
+    ),
     "compaction_plan": (
         "small-file compaction planning (r10): one groupBy builds the "
         "manifest (linear scan of text lengths), then ONE window over "
