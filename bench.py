@@ -215,6 +215,10 @@ HEADLINE = [
     # construction: it replays BOTH gauges, which are themselves the
     # two O(Q·N) nightly ground-truth passes)
     "index_maintenance_policy",
+    # new in r11: the leakage-safe train/val/test split — the shared
+    # hash-bernoulli split keyed on the near-dup CLUSTER id (LSH pairs
+    # closed into components), so no near-dup pair straddles a split
+    "leakage_safe_split",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -559,3 +559,73 @@ def test_bundle_diff_crud_matrix(spark, tmp_path):
         for r in serving.bundle_diff(spark, pre_dir, ref_dir).collect()
     }
     assert {c for c, s in got.items() if s == "changed"} == {"graph"}, got
+
+
+# ------------------------------------------------ cluster_safe_split
+
+
+def test_cluster_safe_split_never_straddles(spark):
+    """Every near-dup cluster gets exactly ONE split; singletons split
+    exactly as the per-document split_label would (component label ≡
+    own id), so the two operators agree wherever leakage is not at
+    stake."""
+    from wasaffi_spark.operators.pipeline import (
+        cluster_safe_split,
+        split_label,
+    )
+
+    docs = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    # clusters: {0,1,2}, {10,11}, chains {20-21-22} (transitive), rest
+    # singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21), (21, 22)],
+        "id_a bigint, id_b bigint",
+    )
+    out = cluster_safe_split(docs, pairs).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    rows = {r.doc_id: r for r in out}
+    assert rows[0].cluster_id == rows[1].cluster_id == rows[2].cluster_id == 0
+    assert rows[20].cluster_id == rows[21].cluster_id == rows[22].cluster_id
+    # singletons ≡ split_label
+    plain = {
+        r.doc_id: r.split
+        for r in docs.withColumn("split", split_label()).collect()
+    }
+    clustered_ids = {0, 1, 2, 10, 11, 20, 21, 22}
+    for d, r in rows.items():
+        if d not in clustered_ids:
+            assert r.split == plain[d], d
+
+
+def test_per_doc_split_actually_leaks(spark):
+    """The hazard the operator exists for, quantified: under
+    per-document split_label a material fraction of near-dup pairs
+    straddle splits (expected ≈ 1 - (0.8² + 0.1² + 0.1²) = 34%);
+    under cluster_safe_split the straddle count is ZERO by
+    construction."""
+    from wasaffi_spark.operators.pipeline import (
+        cluster_safe_split,
+        split_label,
+    )
+
+    n = 400
+    docs = spark.range(0, n).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(2 * i, 2 * i + 1) for i in range(n // 2)],
+        "id_a bigint, id_b bigint",
+    )
+    plain = {
+        r.doc_id: r.split
+        for r in docs.withColumn("split", split_label()).collect()
+    }
+    plain_straddle = sum(
+        plain[2 * i] != plain[2 * i + 1] for i in range(n // 2)
+    )
+    assert plain_straddle > n // 2 * 0.2  # the leak is real, not rare
+    safe = {
+        r.doc_id: r.split for r in cluster_safe_split(docs, pairs).collect()
+    }
+    assert all(safe[2 * i] == safe[2 * i + 1] for i in range(n // 2))

@@ -9673,3 +9673,81 @@ _demote("graph_search_topk")
 # text stats stay via text_stats_r1 + lm_doc_score).
 _promote("asof_join", "clean_pack", "decontaminate")
 _demote("media_neardup", "mixture_epochs", "length_percentiles")
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split — the split assignment that cannot leak near-dups
+# across train/eval: the shared hash-bernoulli split expression applied
+# to the near-dup CLUSTER id (LSH pairs closed into components) instead
+# of the document id. With per-document hashing, two near-identical
+# documents split independently (~34% of near-dup pairs straddle the
+# 80/10/10 boundary — paraphrase contamination of the eval set by
+# construction); keyed on the cluster, every member lands in one split
+# and singletons split exactly as split_label would. Shares the
+# cluster_canonical oracle chain (signatures → banded buckets → pairs →
+# recursive closure) plus the split_label SQL twin, so the whole
+# leakage rule — dedup policy included — is hash-checked.
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/pipeline.py::cluster_safe_split over the documents
+    table with the standard MinHash-LSH candidate pairs: (doc_id,
+    cluster_id, split) — same constants as cluster_canonical so the
+    cluster structure is comparable across both queries."""
+    from . import graph  # noqa: F401  (component closure used inside)
+    from .pipeline import cluster_safe_split
+
+    docs = _table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs).persist()
+    sigs.count()
+    try:
+        pairs = dedup.lsh_candidate_pairs(sigs)
+        out = cluster_safe_split(docs, pairs)
+    finally:
+        sigs.unpersist()
+    return out.orderBy("doc_id")
+
+
+register_extra(
+    "leakage_safe_split",
+    q_leakage_safe_split,
+    f"""with recursive {_SIG_CTE},
+        {_BUCKETS_CTE},
+        pairs as (
+          select distinct a.doc_id as id_a, b.doc_id as id_b
+          from buckets a join buckets b
+            on a.band = b.band and a.key = b.key and a.doc_id < b.doc_id),
+        edges as (
+          select id_a as a, id_b as b from pairs
+          union
+          select id_b as a, id_a as b from pairs),
+        reach(a, b) as (
+          select a, b from edges
+          union
+          select r.a, e.b from reach r join edges e on r.b = e.a),
+        comp as (
+          select a as doc_id, least(a, min(b)) as component_id
+          from reach group by a),
+        lab as (
+          select d.doc_id,
+                 coalesce(c.component_id, d.doc_id) as cluster_id
+          from documents d left join comp c using (doc_id)),
+        bkt as (
+          select doc_id, cluster_id,
+                 cast(('0x' || substr(md5('{SPLIT_SEED}' || cluster_id),
+                                      1, 4))::int as int) % 100 as b
+          from lab)
+       select doc_id, cluster_id,
+              case when b < 80 then 'train'
+                   when b < 90 then 'val'
+                   else 'test' end as split
+       from bkt order by doc_id""",
+)
+
+# zero-rotation-debt: windowed the round it lands; group_sample (5
+# green rounds r6-r10; the hash-bernoulli sampling machinery it checks
+# stays sweep-green under both comparators every round and shares its
+# split/sample expressions with this very query, which now carries
+# them in-window) cedes the slot.
+_promote("leakage_safe_split")
+_demote("group_sample")

@@ -46,6 +46,56 @@ def split_label(id_col: str = "doc_id", seed: str = SPLIT_SEED) -> Column:
     return F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
 
 
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = SPLIT_SEED,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: hash the near-dup CLUSTER id,
+    not the document id, so no near-duplicate pair ever straddles a
+    split boundary. A plain per-document :func:`split_label` leaks —
+    two near-identical documents hash independently, and with an 80/10/
+    10 split ~34% of near-dup pairs land in different splits, putting
+    paraphrases of training documents into the eval set (the
+    contamination train/test splits exist to prevent). The fix is the
+    standard one (the reason eval decontamination and split assignment
+    must share a notion of document identity): close the candidate
+    ``pairs`` transitively into components (min-id label), coalesce
+    singletons to their own id, and apply the SAME shared
+    hash-bernoulli expression to the cluster id — every member of a
+    cluster gets one split, and documents without near-dups split
+    exactly as :func:`split_label` would (component label ≡ own id),
+    so the two operators agree wherever leakage is not at stake.
+
+    Input ``pairs`` is any (id_a, id_b) candidate frame — MinHash-LSH
+    (`dedup.lsh_candidate_pairs`), SimHash bands, embedding near-dup —
+    so the leakage definition is the caller's dedup policy, not a new
+    one.
+
+    Scale: the component closure is `graph.connected_components`
+    (adaptive pointer doubling — O(E log D) with the shallow-graph
+    shortcut; near-dup graphs are almost all tiny stars), then ONE
+    broadcast-sized left join of labels onto the corpus and an in-row
+    hash — the corpus itself never shuffles on anything new. Output:
+    (id_col, cluster_id, split).
+    """
+    from .graph import connected_components
+
+    comp = connected_components(pairs).select(
+        F.col("node").alias(id_col),
+        F.col("component").alias("cluster_id"),
+    )
+    return (
+        docs.select(id_col)
+        .join(comp, id_col, "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+        )
+        .withColumn("split", split_label("cluster_id", seed))
+    )
+
+
 def sample_bucket(id_col: str = "doc_id", seed: str = SAMPLE_SEED) -> Column:
     """Deterministic 0-9999 bucket (basis points) from md5(seed || id) —
     the sampling counterpart of :func:`split_bucket`, with a finer
