@@ -8,7 +8,8 @@ driver orchestration:
 
     load → PII-redact → exact dedup → near-dedup (MinHash-LSH clusters,
     keep best per cluster) → decontaminate vs an eval set → quality
-    gate (heuristics + linear classifier) → domain mixture → split →
+    gate (heuristics + linear classifier) → domain mixture →
+    leakage-safe split (keyed on the near-dup cluster, not the doc) →
     chunk → sharded parquet write (+ corpus stats via sketches)
 
 Run: python examples/training_pipeline.py [sf_dir] [out_dir]
@@ -170,8 +171,16 @@ def main() -> None:
         docs, cap=200, domain_col="source", order_by=("lin_score",)
     ).drop("domain_rank")
     mixed = pipeline.mixture_resample(docs, MIX)
-    chunks = text.chunk_documents(mixed, chunk_tokens=64, overlap=8).withColumn(
-        "split", pipeline.split_label("doc_id")
+    # the split hashes the NEAR-DUP CLUSTER id (stage 3's pairs), not
+    # the document id: no near-dup pair can straddle train/eval, and
+    # the assignment is stable under changes to the keep-which-copy
+    # dedup policy (the cluster's identity, not the survivor's id,
+    # decides) — plain split_label leaks ~34% of near-dup pairs
+    splits = pipeline.cluster_safe_split(
+        mixed.select("doc_id").distinct(), pairs.select("id_a", "id_b")
+    )
+    chunks = text.chunk_documents(mixed, chunk_tokens=64, overlap=8).join(
+        splits.select("doc_id", "split"), "doc_id"
     )
 
     # 7. deterministic global shuffle (training order is a pure function
