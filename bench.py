@@ -219,6 +219,9 @@ HEADLINE = [
     # hash-bernoulli split keyed on the near-dup CLUSTER id (LSH pairs
     # closed into components), so no near-dup pair straddles a split
     "leakage_safe_split",
+    # new in r11: video frame-sampling plumbing — deterministic
+    # pseudo-demux + every-Nth sampling, geometry hash-oracled
+    "media_frame_sample",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -629,3 +629,57 @@ def test_per_doc_split_actually_leaks(spark):
         r.doc_id: r.split for r in cluster_safe_split(docs, pairs).collect()
     }
     assert all(safe[2 * i] == safe[2 * i + 1] for i in range(n // 2))
+
+
+# --------------------------------------------------- frame sampling
+
+
+def test_frame_sample_slices_and_edges(spark):
+    """The pseudo-demux contract on hand-built payloads: exact frame
+    payload bytes (the part DuckDB cannot check), stride semantics,
+    the short tail frame, empty payloads yielding zero rows, and ts
+    arithmetic."""
+    from wasaffi_spark.operators.multimodal import frame_sample
+
+    rows = [
+        (1, b"A" * 10 + b"B" * 10 + b"C" * 5),  # 25 B → frames 0,1,2
+        (2, b""),                                # empty → no frames
+        (3, b"Z" * 10),                          # exactly one frame
+    ]
+    media = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {
+        (r.doc_id, r.frame_idx): r
+        for r in frame_sample(
+            media, frame_bytes=10, stride_frames=2, ms_per_frame=40
+        ).collect()
+    }
+    # doc 1: frames 0 and 2 sampled (stride 2), frame 1 skipped
+    assert set(out) == {(1, 0), (1, 2), (3, 0)}
+    assert bytes(out[(1, 0)].frame_payload) == b"A" * 10
+    assert bytes(out[(1, 2)].frame_payload) == b"C" * 5  # short tail
+    assert out[(1, 2)].n_bytes == 5
+    assert out[(1, 2)].ts_ms == 80
+    assert bytes(out[(3, 0)].frame_payload) == b"Z" * 10
+    # stride 1 samples every frame
+    from pyspark.sql import functions as _F
+
+    all_frames = frame_sample(media, frame_bytes=10, stride_frames=1)
+    assert all_frames.where(_F.col("doc_id") == 1).count() == 3
+
+
+def test_decode_and_resize_stubs_gate_on_pil(spark):
+    """The documented decode/resize gate: without PIL both raise
+    NotImplementedError naming the missing capability (they become
+    real implementations the moment PIL lands — COVERAGE env probe)."""
+    from wasaffi_spark.operators import multimodal
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present — stubs are live implementations")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="decode"):
+        multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError, match="resize"):
+        multimodal.resize_image(b"\x89PNG", 8, 8)

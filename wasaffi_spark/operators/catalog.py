@@ -9751,3 +9751,56 @@ register_extra(
 # them in-window) cedes the slot.
 _promote("leakage_safe_split")
 _demote("group_sample")
+
+
+# ---------------------------------------------------------------------------
+# media_frame_sample — the video-pipeline frame-sampling plumbing
+# (SURVEY §7.6 multimodal family): deterministic pseudo-demux of the
+# binary payload into fixed-byte frames, every-Nth sampling with
+# presentation timestamps. The frame GEOMETRY (count, ts, byte sizes)
+# is pure integer arithmetic and fully hash-oracled; the payload
+# slices themselves are pytest-pinned (DuckDB has no blob slicing).
+
+FRAME_BYTES = 256
+FRAME_STRIDE = 2
+FRAME_MS = 40
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/multimodal.py::frame_sample over the ingested media
+    payloads: (doc_id, frame_idx, ts_ms, n_bytes) per sampled frame."""
+    docs = _table(spark, sf_dir, "documents")
+    media = multimodal.ingest_as_media(docs)
+    out = multimodal.frame_sample(
+        media, frame_bytes=FRAME_BYTES, stride_frames=FRAME_STRIDE,
+        ms_per_frame=FRAME_MS,
+    )
+    return out.select(
+        "doc_id", "frame_idx", "ts_ms", "n_bytes"
+    ).orderBy("doc_id", "frame_idx")
+
+
+register_extra(
+    "media_frame_sample",
+    q_media_frame_sample,
+    f"""with m as (select doc_id,
+                        cast(octet_length(encode(text)) as bigint) as total
+                 from documents),
+        f as (select doc_id, total,
+                     unnest(range(0,
+                                  cast(ceil(total / {FRAME_BYTES}.0)
+                                       as bigint),
+                                  {FRAME_STRIDE})) as frame_idx
+              from m)
+       select doc_id, frame_idx,
+              frame_idx * {FRAME_MS} as ts_ms,
+              least({FRAME_BYTES}, total - frame_idx * {FRAME_BYTES})
+                as n_bytes
+       from f order by doc_id, frame_idx""",
+)
+
+# zero-rotation-debt: windowed the round it lands; ngram_lang (5 green
+# rounds r6-r10; lang-ID stays in-window through text_stats' lang_guess
+# feature and the curation_pipeline row) cedes the slot.
+_promote("media_frame_sample")
+_demote("ngram_lang")

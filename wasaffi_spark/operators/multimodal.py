@@ -297,3 +297,84 @@ def media_neardup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def resize_image(payload: bytes, width: int, height: int):
+    """Resize an image payload → new payload bytes.
+
+    STUB (same gate as :func:`decode_image`): real resize needs an
+    imaging library that is not installed in this environment; the
+    Spark-side plumbing (frame/feature fan-out, schema, batching) is
+    what this module actually exercises.
+    """
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+    except ImportError as e:  # pragma: no cover - PIL absent by design
+        raise NotImplementedError(
+            "image resize requires Pillow, which is not installed"
+        ) from e
+    img = Image.open(io.BytesIO(payload))  # pragma: no cover
+    buf = io.BytesIO()  # pragma: no cover
+    img.resize((width, height)).save(buf, format=img.format)  # pragma: no cover
+    return buf.getvalue()  # pragma: no cover
+
+
+def frame_sample(
+    media: DataFrame,
+    frame_bytes: int = 256,
+    stride_frames: int = 2,
+    ms_per_frame: int = 40,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Deterministic pseudo-demux + uniform frame sampling over a video
+    payload — the frame-sampling plumbing of a multimodal training
+    pipeline, with the demuxer stubbed the same way decode is: a real
+    container format needs a media library this environment lacks, so
+    frames are fixed-``frame_bytes`` byte windows of the payload (a
+    stand-in demuxer behind the production signature), and every
+    sampled frame emits one row with its payload slice, index, and
+    presentation timestamp.
+
+    Sampling is every ``stride_frames``-th frame starting at 0 — the
+    "1 fps from a 25 fps clip" policy, deterministic so re-runs and the
+    oracle agree. All in-row (sequence + posexplode + substring on the
+    binary column — no shuffle, no Python); output size is
+    payload_bytes/(frame_bytes·stride) rows per doc, and partitions
+    should be sized by bytes (``spark.sql.files.maxPartitionBytes``)
+    exactly as for ingest.
+
+    Output: (id_col, frame_idx, ts_ms, frame_payload binary, n_bytes).
+    The frame GEOMETRY (count, ts, sizes) is integer arithmetic —
+    hash-oracled in the declared query; the payload slices themselves
+    are pinned by pytest (DuckDB lacks blob slicing).
+    """
+    total = F.length(F.col(payload_col)).cast("bigint")
+    n_frames = F.ceil(total / F.lit(frame_bytes)).cast("bigint")
+    sampled = F.when(
+        n_frames > 0,
+        F.sequence(F.lit(0).cast("bigint"), n_frames - 1,
+                   F.lit(stride_frames).cast("bigint")),
+    ).otherwise(F.array().cast("array<bigint>"))
+    ex = media.select(
+        id_col,
+        payload_col,
+        total.alias("_total"),
+        F.explode(sampled).alias("frame_idx"),
+    )
+    frame = F.expr(
+        f"substring({payload_col}, cast(frame_idx * {frame_bytes} + 1 "
+        f"as int), {frame_bytes})"
+    )
+    return ex.select(
+        id_col,
+        "frame_idx",
+        (F.col("frame_idx") * F.lit(ms_per_frame)).alias("ts_ms"),
+        frame.alias("frame_payload"),
+        F.least(
+            F.lit(frame_bytes).cast("bigint"),
+            F.col("_total") - F.col("frame_idx") * F.lit(frame_bytes),
+        ).alias("n_bytes"),
+    )
