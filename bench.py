@@ -222,6 +222,18 @@ HEADLINE = [
     # new in r11: video frame-sampling plumbing — deterministic
     # pseudo-demux + every-Nth sampling, geometry hash-oracled
     "media_frame_sample",
+    # new in r12: the decision→action→outcome controller — the IVF
+    # gauge at the degraded rung, the applied raise_n_probe, and the
+    # re-gauged crossing of the healthy line (two gauge chains by
+    # construction — priced like index_maintenance_policy)
+    "policy_applied",
+    # new in r12: clip-level video copy detection — per-frame aHash +
+    # banded hamming + temporal offset voting + clip rollup
+    "video_neardup",
+    # new in r12: split-assignment drift across corpus versions,
+    # unfrozen (migrations visible) vs frozen/grandfathered
+    # (diagonal by construction) — two closure chains
+    "split_drift",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

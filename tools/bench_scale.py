@@ -358,6 +358,29 @@ PROBES = {
         "data-proportional, so the ladder reads as the sum of the two "
         "gauges: linear"
     ),
+    "policy_applied": (
+        "decision→action→outcome controller (r12): the IVF gauge chain "
+        "runs at the degraded rung and again at the applied raise — "
+        "each chain is the linear-probed maintained-IVF search + one "
+        "O(Q·N) brute pass with Q fixed; the policy rows on top are "
+        "O(Q) aggregates, so the ladder reads as 2× the gauge: linear"
+    ),
+    "video_neardup": (
+        "clip copy detection (r12): frame fan-out ∝ payload bytes "
+        "(linear scan), per-frame aHash is in-row, candidates come "
+        "from banded equi-joins behind the shared hot-bucket valve — "
+        "which BINDS as the fixed 16-bit key space saturates with "
+        "frame count (the documented saturation knob: a larger corpus "
+        "widens n_segments instead of raising the cap, exactly the "
+        "media_neardup contract), so the probe prices the scan + "
+        "signature, never a quadratic bucket join"
+    ),
+    "split_drift": (
+        "split drift + freeze (r12): two LSH-closure chains (banded "
+        "buckets → capped pairs → pointer-doubling components, each "
+        "linear like cluster_canonical), one id-keyed join for the "
+        "grandfathering rule, and O(splits²) report rows: linear"
+    ),
     "compaction_plan": (
         "small-file compaction planning (r10): one groupBy builds the "
         "manifest (linear scan of text lengths), then ONE window over "

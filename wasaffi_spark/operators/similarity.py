@@ -1100,6 +1100,13 @@ def _ranked_shortlist(
         # recomputed per referencing job — measured 2.5x first-run
         # swings on pq_topk_rerank (VERDICT r10 What's-wrong #2). Same
         # lineage-truncation pattern as graph_maintained_search.
+        # Durability tradeoff (ADVICE r11): localCheckpoint blocks are
+        # executor-held — losing an executor after the cut fails the
+        # job instead of recomputing. Right for interactive/bench runs
+        # (the blocks are Q×rerank rows); a long-lived cluster job
+        # should prefer persist(MEMORY_AND_DISK)+count (recomputable)
+        # or a reliable checkpoint dir, at the cost of keeping the
+        # full quantization lineage alive.
         shortlist = shortlist.localCheckpoint(eager=True)
         return _exact_rerank(shortlist, queries, corpus, k, vec_col, id_col)
     return shortlist
