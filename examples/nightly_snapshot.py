@@ -24,7 +24,10 @@ compacted by the planner:
                   re-syncs (the frozen codebook never ships)
     5. COMPACT  — layout.compaction_plan + compact_small_files over
                   the sink's accumulated hash-state files: Next-Fit
-                  bins at the target size, ONE output file per bin
+                  bins at the target size, ONE output file per bin —
+                  then commit_compaction swaps the packed files into
+                  the live table behind a verified, journaled,
+                  crash-healable protocol (r12)
     6. VACUUM   — streaming/state.vacuum_set_state folds the hash
                   table's batch partitions into its committed seed:
                   the in-place state-level twin of stage 5
@@ -177,6 +180,24 @@ def main() -> None:
         f"{packed.select('bin').distinct().count()} packed bins at "
         f"target {target} B "
         f"(+{plan.where(F.col('action') == 'keep').count()} keeps)"
+    )
+    # ... and COMMIT the swap crash-safely (r12): verify the staged
+    # rows against the plan, journal the move+delete list, execute —
+    # a crash at any point heals (roll back before the journal
+    # commits, roll forward after), so the live table is never left
+    # half-swapped. The state reads identically before and after.
+    from wasaffi_spark.operators.layout import commit_compaction
+
+    rows_before = spark.read.parquet(hash_dir).count()
+    res = commit_compaction(
+        spark, hash_dir, target, os.path.join(work, "state_compacted")
+    )
+    rows_after = spark.read.parquet(hash_dir).count()
+    assert rows_before == rows_after, "commit must preserve content"
+    print(
+        f"commit: {res['moved']} packed files swapped in, "
+        f"{res['deleted']} originals out ({rows_before} rows before "
+        f"and after — journaled, healable at every kill point)"
     )
 
     # 6. VACUUM — the in-place, sink-resumable form of the same idea:
