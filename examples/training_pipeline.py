@@ -10,6 +10,8 @@ driver orchestration:
     keep best per cluster) → decontaminate vs an eval set → quality
     gate (heuristics + linear classifier) → domain mixture →
     leakage-safe split (keyed on the near-dup cluster, not the doc) →
+    next-snapshot drift check (naive re-split vs FROZEN grandfathered
+    re-split — split_drift matrices, r12) →
     chunk → sharded parquet write (+ corpus stats via sketches)
 
 Run: python examples/training_pipeline.py [sf_dir] [out_dir]
@@ -176,9 +178,38 @@ def main() -> None:
     # the assignment is stable under changes to the keep-which-copy
     # dedup policy (the cluster's identity, not the survivor's id,
     # decides) — plain split_label leaks ~34% of near-dup pairs
-    splits = pipeline.cluster_safe_split(
-        mixed.select("doc_id").distinct(), pairs.select("id_a", "id_b")
+    # v1's near-dup graph is over v1's corpus: restrict the candidate
+    # pairs to ids that survived into `mixed` (a version's leakage
+    # definition can only see that version's documents). Materialize
+    # the tiny id/pair frames once — they feed three consumers below
+    # and their lineage is the whole heavy pipeline above.
+    mixed_ids = mixed.select("doc_id").distinct().localCheckpoint(eager=True)
+    all_pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    pairs_v1 = (
+        all_pairs
+        .join(mixed_ids.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .join(mixed_ids.withColumnRenamed("doc_id", "id_b"), "id_b")
     )
+    splits = pipeline.cluster_safe_split(
+        mixed_ids, pairs_v1
+    ).localCheckpoint(eager=True)  # feeds chunks + the v2 stage below
+
+    # 6b. next-snapshot stability (r12): tomorrow's corpus admits more
+    # documents, and the min-id cluster label is NOT stable under
+    # additions — a naive re-split migrates surviving documents
+    # between train and eval (version-to-version contamination).
+    # Freeze mode grandfathers: every existing doc keeps today's
+    # split, new docs inherit their cluster's grandfathered split (or
+    # hash fresh in untouched clusters); split_drift reports both
+    # transition matrices — the frozen one is diagonal by rule.
+    v2_docs = docs.select("doc_id").distinct()  # pre-cap corpus as "v2"
+    unfrozen2 = pipeline.cluster_safe_split(v2_docs, all_pairs)
+    frozen2 = pipeline.cluster_safe_split(
+        v2_docs, all_pairs, prior=splits.select("doc_id", "split")
+    )
+    drift_u = pipeline.split_drift(splits, unfrozen2)
+    drift_f = pipeline.split_drift(splits, frozen2)
+
     chunks = text.chunk_documents(mixed, chunk_tokens=64, overlap=8).join(
         splits.select("doc_id", "split"), "doc_id"
     )
@@ -226,6 +257,12 @@ def main() -> None:
     rule_counts.show(truncate=False)
     print("output chunks by split (distinct docs + token quantiles):")
     sketches.estimate_per_group(sk).orderBy("split").show(truncate=False)
+    print("next-snapshot split drift — naive re-split (off-diagonal "
+          "rows between real splits = version contamination):")
+    drift_u.orderBy("old_split", "new_split").show(truncate=False)
+    print("next-snapshot split drift — FROZEN re-split (grandfathered; "
+          "diagonal for every surviving doc by construction):")
+    drift_f.orderBy("old_split", "new_split").show(truncate=False)
     print(f"written to {out_dir}")
     spark.stop()
 

@@ -354,10 +354,20 @@ def heal_compaction(spark, path: str) -> str:
         if not fs.delete(jp, True):
             raise IOError(f"heal_compaction: could not drop {jdir}")
         return "rolled_back"
-    journal = json.loads(
-        "\n".join(r["value"] for r in spark.read.text(jdir).collect())
-    )
-    _execute_compaction_journal(spark, journal)
+    body = "\n".join(r["value"] for r in spark.read.text(jdir).collect())
+    try:
+        journal = json.loads(body)
+        moves, deletes = journal["moves"], journal["deletes"]
+    except (ValueError, KeyError) as e:
+        # a committed journal with unreadable content is NOT safely
+        # discardable — the swap may be part-executed; surface it for
+        # operator intervention rather than guessing
+        raise IOError(
+            f"heal_compaction: committed journal {jdir} is unreadable "
+            f"({type(e).__name__}: {e}); refusing to roll back a "
+            "possibly part-executed swap — inspect/restore the journal"
+        ) from e
+    _execute_compaction_journal(spark, {"moves": moves, "deletes": deletes})
     if not fs.delete(jp, True):
         raise IOError(f"heal_compaction: could not drop {jdir}")
     return "completed"
