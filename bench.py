@@ -234,6 +234,10 @@ HEADLINE = [
     # unfrozen (migrations visible) vs frozen/grandfathered
     # (diagonal by construction) — two closure chains
     "split_drift",
+    # late r12: the embedding-distribution drift gauge — per-dimension
+    # integer micro-unit moments between corpus versions (the
+    # monitoring row next to the recall gauges)
+    "embedding_drift",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

@@ -520,3 +520,41 @@ def test_split_drift_matrices(spark):
                ).collect()}
     # doc 30 (split_label(30) = 'train') left the corpus
     assert dropped[("train", "(absent)")] == 1
+
+
+# --------------------------------------------- embedding drift gauge
+
+
+def test_embedding_drift_planted_shift(spark):
+    """A planted mean shift on one dimension reads as exactly that
+    dimension's drift_q (micro-units); untouched dimensions read 0 on
+    identical corpora. The second-moment lane sees a variance-only
+    change the mean lane misses."""
+    from wasaffi_spark.operators.diff import embedding_drift
+
+    base = [(i, [0.25, -0.5, 1.0]) for i in range(8)]
+    old = spark.createDataFrame(base, "vec_id bigint, embedding array<double>")
+    drift0 = {r.dim: r for r in embedding_drift(old, old).collect()}
+    assert [drift0[d].drift_q for d in range(3)] == [0, 0, 0]
+    assert [drift0[d].drift_m2_q for d in range(3)] == [0, 0, 0]
+    assert drift0[0].mean_q_old == 250_000 and drift0[1].mean_q_old == -500_000
+
+    shifted = spark.createDataFrame(
+        [(i, [0.25, -0.5 + 0.125, 1.0]) for i in range(8)],
+        "vec_id bigint, embedding array<double>",
+    )
+    d1 = {r.dim: r for r in embedding_drift(old, shifted).collect()}
+    assert d1[1].drift_q == 125_000
+    assert d1[0].drift_q == 0 and d1[2].drift_q == 0
+
+    # variance-only change: half the rows +x, half -x → mean intact,
+    # second moment up by x²·quant² / quant... in m2 micro-unit² terms
+    spread = spark.createDataFrame(
+        [(i, [0.25, -0.5 + (0.25 if i % 2 else -0.25), 1.0])
+         for i in range(8)],
+        "vec_id bigint, embedding array<double>",
+    )
+    d2 = {r.dim: r for r in embedding_drift(old, spread).collect()}
+    assert d2[1].drift_q == 0                     # mean lane blind
+    assert d2[1].drift_m2_q == 62_500_000_000     # (0.25·10⁶)² lane sees it
+    assert d2[0].drift_m2_q == 0

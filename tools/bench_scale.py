@@ -381,6 +381,12 @@ PROBES = {
         "linear like cluster_canonical), one id-keyed join for the "
         "grandfathering rule, and O(splits²) report rows: linear"
     ),
+    "embedding_drift": (
+        "embedding-distribution drift gauge (r12): one posexplode scan "
+        "per corpus version (N·dim rows, map-side partial aggregation) "
+        "into a dim-cell groupBy — O(dim) output rows; nothing joins "
+        "on anything data-proportional: linear in corpus bytes"
+    ),
     "compaction_plan": (
         "small-file compaction planning (r10): one groupBy builds the "
         "manifest (linear scan of text lengths), then ONE window over "

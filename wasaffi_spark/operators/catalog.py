@@ -10228,3 +10228,61 @@ _demote(
     "hybrid_rrf_ivf",
     "lm_doc_score",
 )
+
+
+# ---------------------------------------------------------------------------
+# embedding_drift — the distribution-shift gauge next to the recall
+# monitors (r12, monitoring family): a new encoder checkpoint, a
+# changed preprocessing step, or a shifted source mix moves the
+# embedding distribution, and every index built on the old one (IVF
+# cells, PQ codebooks, graph links) silently degrades. Per-dimension
+# first/second moments on the shared micro-unit grid, integer-exact in
+# both engines (Spark `div` and DuckDB `//` agree — both truncate
+# toward zero, verified on negatives), so the gauge's own reading is
+# hash-checked. Versions follow the ingest story: old = the base 7/8
+# snapshot, new = the post-ingest full corpus.
+
+ED_QUANT = 1_000_000
+EMB_DIM = 64
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/diff.py::embedding_drift between the base snapshot
+    (vec_id % 8 != 7) and the post-ingest corpus: (dim, n_old, n_new,
+    mean_q_old, mean_q_new, drift_q, m2_q_old, m2_q_new, drift_m2_q),
+    micro-units, one row per dimension."""
+    from .diff import embedding_drift
+
+    emb = _table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
+    return embedding_drift(base, emb, quant=ED_QUANT)
+
+
+register_extra(
+    "embedding_drift",
+    q_embedding_drift,
+    f"""with e as (select vec_id, embedding::DOUBLE[] as v
+                 from embeddings),
+        ex as (select vec_id, r.range::int as dim,
+                      floor(v[r.range + 1] * {ED_QUANT} + 0.5)::bigint
+                        as q
+               from e cross join range({EMB_DIM}) r),
+        om as (select dim, count(*)::bigint as n_old,
+                      cast(sum(q) as bigint) as s_old,
+                      cast(sum(q * q) as bigint) as s2_old
+               from ex where vec_id % {IAP_MOD} <> {IAP_MOD - 1}
+               group by dim),
+        nm as (select dim, count(*)::bigint as n_new,
+                      cast(sum(q) as bigint) as s_new,
+                      cast(sum(q * q) as bigint) as s2_new
+               from ex group by dim)
+       select o.dim, n_old, n_new,
+              s_old // n_old as mean_q_old,
+              s_new // n_new as mean_q_new,
+              (s_new // n_new) - (s_old // n_old) as drift_q,
+              s2_old // n_old as m2_q_old,
+              s2_new // n_new as m2_q_new,
+              (s2_new // n_new) - (s2_old // n_old) as drift_m2_q
+       from om o join nm n on o.dim = n.dim
+       order by o.dim""",
+)

@@ -155,3 +155,78 @@ def manifest_diff(a: DataFrame, b: DataFrame) -> DataFrame:
         F.col("_ca").alias("cnt_a"),
         F.col("_cb").alias("cnt_b"),
     )
+
+
+def embedding_drift(
+    old: DataFrame,
+    new: DataFrame,
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Per-dimension embedding-distribution drift between two corpus
+    versions — the monitoring gauge next to the recall monitors: a new
+    encoder checkpoint, a changed preprocessing step, or a shifted
+    source mix moves the embedding distribution, and every index built
+    on the old distribution (IVF cells, PQ codebooks, graph links)
+    silently degrades. This reports WHERE it moved, per dimension, in
+    integer micro-units, so the reading is engine-exact and
+    hash-oracleable (the gauge itself is trustworthy, the same bar the
+    recall monitors meet).
+
+    Per dimension: values quantize on the shared grid
+    ``floor(x·quant + 0.5)`` (the PQ/BM25 micro-unit rule — exact for
+    float inputs while quant is a power-of-10 scale well inside 2^53),
+    and the first two moments are integer aggregates:
+    ``mean_q = Σq div n`` and ``m2_q = Σq² div n`` (both truncate
+    toward zero — Spark ``div`` and DuckDB ``//`` agree on negatives).
+    Output: (dim, n_old, n_new, mean_q_old, mean_q_new, drift_q,
+    m2_q_old, m2_q_new, drift_m2_q), ordered by dim; ``drift_q`` is
+    the mean shift in micro-units, ``drift_m2_q`` the second-moment
+    (spread/energy) shift in micro-unit².
+
+    Scale: one posexplode scan per side (N·dim rows, partial-aggregated
+    map-side) into a ``dim``-cell groupBy; output is O(dim) rows. The
+    Σq² lane stays inside bigint while N·(quant·|x|)² < 2^63 — at
+    quant=10⁶ and |x|≤3 that is ~10⁶ vectors per dimension; lower
+    ``quant`` (the reading's resolution knob) for larger corpora or
+    pre-aggregate per shard and sum the integer partials, which is
+    exact by construction.
+    """
+
+    def moments(df: DataFrame, tag: str) -> DataFrame:
+        # cast BEFORE the scale: a float32 element times quant in
+        # float32 would round; float→double is exact, and x·10^k on a
+        # double is the PQ-grid exactness argument
+        q = F.floor(
+            F.col("v").cast("double") * quant + F.lit(0.5)
+        ).cast("bigint")
+        return (
+            df.select(F.posexplode(F.col(vec_col)).alias("dim", "v"))
+            .groupBy("dim")
+            .agg(
+                F.count("*").alias(f"n_{tag}"),
+                F.sum(q).alias(f"_s_{tag}"),
+                F.sum(q * q).alias(f"_s2_{tag}"),
+            )
+        )
+
+    o, n = moments(old, "old"), moments(new, "new")
+    return (
+        o.join(n, "dim")
+        .select(
+            "dim",
+            "n_old",
+            "n_new",
+            F.expr("_s_old div n_old").alias("mean_q_old"),
+            F.expr("_s_new div n_new").alias("mean_q_new"),
+            F.expr("(_s_new div n_new) - (_s_old div n_old)").alias(
+                "drift_q"
+            ),
+            F.expr("_s2_old div n_old").alias("m2_q_old"),
+            F.expr("_s2_new div n_new").alias("m2_q_new"),
+            F.expr("(_s2_new div n_new) - (_s2_old div n_old)").alias(
+                "drift_m2_q"
+            ),
+        )
+        .orderBy("dim")
+    )
