@@ -558,3 +558,61 @@ def test_embedding_drift_planted_shift(spark):
     assert d2[1].drift_q == 0                     # mean lane blind
     assert d2[1].drift_m2_q == 62_500_000_000     # (0.25·10⁶)² lane sees it
     assert d2[0].drift_m2_q == 0
+
+
+# ----------------------------------------- graph controller (state-passing)
+
+
+def test_apply_graph_policy_refresh_flip(spark):
+    """The graph controller's degraded reading triggers the refresh,
+    the gauge re-runs over the REFRESHED state, and the after row
+    crosses the healthy line — decision→action→outcome for the graph
+    family (state-passing twin of apply_ivf_policy)."""
+    from wasaffi_spark.operators.serving import apply_graph_policy
+
+    gauged, refreshed = [], []
+
+    def gauge(state):
+        gauged.append(state)
+        hits = {"degraded": 1, "warm": 3}[state]
+        return spark.createDataFrame(
+            [(q, hits, 3) for q in range(4)], "qid bigint, hits int, k int"
+        )
+
+    def refresh(state):
+        refreshed.append(state)
+        return "warm"
+
+    report, final = apply_graph_policy(
+        gauge, "degraded", refresh, thresholds=(9000, 3000)
+    )
+    rows = {r["phase"]: r for r in report.collect()}
+    assert final == "warm" and refreshed == ["degraded"]
+    assert gauged == ["degraded", "warm"]  # once per phase, no extras
+    b, a = rows["before"], rows["after"]
+    assert (b["applied"], b["decision"]) == ("none", "refresh")
+    assert b["recall_bp"] == 3333 < 9000
+    assert (a["applied"], a["decision"]) == ("refresh", "noop")
+    assert a["recall_bp"] == 10000 >= 9000
+
+
+def test_apply_graph_policy_floor_without_rebuild_hook(spark):
+    """A collapsed reading decides 'rebuild', but with no rebuild
+    callable the controller reports it and applies NOTHING (a cold
+    rebuild is a scheduled job, not an inline side effect); the state
+    passes through untouched."""
+    from wasaffi_spark.operators.serving import apply_graph_policy
+
+    def gauge(state):
+        return spark.createDataFrame(
+            [(q, 0, 3) for q in range(4)], "qid bigint, hits int, k int"
+        )
+
+    report, final = apply_graph_policy(
+        gauge, "g0", refresh=lambda s: (_ for _ in ()).throw(AssertionError),
+        thresholds=(9000, 3000),
+    )
+    rows = {r["phase"]: r for r in report.collect()}
+    assert final == "g0"
+    assert rows["before"]["decision"] == "rebuild"
+    assert rows["after"]["applied"] == "none"

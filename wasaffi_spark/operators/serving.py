@@ -309,6 +309,84 @@ def apply_ivf_policy(
     return before.unionByName(after).orderBy(F.desc("phase"))
 
 
+def apply_graph_policy(
+    gauge,
+    state,
+    refresh,
+    rebuild=None,
+    thresholds: tuple[int, int] = (9000, 3000),
+    actions: tuple[str, str, str] = ("noop", "refresh", "rebuild"),
+):
+    """The graph half of the decision→action→outcome loop —
+    :func:`apply_ivf_policy`'s twin under the round's symmetry rule
+    (every lifecycle verb exists for BOTH index families). The graph's
+    degraded action is not a search-knob turn but a STATE
+    transformation: a warm re-descent produces a new adjacency and the
+    gauge re-runs over it. So the controller is state-passing:
+
+    - ``gauge(state) -> DataFrame(qid, hits, k)`` — the nightly recall
+      monitor over a given adjacency;
+    - ``refresh(state) -> state`` — the warm re-descent
+      (:func:`~wasaffi_spark.operators.similarity.graph_refresh`
+      seeded from the maintained adjacency);
+    - ``rebuild(state) -> state`` — the cold rebuild (optional; the
+      floor decision is reported but applied only when given — a cold
+      rebuild is usually a separately scheduled job).
+
+    Flow mirrors the IVF controller exactly: gauge → policy (*before*
+    row, one collected O(1) decision); if the decision names an action
+    we hold, apply it and re-gauge (*after* row); otherwise *after*
+    replays the same state. Returns ``(report, final_state)`` — the
+    report rows are ``(phase, family, applied, n_queries, total_hits,
+    k, recall_bp, healthy_bp, floor_bp, decision)`` with ``applied``
+    the action actually executed ('none' when nothing ran), and
+    ``final_state`` is what the caller serves next (the refreshed
+    adjacency when the refresh ran).
+
+    Scale: at most two gauge runs (O(Q·N) each, the nightly
+    ground-truth price) plus whatever the applied action costs — the
+    warm refresh is ≤ one descent round, ~¼ of a cold build
+    (SCALE.md's maintenance ladder). The declared, hash-oracled form
+    of this loop is the IVF family's ``policy_applied`` (its apply leg
+    is a pure search re-run, so the whole loop fits one oracle); the
+    graph apply leg trains — the same reason ``ann_ivf`` (MLlib
+    k-means) is rows-only — so this controller is pytest-pinned
+    instead, with the refresh's recall lift itself measured in
+    ANN_RECALL.json's ``graph_refreshed_search`` row.
+    """
+    fam = {"graph": thresholds}
+    act = {"graph": actions}
+
+    def _phase(tag: str, st, applied: str) -> DataFrame:
+        return index_maintenance_policy(
+            {"graph": gauge(st)}, fam, act
+        ).select(
+            F.lit(tag).alias("phase"),
+            "family",
+            F.lit(applied).alias("applied"),
+            "n_queries",
+            "total_hits",
+            "k",
+            "recall_bp",
+            "healthy_bp",
+            "floor_bp",
+            "decision",
+        )
+
+    before = _phase("before", state, "none")
+    brows = before.collect()  # one O(1) decision row — the branch
+    decision = brows[0]["decision"]
+    before = before.sparkSession.createDataFrame(brows, before.schema)
+    final_state, applied = state, "none"
+    if decision == actions[1]:
+        final_state, applied = refresh(state), actions[1]
+    elif decision == actions[2] and rebuild is not None:
+        final_state, applied = rebuild(state), actions[2]
+    after = _phase("after", final_state, applied)
+    report = before.unionByName(after).orderBy(F.desc("phase"))
+    return report, final_state
+
+
 def bundle_diff(
     spark: SparkSession,
     bundle_a: str,
