@@ -253,7 +253,10 @@ def test_apply_ivf_policy_noop_leaves_knob(spark):
     assert [r["phase"] for r in out] == ["before", "after"]
     assert [r["n_probe"] for r in out] == [2, 2]
     assert all(r["decision"] == "noop" for r in out)
-    assert calls == [2, 2]
+    # noop applies nothing, so the deterministic gauge runs ONCE — the
+    # after row is the before reading relabeled, not a second O(Q·N)
+    # pass
+    assert calls == [2]
 
 
 def test_policy_empty_monitor_is_no_reading(spark):

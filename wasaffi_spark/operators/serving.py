@@ -300,10 +300,17 @@ def apply_ivf_policy(
     # returned plan
     brows = before.collect()
     decision = brows[0]["decision"]
-    before = before.sparkSession.createDataFrame(brows, before.schema)
-    after = _phase(
-        "after", n_probe + 1 if decision == actions[1] else n_probe
-    )
+    spark = before.sparkSession
+    before = spark.createDataFrame(brows, before.schema)
+    if decision == actions[1]:
+        after = _phase("after", n_probe + 1)
+    else:
+        # nothing applied → a deterministic gauge re-read is
+        # by definition the before reading; relabel instead of paying
+        # a second O(Q·N) pass
+        after = spark.createDataFrame(
+            [tuple(["after"] + list(r)[1:]) for r in brows], before.schema
+        )
     # 'before' sorts after 'after' alphabetically; desc puts the
     # temporal order back (before → after)
     return before.unionByName(after).orderBy(F.desc("phase"))
@@ -376,13 +383,22 @@ def apply_graph_policy(
     before = _phase("before", state, "none")
     brows = before.collect()  # one O(1) decision row — the branch
     decision = brows[0]["decision"]
-    before = before.sparkSession.createDataFrame(brows, before.schema)
+    spark = before.sparkSession
+    before = spark.createDataFrame(brows, before.schema)
     final_state, applied = state, "none"
     if decision == actions[1]:
         final_state, applied = refresh(state), actions[1]
     elif decision == actions[2] and rebuild is not None:
         final_state, applied = rebuild(state), actions[2]
-    after = _phase("after", final_state, applied)
+    if applied == "none":
+        # nothing ran → the state is untouched and the gauge is
+        # deterministic; relabel the before reading instead of paying
+        # a second O(Q·N) pass
+        after = spark.createDataFrame(
+            [tuple(["after"] + list(r)[1:]) for r in brows], before.schema
+        )
+    else:
+        after = _phase("after", final_state, applied)
     report = before.unionByName(after).orderBy(F.desc("phase"))
     return report, final_state
 
