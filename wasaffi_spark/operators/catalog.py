@@ -10286,3 +10286,13 @@ register_extra(
        from om o join nm n on o.dim = n.dim
        order by o.dim""",
 )
+
+
+# zero-rotation-debt: the late r12 addition enters the window the
+# round it lands (pinned by tests/test_bench_contract.py::
+# test_driver_window_invariants — a hash-oracled extra with no driver
+# row is rotation debt by definition). interval_overlap (6 consecutive
+# greens; the temporal family stays anchored by asof_join, windowed
+# r11, and the just-promoted range_join) cedes the slot.
+_promote("embedding_drift")
+_demote("interval_overlap")
