@@ -238,6 +238,22 @@ HEADLINE = [
     # integer micro-unit moments between corpus versions (the
     # monitoring row next to the recall gauges)
     "embedding_drift",
+    # new in r13: the graph half of the decision→action→outcome loop —
+    # degraded maintained-graph gauge, applied warm re-descent, after
+    # gauge crossing the healthy line (two gauge chains + one descent
+    # round by construction — priced like policy_applied)
+    "graph_policy_applied",
+    # new in r13: the drift→retrain loop — embedding_drift reading →
+    # retrain decision → ivf_retrain_delta move plan → recall re-gauge
+    # over the warm-retrained index
+    "drift_policy_applied",
+    # new in r13: drift symmetry for the graph family — the same drift
+    # reading driving graph_refresh + re-gauge
+    "graph_drift_applied",
+    # new in r13: the snapshot-upgrade runbook composition — frozen
+    # split verification + drift gauge + retrain + recall re-gauge as
+    # one tall declared row
+    "snapshot_upgrade",
 ]
 
 # round-1 name for each headline query (round-2 consolidation renamed or

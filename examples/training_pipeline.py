@@ -12,7 +12,10 @@ driver orchestration:
     leakage-safe split (keyed on the near-dup cluster, not the doc) →
     next-snapshot drift check (naive re-split vs FROZEN grandfathered
     re-split — split_drift matrices, r12) →
-    chunk → sharded parquet write (+ corpus stats via sketches)
+    chunk → sharded parquet write (+ corpus stats via sketches) →
+    snapshot-upgrade runbook (r13: frozen-split gate → embedding_drift
+    → drift controller decision → ivf_retrain_delta move plan →
+    recall re-gauge, every decision consumed programmatically)
 
 Run: python examples/training_pipeline.py [sf_dir] [out_dir]
 Defaults: /root/testdata/sf0.001, /tmp/wasaffi_training_set
@@ -264,6 +267,85 @@ def main() -> None:
           "diagonal for every surviving doc by construction):")
     drift_f.orderBy("old_split", "new_split").show(truncate=False)
     print(f"written to {out_dir}")
+
+    # 9. snapshot-upgrade runbook (r13, VERDICT r12 Next-round #4): the
+    # full "corpus v2 lands" production sequence, with every decision
+    # CONSUMED, not just printed — the run refuses promotion if the
+    # frozen split migrated a surviving doc, skips the index work when
+    # the drift controller says noop, and promotes v2's serving index
+    # only after the post-retrain recall re-gauge reads healthy. The
+    # declared, hash-oracled twin of this stage is the
+    # `snapshot_upgrade` catalog row.
+    from wasaffi_spark.operators import serving, similarity
+    from wasaffi_spark.operators.diff import embedding_drift
+
+    # gate 1: the frozen re-split must be DIAGONAL for survivors —
+    # a migrated doc means version-to-version eval contamination
+    migrated = drift_f.where(
+        (F.col("old_split") != "(absent)")
+        & (F.col("new_split") != "(absent)")
+        & (F.col("old_split") != F.col("new_split"))
+    ).agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n")).first()["n"]
+    if migrated:
+        raise SystemExit(
+            f"ABORT snapshot upgrade: frozen re-split migrated "
+            f"{migrated} surviving docs across train/eval"
+        )
+    print("runbook gate 1: frozen split diagonal — 0 migrations ✓")
+
+    # gate 2: embedding drift between corpus versions drives the index
+    # action (v1 = yesterday's 7/8 snapshot, the ingest-batch split the
+    # index-maintenance stages use throughout)
+    emb = read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet"))
+    emb_v1 = emb.where(F.col("vec_id") % 8 != 7)
+    drift = embedding_drift(emb_v1, emb)
+    dele = emb.where(F.pmod("vec_id", F.lit(13)) == 4).select("vec_id")
+    rb_queries = emb.where(
+        (F.col("vec_id") < 8) & (F.pmod("vec_id", F.lit(13)) != 4)
+    )
+
+    def retrain():
+        moves = similarity.ivf_retrain_delta(emb_v1, emb)
+        got = similarity.ivf_retrained_topk(rb_queries, emb_v1, emb, dele)
+        d = dele.withColumnRenamed("vec_id", "_did")
+        alive = emb.join(d, F.col("vec_id") == F.col("_did"), "left_anti")
+        truth = similarity.brute_force_topk(rb_queries, alive, k=3)
+        gauge = similarity.recall_at_k(
+            got.select("qid", "nid"), truth
+        ).select("qid", "hits", F.lit(3).cast("bigint").alias("k"))
+        return moves, gauge
+
+    verdict = serving.apply_drift_policy(
+        drift, retrain, {"drift_q": (1_000, 4_000)},
+        recall_healthy_bp=4_000,
+    ).first()
+    print(
+        f"runbook gate 2: max|drift_q|={verdict['max_abs_drift_q']} µu "
+        f"over {verdict['n_dims']} dims → decision "
+        f"'{verdict['decision']}'"
+    )
+    if verdict["decision"] == "retrain":
+        # gate 3: the controller already applied the warm retrain and
+        # re-gauged — promote only on a healthy reading
+        print(
+            f"runbook gate 3: retrain applied — move plan "
+            f"{verdict['n_moved']} rows, re-gauged recall "
+            f"{verdict['recall_bp_after']} bp vs healthy "
+            f"{verdict['healthy_bp']} → {verdict['outcome']}"
+        )
+        if verdict["outcome"] == "healthy":
+            print("PROMOTE: v2 corpus + retrained index go live")
+        else:
+            raise SystemExit(
+                "HOLD: retrained index failed the recall bar — keep "
+                "serving v1 and page the index owner"
+            )
+    elif verdict["decision"] == "recalibrate":
+        print("runbook: drift within retrain bar — schedule a codebook "
+              "recalibration, serve v2 on the current index")
+    else:
+        print("runbook: no actionable drift — v2 promotes on the "
+              "current index")
     spark.stop()
 
 

@@ -395,6 +395,36 @@ PROBES = {
         "CPLAN_MOD shard grid), so the ladder reads linear, dominated "
         "by the manifest build"
     ),
+    "graph_policy_applied": (
+        "graph controller (r13): the maintained-graph gauge chain "
+        "(linear-probed via graph_recall_monitor) runs at the degraded "
+        "state and again over the warm re-descent — the refresh round "
+        "is one knn_descent round (≤ N·(k+max_reverse)² candidates, "
+        "the knn_descent probe's linear class) and the search legs are "
+        "corpus-independent post-build; the policy rows are O(Q) "
+        "aggregates, so the ladder reads as 2× gauge + 1 descent "
+        "round: linear"
+    ),
+    "drift_policy_applied": (
+        "drift→retrain controller (r13): one drift gauge scan (the "
+        "embedding_drift probe, linear), then the warm Lloyd retrain "
+        "(broadcast assignment passes, no corpus shuffle — the "
+        "ann_ivf_lloyd class), the O(N) retrain-delta join, and one "
+        "O(Q·N) recall gauge with Q fixed: sum of linear parts"
+    ),
+    "graph_drift_applied": (
+        "graph drift symmetry (r13): the drift gauge scan + the "
+        "maintained-graph chain + one warm descent round + one recall "
+        "gauge — each the linear class its standalone probe prices; "
+        "no new shuffle or join shape beyond graph_policy_applied's"
+    ),
+    "snapshot_upgrade": (
+        "snapshot-upgrade runbook (r13): two LSH-closure split chains "
+        "(the split_drift class) + the drift gauge + warm retrain + "
+        "one recall gauge, composed sequentially into O(stages) output "
+        "rows — the ladder reads as the sum of its four linear-probed "
+        "parts; nothing joins stage outputs on data-proportional keys"
+    ),
 }
 
 

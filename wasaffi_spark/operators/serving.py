@@ -261,7 +261,10 @@ def apply_ivf_policy(
 
     The branch consumes ONE collected decision row — O(1) driver-side,
     the same bounded class as graph.py's convergence check; everything
-    data-proportional stays in the gauges. Output (ordered by phase):
+    data-proportional stays in the gauges. Consequence (ADVICE r12):
+    this call is EAGER — merely constructing the returned frame runs
+    the full O(Q·N) before gauge (the collect IS the branch), unlike
+    the lazy query builders; don't call it speculatively. Output (ordered by phase):
     ``(phase 'before'|'after', family, n_probe, n_queries, total_hits,
     k, recall_bp, healthy_bp, floor_bp, decision)`` — all integers +
     strings, so the whole loop is hash-oracleable: a degraded before
@@ -353,13 +356,15 @@ def apply_graph_policy(
     Scale: at most two gauge runs (O(Q·N) each, the nightly
     ground-truth price) plus whatever the applied action costs — the
     warm refresh is ≤ one descent round, ~¼ of a cold build
-    (SCALE.md's maintenance ladder). The declared, hash-oracled form
-    of this loop is the IVF family's ``policy_applied`` (its apply leg
-    is a pure search re-run, so the whole loop fits one oracle); the
-    graph apply leg trains — the same reason ``ann_ivf`` (MLlib
-    k-means) is rows-only — so this controller is pytest-pinned
-    instead, with the refresh's recall lift itself measured in
-    ANN_RECALL.json's ``graph_refreshed_search`` row.
+    (SCALE.md's maintenance ladder). Hash-oracled as the declared
+    ``graph_policy_applied`` row (r13 — VERDICT r12 Next-round #1):
+    the refresh leg is :func:`~wasaffi_spark.operators.similarity.
+    graph_refresh`'s deterministic warm re-descent, so the full
+    degraded-gauge → refresh → re-gauge chain unrolls under the DuckDB
+    oracle exactly as ``policy_applied`` does for IVF; the pytest flip
+    on a planted degradation is retained alongside. Same EAGER caveat
+    as :func:`apply_ivf_policy`: construction collects the one
+    decision row, which runs the before gauge.
     """
     fam = {"graph": thresholds}
     act = {"graph": actions}
@@ -401,6 +406,221 @@ def apply_graph_policy(
         after = _phase("after", final_state, applied)
     report = before.unionByName(after).orderBy(F.desc("phase"))
     return report, final_state
+
+
+def drift_maintenance_policy(
+    drift: DataFrame,
+    thresholds: dict[str, tuple[int, int]],
+    family: str = "ivf",
+    actions: tuple[str, str, str] = ("noop", "recalibrate", "retrain"),
+) -> DataFrame:
+    """The DRIFT gauge's policy rung (VERDICT r12 Next-round #2) — the
+    analogue of :func:`index_maintenance_policy` for
+    :func:`~wasaffi_spark.operators.diff.embedding_drift` readings:
+    recall monitors catch degradation AFTER search quality drops; the
+    drift gauge catches an encoder-checkpoint swap / preprocessing
+    change / source-mix shift BEFORE recall visibly craters, and this
+    rung turns its per-dimension micro-unit reading into one decision
+    row.
+
+    ``thresholds`` is keyed by drift column — ``{"drift_q":
+    (recalib_q, retrain_q), "drift_m2_q": (recalib_m2_q,
+    retrain_m2_q)}`` (either or both keys; micro-units for the mean
+    lane, micro-unit² for the second-moment lane). The reading per key
+    is ``max(abs(col))`` over dimensions; ANY key at or past its
+    retrain rung escalates to ``actions[2]``, else any past its
+    recalib rung to ``actions[1]``, else ``actions[0]``. An empty
+    gauge (0 dims) is the explicit ``no_reading`` decision — the
+    serving-policy rule that a broken gauge never buys the most
+    expensive action.
+
+    Integer-exact throughout (the drift gauge's micro-unit contract),
+    so the rung is hash-oracleable next to the gauge. Output: one row
+    ``(family, n_dims, n_drifted_dims, max_abs_drift_q, recalib_q,
+    retrain_q, max_abs_drift_m2_q, recalib_m2_q, retrain_m2_q,
+    decision)`` — ``n_drifted_dims`` counts dimensions at/past a
+    recalib rung on any keyed lane; un-keyed lanes report NULL
+    thresholds and still report their observed max (the reading is
+    informational even when it doesn't vote).
+
+    Scale: one O(dim)-row aggregate on top of the already-run gauge.
+    """
+    known = ("drift_q", "drift_m2_q")
+    bad = set(thresholds) - set(known)
+    if bad:
+        raise ValueError(
+            f"drift_maintenance_policy: unknown gauge column(s) {sorted(bad)};"
+            f" thresholds keys must be among {known}"
+        )
+    if not thresholds:
+        raise ValueError("drift_maintenance_policy: no thresholds given")
+    drifted = None
+    for c, (lo, _hi) in thresholds.items():
+        cond = F.abs(F.col(c)) >= F.lit(int(lo))
+        drifted = cond if drifted is None else (drifted | cond)
+    reading = drift.agg(
+        F.count("*").cast("bigint").alias("n_dims"),
+        F.coalesce(
+            F.sum(F.when(drifted, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("n_drifted_dims"),
+        *[
+            F.max(F.abs(F.col(c))).cast("bigint").alias(f"max_abs_{c}")
+            for c in known
+        ],
+    )
+
+    def _th(c: str, i: int):
+        if c in thresholds:
+            return F.lit(int(thresholds[c][i])).cast("bigint")
+        return F.lit(None).cast("bigint")
+
+    row = reading.select(
+        F.lit(family).alias("family"),
+        "n_dims",
+        "n_drifted_dims",
+        F.col("max_abs_drift_q"),
+        _th("drift_q", 0).alias("recalib_q"),
+        _th("drift_q", 1).alias("retrain_q"),
+        F.col("max_abs_drift_m2_q"),
+        _th("drift_m2_q", 0).alias("recalib_m2_q"),
+        _th("drift_m2_q", 1).alias("retrain_m2_q"),
+    )
+    esc = F.lit(False)
+    deg = F.lit(False)
+    for c in thresholds:
+        m = F.col(f"max_abs_{c}")
+        esc = esc | (m >= F.col(
+            "retrain_q" if c == "drift_q" else "retrain_m2_q"
+        ))
+        deg = deg | (m >= F.col(
+            "recalib_q" if c == "drift_q" else "recalib_m2_q"
+        ))
+    return row.withColumn(
+        "decision",
+        F.when(F.col("n_dims") == 0, F.lit("no_reading"))
+        .when(esc, F.lit(actions[2]))
+        .when(deg, F.lit(actions[1]))
+        .otherwise(F.lit(actions[0])),
+    )
+
+
+def apply_drift_policy(
+    drift: DataFrame,
+    retrain,
+    thresholds: dict[str, tuple[int, int]],
+    recall_healthy_bp: int,
+    family: str = "ivf",
+    actions: tuple[str, str, str] = ("noop", "recalibrate", "retrain"),
+) -> DataFrame:
+    """Close the drift→action loop (VERDICT r12 Next-round #2): the
+    drift gauge's reading DRIVES the index action the way recall
+    readings drive ``raise_n_probe``/``refresh`` — gauge → decision →
+    applied retrain → recall re-gauge, one declared row.
+
+    - ``drift``: an :func:`~wasaffi_spark.operators.diff.
+      embedding_drift` frame (old corpus version vs new);
+    - ``retrain() -> (moves, gauge)``: the family's apply leg — for
+      IVF, ``moves`` is the :func:`~wasaffi_spark.operators.
+      similarity.ivf_retrain_delta` move plan and ``gauge`` the recall
+      monitor ``(qid, hits, k)`` re-run over the RETRAINED index
+      (:func:`~wasaffi_spark.operators.similarity.
+      ivf_retrained_topk`); for the graph family ``moves`` is None and
+      ``gauge`` monitors the refreshed adjacency (drift symmetry,
+      VERDICT r12 Next-round #5 — pass
+      ``actions=('noop','recalibrate','refresh')``).
+
+    Flow mirrors :func:`apply_ivf_policy`: the policy rung
+    (:func:`drift_maintenance_policy`) yields ONE collected decision
+    row (O(dim) aggregate — cheap; the branch is the read); if — and
+    only if — the decision is ``actions[2]`` the apply leg runs and
+    its recall reading lands in the same row: ``recall_bp_after =
+    (10000·Σhits) div (Q·k)`` classified against
+    ``recall_healthy_bp`` as ``healthy``/``degraded`` (or
+    ``no_reading`` for an empty gauge). Any other decision applies
+    nothing: ``applied='none'``, NULL recall lane, outcome
+    ``not_measured``. Everything integer/string → the whole loop
+    hash-oracles like ``policy_applied``.
+
+    EAGER (the apply_ivf_policy caveat): construction collects the
+    decision row; with a retrain decision the returned plan carries
+    the O(corpus) retrain + O(Q·N) gauge, executed when consumed.
+
+    Output: one row ``(family, n_dims, n_drifted_dims,
+    max_abs_drift_q, recalib_q, retrain_q, max_abs_drift_m2_q,
+    recalib_m2_q, retrain_m2_q, decision, applied, n_moved, n_queries,
+    total_hits, k, recall_bp_after, healthy_bp, outcome)``.
+    """
+    pol = drift_maintenance_policy(drift, thresholds, family, actions)
+    rows = pol.collect()  # one O(1) decision row — the branch
+    decision = rows[0]["decision"]
+    spark = pol.sparkSession
+    pol = spark.createDataFrame(rows, pol.schema)
+    nullb = F.lit(None).cast("bigint")
+    if decision == actions[2]:
+        moves, gauge = retrain()
+        n_moved = (
+            moves.agg(F.count("*").cast("bigint").alias("n_moved"))
+            if moves is not None
+            else spark.range(1).select(nullb.alias("n_moved"))
+        )
+        reading = gauge.agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            F.coalesce(F.sum("hits"), F.lit(0))
+            .cast("bigint")
+            .alias("total_hits"),
+            F.max("k").cast("bigint").alias("k"),
+        )
+        out = (
+            pol.crossJoin(F.broadcast(n_moved))
+            .crossJoin(F.broadcast(reading))
+            .select(
+                "*",
+                F.expr(
+                    "case when n_queries > 0 and k is not null and k > 0 "
+                    "then (10000 * total_hits) div (n_queries * k) end"
+                ).alias("recall_bp_after"),
+            )
+            .select(
+                "*",
+                F.lit(int(recall_healthy_bp))
+                .cast("bigint")
+                .alias("healthy_bp"),
+                F.when(
+                    F.col("recall_bp_after").isNull(), F.lit("no_reading")
+                )
+                .when(
+                    F.col("recall_bp_after")
+                    >= F.lit(int(recall_healthy_bp)),
+                    F.lit("healthy"),
+                )
+                .otherwise(F.lit("degraded"))
+                .alias("outcome"),
+            )
+            .withColumn("applied", F.lit(actions[2]))
+        )
+    else:
+        out = pol.select(
+            "*",
+            nullb.alias("n_moved"),
+            nullb.alias("n_queries"),
+            nullb.alias("total_hits"),
+            nullb.alias("k"),
+            nullb.alias("recall_bp_after"),
+            F.lit(int(recall_healthy_bp)).cast("bigint").alias(
+                "healthy_bp"
+            ),
+            F.lit("not_measured").alias("outcome"),
+            F.lit("none").alias("applied"),
+        )
+    cols = [
+        "family", "n_dims", "n_drifted_dims",
+        "max_abs_drift_q", "recalib_q", "retrain_q",
+        "max_abs_drift_m2_q", "recalib_m2_q", "retrain_m2_q",
+        "decision", "applied", "n_moved",
+        "n_queries", "total_hits", "k",
+        "recall_bp_after", "healthy_bp", "outcome",
+    ]
+    return out.select(*cols)
 
 
 def bundle_diff(

@@ -1598,6 +1598,84 @@ def ivf_retrain_delta(
     )
 
 
+def ivf_retrained_topk(
+    queries: DataFrame,
+    base: DataFrame,
+    full: DataFrame,
+    delete_ids: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    iters: int = 2,
+    dim: int = 64,
+    quant: int = PQ_QUANT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+) -> DataFrame:
+    """IVF search AFTER the warm codebook refresh — the APPLY leg of
+    the drift→retrain loop (r13; the search-side counterpart of
+    :func:`ivf_retrain_delta`, whose delta frame is the move plan this
+    retrain executes): the codebook is ``lloyd(base)`` warm-retrained
+    on ``full`` (EXACTLY ``ivf_retrain_delta``'s ``new_c`` — cell
+    identities stay anchored to the deployed codebook), the postings
+    are ``full`` assigned to the NEW codebook minus ``delete_ids``
+    (≡ old postings with the delta applied, the pytest-pinned
+    reconciliation identity), and the standard probe-join search runs
+    on top. Re-gauging recall over THIS index is how
+    :func:`~wasaffi_spark.operators.serving.apply_drift_policy`
+    proves its retrain decision out.
+
+    Scale: two broadcast assignment passes (train warm-start + final
+    postings) over the corpus, then the unchanged probe search —
+    candidates ∝ N_alive·n_probe/n_cells per query. Grid-exact Lloyd
+    throughout, so the whole leg replays under the DuckDB oracle."""
+    old_c = lloyd_centroids(
+        base, n_cells, iters, dim, quant, vec_col, id_col, seed
+    )
+    new_c = lloyd_centroids(
+        full, n_cells, iters, dim, quant, vec_col, id_col, seed,
+        init_cents=old_c,
+    )
+    postings = ivf_assign_hashed(
+        full, new_c, n_cells, dim, quant, vec_col, id_col
+    )
+    postings = ivf_delete(delete_ids, postings, id_col)
+    d = delete_ids.select(F.col(id_col).alias("_did")).distinct()
+    alive = full.select(id_col, vec_col).join(
+        d, F.col(id_col) == F.col("_did"), "left_anti"
+    )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    assigned, probes = _ivf_probes(
+        q, alive, n_cells, n_probe, dim, quant, vec_col, id_col, seed,
+        cents=new_c, assigned=postings,
+    )
+    c = assigned.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "cell"
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(c, ["cell"])
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    return _ranked_shortlist(
+        scored,
+        [F.col("cos_sim").desc(), F.col("nid").asc()],
+        ["qid", "nid", "cos_sim"],
+        k,
+        None,
+        queries,
+        alive,
+        vec_col,
+        id_col,
+    )
+
+
 def _mmr_greedy(
     sl: DataFrame,
     pp: DataFrame,
