@@ -7552,13 +7552,22 @@ def q_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
     batch = emb.where(F.col("vec_id") % IAP_MOD == IAP_MOD - 1)
+    # r13: the base hash-ring is shared by the descent build and the
+    # insert's search (DESCENT_RING == GS_RING, same seed) — build it
+    # once, pin it, pass it to both (row-identical; ring_overlay)
+    b_ringe, b_entries = similarity.ring_overlay(
+        base, n_entry=GS_ENTRY, ring=GS_RING
+    )
+    b_ringe = b_ringe.localCheckpoint(eager=True)
     graph = similarity.knn_descent(
         base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
         max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
+        ring_edges=b_ringe,
     )
     out = similarity.graph_insert(
         batch, graph, base, k=DESCENT_K, beam=GS_BEAM, rounds=GS_ROUNDS,
         n_entry=GS_ENTRY, ring=GS_RING, max_reverse=DESCENT_MAX_REVERSE,
+        overlay=(b_ringe, b_entries),
     )
     return out.select(
         "src", "dst", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
@@ -7711,9 +7720,15 @@ def q_graph_maintained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
     batch = emb.where(F.col("vec_id") % IAP_MOD == IAP_MOD - 1)
+    # r13: base ring shared by the descent build and the insert search
+    b_ringe, b_entries = similarity.ring_overlay(
+        base, n_entry=GS_ENTRY, ring=GS_RING
+    )
+    b_ringe = b_ringe.localCheckpoint(eager=True)
     graph = similarity.knn_descent(
         base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
         max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
+        ring_edges=b_ringe,
     )
     dele = emb.where(
         F.pmod(F.col("vec_id"), F.lit(GMS_DEL_MOD)) == GMS_DEL_RES
@@ -7726,6 +7741,7 @@ def q_graph_maintained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, graph, base, batch, dele, k=GS_K, k_graph=DESCENT_K,
         beam=GS_BEAM, rounds=GS_ROUNDS, n_entry=GS_ENTRY, ring=GS_RING,
         max_reverse=DESCENT_MAX_REVERSE,
+        base_overlay=(b_ringe, b_entries),
     )
     return out.select(
         "qid", "nid", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
@@ -9202,9 +9218,15 @@ def q_graph_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
     batch = emb.where(F.col("vec_id") % IAP_MOD == IAP_MOD - 1)
+    # r13: base ring shared by the descent build and the insert search
+    b_ringe, b_entries = similarity.ring_overlay(
+        base, n_entry=GS_ENTRY, ring=GS_RING
+    )
+    b_ringe = b_ringe.localCheckpoint(eager=True)
     graph = similarity.knn_descent(
         base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
         max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
+        ring_edges=b_ringe,
     )
     dele = emb.where(
         F.pmod(F.col("vec_id"), F.lit(GMS_DEL_MOD)) == GMS_DEL_RES
@@ -9212,6 +9234,7 @@ def q_graph_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ins = similarity.graph_insert(
         batch, graph, base, k=DESCENT_K, beam=GS_BEAM, rounds=GS_ROUNDS,
         n_entry=GS_ENTRY, ring=GS_RING, max_reverse=DESCENT_MAX_REVERSE,
+        overlay=(b_ringe, b_entries),
     )
     g1 = similarity.graph_apply_delta(graph, ins).localCheckpoint(
         eager=True
@@ -9373,9 +9396,15 @@ def q_graph_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
     batch = emb.where(F.col("vec_id") % IAP_MOD == IAP_MOD - 1)
+    # r13: base ring shared by the descent build and the insert search
+    b_ringe, b_entries = similarity.ring_overlay(
+        base, n_entry=GS_ENTRY, ring=GS_RING
+    )
+    b_ringe = b_ringe.localCheckpoint(eager=True)
     graph = similarity.knn_descent(
         base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
         max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
+        ring_edges=b_ringe,
     )
     dele = emb.where(
         F.pmod(F.col("vec_id"), F.lit(GMS_DEL_MOD)) == GMS_DEL_RES
@@ -9388,6 +9417,7 @@ def q_graph_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, graph, base, batch, dele, k=GS_K, k_graph=DESCENT_K,
         beam=GS_BEAM, rounds=GS_ROUNDS, n_entry=GS_ENTRY, ring=GS_RING,
         max_reverse=DESCENT_MAX_REVERSE,
+        base_overlay=(b_ringe, b_entries),
     )
     d = dele.withColumnRenamed("vec_id", "_did")
     alive = emb.join(d, F.col("vec_id") == F.col("_did"), "left_anti")
@@ -9608,14 +9638,26 @@ def q_index_maintenance_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/serving.py::index_maintenance_policy over both
     nightly gauges: (family, n_queries, total_hits, k, recall_bp,
     healthy_bp, floor_bp, decision) — all integers + the decision
-    string, one row per family. recall_bp = (10000·Σhits) div (Q·k)."""
+    string, one row per family. recall_bp = (10000·Σhits) div (Q·k).
+
+    r13 optimization (guide §2.6 — overlap independent jobs): the two
+    gauges are INDEPENDENT chains of eager materializations (the graph
+    build + maintained search vs the Lloyd train + probe search), so
+    their builders run on two driver threads and the scheduler
+    back-fills one chain's idle cores with the other's jobs. Pure
+    concurrency — each gauge's rows are untouched (the monitors are
+    deterministic), and the policy frame they union into is built on
+    the main thread as before."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from . import serving
 
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fg = pool.submit(q_graph_recall_monitor, spark, sf_dir)
+        fi = pool.submit(q_ivf_recall_monitor, spark, sf_dir)
+        monitors = {"graph": fg.result(), "ivf": fi.result()}
     return serving.index_maintenance_policy(
-        {
-            "graph": q_graph_recall_monitor(spark, sf_dir),
-            "ivf": q_ivf_recall_monitor(spark, sf_dir),
-        },
+        monitors,
         {
             "graph": (GRAPH_HEALTHY_BP, GRAPH_FLOOR_BP),
             "ivf": (IVF_HEALTHY_BP, IVF_FLOOR_BP),
@@ -9858,11 +9900,60 @@ def q_policy_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     this frame runs the full O(Q·N) before-gauge — apply_ivf_policy
     collects its one decision row to branch on it. Bench/driver
     tooling must not treat construction as free (calling this twice
-    gauges twice)."""
+    gauges twice).
+
+    r13 optimization (guide §1.2 step 1 — don't recompute what a
+    single invocation already holds): the two gauge runs differ ONLY
+    in ``n_probe``, so the frozen codebook, the maintained postings
+    (append + delete applied) and the exact brute-force truth set are
+    built once and pinned (localCheckpoint), and each gauge re-runs
+    just the probe-search tail (similarity.ivf_postings_topk) + the
+    recall join. Row-identical to the per-phase rebuild (the
+    components are deterministic — pinned by
+    tests/test_r13_ops.py::test_policy_applied_shared_components) and
+    the oracle replays the full per-phase chain unchanged."""
     from . import serving
 
+    emb = _table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
+    batch = emb.where(F.col("vec_id") % IAP_MOD == IAP_MOD - 1)
+    dele = emb.where(
+        F.pmod(F.col("vec_id"), F.lit(IMS_DEL_MOD)) == IMS_DEL_RES
+    ).select("vec_id")
+    queries = emb.where(
+        (F.col("vec_id") < ANN_QUERY_MAX_ID)
+        & (F.pmod(F.col("vec_id"), F.lit(IMS_DEL_MOD)) != IMS_DEL_RES)
+    )
+    cents = similarity.lloyd_centroids(
+        base, LLOYD_CELLS, LLOYD_ITERS
+    )
+    postings = similarity.ivf_assign_hashed(
+        base, cents, LLOYD_CELLS
+    ).unionByName(
+        similarity.ivf_append(batch, cents, LLOYD_CELLS)
+    )
+    postings = similarity.ivf_delete(dele, postings).localCheckpoint(
+        eager=True
+    )
+    d = dele.withColumnRenamed("vec_id", "_did")
+    alive = emb.select("vec_id", "embedding").join(
+        d, F.col("vec_id") == F.col("_did"), "left_anti"
+    )
+    truth = similarity.brute_force_topk(
+        queries, alive, k=ANN_K
+    ).localCheckpoint(eager=True)
+
+    def gauge(np_: int) -> DataFrame:
+        got = similarity.ivf_postings_topk(
+            queries, cents, postings, alive, k=ANN_K,
+            n_cells=LLOYD_CELLS, n_probe=np_,
+        )
+        return similarity.recall_at_k(got, truth).select(
+            "qid", "hits", F.lit(ANN_K).cast("bigint").alias("k")
+        ).orderBy("qid")
+
     return serving.apply_ivf_policy(
-        lambda np_: q_ivf_recall_monitor(spark, sf_dir, n_probe=np_),
+        gauge,
         n_probe=PA_N_PROBE,
         thresholds=(PA_HEALTHY_BP, PA_FLOOR_BP),
     )
@@ -10432,9 +10523,15 @@ def q_graph_policy_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
     batch = emb.where(F.col("vec_id") % IAP_MOD == IAP_MOD - 1)
+    # r13: base ring shared by the descent build and the insert search
+    b_ringe, b_entries = similarity.ring_overlay(
+        base, n_entry=GS_ENTRY, ring=GS_RING
+    )
+    b_ringe = b_ringe.localCheckpoint(eager=True)
     graph = similarity.knn_descent(
         base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
         max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
+        ring_edges=b_ringe,
     )
     dele = emb.where(
         F.pmod(F.col("vec_id"), F.lit(GMS_DEL_MOD)) == GMS_DEL_RES
@@ -10446,6 +10543,7 @@ def q_graph_policy_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     ins = similarity.graph_insert(
         batch, graph, base, k=DESCENT_K, beam=GS_BEAM, rounds=GS_ROUNDS,
         n_entry=GS_ENTRY, ring=GS_RING, max_reverse=DESCENT_MAX_REVERSE,
+        overlay=(b_ringe, b_entries),
     )
     g1 = similarity.graph_apply_delta(graph, ins).localCheckpoint(
         eager=True
@@ -10459,15 +10557,21 @@ def q_graph_policy_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     alive = emb.join(d, F.col("vec_id") == F.col("_did"), "left_anti")
-    # the exact truth set feeds BOTH gauge runs — pin it once (O(Q·k))
+    # the exact truth set feeds BOTH gauge runs — pin it once (O(Q·k));
+    # likewise the hash-ring overlay + entry points are a pure function
+    # of the alive corpus, shared by both searches (r13: ring_overlay)
     truth = similarity.brute_force_topk(
         queries, alive, k=GS_K
     ).localCheckpoint(eager=True)
+    ringe, entries = similarity.ring_overlay(
+        alive, n_entry=GS_ENTRY, ring=GS_RING
+    )
+    ringe = ringe.localCheckpoint(eager=True)
 
     def gauge(state):
         got = similarity.graph_search_topk(
             queries, state, alive, k=GS_K, beam=GS_BEAM, rounds=GS_ROUNDS,
-            n_entry=GS_ENTRY, ring=GS_RING,
+            n_entry=GS_ENTRY, ring=GS_RING, overlay=(ringe, entries),
         )
         return similarity.recall_at_k(got, truth).select(
             "qid", "hits", F.lit(GS_K).cast("bigint").alias("k")
@@ -10605,12 +10709,22 @@ def q_drift_policy_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def retrain():
+        # r13 optimization: the move plan and the re-gauge share the
+        # SAME two Lloyd codebooks (frozen + warm-retrained) — train
+        # them once and pass them into both legs instead of paying the
+        # eager train loops twice (deterministic → row-identical;
+        # guide §1.2 step 1).
+        old_c = similarity.lloyd_centroids(base, LLOYD_CELLS, LLOYD_ITERS)
+        new_c = similarity.lloyd_centroids(
+            emb, LLOYD_CELLS, LLOYD_ITERS, init_cents=old_c
+        )
         moves = similarity.ivf_retrain_delta(
-            base, emb, n_cells=LLOYD_CELLS, iters=LLOYD_ITERS
+            base, emb, n_cells=LLOYD_CELLS, iters=LLOYD_ITERS,
+            old_cents=old_c, new_cents=new_c,
         )
         got = similarity.ivf_retrained_topk(
             queries, base, emb, dele, k=ANN_K, n_cells=LLOYD_CELLS,
-            n_probe=LLOYD_PROBE, iters=LLOYD_ITERS,
+            n_probe=LLOYD_PROBE, iters=LLOYD_ITERS, new_cents=new_c,
         )
         d = dele.withColumnRenamed("vec_id", "_did")
         alive = emb.join(d, F.col("vec_id") == F.col("_did"), "left_anti")
@@ -10802,14 +10916,21 @@ def q_graph_drift_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def refresh_leg():
+        # r13: base ring shared by the descent build and insert search
+        b_ringe, b_entries = similarity.ring_overlay(
+            base, n_entry=GS_ENTRY, ring=GS_RING
+        )
+        b_ringe = b_ringe.localCheckpoint(eager=True)
         graph = similarity.knn_descent(
             base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
             max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
+            ring_edges=b_ringe,
         )
         ins = similarity.graph_insert(
             batch, graph, base, k=DESCENT_K, beam=GS_BEAM,
             rounds=GS_ROUNDS, n_entry=GS_ENTRY, ring=GS_RING,
             max_reverse=DESCENT_MAX_REVERSE,
+            overlay=(b_ringe, b_entries),
         )
         g1 = similarity.graph_apply_delta(graph, ins).localCheckpoint(
             eager=True
@@ -10894,58 +11015,71 @@ def q_snapshot_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .diff import embedding_drift
     from .pipeline import cluster_safe_split, split_drift
 
-    docs = _table(spark, sf_dir, "documents")
-    v1 = docs.where(F.col("doc_id") % SD_V1_MOD != SD_V1_RES)
-    sig1 = dedup.minhash_signatures(v1).persist()
-    sig2 = dedup.minhash_signatures(docs).persist()
-    sig1.count(), sig2.count()
-    try:
-        pairs1 = dedup.lsh_candidate_pairs(sig1)
-        pairs2 = dedup.lsh_candidate_pairs(sig2)
-        old = cluster_safe_split(v1, pairs1).localCheckpoint(eager=True)
-        frozen = cluster_safe_split(docs, pairs2, prior=old)
-        rep = split_drift(old, frozen)
-        absent = F.lit("(absent)")
-        srows = rep.agg(
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        (F.col("old_split") != absent)
-                        & (F.col("new_split") != absent)
-                        & (F.col("old_split") != F.col("new_split")),
-                        F.col("n_docs"),
-                    )
-                ),
-                F.lit(0),
-            ).cast("bigint").alias("offdiag"),
-            F.coalesce(
-                F.sum(
-                    F.when(F.col("old_split") == absent, F.col("n_docs"))
-                ),
-                F.lit(0),
-            ).cast("bigint").alias("new_docs"),
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        (F.col("old_split") != absent)
-                        & (F.col("new_split") != absent),
-                        F.col("n_docs"),
-                    )
-                ),
-                F.lit(0),
-            ).cast("bigint").alias("surviving"),
-        ).selectExpr(
-            "stack(3, "
-            "1, 'split_drift', 'frozen_offdiag_docs', "
-            "cast(offdiag as string), "
-            "1, 'split_drift', 'new_docs', cast(new_docs as string), "
-            "1, 'split_drift', 'surviving_docs', cast(surviving as string)"
-            ") as (step, stage, metric, value)"
-        )
-        srows = srows.localCheckpoint(eager=True)  # release the persists
-    finally:
-        sig1.unpersist()
-        sig2.unpersist()
+    def _split_leg() -> DataFrame:
+        docs = _table(spark, sf_dir, "documents")
+        v1 = docs.where(F.col("doc_id") % SD_V1_MOD != SD_V1_RES)
+        sig1 = dedup.minhash_signatures(v1).persist()
+        sig2 = dedup.minhash_signatures(docs).persist()
+        sig1.count(), sig2.count()
+        try:
+            pairs1 = dedup.lsh_candidate_pairs(sig1)
+            pairs2 = dedup.lsh_candidate_pairs(sig2)
+            old = cluster_safe_split(v1, pairs1).localCheckpoint(eager=True)
+            frozen = cluster_safe_split(docs, pairs2, prior=old)
+            rep = split_drift(old, frozen)
+            absent = F.lit("(absent)")
+            srows = rep.agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("old_split") != absent)
+                            & (F.col("new_split") != absent)
+                            & (F.col("old_split") != F.col("new_split")),
+                            F.col("n_docs"),
+                        )
+                    ),
+                    F.lit(0),
+                ).cast("bigint").alias("offdiag"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("old_split") == absent, F.col("n_docs"))
+                    ),
+                    F.lit(0),
+                ).cast("bigint").alias("new_docs"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("old_split") != absent)
+                            & (F.col("new_split") != absent),
+                            F.col("n_docs"),
+                        )
+                    ),
+                    F.lit(0),
+                ).cast("bigint").alias("surviving"),
+            ).selectExpr(
+                "stack(3, "
+                "1, 'split_drift', 'frozen_offdiag_docs', "
+                "cast(offdiag as string), "
+                "1, 'split_drift', 'new_docs', cast(new_docs as string), "
+                "1, 'split_drift', 'surviving_docs', "
+                "cast(surviving as string)"
+                ") as (step, stage, metric, value)"
+            )
+            # materialize to release the persists
+            return srows.localCheckpoint(eager=True)
+        finally:
+            sig1.unpersist()
+            sig2.unpersist()
+
+    # r13 optimization (guide §2.6): the split-verification leg (over
+    # documents) and the drift-controller leg (over embeddings) are
+    # fully independent until the final union — run the split leg's
+    # eager chain on a second driver thread so its jobs back-fill the
+    # controller's idle cores. Row-identical (both legs deterministic).
+    from concurrent.futures import ThreadPoolExecutor
+
+    _pool = ThreadPoolExecutor(max_workers=1)
+    _srows_fut = _pool.submit(_split_leg)
 
     emb = _table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
@@ -10959,12 +11093,20 @@ def q_snapshot_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def retrain():
+        # shared Lloyd codebooks across the move plan and the re-gauge
+        # (the q_drift_policy_applied r13 sharing — deterministic, so
+        # row-identical to the per-leg retrain)
+        old_c = similarity.lloyd_centroids(base, LLOYD_CELLS, LLOYD_ITERS)
+        new_c = similarity.lloyd_centroids(
+            emb, LLOYD_CELLS, LLOYD_ITERS, init_cents=old_c
+        )
         moves = similarity.ivf_retrain_delta(
-            base, emb, n_cells=LLOYD_CELLS, iters=LLOYD_ITERS
+            base, emb, n_cells=LLOYD_CELLS, iters=LLOYD_ITERS,
+            old_cents=old_c, new_cents=new_c,
         )
         got = similarity.ivf_retrained_topk(
             queries, base, emb, dele, k=ANN_K, n_cells=LLOYD_CELLS,
-            n_probe=LLOYD_PROBE, iters=LLOYD_ITERS,
+            n_probe=LLOYD_PROBE, iters=LLOYD_ITERS, new_cents=new_c,
         )
         d = dele.withColumnRenamed("vec_id", "_did")
         alive = emb.join(d, F.col("vec_id") == F.col("_did"), "left_anti")
@@ -10994,6 +11136,10 @@ def q_snapshot_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "5, 'recall', 'outcome', outcome"
         ") as (step, stage, metric, value)"
     )
+    try:
+        srows = _srows_fut.result()
+    finally:
+        _pool.shutdown()
     return srows.unionByName(crows).orderBy("step", "metric")
 
 

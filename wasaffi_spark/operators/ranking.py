@@ -98,6 +98,20 @@ def global_row_number(
     return ranked
 
 
+def global_row_number_with_total(
+    df: DataFrame,
+    order_by: list[Column],
+    out_col: str = "rnk",
+    num_parts: int | None = None,
+) -> tuple[DataFrame, int]:
+    """:func:`global_row_number` that ALSO returns the exact total row
+    count — it falls out of the same offsets collect, so callers that
+    need N (the hash-ring modulus in the graph-ANN operators) skip the
+    separate ``count()`` job they would otherwise pay after
+    materializing the ranked frame (r13 optimization)."""
+    return _ranked_with_total(df, order_by, out_col, num_parts)
+
+
 def global_percent_rank(
     df: DataFrame,
     order_by: list[Column],

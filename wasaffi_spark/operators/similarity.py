@@ -850,7 +850,7 @@ def semantic_dedup_pruned(
     return _keepfirst_within_cluster(assign, threshold, vec_col, id_col)
 
 
-def _pq_grid_dist(a_col: Column, b_col: Column, j: int, sub: int, quant: int) -> Column:
+def _pq_grid_dist(a_col: str, b_col: str, j: int, sub: int, quant: int) -> Column:
     """Quantized-integer L2² between subvectors j of two arrays, as an
     EXPLICIT per-index expression sum rather than a zip_with/aggregate
     fold: higher-order-function lambdas evaluate outside whole-stage
@@ -863,20 +863,28 @@ def _pq_grid_dist(a_col: Column, b_col: Column, j: int, sub: int, quant: int) ->
     while floor is pure double arithmetic. With a power-of-two
     ``quant``, ``x·quant`` is an exact exponent shift for float inputs,
     so both engines see identical doubles and the snap is
-    engine-exact (the oracle uses the same floor formula)."""
-    terms: Column | None = None
-    for i in range(1, sub + 1):
-        a = F.floor(
-            F.element_at(a_col, j * sub + i).cast("double") * quant + F.lit(0.5)
-        ).cast("long")
-        b = F.floor(
-            F.element_at(b_col, j * sub + i).cast("double") * quant + F.lit(0.5)
-        ).cast("long")
-        d = a - b
-        t = d * d
-        terms = t if terms is None else terms + t
-    assert terms is not None
-    return terms
+    engine-exact (the oracle uses the same floor formula).
+
+    r13: takes column NAMES and builds the whole sum as ONE
+    server-side-parsed SQL expression — the per-index Column-API form
+    cost ~10 py4j round trips per dimension per call site (measured
+    7.3 s of ann_ivf_lloyd's 14.7 s construction just building these
+    trees); the parsed tree is term-for-term identical (same floor /
+    cast / multiply nodes), so plans, codegen and values are
+    unchanged."""
+
+    def term(i: int) -> str:
+        a = (
+            f"cast(floor(cast(element_at(`{a_col}`, {j * sub + i}) as double)"
+            f" * {quant} + 0.5d) as bigint)"
+        )
+        b = (
+            f"cast(floor(cast(element_at(`{b_col}`, {j * sub + i}) as double)"
+            f" * {quant} + 0.5d) as bigint)"
+        )
+        return f"(({a}) - ({b})) * (({a}) - ({b}))"
+
+    return F.expr(" + ".join(term(i) for i in range(1, sub + 1)))
 
 
 PQ_SEED = "pq-v1"
@@ -935,7 +943,7 @@ def pq_encode(
     )
 
     def qdist(j: int):
-        return _pq_grid_dist(F.col(vec_col), F.col("sv"), j, sub, quant)
+        return _pq_grid_dist(vec_col, "sv", j, sub, quant)
 
     pairs = corpus.select(id_col, vec_col).crossJoin(F.broadcast(seeds)).select(
         id_col,
@@ -1003,7 +1011,7 @@ def ivf_assign_hashed(
     ``extra_cols`` ride the same groupBy via ``any_value`` (one value
     per id), so carrying an attribute costs no extra shuffle.
     """
-    d = _pq_grid_dist(F.col(vec_col), F.col("cv"), 0, dim, quant)
+    d = _pq_grid_dist(vec_col, "cv", 0, dim, quant)
     pairs = (
         df.select(id_col, vec_col, *extra_cols)
         .crossJoin(F.broadcast(centroids))
@@ -1056,7 +1064,7 @@ def _ivf_probes(
             corpus, cents, n_cells, dim, quant, vec_col, id_col,
             extra_cols=corpus_carry,
         )
-    d = _pq_grid_dist(F.col(qvec_col), F.col("cv"), 0, dim, quant)
+    d = _pq_grid_dist(qvec_col, "cv", 0, dim, quant)
     qd = q.crossJoin(F.broadcast(cents)).select(
         "qid", *carry, "cell", d.alias("_d")
     )
@@ -1251,17 +1259,18 @@ def lloyd_centroids(
         )
 
         def _gmean(i: int) -> Column:
-            g = F.floor(
-                F.element_at(F.col(vec_col), i).cast("double") * quant
-                + F.lit(0.5)
-            ).cast("long")
-            return (
-                F.floor(
-                    F.sum(g).cast("double")
-                    / F.count(F.lit(1)).cast("double")
-                    + F.lit(0.5)
-                ).cast("double")
-                / F.lit(float(quant))
+            # one server-side-parsed expression per dimension (the
+            # _pq_grid_dist r13 note: the Column-API form cost ~3.7 s
+            # of construction per train loop in py4j round trips;
+            # the parsed tree — floor/cast/sum/count — is identical)
+            g = (
+                f"cast(floor(cast(element_at(`{vec_col}`, {i}) as double)"
+                f" * {quant} + 0.5d) as bigint)"
+            )
+            return F.expr(
+                f"cast(floor(cast(sum({g}) as double)"
+                f" / cast(count(1) as double) + 0.5d) as double)"
+                f" / {float(quant)}d"
             ).alias(f"_c{i}")
 
         means = assigned.groupBy("cell").agg(
@@ -1542,6 +1551,65 @@ def ivf_maintained_topk(
     )
 
 
+def ivf_postings_topk(
+    queries: DataFrame,
+    cents: DataFrame,
+    postings: DataFrame,
+    alive: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    dim: int = 64,
+    quant: int = PQ_QUANT,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+) -> DataFrame:
+    """The probe-join search tail over PREBUILT index components —
+    exactly the plan :func:`ivf_maintained_topk` executes after its
+    build phase, factored out so a controller that gauges recall more
+    than once (``policy_applied``'s before/after rungs) can train the
+    codebook, build the maintained postings and pin them ONCE, then
+    re-run only this tail per gauge (r13 optimization; the components
+    are deterministic, so gauge rows are identical to the recomputed
+    form — the equivalence the pytest pins).
+
+    ``cents``: the frozen codebook ``(cell, cv)``; ``postings``: the
+    maintained ``(id, vec, cell)`` rows (append + delete applied);
+    ``alive``: the alive corpus the searched ids live in (used only
+    for the shared shortlist tail's signature). Scale: unchanged —
+    candidates ∝ N_alive·n_probe/n_cells per query."""
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    assigned, probes = _ivf_probes(
+        q, alive, n_cells, n_probe, dim, quant, vec_col, id_col, seed,
+        cents=cents, assigned=postings,
+    )
+    c = assigned.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"), "cell"
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(c, ["cell"])
+        .where(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos_sim"),
+        )
+    )
+    return _ranked_shortlist(
+        scored,
+        [F.col("cos_sim").desc(), F.col("nid").asc()],
+        ["qid", "nid", "cos_sim"],
+        k,
+        None,
+        queries,
+        alive,
+        vec_col,
+        id_col,
+    )
+
+
 def ivf_retrain_delta(
     base: DataFrame,
     full: DataFrame,
@@ -1552,6 +1620,8 @@ def ivf_retrain_delta(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: str = IVF_SEED,
+    old_cents: DataFrame | None = None,
+    new_cents: DataFrame | None = None,
 ) -> DataFrame:
     """Codebook-refresh DELTA — the third leg of IVF maintenance next
     to :func:`ivf_append` (insert) and periodic retrain: when the
@@ -1564,6 +1634,12 @@ def ivf_retrain_delta(
     (two trained codebooks mostly agree on stable regions), and the
     delta frame IS the minimal move plan a refresh job executes.
 
+    ``old_cents`` / ``new_cents`` let a caller that already trained the
+    two codebooks (e.g. a drift controller that also re-gauges recall
+    via :func:`ivf_retrained_topk`) pass them in instead of paying the
+    Lloyd loops a second time — the codebooks are deterministic, so the
+    result is row-identical either way (r13 optimization).
+
     Reconciliation identity (pytest-pinned): applying the delta to the
     old postings — replace ``old_cell`` with ``new_cell`` for the ids
     in the delta — reproduces the new assignment row-for-row, so a
@@ -1574,7 +1650,7 @@ def ivf_retrain_delta(
     replays BOTH train loops side by side. Scale: two broadcast
     assignment passes over the corpus + one id-equi-join — all linear,
     no new shuffle class."""
-    old_c = lloyd_centroids(
+    old_c = old_cents if old_cents is not None else lloyd_centroids(
         base, n_cells, iters, dim, quant, vec_col, id_col, seed
     )
     # WARM-START the refresh from the deployed codebook: cell
@@ -1583,7 +1659,7 @@ def ivf_retrain_delta(
     # full corpus) relabels cells wholesale — measured 76% spurious
     # "moves" on the undrifted sf0.001 fixture vs ~a few percent warm
     # — and would make the "minimal move plan" anything but minimal.
-    new_c = lloyd_centroids(
+    new_c = new_cents if new_cents is not None else lloyd_centroids(
         full, n_cells, iters, dim, quant, vec_col, id_col, seed,
         init_cents=old_c,
     )
@@ -1612,6 +1688,8 @@ def ivf_retrained_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: str = IVF_SEED,
+    old_cents: DataFrame | None = None,
+    new_cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search AFTER the warm codebook refresh — the APPLY leg of
     the drift→retrain loop (r13; the search-side counterpart of
@@ -1629,14 +1707,20 @@ def ivf_retrained_topk(
     Scale: two broadcast assignment passes (train warm-start + final
     postings) over the corpus, then the unchanged probe search —
     candidates ∝ N_alive·n_probe/n_cells per query. Grid-exact Lloyd
-    throughout, so the whole leg replays under the DuckDB oracle."""
-    old_c = lloyd_centroids(
-        base, n_cells, iters, dim, quant, vec_col, id_col, seed
-    )
-    new_c = lloyd_centroids(
-        full, n_cells, iters, dim, quant, vec_col, id_col, seed,
-        init_cents=old_c,
-    )
+    throughout, so the whole leg replays under the DuckDB oracle.
+    ``old_cents`` / ``new_cents`` reuse already-trained codebooks (the
+    :func:`ivf_retrain_delta` sharing contract — deterministic, so
+    results are row-identical; r13 optimization)."""
+    if new_cents is not None:
+        new_c = new_cents
+    else:
+        old_c = old_cents if old_cents is not None else lloyd_centroids(
+            base, n_cells, iters, dim, quant, vec_col, id_col, seed
+        )
+        new_c = lloyd_centroids(
+            full, n_cells, iters, dim, quant, vec_col, id_col, seed,
+            init_cents=old_c,
+        )
     postings = ivf_assign_hashed(
         full, new_c, n_cells, dim, quant, vec_col, id_col
     )
@@ -1978,7 +2062,7 @@ def prototype_prune(
     assigned = ivf_assign_hashed(
         corpus, cents, n_cells, dim, quant, vec_col, id_col
     )
-    d = _pq_grid_dist(F.col(vec_col), F.col("cv"), 0, dim, quant)
+    d = _pq_grid_dist(vec_col, "cv", 0, dim, quant)
     scored = assigned.join(F.broadcast(cents), ["cell"]).select(
         id_col, "cell", d.alias("proto_dist")
     )
@@ -2175,7 +2259,7 @@ def pq_topk(
     )
 
     def qdist(j: int):
-        return _pq_grid_dist(F.col("qv"), F.col("sv"), j, sub, quant)
+        return _pq_grid_dist("qv", "sv", j, sub, quant)
 
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     pairs = q.crossJoin(F.broadcast(seeds)).select(
@@ -2675,10 +2759,10 @@ def ivf_pq_topk(
     )
 
     def cdist(j: int):
-        return _pq_grid_dist(F.col(vec_col), F.col("sv"), j, sub, quant)
+        return _pq_grid_dist(vec_col, "sv", j, sub, quant)
 
     def qdist(j: int):
-        return _pq_grid_dist(F.col("qv"), F.col("sv"), j, sub, quant)
+        return _pq_grid_dist("qv", "sv", j, sub, quant)
 
     # -- corpus: codes + IVF cell in ONE pass --------------------------------
     pairs = corpus.select(id_col, vec_col).crossJoin(F.broadcast(seeds)).select(
@@ -2765,21 +2849,22 @@ def _res_grid_arr(v: Column, cv: Column, quant: int) -> Column:
     )
 
 
-def _res_sub_dist(a_col: Column, b_col: Column, j: int, sub: int) -> Column:
+def _res_sub_dist(a_col: str, b_col: str, j: int, sub: int) -> Column:
     """Integer L2² between subvectors j of two PRECOMPUTED residual
     grid arrays (:func:`_res_grid_arr`) — ``Σ (a_i − b_i)²`` as an
     explicit expression-tree sum (stays inside whole-stage codegen;
     see :func:`_pq_grid_dist` for why not a fold). Operands are exact
     longs, so distances, argmins, and tiebreaks are bit-identical
-    across engines."""
-    terms: Column | None = None
-    for i in range(1, sub + 1):
+    across engines. r13: built from column NAMES as one server-side-
+    parsed expression (the :func:`_pq_grid_dist` py4j economics);
+    identical tree, identical values."""
+
+    def term(i: int) -> str:
         idx = j * sub + i
-        d = F.element_at(a_col, idx) - F.element_at(b_col, idx)
-        t = d * d
-        terms = t if terms is None else terms + t
-    assert terms is not None
-    return terms
+        d = f"element_at(`{a_col}`, {idx}) - element_at(`{b_col}`, {idx})"
+        return f"(({d})) * (({d}))"
+
+    return F.expr(" + ".join(term(i) for i in range(1, sub + 1)))
 
 
 def ivf_pq_residual_topk(
@@ -2869,7 +2954,7 @@ def ivf_pq_residual_topk(
         "cell",
         "rank",
         *[
-            _res_sub_dist(F.col("_rg"), F.col("_wg"), j, sub).alias(f"_d{j}")
+            _res_sub_dist("_rg", "_wg", j, sub).alias(f"_d{j}")
             for j in range(m)
         ],
     )
@@ -2898,7 +2983,7 @@ def ivf_pq_residual_topk(
         "cell",
         "rank",
         *[
-            _res_sub_dist(F.col("_qg"), F.col("_wg"), j, sub).alias(f"_d{j}")
+            _res_sub_dist("_qg", "_wg", j, sub).alias(f"_d{j}")
             for j in range(m)
         ],
     )
@@ -3070,8 +3155,13 @@ def knn_descent(
     ring: int = 2,
     seed: str = IVF_SEED,
     _materialize: bool = True,
+    ring_edges: DataFrame | None = None,
 ) -> DataFrame:
-    """kNN-graph construction by NN-DESCENT (Dong, Moses & Li, WWW
+    """(``ring_edges`` — an already-built :func:`ring_overlay` edge
+    frame for this exact ``df``/``seed``/``ring`` — skips the per-call
+    ring recomputation; r13 optimization, row-identical.)
+
+    kNN-graph construction by NN-DESCENT (Dong, Moses & Li, WWW
     2011): seed a directed top-``k`` graph, then repeatedly offer each
     node its neighbours' neighbours as candidates and keep the best
     ``k`` — "a neighbour of a neighbour is likely a neighbour".
@@ -3129,42 +3219,23 @@ def knn_descent(
         F.col("cos_sim").desc(), F.col("dst").asc()
     )
     if ring:
-        from wasaffi_spark.operators import ranking
-
-        h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
-        # dense 0..N-1 ring positions in (hash, id) order via the
-        # range-exchange rank (ranking.py) — a global Window.orderBy
-        # here would be a single-partition sort of the whole corpus
-        pos = (
-            ranking.global_row_number(
-                df.select(id_col).withColumn("_h", h),
-                [F.col("_h").asc(), F.col(id_col).asc()],
-                out_col="_grn",
-            )
-            .withColumn("pos", F.col("_grn") - F.lit(1))
-            .select(id_col, "pos")
-        )
-        if _materialize:
-            pos = pos.localCheckpoint(eager=True)
-        n_total = pos.count()  # one scalar — legitimate-collect class
-        # successor offsets via explode of a literal array — pure
-        # codegen, no join (a broadcast crossJoin here would be a
-        # nested-loop plan node for no reason)
+        # the ring is the shared :func:`ring_overlay` construction
+        # (dense 0..N-1 hash positions via the range-exchange rank,
+        # successor offsets by explode — never a single-partition sort
+        # or a crossJoin); ``ring_edges`` reuses a caller-built one
         ringe = (
-            pos.withColumn(
-                "_j", F.explode(F.array(*[F.lit(j) for j in range(1, ring + 1)]))
-            )
-            .withColumn("_tp", F.pmod(F.col("pos") + F.col("_j"), F.lit(n_total)))
-            .join(
-                pos.select(
-                    F.col(id_col).alias("_did"), F.col("pos").alias("_tp")
-                ),
-                "_tp",
-            )
-            .where(F.col(id_col) != F.col("_did"))
-            .select(F.col(id_col).alias("src"), F.col("_did").alias("dst"))
+            ring_edges
+            if ring_edges is not None
+            else ring_overlay(df, 0, ring, id_col, seed, _materialize)[0]
         )
-        seedp = edges.select("src", "dst").union(ringe).distinct()
+        # one shared src exchange for dedup + the seed-rank window
+        # (the _nn_descent_rounds cand trick; 2 Exchange → 1)
+        seedp = (
+            edges.select("src", "dst")
+            .union(ringe)
+            .repartition("src")
+            .dropDuplicates(["src", "dst"])
+        )
         scored0 = (
             seedp.join(va, "src")
             .join(vb, "dst")
@@ -3194,6 +3265,7 @@ def _nn_descent_rounds(
     k: int,
     max_reverse: int | None,
     _materialize: bool,
+    materialize_every: int = 1,
 ) -> DataFrame:
     """The NN-descent round loop, shared verbatim by
     :func:`knn_descent` (cold build from LSH cells + ring) and
@@ -3203,7 +3275,7 @@ def _nn_descent_rounds(
     w_rank = Window.partitionBy("src").orderBy(
         F.col("cos_sim").desc(), F.col("dst").asc()
     )
-    for _ in range(rounds):
+    for _r in range(rounds):
         fwd = edges.select("src", "dst")
         rev = edges.select(
             F.col("dst").alias("src"), F.col("src").alias("dst")
@@ -3216,6 +3288,13 @@ def _nn_descent_rounds(
                 .select("src", "dst")
             )
         und = fwd.union(rev)
+        # repartition(src) + dropDuplicates + the top-k window SHARE one
+        # exchange (guide §2.4: hash(src) co-locates (src,dst) groups,
+        # so the dedup needs no second (src,dst) exchange and the rank
+        # window none at all — plan: 2 Exchange → 1, verified; at
+        # cluster scale the corpus-side score join also keys on src, so
+        # the single src partitioning serves all three). Values
+        # unchanged: dedup over co-located groups is exact.
         cand = (
             und.alias("a")
             .join(und.alias("b"), F.col("a.dst") == F.col("b.src"))
@@ -3224,7 +3303,8 @@ def _nn_descent_rounds(
                 F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
             )
             .union(fwd)
-            .distinct()
+            .repartition("src")
+            .dropDuplicates(["src", "dst"])
         )
         scored = (
             cand.join(va, "src")
@@ -3248,7 +3328,16 @@ def _nn_descent_rounds(
         # lloyd_centroids. _materialize=False is the plan-audit seam:
         # tests disable the checkpoints to assert on the FULL composed
         # lineage (checkpoints would hide it behind a scan).
-        if _materialize:
+        # r13 note: each eager localCheckpoint costs ~0.6 s of
+        # driver-serialized JVM work at bench scale (measured), but a
+        # descent round references `edges` ~5× (fwd, rev, und⋈und),
+        # so skipping a round's checkpoint grows the next plan ~5× —
+        # measured SLOWER at every-2 (11.2 s vs 9.6 s) and 3× worse
+        # at every-4; the per-round cadence stays (materialize_every
+        # is the measured seam, default 1).
+        if _materialize and (
+            (_r + 1) % materialize_every == 0 or _r == rounds - 1
+        ):
             edges = edges.localCheckpoint(eager=True)
     return edges
 
@@ -3311,6 +3400,58 @@ def graph_refresh(
     )
 
 
+def ring_overlay(
+    corpus: DataFrame,
+    n_entry: int = 4,
+    ring: int = 4,
+    id_col: str = "vec_id",
+    seed: str = IVF_SEED,
+    _materialize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The deterministic hash-ring overlay + entry points of
+    :func:`graph_search_topk`, factored out so a caller that searches
+    the SAME corpus repeatedly (the graph controller's before/after
+    gauges) computes it once and passes it in via ``overlay=`` —
+    row-identical to the inline computation (pure function of
+    (corpus, seed); r13 optimization). Returns ``(ringe, entries)``:
+    the ring successor edges ``(src, dst)`` and the first ``n_entry``
+    ring nodes ``(nid)``."""
+    from wasaffi_spark.operators import ranking
+
+    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    ranked, n_total = ranking.global_row_number_with_total(
+        corpus.select(id_col).withColumn("_h", h),
+        [F.col("_h").asc(), F.col(id_col).asc()],
+        out_col="_grn",
+    )
+    pos = ranked.withColumn("pos", F.col("_grn") - F.lit(1)).select(
+        id_col, "pos"
+    )
+    if _materialize:
+        pos = pos.localCheckpoint(eager=True)
+    entries = pos.where(F.col("pos") < n_entry).select(
+        F.col(id_col).alias("nid")
+    )
+    ringe = (
+        pos.withColumn(
+            "_j",
+            F.explode(F.array(*[F.lit(j) for j in range(1, ring + 1)])),
+        )
+        .withColumn(
+            "_tp", F.pmod(F.col("pos") + F.col("_j"), F.lit(n_total))
+        )
+        .join(
+            pos.select(
+                F.col(id_col).alias("_did"), F.col("pos").alias("_tp")
+            ),
+            "_tp",
+        )
+        .where(F.col(id_col) != F.col("_did"))
+        .select(F.col(id_col).alias("src"), F.col("_did").alias("dst"))
+    )
+    return ringe, entries
+
+
 def graph_search_topk(
     queries: DataFrame,
     graph: DataFrame,
@@ -3324,8 +3465,13 @@ def graph_search_topk(
     id_col: str = "vec_id",
     seed: str = IVF_SEED,
     _materialize: bool = True,
+    overlay: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
-    """Greedy beam search over a prebuilt kNN graph — the SEARCH side
+    """(``overlay`` — an already-built :func:`ring_overlay` pair for
+    this exact ``corpus``/``seed``/``n_entry``/``ring`` — skips the
+    per-call ring recomputation; r13 optimization, row-identical.)
+
+    Greedy beam search over a prebuilt kNN graph — the SEARCH side
     of :func:`knn_descent`'s build side, the HNSW-layer-0 shape
     (Malkov & Yashunin, TPAMI 2020): start each query at deterministic
     entry points, repeatedly offer the beam its graph neighbours, keep
@@ -3365,49 +3511,20 @@ def graph_search_topk(
     ``_materialize=False`` is the plan-audit seam). Returns ``(qid,
     nid, cos_sim, rank)``, rank 1..k; recall measured in
     tools/ann_recall.py vs the IVF rungs."""
-    from wasaffi_spark.operators import ranking
-
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
     ).withColumn("_nq", _norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")
     ).withColumn("_nn", _norm(F.col("nv")))
-    h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
-    pos = (
-        ranking.global_row_number(
-            corpus.select(id_col).withColumn("_h", h),
-            [F.col("_h").asc(), F.col(id_col).asc()],
-            out_col="_grn",
+    if overlay is not None:
+        ringe, entries = overlay
+    else:
+        ringe, entries = ring_overlay(
+            corpus, n_entry, ring, id_col, seed, _materialize
         )
-        .withColumn("pos", F.col("_grn") - F.lit(1))
-        .select(id_col, "pos")
-    )
-    if _materialize:
-        pos = pos.localCheckpoint(eager=True)
-    entries = pos.where(F.col("pos") < n_entry).select(
-        F.col(id_col).alias("nid")
-    )
     g = graph.select("src", "dst")
     if ring:
-        n_total = pos.count()  # one scalar — legitimate-collect class
-        ringe = (
-            pos.withColumn(
-                "_j",
-                F.explode(F.array(*[F.lit(j) for j in range(1, ring + 1)])),
-            )
-            .withColumn(
-                "_tp", F.pmod(F.col("pos") + F.col("_j"), F.lit(n_total))
-            )
-            .join(
-                pos.select(
-                    F.col(id_col).alias("_did"), F.col("pos").alias("_tp")
-                ),
-                "_tp",
-            )
-            .where(F.col(id_col) != F.col("_did"))
-            .select(F.col(id_col).alias("src"), F.col("_did").alias("dst"))
-        )
         g = g.union(ringe).distinct()
         if _materialize:
             g = g.localCheckpoint(eager=True)
@@ -3437,15 +3554,24 @@ def graph_search_topk(
     frontier = _score_topn(
         q.select("qid").crossJoin(F.broadcast(entries)), beam
     )
+    # r13 note: a sparser checkpoint cadence was measured SLOWER here
+    # (every-2: 16.9 s vs 12.4 s warm for the declared query) — each
+    # round references the frontier twice and the edge frame once, so
+    # skipped checkpoints multiply the analyzed plan; the per-round
+    # cadence stays.
     if _materialize:
         frontier = frontier.localCheckpoint(eager=True)
     for _ in range(rounds):
+        # one shared qid exchange for dedup + the beam window (the
+        # _nn_descent_rounds cand trick; 2 Exchange → 1 — the scoring
+        # joins are id-equi lookups that leave qid partitioning intact)
         expanded = (
             frontier.select("qid", F.col("nid").alias("src"))
             .join(g, "src")
             .select("qid", F.col("dst").alias("nid"))
             .union(frontier.select("qid", "nid"))
-            .distinct()
+            .repartition("qid")
+            .dropDuplicates(["qid", "nid"])
         )
         frontier = _score_topn(expanded, beam)
         if _materialize:
@@ -3467,8 +3593,13 @@ def graph_insert(
     id_col: str = "vec_id",
     seed: str = IVF_SEED,
     _materialize: bool = True,
+    overlay: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
-    """Incremental graph-ANN index maintenance — the search-then-link
+    """(``overlay`` — a prebuilt :func:`ring_overlay` pair over
+    ``base``, forwarded to the internal search; r13 optimization,
+    row-identical.)
+
+    Incremental graph-ANN index maintenance — the search-then-link
     INSERT of HNSW/Vamana (Malkov & Yashunin TPAMI 2020 §4 insert;
     DiskANN's FreshVamana shape): for every new vector in ``batch``,
     find its ``k`` nearest BASE nodes by :func:`graph_search_topk`
@@ -3503,7 +3634,7 @@ def graph_insert(
     found = graph_search_topk(
         batch, graph, base, k=k, beam=beam, rounds=rounds,
         n_entry=n_entry, ring=ring, vec_col=vec_col, id_col=id_col,
-        seed=seed, _materialize=_materialize,
+        seed=seed, _materialize=_materialize, overlay=overlay,
     )
     if _materialize:
         found = found.localCheckpoint(eager=True)
@@ -3624,8 +3755,11 @@ def graph_delete(
     )
     # a repair candidate can coincide with a surviving edge; the shared
     # rounded-cosine makes the rows byte-identical, so a set-union
-    # dedups them exactly
-    merged = surv.union(scored_cand).distinct()
+    # dedups them exactly — on one src exchange shared with the re-rank
+    # window below (the _nn_descent_rounds cand trick; 2 Exchange → 1)
+    merged = (
+        surv.union(scored_cand).repartition("src").dropDuplicates()
+    )
     w_rank = Window.partitionBy("src").orderBy(
         F.col("cos_sim").desc(), F.col("dst").asc()
     )
@@ -3671,8 +3805,14 @@ def graph_maintained_search(
     id_col: str = "vec_id",
     seed: str = IVF_SEED,
     _materialize: bool = True,
+    base_overlay: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
-    """Search over a MAINTAINED graph index — the composed
+    """(``base_overlay`` — a prebuilt :func:`ring_overlay` pair over
+    ``base``, forwarded to the insert's search; r13 optimization,
+    row-identical. The FINAL search's overlay is over the alive corpus
+    and is built here as always.)
+
+    Search over a MAINTAINED graph index — the composed
     insert→delete→search chain a production graph-ANN pipeline
     actually serves (VERDICT r9 What's-missing #5; the graph analogue
     of ``ivf_append_topk``): what matters operationally is not the
@@ -3710,7 +3850,7 @@ def graph_maintained_search(
         batch, graph, base, k=k_graph, beam=beam, rounds=rounds,
         n_entry=n_entry, ring=ring, max_reverse=max_reverse,
         vec_col=vec_col, id_col=id_col, seed=seed,
-        _materialize=_materialize,
+        _materialize=_materialize, overlay=base_overlay,
     )
     g1 = graph_apply_delta(graph, ins)
     if _materialize:
