@@ -9,6 +9,11 @@ Covers:
 - graph_insert(overlay=prebuilt) ≡ graph_insert()
 - ivf_retrain_delta / ivf_retrained_topk with shared codebooks ≡ the
   per-leg retrain
+- graph.triangle_count materialized ≡ unmaterialized (pure lineage cut)
+- similarity._mmr_greedy lazy steps ≡ per-step-checkpointed steps
+- similarity.top_pc_power: server-side-parsed expressions (oracle-
+  pinned via pca_power/pca_outliers MATCH; spot-pinned here on the
+  grid projection's exactness)
 """
 from __future__ import annotations
 
@@ -155,3 +160,82 @@ def test_retrain_with_shared_codebooks(emb, split):
         n_probe=2, iters=LLOYD_ITERS, new_cents=new_c,
     )
     assert _rows(shared_topk) == _rows(plain_topk)
+
+
+def test_triangle_count_materialization_is_pure(emb):
+    """triangle_count's r13 lineage-cut checkpoints (und, e) change the
+    physical plan only — per-node triangle counts identical."""
+    from wasaffi_spark.operators import graph
+
+    edges = similarity.knn_edges_bucketed(emb, k=2)
+    pairs = similarity.mutual_knn_pairs(edges).select("id_a", "id_b")
+    mat = graph.triangle_count(pairs)
+    plain = graph.triangle_count(pairs, _materialize=False)
+    got = _rows(mat)
+    assert got == _rows(plain)
+    assert got, "fixture graph closes at least one triangle"
+
+
+def test_mmr_greedy_lazy_equals_materialized(emb):
+    """_mmr_greedy with lazy steps (the k<=4 r13 default) returns
+    exactly the rows of the per-step-checkpointed form, at a k above
+    AND below the auto threshold."""
+    lam_micro = 700000
+    sl = (
+        similarity.knn_edges_bucketed(emb, k=8)
+        .where(F.col("src") < 4)
+        .select(
+            F.col("src").alias("qid"),
+            F.col("dst").alias("nid"),
+            F.col("cos_sim"),
+            F.floor(F.col("cos_sim") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("rel_micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pp = (
+        sl.alias("x")
+        .join(sl.alias("y"), "qid")
+        .where(F.col("x.nid") != F.col("y.nid"))
+        .select(
+            "qid",
+            F.col("x.nid").alias("_a"),
+            F.col("y.nid").alias("_b"),
+            F.floor(F.col("y.cos_sim") * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("sim_micro"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for k in (3, 5):
+        lazy = similarity._mmr_greedy(
+            sl, pp, k, lam_micro, 1_000_000 - lam_micro, "cos_sim",
+            materialize_steps=False,
+        )
+        eager = similarity._mmr_greedy(
+            sl, pp, k, lam_micro, 1_000_000 - lam_micro, "cos_sim",
+            materialize_steps=True,
+        )
+        assert _rows(lazy) == _rows(eager)
+
+
+def test_top_pc_power_grid_projection_exact(spark):
+    """The r13 server-side-parsed grid snap matches the Column-API
+    form it replaced, including the negative-value floor+0.5 rule."""
+    df = spark.createDataFrame(
+        [([0.25, -0.75],), ([1.0000005, -0.0000005],)], "embedding array<double>"
+    )
+    got = df.selectExpr(
+        "cast(floor(cast(element_at(`embedding`, 1) as double)"
+        " * 1000000 + 0.5d) as bigint) as g1",
+        "cast(floor(cast(element_at(`embedding`, 2) as double)"
+        " * 1000000 + 0.5d) as bigint) as g2",
+    ).collect()
+    want = df.select(
+        F.floor(F.element_at(F.col("embedding"), 1).cast("double") * 1000000
+                + F.lit(0.5)).cast("long").alias("g1"),
+        F.floor(F.element_at(F.col("embedding"), 2).cast("double") * 1000000
+                + F.lit(0.5)).cast("long").alias("g2"),
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

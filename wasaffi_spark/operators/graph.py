@@ -212,6 +212,7 @@ def triangle_count(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
+    _materialize: bool = True,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected pair graph —
     ``(node, n_triangles)`` for every node that closes at least one
@@ -245,6 +246,14 @@ def triangle_count(
         .where(F.col("x") != F.col("y"))
         .distinct()
     )
+    # O(m) rows, consumed 5× below (deg twice, ud once) — materialize
+    # so the caller's edge pipeline (in the declared query: the
+    # Arrow-scored kNN candidate join) runs ONCE instead of being
+    # replayed under every consumer (r13: the unmaterialized plan
+    # carried 720 ArrowEvalPython nodes / 550 Exchanges; values
+    # unchanged — the checkpoint is a pure lineage cut).
+    if _materialize:
+        und = und.localCheckpoint(eager=True)
     deg = (
         und.select(F.col("x").alias("node"))
         .unionAll(und.select(F.col("y").alias("node")))
@@ -265,6 +274,9 @@ def triangle_count(
         F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("a"),
         F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("b"),
     )
+    # oriented edge list, consumed 3× (wedge twice + closing semi-join)
+    if _materialize:
+        e = e.localCheckpoint(eager=True)
     w = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))

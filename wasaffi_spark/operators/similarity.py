@@ -1767,6 +1767,7 @@ def _mmr_greedy(
     lam_micro: int,
     mu_micro: int,
     disp: str,
+    materialize_steps: bool | None = None,
 ) -> DataFrame:
     """Shared greedy MMR selection loop (integer-exact — see
     :func:`mmr_topk` for why floats never touch the argmax): ``sl`` is
@@ -1775,6 +1776,16 @@ def _mmr_greedy(
     definition so the vector form (:func:`mmr_topk`) and the BM25 form
     (retrieval.bm25_mmr) can never drift in their pick/tiebreak
     contract. Returns ``(qid, nid, <disp>, mmr_nano, step)``."""
+    # r13: per-step eager checkpoints cost ~0.5 s of driver-serialized
+    # work each (the graph-family measurement) but each greedy step
+    # references `selected` 3× (anti-join, penalty join, union), so the
+    # lazy plan grows ~3^(k-1) copies of the tiny pick subtree over the
+    # CHECKPOINTED sl/pp leaves. For the small k of the rerank surface
+    # (k=3 declared) lazy is strictly cheaper — one job at action time;
+    # past k=4 the per-step cut keeps the plan bounded, as before.
+    # Purely physical either way: values identical (pytest-pinned).
+    if materialize_steps is None:
+        materialize_steps = k > 4
     w_pick = Window.partitionBy("qid").orderBy(
         F.col("mmr_nano").desc(), F.col("nid").asc()
     )
@@ -1784,7 +1795,9 @@ def _mmr_greedy(
         .where(F.col("_r") == 1)
         .select("qid", "nid", disp, "mmr_nano", F.lit(1).alias("step"))
     )
-    selected = first.localCheckpoint(eager=True)
+    selected = first
+    if materialize_steps:
+        selected = selected.localCheckpoint(eager=True)
     for i in range(2, k + 1):
         rem = sl.join(selected.select("qid", "nid"), ["qid", "nid"], "left_anti")
         pen = (
@@ -1809,7 +1822,9 @@ def _mmr_greedy(
             .where(F.col("_r") == 1)
             .select("qid", "nid", disp, "mmr_nano", F.lit(i).alias("step"))
         )
-        selected = selected.union(pick).localCheckpoint(eager=True)
+        selected = selected.union(pick)
+        if materialize_steps:
+            selected = selected.localCheckpoint(eager=True)
     return selected
 
 
@@ -1856,29 +1871,26 @@ def top_pc_power(
     """
     import math
 
-    gcols = [
-        F.floor(
-            F.element_at(F.col(vec_col), j + 1).cast("double") * quant
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias(f"_g{j}")
+    # server-side-parsed expressions (the _pq_grid_dist r13 note: the
+    # Column-API form pays ~6 py4j round trips per dimension per
+    # iteration; the parsed floor/cast/sum trees are identical)
+    gexprs = [
+        f"cast(floor(cast(element_at(`{vec_col}`, {j + 1}) as double)"
+        f" * {quant} + 0.5d) as bigint) as `_g{j}`"
         for j in range(dim)
     ]
     # N×dim longs — materialize once; every iteration reads this table
-    gdf = corpus.select(*gcols).localCheckpoint(eager=True)
+    gdf = corpus.selectExpr(*gexprs).localCheckpoint(eager=True)
     w = [scale] * dim
     for _ in range(iters):
-        s = None
-        for j in range(dim):
-            t = F.col(f"_g{j}") * F.lit(w[j])
-            s = t if s is None else s + t
-        row = gdf.withColumn("_s", s).agg(
-            *[
-                F.sum(F.col(f"_g{j}") * F.col("_s")).alias(f"_y{j}")
-                for j in range(dim)
-            ]
-        ).collect()[0]
+        s_sql = " + ".join(f"(`_g{j}` * {w[j]})" for j in range(dim))
+        row = (
+            gdf.withColumn("_s", F.expr(s_sql))
+            .selectExpr(
+                *[f"sum(`_g{j}` * `_s`) as `_y{j}`" for j in range(dim)]
+            )
+            .collect()[0]
+        )
         y = [int(row[f"_y{j}"] or 0) for j in range(dim)]
         m = max(abs(v) for v in y)
         if m == 0:
