@@ -220,6 +220,34 @@ def test_mmr_greedy_lazy_equals_materialized(emb):
         assert _rows(lazy) == _rows(eager)
 
 
+def test_cluster_safe_split_shared_components(spark):
+    """cluster_safe_split(components=prebuilt) ≡ the straight-line
+    form, in both plain and freeze mode (the q_split_drift r13
+    sharing)."""
+    from wasaffi_spark.operators import dedup, graph, pipeline
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sig = dedup.minhash_signatures(docs).persist()
+    sig.count()
+    try:
+        pairs = dedup.lsh_candidate_pairs(sig)
+        comps = graph.connected_components(pairs).localCheckpoint(
+            eager=True
+        )
+        plain = pipeline.cluster_safe_split(docs, pairs)
+        shared = pipeline.cluster_safe_split(docs, pairs, components=comps)
+        assert _rows(shared) == _rows(plain)
+
+        prior = plain.select("doc_id", "split").localCheckpoint(eager=True)
+        plain_f = pipeline.cluster_safe_split(docs, pairs, prior=prior)
+        shared_f = pipeline.cluster_safe_split(
+            docs, pairs, prior=prior, components=comps
+        )
+        assert _rows(shared_f) == _rows(plain_f)
+    finally:
+        sig.unpersist()
+
+
 def test_top_pc_power_grid_projection_exact(spark):
     """The r13 server-side-parsed grid snap matches the Column-API
     form it replaced, including the negative-value floor+0.5 rule."""

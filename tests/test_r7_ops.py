@@ -279,8 +279,9 @@ def test_lloyd_training_reduces_quantization_error(spark):
             cents.withColumnRenamed("cell", "cell2"),
             F.col("cell") == F.col("cell2"),
         )
+        # r13: _pq_grid_dist takes column NAMES (server-side-parsed SQL)
         d = similarity._pq_grid_dist(
-            F.col("embedding"), F.col("cv"), 0, 64, similarity.PQ_QUANT
+            "embedding", "cv", 0, 64, similarity.PQ_QUANT
         )
         return joined.select(F.sum(d).alias("s")).collect()[0]["s"]
 

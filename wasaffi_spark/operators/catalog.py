@@ -10235,6 +10235,7 @@ def q_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     unfrozen vs frozen (cluster_safe_split(prior=...)): (mode,
     old_split, new_split, n_docs). The frozen mode's matrix is
     diagonal for surviving documents by construction."""
+    from . import graph
     from .pipeline import cluster_safe_split, split_drift
 
     docs = _table(spark, sf_dir, "documents")
@@ -10248,8 +10249,16 @@ def q_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the v1 assignment feeds three consumers (two drift reports +
         # the freeze prior) — pin it once; it is O(docs) ids + labels
         old = cluster_safe_split(v1, pairs1).localCheckpoint(eager=True)
-        unfrozen = cluster_safe_split(docs, pairs2)
-        frozen = cluster_safe_split(docs, pairs2, prior=old)
+        # one component closure for the unfrozen/frozen twin (r13 —
+        # the closure is a pure function of pairs2; pinned in
+        # tests/test_r13_opt.py)
+        comps2 = graph.connected_components(pairs2).localCheckpoint(
+            eager=True
+        )
+        unfrozen = cluster_safe_split(docs, pairs2, components=comps2)
+        frozen = cluster_safe_split(
+            docs, pairs2, prior=old, components=comps2
+        )
         rep = split_drift(old, unfrozen).select(
             F.lit("unfrozen").alias("mode"), "*"
         ).unionByName(

@@ -52,6 +52,7 @@ def cluster_safe_split(
     id_col: str = "doc_id",
     seed: str = SPLIT_SEED,
     prior: DataFrame | None = None,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Leakage-safe train/val/test split: hash the near-dup CLUSTER id,
     not the document id, so no near-duplicate pair ever straddles a
@@ -103,7 +104,14 @@ def cluster_safe_split(
     """
     from .graph import connected_components
 
-    comp = connected_components(pairs).select(
+    # ``components`` — a prebuilt connected_components(pairs) frame for
+    # this exact ``pairs``, so a caller that splits the SAME corpus
+    # version twice (split_drift's unfrozen/frozen twin) closes the
+    # candidate graph once (r13 optimization; row-identical — the
+    # closure is a pure function of pairs).
+    if components is None:
+        components = connected_components(pairs)
+    comp = components.select(
         F.col("node").alias(id_col),
         F.col("component").alias("cluster_id"),
     )

@@ -3219,6 +3219,13 @@ def knn_descent(
     )
     v = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv"))
     v = v.withColumn("_vn", _norm(F.col("_vv")))
+    # r13: every descent round's materialization job re-scans the
+    # corpus and recomputes the norms to rebuild the va/vb score-join
+    # sides (broadcast reuse does not cross job boundaries) — cache the
+    # N-row (id, vec, norm) frame once per call instead. Pure lineage
+    # cut; values unchanged.
+    if _materialize:
+        v = v.localCheckpoint(eager=True)
     va = v.select(
         F.col("_vid").alias("src"), F.col("_vv").alias("av"),
         F.col("_vn").alias("_na"),
@@ -3389,6 +3396,10 @@ def graph_refresh(
     v = corpus.select(
         F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv")
     ).withColumn("_vn", _norm(F.col("_vv")))
+    # r13: cache the (id, vec, norm) frame once per refresh — see the
+    # knn_descent note (per-round broadcast rebuilds don't cross jobs)
+    if _materialize:
+        v = v.localCheckpoint(eager=True)
     va = v.select(
         F.col("_vid").alias("src"), F.col("_vv").alias("av"),
         F.col("_vn").alias("_na"),
@@ -3529,6 +3540,12 @@ def graph_search_topk(
     c = corpus.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")
     ).withColumn("_nn", _norm(F.col("nv")))
+    # r13: q and c feed every round's score join — cache each once per
+    # search so the per-round materialization jobs read cached rows
+    # instead of re-deriving corpus+norms (see the knn_descent note)
+    if _materialize:
+        q = q.localCheckpoint(eager=True)
+        c = c.localCheckpoint(eager=True)
     if overlay is not None:
         ringe, entries = overlay
     else:
