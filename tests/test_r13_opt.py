@@ -248,6 +248,98 @@ def test_cluster_safe_split_shared_components(spark):
         sig.unpersist()
 
 
+def test_norm_frame_seams_row_identical(emb, split):
+    """Batch-4 pins: every ``vnorm``/``qnorm``/``cnorm`` norm_frame
+    seam (and the knn_edges_bucketed vnorm path + graph_search_topk's
+    ``_materialize_final`` skip) is row-identical to the straight-line
+    form it replaces."""
+    base, batch, dele, queries = split
+    nf = similarity.norm_frame(emb)
+    base_nf = nf.where(F.col("_vid") % IAP_MOD != IAP_MOD - 1)
+    batch_nf = nf.where(F.col("_vid") % IAP_MOD == IAP_MOD - 1)
+
+    # knn_edges_bucketed: vnorm-backed cells ≡ inline cells (incl. the
+    # auto-bits count over the prebuilt frame)
+    plain_edges = similarity.knn_edges_bucketed(base, k=2)
+    pre_edges = similarity.knn_edges_bucketed(base, k=2, vnorm=base_nf)
+    assert _rows(pre_edges) == _rows(plain_edges)
+
+    # knn_descent: prebuilt vnorm ≡ per-call build
+    plain_g = similarity.knn_descent(
+        base, k=DESCENT_K, rounds=1, max_reverse=DESCENT_MAX_REVERSE,
+        ring=DESCENT_RING,
+    )
+    pre_g = similarity.knn_descent(
+        base, k=DESCENT_K, rounds=1, max_reverse=DESCENT_MAX_REVERSE,
+        ring=DESCENT_RING, vnorm=base_nf,
+    )
+    assert _rows(pre_g) == _rows(plain_g)
+    graph = pre_g.localCheckpoint(eager=True)
+
+    # graph_search_topk: qnorm/cnorm seams + final-checkpoint skip
+    q_nf = nf.where(
+        (F.col("_vid") < ANN_QUERY_MAX_ID)
+        & (F.pmod(F.col("_vid"), F.lit(IMS_DEL_MOD)) != IMS_DEL_RES)
+    )
+    plain_s = similarity.graph_search_topk(
+        queries, graph, base, k=GS_K, beam=GS_BEAM, rounds=2,
+        n_entry=GS_ENTRY, ring=GS_RING,
+    )
+    pre_s = similarity.graph_search_topk(
+        queries, graph, base, k=GS_K, beam=GS_BEAM, rounds=2,
+        n_entry=GS_ENTRY, ring=GS_RING, qnorm=q_nf, cnorm=base_nf,
+        _materialize_final=False,
+    )
+    assert _rows(pre_s) == _rows(plain_s)
+
+    # graph_delete: prebuilt vnorm ≡ lazy per-call projection
+    plain_d = similarity.graph_delete(dele, graph, base, k=DESCENT_K)
+    pre_d = similarity.graph_delete(
+        dele, graph, base, k=DESCENT_K, vnorm=base_nf
+    )
+    assert _rows(pre_d) == _rows(plain_d)
+
+    # graph_refresh: prebuilt vnorm ≡ per-call build
+    plain_r = similarity.graph_refresh(
+        graph, base, k=DESCENT_K, rounds=1,
+        max_reverse=DESCENT_MAX_REVERSE,
+    )
+    pre_r = similarity.graph_refresh(
+        graph, base, k=DESCENT_K, rounds=1,
+        max_reverse=DESCENT_MAX_REVERSE, vnorm=base_nf,
+    )
+    assert _rows(pre_r) == _rows(plain_r)
+
+
+def test_graph_maintained_search_norm_seams(emb, split):
+    """graph_maintained_search with every per-side norm seam (and the
+    overlapped CRUD/prep threads) ≡ the straight-line composition."""
+    base, batch, dele, queries = split
+    nf = similarity.norm_frame(emb)
+    base_nf = nf.where(F.col("_vid") % IAP_MOD != IAP_MOD - 1)
+    batch_nf = nf.where(F.col("_vid") % IAP_MOD == IAP_MOD - 1)
+    alive_nf = nf.where(
+        F.pmod(F.col("_vid"), F.lit(IMS_DEL_MOD)) != IMS_DEL_RES
+    )
+    q_nf = alive_nf.where(F.col("_vid") < ANN_QUERY_MAX_ID)
+    graph = similarity.knn_descent(
+        base, k=DESCENT_K, rounds=1, max_reverse=DESCENT_MAX_REVERSE,
+        ring=DESCENT_RING,
+    ).localCheckpoint(eager=True)
+    plain = similarity.graph_maintained_search(
+        queries, graph, base, batch, dele, k=GS_K, k_graph=DESCENT_K,
+        beam=GS_BEAM, rounds=2, n_entry=GS_ENTRY, ring=GS_RING,
+        max_reverse=DESCENT_MAX_REVERSE,
+    )
+    pre = similarity.graph_maintained_search(
+        queries, graph, base, batch, dele, k=GS_K, k_graph=DESCENT_K,
+        beam=GS_BEAM, rounds=2, n_entry=GS_ENTRY, ring=GS_RING,
+        max_reverse=DESCENT_MAX_REVERSE, base_norm=base_nf,
+        batch_norm=batch_nf, alive_norm=alive_nf, qnorm=q_nf,
+    )
+    assert _rows(pre) == _rows(plain)
+
+
 def test_top_pc_power_grid_projection_exact(spark):
     """The r13 server-side-parsed grid snap matches the Column-API
     form it replaced, including the negative-value floor+0.5 rule."""

@@ -7440,14 +7440,18 @@ def q_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the graph build (shared _DESCENT_GRAPH_CTES)
     and every beam round as unrolled CTEs."""
     emb = _table(spark, sf_dir, "embeddings")
+    # r13: ONE corpus materialization (norm_frame) shared by the
+    # descent build's seed/rounds and the search's corpus+query sides
+    nf = similarity.norm_frame(emb)
     graph = similarity.knn_descent(
         emb, k=DESCENT_K, rounds=DESCENT_ROUNDS,
-        max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
+        max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING, vnorm=nf,
     )
     queries = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
     out = similarity.graph_search_topk(
         queries, graph, emb, k=GS_K, beam=GS_BEAM, rounds=GS_ROUNDS,
-        n_entry=GS_ENTRY, ring=GS_RING,
+        n_entry=GS_ENTRY, ring=GS_RING, cnorm=nf,
+        qnorm=nf.where(F.col("_vid") < ANN_QUERY_MAX_ID),
     )
     return out.select(
         "qid", "nid", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
@@ -7549,25 +7553,25 @@ def q_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(|batch|·beam·(k+ring)·rounds) + one bounded splice join —
     independent of base size post-build. Insert≡rebuild pinned by
     pytest on the orthogonal-cluster fixture (incl. eviction)."""
-    emb = _table(spark, sf_dir, "embeddings")
-    base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
-    batch = emb.where(F.col("vec_id") % IAP_MOD == IAP_MOD - 1)
-    # r13: the base hash-ring is shared by the descent build and the
-    # insert's search (DESCENT_RING == GS_RING, same seed) — build it
-    # once, pin it, pass it to both (row-identical; ring_overlay)
-    b_ringe, b_entries = similarity.ring_overlay(
-        base, n_entry=GS_ENTRY, ring=GS_RING
+    # r13: ONE corpus materialization (norm_frame over emb) backs the
+    # descent seed/rounds AND the insert search's query/corpus sides
+    # (filter-derived slices of the cached rows); the base hash-ring is
+    # likewise shared by the build and the insert's search
+    # (DESCENT_RING == GS_RING, same seed) — build once, pin, pass to
+    # both (row-identical; ring_overlay). The two materializations are
+    # independent → overlapped (guide §2.6; _graph_family_prologue).
+    emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries = (
+        _graph_family_prologue(spark, sf_dir)
     )
-    b_ringe = b_ringe.localCheckpoint(eager=True)
     graph = similarity.knn_descent(
         base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
         max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
-        ring_edges=b_ringe,
+        ring_edges=b_ringe, vnorm=base_nf,
     )
     out = similarity.graph_insert(
         batch, graph, base, k=DESCENT_K, beam=GS_BEAM, rounds=GS_ROUNDS,
         n_entry=GS_ENTRY, ring=GS_RING, max_reverse=DESCENT_MAX_REVERSE,
-        overlay=(b_ringe, b_entries),
+        overlay=(b_ringe, b_entries), qnorm=batch_nf, cnorm=base_nf,
     )
     return out.select(
         "src", "dst", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
@@ -7638,12 +7642,15 @@ def q_graph_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     node's out-neighbours), re-ranked under the shared contract.
     Repair work ∝ edges-into-deleted × k, never the whole graph."""
     emb = _table(spark, sf_dir, "embeddings")
+    # r13: one corpus materialization shared by the build and the
+    # repair scoring (norm_frame seam, row-identical)
+    nf = similarity.norm_frame(emb)
     graph = similarity.knn_descent(
         emb, k=DESCENT_K, rounds=DESCENT_ROUNDS,
-        max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
+        max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING, vnorm=nf,
     )
     dele = emb.where(F.col("vec_id") % GDEL_MOD == 3).select("vec_id")
-    out = similarity.graph_delete(dele, graph, emb, k=DESCENT_K)
+    out = similarity.graph_delete(dele, graph, emb, k=DESCENT_K, vnorm=nf)
     return out.select(
         "src", "dst", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
     ).orderBy("src", "rnk")
@@ -7706,6 +7713,48 @@ GMS_DEL_RES = 4   # BOTH base nodes and just-inserted batch nodes —
 # the FreshDiskANN interleaving the composition exists to exercise.
 
 
+def _graph_family_prologue(spark: SparkSession, sf_dir: str):
+    """The shared prologue of every graph-family builder (r13, guide
+    §1.2 step 1 + §2.6): the IAP_MOD base/batch split of the embeddings
+    table, ONE materialized norm_frame over the full corpus (its
+    base/batch slices derive by the same filters — every downstream
+    stage reads cached rows instead of re-materializing the corpus),
+    and the shared base ring overlay — the norm_frame and overlay
+    materializations are independent and run overlapped. Returns
+    ``(emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries)``;
+    all row-identical to the per-builder constructions they replace."""
+    emb = _table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
+    batch = emb.where(F.col("vec_id") % IAP_MOD == IAP_MOD - 1)
+    (nf,), (b_ringe, b_entries) = similarity._overlap(
+        lambda: (similarity.norm_frame(emb),),
+        lambda: similarity.ring_overlay(
+            base, n_entry=GS_ENTRY, ring=GS_RING
+        ),
+    )
+    b_ringe = b_ringe.localCheckpoint(eager=True)
+    base_nf = nf.where(F.col("_vid") % IAP_MOD != IAP_MOD - 1)
+    batch_nf = nf.where(F.col("_vid") % IAP_MOD == IAP_MOD - 1)
+    return emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries
+
+
+def _gms_slices(emb, nf):
+    """The maintained-search chain's delete/query slices and their
+    norm_frame-derived sides (r13; row-identical filters)."""
+    dele = emb.where(
+        F.pmod(F.col("vec_id"), F.lit(GMS_DEL_MOD)) == GMS_DEL_RES
+    ).select("vec_id")
+    queries = emb.where(
+        (F.col("vec_id") < ANN_QUERY_MAX_ID)
+        & (F.pmod(F.col("vec_id"), F.lit(GMS_DEL_MOD)) != GMS_DEL_RES)
+    )
+    alive_nf = nf.where(
+        F.pmod(F.col("_vid"), F.lit(GMS_DEL_MOD)) != GMS_DEL_RES
+    )
+    q_nf = alive_nf.where(F.col("_vid") < ANN_QUERY_MAX_ID)
+    return dele, queries, alive_nf, q_nf
+
+
 def q_graph_maintained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-maintenance graph-ANN search (operators/similarity.py::
     graph_maintained_search): build the base graph over the 7/8 slice
@@ -7717,31 +7766,21 @@ def q_graph_maintained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputed over the ALIVE corpus. Every stage is an
     already-attested operator; the oracle replays the whole chain from
     the shared CTE builders."""
-    emb = _table(spark, sf_dir, "embeddings")
-    base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
-    batch = emb.where(F.col("vec_id") % IAP_MOD == IAP_MOD - 1)
-    # r13: base ring shared by the descent build and the insert search
-    b_ringe, b_entries = similarity.ring_overlay(
-        base, n_entry=GS_ENTRY, ring=GS_RING
+    emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries = (
+        _graph_family_prologue(spark, sf_dir)
     )
-    b_ringe = b_ringe.localCheckpoint(eager=True)
     graph = similarity.knn_descent(
         base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
         max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
-        ring_edges=b_ringe,
+        ring_edges=b_ringe, vnorm=base_nf,
     )
-    dele = emb.where(
-        F.pmod(F.col("vec_id"), F.lit(GMS_DEL_MOD)) == GMS_DEL_RES
-    ).select("vec_id")
-    queries = emb.where(
-        (F.col("vec_id") < ANN_QUERY_MAX_ID)
-        & (F.pmod(F.col("vec_id"), F.lit(GMS_DEL_MOD)) != GMS_DEL_RES)
-    )
+    dele, queries, alive_nf, q_nf = _gms_slices(emb, nf)
     out = similarity.graph_maintained_search(
         queries, graph, base, batch, dele, k=GS_K, k_graph=DESCENT_K,
         beam=GS_BEAM, rounds=GS_ROUNDS, n_entry=GS_ENTRY, ring=GS_RING,
         max_reverse=DESCENT_MAX_REVERSE,
-        base_overlay=(b_ringe, b_entries),
+        base_overlay=(b_ringe, b_entries), base_norm=base_nf,
+        batch_norm=batch_nf, alive_norm=alive_nf, qnorm=q_nf,
     )
     return out.select(
         "qid", "nid", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
@@ -8735,7 +8774,19 @@ def q_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     words = dwf.groupBy("word").agg(F.sum("dfreq").alias("freq"))
 
-    uvoc = unigram.unigram_train(docs)
+    # r13 (guide §2.6): the two tokenizer trainings are INDEPENDENT
+    # driver-sequential chains of small jobs (the unigram hard-EM's
+    # per-iteration vocab collects vs the BPE merge loop) that only
+    # meet at the comparison join — run them on two driver threads so
+    # one trainer's jobs back-fill the other's idle cores. Pure
+    # concurrency; both trainings are deterministic and row-identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fu = pool.submit(unigram.unigram_train, docs)
+        fb = pool.submit(bpe.bpe_train, docs, k_merges=BPE_K)
+        uvoc = fu.result()
+        merges = fb.result()
     g_arr = F.array(*[F.lit(g) for g in unigram.log_gains()])
     vg = uvoc.withColumn(
         "g", F.element_at(g_arr, F.col("p_q").cast("int")).cast("long")
@@ -8748,7 +8799,6 @@ def q_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             != F.col("word")
         ).cast("long").alias("_ubad"),
     )
-    merges = bpe.bpe_train(docs, k_merges=BPE_K)
     bsegs = bpe.bpe_apply_words(words.select("word"), merges).select(
         "word",
         F.col("n_sub").alias("_bp"),
@@ -9206,6 +9256,44 @@ register_extra(
 GREF_ROUNDS = 1
 
 
+def _maintained_graph_chain(spark: SparkSession, sf_dir: str):
+    """The shared CRUD chain of the graph_refresh / policy / drift
+    builders (r13 refactor — one definition of the identical chain
+    these builders each spelled out): descent build over the base
+    slice → insert the batch → delete the GMS slice with repair → the
+    maintained adjacency ``g2``, all over the ONE
+    ``_graph_family_prologue`` materialization. Returns ``(emb, nf,
+    dele, d, g2, alive, alive_nf, queries, q_nf)`` — row-identical to
+    the inlined chains it replaces."""
+    emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries = (
+        _graph_family_prologue(spark, sf_dir)
+    )
+    graph = similarity.knn_descent(
+        base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
+        max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
+        ring_edges=b_ringe, vnorm=base_nf,
+    )
+    dele, queries, alive_nf, q_nf = _gms_slices(emb, nf)
+    ins = similarity.graph_insert(
+        batch, graph, base, k=DESCENT_K, beam=GS_BEAM, rounds=GS_ROUNDS,
+        n_entry=GS_ENTRY, ring=GS_RING, max_reverse=DESCENT_MAX_REVERSE,
+        overlay=(b_ringe, b_entries), qnorm=batch_nf, cnorm=base_nf,
+    )
+    g1 = similarity.graph_apply_delta(graph, ins).localCheckpoint(
+        eager=True
+    )
+    corpus = emb.select("vec_id", "embedding")
+    rep = similarity.graph_delete(dele, g1, corpus, k=DESCENT_K, vnorm=nf)
+    d = dele.withColumnRenamed("vec_id", "_did")
+    g2 = (
+        similarity.graph_apply_delta(g1, rep)
+        .join(d, F.col("src") == F.col("_did"), "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    alive = emb.join(d, F.col("vec_id") == F.col("_did"), "left_anti")
+    return emb, nf, dele, d, g2, alive, alive_nf, queries, q_nf
+
+
 def q_graph_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Warm graph refresh (operators/similarity.py::graph_refresh):
     build the base graph, insert the 1/8 batch, delete the
@@ -9215,42 +9303,12 @@ def q_graph_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tail edges incremental maintenance cannot see, at a fraction of a
     cold rebuild (1 warm round vs 4 cold). Emits the refreshed
     adjacency; the oracle replays the full chain + the round."""
-    emb = _table(spark, sf_dir, "embeddings")
-    base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
-    batch = emb.where(F.col("vec_id") % IAP_MOD == IAP_MOD - 1)
-    # r13: base ring shared by the descent build and the insert search
-    b_ringe, b_entries = similarity.ring_overlay(
-        base, n_entry=GS_ENTRY, ring=GS_RING
+    _emb, _nf, _dele, _d, g2, alive, alive_nf, _q, _qn = (
+        _maintained_graph_chain(spark, sf_dir)
     )
-    b_ringe = b_ringe.localCheckpoint(eager=True)
-    graph = similarity.knn_descent(
-        base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
-        max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
-        ring_edges=b_ringe,
-    )
-    dele = emb.where(
-        F.pmod(F.col("vec_id"), F.lit(GMS_DEL_MOD)) == GMS_DEL_RES
-    ).select("vec_id")
-    ins = similarity.graph_insert(
-        batch, graph, base, k=DESCENT_K, beam=GS_BEAM, rounds=GS_ROUNDS,
-        n_entry=GS_ENTRY, ring=GS_RING, max_reverse=DESCENT_MAX_REVERSE,
-        overlay=(b_ringe, b_entries),
-    )
-    g1 = similarity.graph_apply_delta(graph, ins).localCheckpoint(
-        eager=True
-    )
-    corpus = emb.select("vec_id", "embedding")
-    rep = similarity.graph_delete(dele, g1, corpus, k=DESCENT_K)
-    d = dele.withColumnRenamed("vec_id", "_did")
-    g2 = (
-        similarity.graph_apply_delta(g1, rep)
-        .join(d, F.col("src") == F.col("_did"), "left_anti")
-        .localCheckpoint(eager=True)
-    )
-    alive = emb.join(d, F.col("vec_id") == F.col("_did"), "left_anti")
     out = similarity.graph_refresh(
         g2, alive, k=DESCENT_K, rounds=GREF_ROUNDS,
-        max_reverse=DESCENT_MAX_REVERSE,
+        max_reverse=DESCENT_MAX_REVERSE, vnorm=alive_nf,
     )
     return out.select(
         "src", "dst", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
@@ -9393,31 +9451,21 @@ def q_graph_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.brute_force_topk over the alive corpus
     (operators/similarity.py::recall_at_k) — (qid, hits, k), all
     integers."""
-    emb = _table(spark, sf_dir, "embeddings")
-    base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
-    batch = emb.where(F.col("vec_id") % IAP_MOD == IAP_MOD - 1)
-    # r13: base ring shared by the descent build and the insert search
-    b_ringe, b_entries = similarity.ring_overlay(
-        base, n_entry=GS_ENTRY, ring=GS_RING
+    emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries = (
+        _graph_family_prologue(spark, sf_dir)
     )
-    b_ringe = b_ringe.localCheckpoint(eager=True)
     graph = similarity.knn_descent(
         base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
         max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
-        ring_edges=b_ringe,
+        ring_edges=b_ringe, vnorm=base_nf,
     )
-    dele = emb.where(
-        F.pmod(F.col("vec_id"), F.lit(GMS_DEL_MOD)) == GMS_DEL_RES
-    ).select("vec_id")
-    queries = emb.where(
-        (F.col("vec_id") < ANN_QUERY_MAX_ID)
-        & (F.pmod(F.col("vec_id"), F.lit(GMS_DEL_MOD)) != GMS_DEL_RES)
-    )
+    dele, queries, alive_nf, q_nf = _gms_slices(emb, nf)
     got = similarity.graph_maintained_search(
         queries, graph, base, batch, dele, k=GS_K, k_graph=DESCENT_K,
         beam=GS_BEAM, rounds=GS_ROUNDS, n_entry=GS_ENTRY, ring=GS_RING,
         max_reverse=DESCENT_MAX_REVERSE,
-        base_overlay=(b_ringe, b_entries),
+        base_overlay=(b_ringe, b_entries), base_norm=base_nf,
+        batch_norm=batch_nf, alive_norm=alive_nf, qnorm=q_nf,
     )
     d = dele.withColumnRenamed("vec_id", "_did")
     alive = emb.join(d, F.col("vec_id") == F.col("_did"), "left_anti")
@@ -10529,58 +10577,51 @@ def q_graph_policy_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     the maintained-graph build AND the O(Q·N) before gauge."""
     from . import serving
 
-    emb = _table(spark, sf_dir, "embeddings")
-    base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
-    batch = emb.where(F.col("vec_id") % IAP_MOD == IAP_MOD - 1)
-    # r13: base ring shared by the descent build and the insert search
-    b_ringe, b_entries = similarity.ring_overlay(
-        base, n_entry=GS_ENTRY, ring=GS_RING
-    )
-    b_ringe = b_ringe.localCheckpoint(eager=True)
-    graph = similarity.knn_descent(
-        base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
-        max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
-        ring_edges=b_ringe,
-    )
-    dele = emb.where(
+    # r13: the O(Q·N) truth set and the alive-corpus ring overlay are
+    # pure functions of (queries, alive) — independent of the whole
+    # build→insert→delete chain — so they materialize on a second
+    # driver thread OVERLAPPED with the chain (guide §2.6); both still
+    # feed BOTH gauge runs (pinned once, O(Q·k) / O(N·ring)).
+    def chain():
+        return _maintained_graph_chain(spark, sf_dir)
+
+    # the prologue inside chain() re-derives the same tiny frames; the
+    # prep leg needs only (queries, alive), rebuilt here from the raw
+    # table (identical filters — no dependency on the chain thread)
+    emb0 = _table(spark, sf_dir, "embeddings")
+    dele0 = emb0.where(
         F.pmod(F.col("vec_id"), F.lit(GMS_DEL_MOD)) == GMS_DEL_RES
     ).select("vec_id")
-    queries = emb.where(
+    queries0 = emb0.where(
         (F.col("vec_id") < ANN_QUERY_MAX_ID)
         & (F.pmod(F.col("vec_id"), F.lit(GMS_DEL_MOD)) != GMS_DEL_RES)
     )
-    ins = similarity.graph_insert(
-        batch, graph, base, k=DESCENT_K, beam=GS_BEAM, rounds=GS_ROUNDS,
-        n_entry=GS_ENTRY, ring=GS_RING, max_reverse=DESCENT_MAX_REVERSE,
-        overlay=(b_ringe, b_entries),
+    alive0 = emb0.join(
+        dele0.withColumnRenamed("vec_id", "_did"),
+        F.col("vec_id") == F.col("_did"),
+        "left_anti",
     )
-    g1 = similarity.graph_apply_delta(graph, ins).localCheckpoint(
-        eager=True
-    )
-    corpus = emb.select("vec_id", "embedding")
-    rep = similarity.graph_delete(dele, g1, corpus, k=DESCENT_K)
-    d = dele.withColumnRenamed("vec_id", "_did")
-    g2 = (
-        similarity.graph_apply_delta(g1, rep)
-        .join(d, F.col("src") == F.col("_did"), "left_anti")
-        .localCheckpoint(eager=True)
-    )
-    alive = emb.join(d, F.col("vec_id") == F.col("_did"), "left_anti")
-    # the exact truth set feeds BOTH gauge runs — pin it once (O(Q·k));
-    # likewise the hash-ring overlay + entry points are a pure function
-    # of the alive corpus, shared by both searches (r13: ring_overlay)
-    truth = similarity.brute_force_topk(
-        queries, alive, k=GS_K
-    ).localCheckpoint(eager=True)
-    ringe, entries = similarity.ring_overlay(
-        alive, n_entry=GS_ENTRY, ring=GS_RING
-    )
-    ringe = ringe.localCheckpoint(eager=True)
+
+    def prep():
+        truth = similarity.brute_force_topk(
+            queries0, alive0, k=GS_K
+        ).localCheckpoint(eager=True)
+        ringe, entries = similarity.ring_overlay(
+            alive0, n_entry=GS_ENTRY, ring=GS_RING
+        )
+        ringe = ringe.localCheckpoint(eager=True)
+        return truth, ringe, entries
+
+    (
+        (_emb, _nf, _dele, _d, g2, alive, alive_nf, queries, q_nf),
+        (truth, ringe, entries),
+    ) = similarity._overlap(chain, prep)
 
     def gauge(state):
         got = similarity.graph_search_topk(
             queries, state, alive, k=GS_K, beam=GS_BEAM, rounds=GS_ROUNDS,
             n_entry=GS_ENTRY, ring=GS_RING, overlay=(ringe, entries),
+            qnorm=q_nf, cnorm=alive_nf,
         )
         return similarity.recall_at_k(got, truth).select(
             "qid", "hits", F.lit(GS_K).cast("bigint").alias("k")
@@ -10589,7 +10630,7 @@ def q_graph_policy_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     def refresh(state):
         return similarity.graph_refresh(
             state, alive, k=DESCENT_K, rounds=GREF_ROUNDS,
-            max_reverse=DESCENT_MAX_REVERSE,
+            max_reverse=DESCENT_MAX_REVERSE, vnorm=alive_nf,
         )
 
     report, _final = serving.apply_graph_policy(
@@ -10925,43 +10966,34 @@ def q_graph_drift_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def refresh_leg():
-        # r13: base ring shared by the descent build and insert search
-        b_ringe, b_entries = similarity.ring_overlay(
-            base, n_entry=GS_ENTRY, ring=GS_RING
+        # r13: the alive-corpus ring overlay is a pure function of
+        # (emb, dele) — independent of the build→insert→delete chain —
+        # so it materializes on a second driver thread OVERLAPPED with
+        # the chain (guide §2.6); the chain itself is the shared
+        # _maintained_graph_chain over the one-prologue norm_frame.
+        d0 = dele.withColumnRenamed("vec_id", "_did")
+        alive0 = emb.join(
+            d0, F.col("vec_id") == F.col("_did"), "left_anti"
         )
-        b_ringe = b_ringe.localCheckpoint(eager=True)
-        graph = similarity.knn_descent(
-            base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
-            max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
-            ring_edges=b_ringe,
+        (
+            (_e, _nf, _del, _d, g2, alive, alive_nf, qrs, q_nf),
+            (ringe, entries),
+        ) = similarity._overlap(
+            lambda: _maintained_graph_chain(spark, sf_dir),
+            lambda: similarity.ring_overlay(
+                alive0, n_entry=GS_ENTRY, ring=GS_RING
+            ),
         )
-        ins = similarity.graph_insert(
-            batch, graph, base, k=DESCENT_K, beam=GS_BEAM,
-            rounds=GS_ROUNDS, n_entry=GS_ENTRY, ring=GS_RING,
-            max_reverse=DESCENT_MAX_REVERSE,
-            overlay=(b_ringe, b_entries),
-        )
-        g1 = similarity.graph_apply_delta(graph, ins).localCheckpoint(
-            eager=True
-        )
-        corpus = emb.select("vec_id", "embedding")
-        rep = similarity.graph_delete(dele, g1, corpus, k=DESCENT_K)
-        d = dele.withColumnRenamed("vec_id", "_did")
-        g2 = (
-            similarity.graph_apply_delta(g1, rep)
-            .join(d, F.col("src") == F.col("_did"), "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        alive = emb.join(d, F.col("vec_id") == F.col("_did"), "left_anti")
         g3 = similarity.graph_refresh(
             g2, alive, k=DESCENT_K, rounds=GREF_ROUNDS,
-            max_reverse=DESCENT_MAX_REVERSE,
+            max_reverse=DESCENT_MAX_REVERSE, vnorm=alive_nf,
         )
         got = similarity.graph_search_topk(
-            queries, g3, alive, k=GS_K, beam=GS_BEAM, rounds=GS_ROUNDS,
-            n_entry=GS_ENTRY, ring=GS_RING,
+            qrs, g3, alive, k=GS_K, beam=GS_BEAM, rounds=GS_ROUNDS,
+            n_entry=GS_ENTRY, ring=GS_RING, overlay=(ringe, entries),
+            qnorm=q_nf, cnorm=alive_nf,
         )
-        truth = similarity.brute_force_topk(queries, alive, k=GS_K)
+        truth = similarity.brute_force_topk(qrs, alive, k=GS_K)
         gauge = similarity.recall_at_k(got, truth).select(
             "qid", "hits", F.lit(GS_K).cast("bigint").alias("k")
         )

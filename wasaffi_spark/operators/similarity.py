@@ -3087,6 +3087,7 @@ def knn_edges_bucketed(
     bits: int | None = None,
     max_bucket_size: int | None = None,
     target_cell_size: int = 32,
+    vnorm: DataFrame | None = None,
 ) -> DataFrame:
     """Directed k-nearest-neighbour edges within sign-LSH cells:
     ``(src, dst, cos_sim, rank)`` — each vector's ``k`` most similar
@@ -3096,13 +3097,33 @@ def knn_edges_bucketed(
     occupancy stays ≈ ``target_cell_size`` — r4 VERDICT fix #3;
     ``max_bucket_size`` is the degenerate-cell valve, as everywhere in
     the pair family).
+
+    ``vnorm`` (r13, row-identical): a prebuilt MATERIALIZED
+    :func:`norm_frame` over this exact ``df`` — the cell/norm columns
+    derive from its cached rows (same expressions), and the
+    ``bits=None`` auto-count runs over it instead of
+    ``_resolve_bits``'s own checkpoint, dropping one corpus
+    materialization from every descent build.
     """
     from .dedup import _cap_buckets
 
-    df, bits = _resolve_bits(df, bits, target_cell_size)
-    cells = with_cell_rh(df.select(id_col, vec_col), vec_col, bits).withColumn(
-        "_n", _norm(F.col(vec_col))
-    )
+    if vnorm is not None:
+        if bits is None:
+            bits = auto_sign_bits(vnorm.count(), target_cell_size)
+        cells = with_cell_rh(
+            vnorm.select(
+                F.col("_vid").alias(id_col),
+                F.col("_vv").alias(vec_col),
+                F.col("_vn").alias("_n"),
+            ),
+            vec_col,
+            bits,
+        )
+    else:
+        df, bits = _resolve_bits(df, bits, target_cell_size)
+        cells = with_cell_rh(
+            df.select(id_col, vec_col), vec_col, bits
+        ).withColumn("_n", _norm(F.col(vec_col)))
     cells = _cap_buckets(cells, max_bucket_size, cols=("cell",))
     a = cells.select(
         F.col(id_col).alias("src"), F.col(vec_col).alias("av"), "cell",
@@ -3154,6 +3175,46 @@ def mutual_knn_pairs(edges: DataFrame) -> DataFrame:
     )
 
 
+def norm_frame(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    materialize: bool = True,
+) -> DataFrame:
+    """The ``(_vid, _vv, _vn)`` id+vector+norm projection every
+    graph-family operator joins per round — factored out (r13, guide
+    §1.2 step 1) so a composed chain (build → insert → delete →
+    refresh → search over slices of ONE corpus) materializes the
+    corpus projection ONCE and derives each stage's side by a cheap
+    filter over the cached rows, instead of each stage paying its own
+    eager materialization job. The norm expression is byte-identical
+    to the inline builds it replaces (shared :func:`_norm`), so
+    passing a ``norm_frame`` slice through the ``vnorm``/``qnorm``/
+    ``cnorm`` seams is row-identical by construction (pytest-pinned).
+    """
+    v = corpus.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv")
+    ).withColumn("_vn", _norm(F.col("_vv")))
+    if materialize:
+        v = v.localCheckpoint(eager=True)
+    return v
+
+
+def _overlap(*thunks):
+    """Run independent eager-materialization thunks on driver threads
+    (guide §2.6 — overlap independent job chains so one chain's jobs
+    back-fill the other's idle cores). Each thunk is deterministic and
+    returns its (already materialized) result; concurrency changes
+    scheduling only, never rows. With one thunk, runs inline."""
+    if len(thunks) == 1:
+        return (thunks[0](),)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        return tuple(f.result() for f in futs)
+
+
 def knn_descent(
     df: DataFrame,
     k: int = 3,
@@ -3168,10 +3229,13 @@ def knn_descent(
     seed: str = IVF_SEED,
     _materialize: bool = True,
     ring_edges: DataFrame | None = None,
+    vnorm: DataFrame | None = None,
 ) -> DataFrame:
     """(``ring_edges`` — an already-built :func:`ring_overlay` edge
     frame for this exact ``df``/``seed``/``ring`` — skips the per-call
-    ring recomputation; r13 optimization, row-identical.)
+    ring recomputation; ``vnorm`` — a prebuilt :func:`norm_frame` over
+    this exact ``df`` — skips the per-call corpus materialization; r13
+    optimizations, row-identical.)
 
     kNN-graph construction by NN-DESCENT (Dong, Moses & Li, WWW
     2011): seed a directed top-``k`` graph, then repeatedly offer each
@@ -3214,18 +3278,33 @@ def knn_descent(
     dst, cos_sim, rank)`` — each node's refined top-``k``;
     ``rounds=0, ring=0`` is exactly the sign-LSH seed graph.
     """
-    edges = knn_edges_bucketed(
-        df, k, vec_col, id_col, bits, max_bucket_size, target_cell_size
-    )
-    v = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv"))
-    v = v.withColumn("_vn", _norm(F.col("_vv")))
     # r13: every descent round's materialization job re-scans the
     # corpus and recomputes the norms to rebuild the va/vb score-join
     # sides (broadcast reuse does not cross job boundaries) — cache the
-    # N-row (id, vec, norm) frame once per call instead. Pure lineage
-    # cut; values unchanged.
-    if _materialize:
-        v = v.localCheckpoint(eager=True)
+    # N-row (id, vec, norm) frame once per call instead (or reuse the
+    # caller's via ``vnorm``), and feed the SAME cached frame to the
+    # LSH seed so _resolve_bits' separate corpus checkpoint drops too.
+    # The v materialization and the ring overlay are independent eager
+    # chains → overlapped on driver threads (guide §2.6).
+    build_v = (
+        (lambda: vnorm)
+        if vnorm is not None
+        else (lambda: norm_frame(df, vec_col, id_col, _materialize))
+    )
+    if ring and ring_edges is None:
+        v, (ringe_built, _e) = _overlap(
+            build_v,
+            lambda: ring_overlay(df, 0, ring, id_col, seed, _materialize),
+        )
+    else:
+        v = build_v()
+        ringe_built = None
+    edges = knn_edges_bucketed(
+        df, k, vec_col, id_col, bits, max_bucket_size, target_cell_size,
+        # only a MATERIALIZED frame may back the auto-bits count (a
+        # lazy one would execute its plan twice — the r6 rule)
+        vnorm=v if (_materialize or vnorm is not None) else None,
+    )
     va = v.select(
         F.col("_vid").alias("src"), F.col("_vv").alias("av"),
         F.col("_vn").alias("_na"),
@@ -3242,11 +3321,7 @@ def knn_descent(
         # (dense 0..N-1 hash positions via the range-exchange rank,
         # successor offsets by explode — never a single-partition sort
         # or a crossJoin); ``ring_edges`` reuses a caller-built one
-        ringe = (
-            ring_edges
-            if ring_edges is not None
-            else ring_overlay(df, 0, ring, id_col, seed, _materialize)[0]
-        )
+        ringe = ring_edges if ring_edges is not None else ringe_built
         # one shared src exchange for dedup + the seed-rank window
         # (the _nn_descent_rounds cand trick; 2 Exchange → 1)
         seedp = (
@@ -3370,8 +3445,13 @@ def graph_refresh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     _materialize: bool = True,
+    vnorm: DataFrame | None = None,
 ) -> DataFrame:
-    """Warm-started re-descent over a MAINTAINED adjacency — the
+    """(``vnorm`` — a prebuilt :func:`norm_frame` over this exact
+    ``corpus`` — skips the per-call corpus materialization; r13
+    optimization, row-identical.)
+
+    Warm-started re-descent over a MAINTAINED adjacency — the
     REFRESH leg of the graph-index lifecycle, the analogue of
     :func:`ivf_retrain_delta`'s warm start, and the periodic step the
     documented maintenance boundary promises (SCALE.md: batch inserts
@@ -3393,13 +3473,13 @@ def graph_refresh(
     to a build round; ``graph`` must carry scored rows (src, dst,
     cos_sim), which every maintenance output in this module does.
     Returns the refreshed ``(src, dst, cos_sim, rank)`` top-``k``."""
-    v = corpus.select(
-        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv")
-    ).withColumn("_vn", _norm(F.col("_vv")))
     # r13: cache the (id, vec, norm) frame once per refresh — see the
     # knn_descent note (per-round broadcast rebuilds don't cross jobs)
-    if _materialize:
-        v = v.localCheckpoint(eager=True)
+    v = (
+        vnorm
+        if vnorm is not None
+        else norm_frame(corpus, vec_col, id_col, _materialize)
+    )
     va = v.select(
         F.col("_vid").alias("src"), F.col("_vv").alias("av"),
         F.col("_vn").alias("_na"),
@@ -3489,10 +3569,20 @@ def graph_search_topk(
     seed: str = IVF_SEED,
     _materialize: bool = True,
     overlay: tuple[DataFrame, DataFrame] | None = None,
+    qnorm: DataFrame | None = None,
+    cnorm: DataFrame | None = None,
+    _materialize_final: bool = True,
 ) -> DataFrame:
     """(``overlay`` — an already-built :func:`ring_overlay` pair for
     this exact ``corpus``/``seed``/``n_entry``/``ring`` — skips the
-    per-call ring recomputation; r13 optimization, row-identical.)
+    per-call ring recomputation; ``qnorm``/``cnorm`` — prebuilt
+    :func:`norm_frame` slices for this exact ``queries``/``corpus`` —
+    skip the per-call query/corpus materializations;
+    ``_materialize_final=False`` — skip the LAST frontier checkpoint
+    when the caller immediately re-materializes the result (e.g.
+    :func:`graph_insert`'s ``found``), folding two back-to-back
+    materialization jobs into one; r13 optimizations, all
+    row-identical.)
 
     Greedy beam search over a prebuilt kNN graph — the SEARCH side
     of :func:`knn_descent`'s build side, the HNSW-layer-0 shape
@@ -3534,24 +3624,40 @@ def graph_search_topk(
     ``_materialize=False`` is the plan-audit seam). Returns ``(qid,
     nid, cos_sim, rank)``, rank 1..k; recall measured in
     tools/ann_recall.py vs the IVF rungs."""
-    q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).withColumn("_nq", _norm(F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")
-    ).withColumn("_nn", _norm(F.col("nv")))
     # r13: q and c feed every round's score join — cache each once per
     # search so the per-round materialization jobs read cached rows
-    # instead of re-deriving corpus+norms (see the knn_descent note)
-    if _materialize:
-        q = q.localCheckpoint(eager=True)
-        c = c.localCheckpoint(eager=True)
-    if overlay is not None:
-        ringe, entries = overlay
-    else:
-        ringe, entries = ring_overlay(
-            corpus, n_entry, ring, id_col, seed, _materialize
-        )
+    # instead of re-deriving corpus+norms (see the knn_descent note),
+    # or derive them from caller-shared norm_frame slices; whatever
+    # still builds here (q, c, overlay) is independent eager chains →
+    # overlapped on driver threads (guide §2.6)
+    def build_q():
+        if qnorm is not None:
+            return qnorm.select(
+                F.col("_vid").alias("qid"), F.col("_vv").alias("qv"),
+                F.col("_vn").alias("_nq"),
+            )
+        q0 = queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+        ).withColumn("_nq", _norm(F.col("qv")))
+        return q0.localCheckpoint(eager=True) if _materialize else q0
+
+    def build_c():
+        if cnorm is not None:
+            return cnorm.select(
+                F.col("_vid").alias("nid"), F.col("_vv").alias("nv"),
+                F.col("_vn").alias("_nn"),
+            )
+        c0 = corpus.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).alias("nv")
+        ).withColumn("_nn", _norm(F.col("nv")))
+        return c0.localCheckpoint(eager=True) if _materialize else c0
+
+    def build_overlay():
+        if overlay is not None:
+            return overlay
+        return ring_overlay(corpus, n_entry, ring, id_col, seed, _materialize)
+
+    q, c, (ringe, entries) = _overlap(build_q, build_c, build_overlay)
     g = graph.select("src", "dst")
     if ring:
         g = g.union(ringe).distinct()
@@ -3587,10 +3693,12 @@ def graph_search_topk(
     # (every-2: 16.9 s vs 12.4 s warm for the declared query) — each
     # round references the frontier twice and the edge frame once, so
     # skipped checkpoints multiply the analyzed plan; the per-round
-    # cadence stays.
-    if _materialize:
+    # cadence stays. The LAST round's checkpoint is skippable via
+    # _materialize_final (the result is referenced once, so the
+    # caller's own materialization absorbs exactly one round's plan).
+    if _materialize and (rounds > 0 or _materialize_final):
         frontier = frontier.localCheckpoint(eager=True)
-    for _ in range(rounds):
+    for _r in range(rounds):
         # one shared qid exchange for dedup + the beam window (the
         # _nn_descent_rounds cand trick; 2 Exchange → 1 — the scoring
         # joins are id-equi lookups that leave qid partitioning intact)
@@ -3603,7 +3711,7 @@ def graph_search_topk(
             .dropDuplicates(["qid", "nid"])
         )
         frontier = _score_topn(expanded, beam)
-        if _materialize:
+        if _materialize and (_r < rounds - 1 or _materialize_final):
             frontier = frontier.localCheckpoint(eager=True)
     return frontier.where(F.col("rank") <= k)
 
@@ -3623,10 +3731,13 @@ def graph_insert(
     seed: str = IVF_SEED,
     _materialize: bool = True,
     overlay: tuple[DataFrame, DataFrame] | None = None,
+    qnorm: DataFrame | None = None,
+    cnorm: DataFrame | None = None,
 ) -> DataFrame:
     """(``overlay`` — a prebuilt :func:`ring_overlay` pair over
-    ``base``, forwarded to the internal search; r13 optimization,
-    row-identical.)
+    ``base``; ``qnorm``/``cnorm`` — prebuilt :func:`norm_frame` slices
+    over this exact ``batch``/``base``, forwarded to the internal
+    search; r13 optimizations, row-identical.)
 
     Incremental graph-ANN index maintenance — the search-then-link
     INSERT of HNSW/Vamana (Malkov & Yashunin TPAMI 2020 §4 insert;
@@ -3660,10 +3771,14 @@ def graph_insert(
     ``(src, dst, cos_sim, rank)`` for every new node (its fresh
     out-edges) and every spliced base node (its re-ranked out-edges).
     """
+    # _materialize_final=False: the found checkpoint right below would
+    # otherwise re-materialize the search's already-checkpointed last
+    # frontier back-to-back — folding the two jobs into one (r13)
     found = graph_search_topk(
         batch, graph, base, k=k, beam=beam, rounds=rounds,
         n_entry=n_entry, ring=ring, vec_col=vec_col, id_col=id_col,
         seed=seed, _materialize=_materialize, overlay=overlay,
+        qnorm=qnorm, cnorm=cnorm, _materialize_final=False,
     )
     if _materialize:
         found = found.localCheckpoint(eager=True)
@@ -3705,8 +3820,13 @@ def graph_delete(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     _materialize: bool = True,
+    vnorm: DataFrame | None = None,
 ) -> DataFrame:
-    """Incremental graph-ANN DELETE with repair — the other half of
+    """(``vnorm`` — a prebuilt :func:`norm_frame` over this exact
+    ``corpus``, replacing the lazy per-call id+vec+norm projection;
+    r13 optimization, row-identical.)
+
+    Incremental graph-ANN DELETE with repair — the other half of
     :func:`graph_insert`'s maintenance story (the FreshDiskANN /
     FreshVamana delete rule, Singh et al. 2021): removing a node must
     not just drop edges, it must PATCH the holes it leaves, or the
@@ -3751,8 +3871,11 @@ def graph_delete(
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
-    v = corpus.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv"))
-    v = v.withColumn("_vn", _norm(F.col("_vv")))
+    v = (
+        vnorm
+        if vnorm is not None
+        else norm_frame(corpus, vec_col, id_col, materialize=False)
+    )
     scored_cand = (
         cand.join(
             v.select(
@@ -3835,11 +3958,23 @@ def graph_maintained_search(
     seed: str = IVF_SEED,
     _materialize: bool = True,
     base_overlay: tuple[DataFrame, DataFrame] | None = None,
+    base_norm: DataFrame | None = None,
+    batch_norm: DataFrame | None = None,
+    alive_norm: DataFrame | None = None,
+    qnorm: DataFrame | None = None,
 ) -> DataFrame:
     """(``base_overlay`` — a prebuilt :func:`ring_overlay` pair over
-    ``base``, forwarded to the insert's search; r13 optimization,
-    row-identical. The FINAL search's overlay is over the alive corpus
-    and is built here as always.)
+    ``base``, forwarded to the insert's search; ``base_norm``/
+    ``batch_norm``/``alive_norm``/``qnorm`` — prebuilt
+    :func:`norm_frame` slices over exactly ``base``/``batch``/the
+    alive corpus/``queries``, letting a caller that derives all sides
+    from ONE corpus share a single materialization across every stage;
+    r13 optimizations, row-identical. The FINAL search's overlay is
+    over the alive corpus and is built here as always — but on a
+    driver thread OVERLAPPED with the insert→delete chain (guide
+    §2.6): the overlay + final-search prep depend only on
+    (corpus, delete_ids), not on the maintained adjacency, so their
+    jobs back-fill the CRUD chain's idle cores.)
 
     Search over a MAINTAINED graph index — the composed
     insert→delete→search chain a production graph-ANN pipeline
@@ -3875,35 +4010,71 @@ def graph_maintained_search(
     links and local repair is not a global rebuild — production
     interleaves this chain with periodic re-descent (SCALE.md).
     Returns ``(qid, nid, cos_sim, rank)``, rank 1..k."""
-    ins = graph_insert(
-        batch, graph, base, k=k_graph, beam=beam, rounds=rounds,
-        n_entry=n_entry, ring=ring, max_reverse=max_reverse,
-        vec_col=vec_col, id_col=id_col, seed=seed,
-        _materialize=_materialize, overlay=base_overlay,
-    )
-    g1 = graph_apply_delta(graph, ins)
-    if _materialize:
-        g1 = g1.localCheckpoint(eager=True)
     corpus = base.select(id_col, vec_col).unionByName(
         batch.select(id_col, vec_col)
     )
     d = delete_ids.select(F.col(id_col).alias("_did")).distinct()
-    rep = graph_delete(
-        d.select(F.col("_did").alias(id_col)), g1, corpus, k=k_graph,
-        vec_col=vec_col, id_col=id_col, _materialize=_materialize,
-    )
-    g2 = graph_apply_delta(g1, rep).join(
-        d, F.col("src") == F.col("_did"), "left_anti"
-    )
-    if _materialize:
-        g2 = g2.localCheckpoint(eager=True)
     alive = corpus.join(
         d, F.col(id_col) == F.col("_did"), "left_anti"
     )
+    corpus_norm = (
+        base_norm.unionByName(batch_norm)
+        if base_norm is not None and batch_norm is not None
+        else None
+    )
+
+    def crud():
+        ins = graph_insert(
+            batch, graph, base, k=k_graph, beam=beam, rounds=rounds,
+            n_entry=n_entry, ring=ring, max_reverse=max_reverse,
+            vec_col=vec_col, id_col=id_col, seed=seed,
+            _materialize=_materialize, overlay=base_overlay,
+            qnorm=batch_norm, cnorm=base_norm,
+        )
+        g1 = graph_apply_delta(graph, ins)
+        if _materialize:
+            g1 = g1.localCheckpoint(eager=True)
+        rep = graph_delete(
+            d.select(F.col("_did").alias(id_col)), g1, corpus, k=k_graph,
+            vec_col=vec_col, id_col=id_col, _materialize=_materialize,
+            vnorm=corpus_norm,
+        )
+        g2 = graph_apply_delta(g1, rep).join(
+            d, F.col("src") == F.col("_did"), "left_anti"
+        )
+        if _materialize:
+            g2 = g2.localCheckpoint(eager=True)
+        return g2
+
+    def prep():
+        ov = ring_overlay(alive, n_entry, ring, id_col, seed, _materialize)
+        cn = (
+            alive_norm
+            if alive_norm is not None
+            else (
+                corpus_norm.join(
+                    d, F.col("_vid") == F.col("_did"), "left_anti"
+                )
+                if corpus_norm is not None
+                else norm_frame(alive, vec_col, id_col, _materialize)
+            )
+        )
+        qn = (
+            qnorm
+            if qnorm is not None
+            else norm_frame(queries, vec_col, id_col, _materialize)
+        )
+        return ov, cn, qn
+
+    if _materialize:
+        g2, (ov, cn, qn) = _overlap(crud, prep)
+    else:
+        g2, (ov, cn, qn) = crud(), prep()
     return graph_search_topk(
         queries, g2, alive, k=k, beam=beam, rounds=rounds,
         n_entry=n_entry, ring=ring, vec_col=vec_col, id_col=id_col,
-        seed=seed, _materialize=_materialize,
+        seed=seed, _materialize=_materialize, overlay=ov,
+        qnorm=qn, cnorm=cn,
     )
 
 
