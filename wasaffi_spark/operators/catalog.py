@@ -9972,24 +9972,35 @@ def q_policy_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") < ANN_QUERY_MAX_ID)
         & (F.pmod(F.col("vec_id"), F.lit(IMS_DEL_MOD)) != IMS_DEL_RES)
     )
-    cents = similarity.lloyd_centroids(
-        base, LLOYD_CELLS, LLOYD_ITERS
-    )
-    postings = similarity.ivf_assign_hashed(
-        base, cents, LLOYD_CELLS
-    ).unionByName(
-        similarity.ivf_append(batch, cents, LLOYD_CELLS)
-    )
-    postings = similarity.ivf_delete(dele, postings).localCheckpoint(
-        eager=True
-    )
     d = dele.withColumnRenamed("vec_id", "_did")
     alive = emb.select("vec_id", "embedding").join(
         d, F.col("vec_id") == F.col("_did"), "left_anti"
     )
-    truth = similarity.brute_force_topk(
-        queries, alive, k=ANN_K
-    ).localCheckpoint(eager=True)
+
+    # r13 (guide §2.6): the O(Q·N) truth set is a pure function of
+    # (queries, alive) — independent of the Lloyd train and the
+    # maintained postings — so it materializes on a second driver
+    # thread overlapped with the codebook/postings build.
+    def build():
+        cents = similarity.lloyd_centroids(
+            base, LLOYD_CELLS, LLOYD_ITERS
+        )
+        postings = similarity.ivf_assign_hashed(
+            base, cents, LLOYD_CELLS
+        ).unionByName(
+            similarity.ivf_append(batch, cents, LLOYD_CELLS)
+        )
+        postings = similarity.ivf_delete(dele, postings).localCheckpoint(
+            eager=True
+        )
+        return cents, postings
+
+    (cents, postings), truth = similarity._overlap(
+        build,
+        lambda: similarity.brute_force_topk(
+            queries, alive, k=ANN_K
+        ).localCheckpoint(eager=True),
+    )
 
     def gauge(np_: int) -> DataFrame:
         got = similarity.ivf_postings_topk(
@@ -11061,7 +11072,9 @@ def q_snapshot_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
         v1 = docs.where(F.col("doc_id") % SD_V1_MOD != SD_V1_RES)
         sig1 = dedup.minhash_signatures(v1).persist()
         sig2 = dedup.minhash_signatures(docs).persist()
-        sig1.count(), sig2.count()
+        # r13: the two signature materializations are independent —
+        # overlap them (guide §2.6)
+        similarity._overlap(sig1.count, sig2.count)
         try:
             pairs1 = dedup.lsh_candidate_pairs(sig1)
             pairs2 = dedup.lsh_candidate_pairs(sig2)

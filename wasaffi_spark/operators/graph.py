@@ -107,7 +107,15 @@ def connected_components(
                     )
                     .select("a", F.col("_label2").alias("label"))
                 )
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # LAZY checkpoint folded with the convergence probe (r13,
+            # the bpe_train pattern): the probe's aggregate is the
+            # round's FIRST action, so it materializes the checkpoint
+            # and computes the label sum in ONE scheduler job instead
+            # of an eager-checkpoint job followed by a probe job —
+            # halving the per-round job count. Lineage still truncates
+            # at materialization (same plan-growth guarantee), rounds
+            # and labels unchanged.
+            new_labels = new_labels.localCheckpoint(eager=False)
             [row] = new_labels.select(
                 F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
             ).collect()
