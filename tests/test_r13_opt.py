@@ -331,11 +331,21 @@ def test_graph_maintained_search_norm_seams(emb, split):
         beam=GS_BEAM, rounds=2, n_entry=GS_ENTRY, ring=GS_RING,
         max_reverse=DESCENT_MAX_REVERSE,
     )
+    alive0 = emb.join(
+        emb.where(
+            F.pmod(F.col("vec_id"), F.lit(IMS_DEL_MOD)) == IMS_DEL_RES
+        ).select(F.col("vec_id").alias("_did")),
+        F.col("vec_id") == F.col("_did"),
+        "left_anti",
+    )
     pre = similarity.graph_maintained_search(
         queries, graph, base, batch, dele, k=GS_K, k_graph=DESCENT_K,
         beam=GS_BEAM, rounds=2, n_entry=GS_ENTRY, ring=GS_RING,
         max_reverse=DESCENT_MAX_REVERSE, base_norm=base_nf,
         batch_norm=batch_nf, alive_norm=alive_nf, qnorm=q_nf,
+        alive_overlay=similarity.ring_overlay(
+            alive0, n_entry=GS_ENTRY, ring=GS_RING
+        ),
     )
     assert _rows(pre) == _rows(plain)
 

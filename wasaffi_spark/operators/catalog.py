@@ -7766,22 +7766,44 @@ def q_graph_maintained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputed over the ALIVE corpus. Every stage is an
     already-attested operator; the oracle replays the whole chain from
     the shared CTE builders."""
-    emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries = (
-        _graph_family_prologue(spark, sf_dir)
+    # r13: the alive-corpus ring overlay depends only on (emb, the GMS
+    # delete slice) — start it on a driver thread BEFORE the descent
+    # build so it overlaps the whole build+CRUD chain (guide §2.6),
+    # then hand it to the final search via the alive_overlay seam
+    from concurrent.futures import ThreadPoolExecutor
+
+    emb0 = _table(spark, sf_dir, "embeddings")
+    alive0 = emb0.join(
+        emb0.where(
+            F.pmod(F.col("vec_id"), F.lit(GMS_DEL_MOD)) == GMS_DEL_RES
+        ).select(F.col("vec_id").alias("_did")),
+        F.col("vec_id") == F.col("_did"),
+        "left_anti",
     )
-    graph = similarity.knn_descent(
-        base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
-        max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
-        ring_edges=b_ringe, vnorm=base_nf,
+    _pool = ThreadPoolExecutor(max_workers=1)
+    _ov_fut = _pool.submit(
+        similarity.ring_overlay, alive0, GS_ENTRY, GS_RING
     )
-    dele, queries, alive_nf, q_nf = _gms_slices(emb, nf)
-    out = similarity.graph_maintained_search(
-        queries, graph, base, batch, dele, k=GS_K, k_graph=DESCENT_K,
-        beam=GS_BEAM, rounds=GS_ROUNDS, n_entry=GS_ENTRY, ring=GS_RING,
-        max_reverse=DESCENT_MAX_REVERSE,
-        base_overlay=(b_ringe, b_entries), base_norm=base_nf,
-        batch_norm=batch_nf, alive_norm=alive_nf, qnorm=q_nf,
-    )
+    try:
+        emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries = (
+            _graph_family_prologue(spark, sf_dir)
+        )
+        graph = similarity.knn_descent(
+            base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
+            max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
+            ring_edges=b_ringe, vnorm=base_nf,
+        )
+        dele, queries, alive_nf, q_nf = _gms_slices(emb, nf)
+        out = similarity.graph_maintained_search(
+            queries, graph, base, batch, dele, k=GS_K, k_graph=DESCENT_K,
+            beam=GS_BEAM, rounds=GS_ROUNDS, n_entry=GS_ENTRY, ring=GS_RING,
+            max_reverse=DESCENT_MAX_REVERSE,
+            base_overlay=(b_ringe, b_entries), base_norm=base_nf,
+            batch_norm=batch_nf, alive_norm=alive_nf, qnorm=q_nf,
+            alive_overlay=_ov_fut.result(),
+        )
+    finally:
+        _pool.shutdown(wait=False)
     return out.select(
         "qid", "nid", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
     ).orderBy("qid", "rnk")
@@ -9451,22 +9473,44 @@ def q_graph_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity.brute_force_topk over the alive corpus
     (operators/similarity.py::recall_at_k) — (qid, hits, k), all
     integers."""
-    emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries = (
-        _graph_family_prologue(spark, sf_dir)
+    # r13: the alive-corpus ring overlay depends only on (emb, the GMS
+    # delete slice) — start it before the descent build so it overlaps
+    # the whole build+CRUD chain (guide §2.6; the
+    # q_graph_maintained_search treatment)
+    from concurrent.futures import ThreadPoolExecutor
+
+    emb0 = _table(spark, sf_dir, "embeddings")
+    alive0 = emb0.join(
+        emb0.where(
+            F.pmod(F.col("vec_id"), F.lit(GMS_DEL_MOD)) == GMS_DEL_RES
+        ).select(F.col("vec_id").alias("_did")),
+        F.col("vec_id") == F.col("_did"),
+        "left_anti",
     )
-    graph = similarity.knn_descent(
-        base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
-        max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
-        ring_edges=b_ringe, vnorm=base_nf,
+    _pool = ThreadPoolExecutor(max_workers=1)
+    _ov_fut = _pool.submit(
+        similarity.ring_overlay, alive0, GS_ENTRY, GS_RING
     )
-    dele, queries, alive_nf, q_nf = _gms_slices(emb, nf)
-    got = similarity.graph_maintained_search(
-        queries, graph, base, batch, dele, k=GS_K, k_graph=DESCENT_K,
-        beam=GS_BEAM, rounds=GS_ROUNDS, n_entry=GS_ENTRY, ring=GS_RING,
-        max_reverse=DESCENT_MAX_REVERSE,
-        base_overlay=(b_ringe, b_entries), base_norm=base_nf,
-        batch_norm=batch_nf, alive_norm=alive_nf, qnorm=q_nf,
-    )
+    try:
+        emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries = (
+            _graph_family_prologue(spark, sf_dir)
+        )
+        graph = similarity.knn_descent(
+            base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
+            max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
+            ring_edges=b_ringe, vnorm=base_nf,
+        )
+        dele, queries, alive_nf, q_nf = _gms_slices(emb, nf)
+        got = similarity.graph_maintained_search(
+            queries, graph, base, batch, dele, k=GS_K, k_graph=DESCENT_K,
+            beam=GS_BEAM, rounds=GS_ROUNDS, n_entry=GS_ENTRY, ring=GS_RING,
+            max_reverse=DESCENT_MAX_REVERSE,
+            base_overlay=(b_ringe, b_entries), base_norm=base_nf,
+            batch_norm=batch_nf, alive_norm=alive_nf, qnorm=q_nf,
+            alive_overlay=_ov_fut.result(),
+        )
+    finally:
+        _pool.shutdown(wait=False)
     d = dele.withColumnRenamed("vec_id", "_did")
     alive = emb.join(d, F.col("vec_id") == F.col("_did"), "left_anti")
     truth = similarity.brute_force_topk(queries, alive, k=GS_K)

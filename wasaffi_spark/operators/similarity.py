@@ -3962,6 +3962,7 @@ def graph_maintained_search(
     batch_norm: DataFrame | None = None,
     alive_norm: DataFrame | None = None,
     qnorm: DataFrame | None = None,
+    alive_overlay: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """(``base_overlay`` — a prebuilt :func:`ring_overlay` pair over
     ``base``, forwarded to the insert's search; ``base_norm``/
@@ -4047,7 +4048,16 @@ def graph_maintained_search(
         return g2
 
     def prep():
-        ov = ring_overlay(alive, n_entry, ring, id_col, seed, _materialize)
+        # alive_overlay: a caller-prebuilt ring_overlay pair over the
+        # alive corpus (pure function of (corpus, delete_ids)) — lets
+        # the caller start it even EARLIER than this prep thread, e.g.
+        # overlapped with the descent build that precedes this call
+        # (r13, row-identical)
+        ov = (
+            alive_overlay
+            if alive_overlay is not None
+            else ring_overlay(alive, n_entry, ring, id_col, seed, _materialize)
+        )
         cn = (
             alive_norm
             if alive_norm is not None
