@@ -350,6 +350,83 @@ def test_graph_maintained_search_norm_seams(emb, split):
     assert _rows(pre) == _rows(plain)
 
 
+def test_final_checkpoint_folds_row_identical(emb, split):
+    """Batch-7 pins: skipping the LAST round's checkpoint
+    (``_materialize_final=False``) and trusting a maintenance output's
+    rank column (``_seed_ranked=True``) are row-identical to the
+    straight-line forms — the checkpoint is a pure lineage cut and the
+    stored rank IS the normalization window's result."""
+    from wasaffi_spark.operators import graph as graph_ops
+
+    base, batch, dele, queries = split
+
+    # knn_descent: last-round checkpoint folded into the consumer
+    plain_g = similarity.knn_descent(
+        base, k=DESCENT_K, rounds=1, max_reverse=DESCENT_MAX_REVERSE,
+        ring=DESCENT_RING,
+    )
+    fold_g = similarity.knn_descent(
+        base, k=DESCENT_K, rounds=1, max_reverse=DESCENT_MAX_REVERSE,
+        ring=DESCENT_RING, _materialize_final=False,
+    )
+    assert _rows(fold_g) == _rows(plain_g)
+    g = plain_g  # checkpointed (default path) — the maintained seed
+
+    # graph_refresh over a MAINTAINED adjacency (insert+delete applied
+    # via apply_delta — the exact q_graph_refresh input shape):
+    # _seed_ranked + the final fold ≡ the re-ranking checkpointed form
+    ins = similarity.graph_insert(
+        batch, g, base, k=DESCENT_K, beam=GS_BEAM, rounds=2,
+        n_entry=GS_ENTRY, ring=GS_RING, max_reverse=DESCENT_MAX_REVERSE,
+    )
+    g1 = similarity.graph_apply_delta(g, ins).localCheckpoint(eager=True)
+    corpus = base.select("vec_id", "embedding").unionByName(
+        batch.select("vec_id", "embedding")
+    )
+    rep = similarity.graph_delete(dele, g1, corpus, k=DESCENT_K)
+    d = dele.withColumnRenamed("vec_id", "_did")
+    g2 = (
+        similarity.graph_apply_delta(g1, rep)
+        .join(d, F.col("src") == F.col("_did"), "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    alive = corpus.join(d, F.col("vec_id") == F.col("_did"), "left_anti")
+    plain_r = similarity.graph_refresh(
+        g2, alive, k=DESCENT_K, rounds=1, max_reverse=DESCENT_MAX_REVERSE
+    )
+    fold_r = similarity.graph_refresh(
+        g2, alive, k=DESCENT_K, rounds=1, max_reverse=DESCENT_MAX_REVERSE,
+        _materialize_final=False, _seed_ranked=True,
+    )
+    assert _rows(fold_r) == _rows(plain_r)
+
+    # label_propagation: last-round state checkpoint folded
+    nodes = base.select(
+        "vec_id",
+        F.when(F.pmod(F.col("vec_id"), F.lit(5)) == 0, F.col("label"))
+        .alias("label"),
+        (F.pmod(F.col("vec_id"), F.lit(5)) == 0).alias("is_seed"),
+    )
+    plain_lp = graph_ops.label_propagation(g, nodes, rounds=2)
+    fold_lp = graph_ops.label_propagation(
+        g, nodes, rounds=2, _materialize_final=False
+    )
+    assert _rows(fold_lp) == _rows(plain_lp)
+
+    # graph_maintained_search: the composed final fold
+    plain_m = similarity.graph_maintained_search(
+        queries, g, base, batch, dele, k=GS_K, k_graph=DESCENT_K,
+        beam=GS_BEAM, rounds=2, n_entry=GS_ENTRY, ring=GS_RING,
+        max_reverse=DESCENT_MAX_REVERSE,
+    )
+    fold_m = similarity.graph_maintained_search(
+        queries, g, base, batch, dele, k=GS_K, k_graph=DESCENT_K,
+        beam=GS_BEAM, rounds=2, n_entry=GS_ENTRY, ring=GS_RING,
+        max_reverse=DESCENT_MAX_REVERSE, _materialize_final=False,
+    )
+    assert _rows(fold_m) == _rows(plain_m)
+
+
 def test_top_pc_power_grid_projection_exact(spark):
     """The r13 server-side-parsed grid snap matches the Column-API
     form it replaced, including the negative-value floor+0.5 rule."""

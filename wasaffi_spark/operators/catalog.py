@@ -7341,9 +7341,13 @@ def q_knn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded-cosine scoring, dst tiebreak), so the DuckDB oracle
     replays seed, ring, and both rounds as unrolled CTEs."""
     emb = _table(spark, sf_dir, "embeddings")
+    # _materialize_final=False: the sink reads the result exactly once,
+    # so its job absorbs the last round's plan instead of paying a
+    # separate checkpoint job (r13 batch 7, row-identical)
     out = similarity.knn_descent(
         emb, k=DESCENT_K, rounds=DESCENT_ROUNDS,
         max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
+        _materialize_final=False,
     )
     return (
         out.where(F.col("rank") <= DESCENT_EMIT)
@@ -7448,10 +7452,13 @@ def q_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING, vnorm=nf,
     )
     queries = emb.where(F.col("vec_id") < ANN_QUERY_MAX_ID)
+    # _materialize_final=False: the sink reads the result once (r13
+    # batch 7 — the graph_insert fold, applied at the declared sink)
     out = similarity.graph_search_topk(
         queries, graph, emb, k=GS_K, beam=GS_BEAM, rounds=GS_ROUNDS,
         n_entry=GS_ENTRY, ring=GS_RING, cnorm=nf,
         qnorm=nf.where(F.col("_vid") < ANN_QUERY_MAX_ID),
+        _materialize_final=False,
     )
     return out.select(
         "qid", "nid", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
@@ -7794,13 +7801,15 @@ def q_graph_maintained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ring_edges=b_ringe, vnorm=base_nf,
         )
         dele, queries, alive_nf, q_nf = _gms_slices(emb, nf)
+        # _materialize_final=False: the sink reads the result exactly
+        # once (r13 batch 7, row-identical)
         out = similarity.graph_maintained_search(
             queries, graph, base, batch, dele, k=GS_K, k_graph=DESCENT_K,
             beam=GS_BEAM, rounds=GS_ROUNDS, n_entry=GS_ENTRY, ring=GS_RING,
             max_reverse=DESCENT_MAX_REVERSE,
             base_overlay=(b_ringe, b_entries), base_norm=base_nf,
             batch_norm=batch_nf, alive_norm=alive_nf, qnorm=q_nf,
-            alive_overlay=_ov_fut.result(),
+            alive_overlay=_ov_fut.result(), _materialize_final=False,
         )
     finally:
         _pool.shutdown(wait=False)
@@ -7963,7 +7972,11 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("label"),
         (F.pmod(F.col("vec_id"), F.lit(LP_SEED_MOD)) == 0).alias("is_seed"),
     )
-    out = graph_ops.label_propagation(g, nodes, rounds=LP_ROUNDS)
+    # _materialize_final=False: the sink reads the final state exactly
+    # once (r13 batch 7, row-identical)
+    out = graph_ops.label_propagation(
+        g, nodes, rounds=LP_ROUNDS, _materialize_final=False
+    )
     return out.orderBy("vec_id")
 
 
@@ -9328,9 +9341,15 @@ def q_graph_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     _emb, _nf, _dele, _d, g2, alive, alive_nf, _q, _qn = (
         _maintained_graph_chain(spark, sf_dir)
     )
+    # _seed_ranked: g2 is a maintenance output (apply_delta of
+    # insert+delete, k-capped at DESCENT_K) so its rank column IS the
+    # normalization window's result — skip recomputing it (4 redundant
+    # full-graph exchanges in round 1, r13 batch 7, pytest-pinned);
+    # _materialize_final=False: the sink reads the result once
     out = similarity.graph_refresh(
         g2, alive, k=DESCENT_K, rounds=GREF_ROUNDS,
         max_reverse=DESCENT_MAX_REVERSE, vnorm=alive_nf,
+        _materialize_final=False, _seed_ranked=True,
     )
     return out.select(
         "src", "dst", "cos_sim", F.col("rank").cast("bigint").alias("rnk")
@@ -9501,13 +9520,15 @@ def q_graph_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ring_edges=b_ringe, vnorm=base_nf,
         )
         dele, queries, alive_nf, q_nf = _gms_slices(emb, nf)
+        # _materialize_final=False: recall_at_k reads got exactly once
+        # (one semi-join); r13 batch 7, row-identical
         got = similarity.graph_maintained_search(
             queries, graph, base, batch, dele, k=GS_K, k_graph=DESCENT_K,
             beam=GS_BEAM, rounds=GS_ROUNDS, n_entry=GS_ENTRY, ring=GS_RING,
             max_reverse=DESCENT_MAX_REVERSE,
             base_overlay=(b_ringe, b_entries), base_norm=base_nf,
             batch_norm=batch_nf, alive_norm=alive_nf, qnorm=q_nf,
-            alive_overlay=_ov_fut.result(),
+            alive_overlay=_ov_fut.result(), _materialize_final=False,
         )
     finally:
         _pool.shutdown(wait=False)
@@ -10673,19 +10694,26 @@ def q_graph_policy_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) = similarity._overlap(chain, prep)
 
     def gauge(state):
+        # _materialize_final=False: recall_at_k reads got exactly once
+        # (one semi-join); r13 batch 7, row-identical
         got = similarity.graph_search_topk(
             queries, state, alive, k=GS_K, beam=GS_BEAM, rounds=GS_ROUNDS,
             n_entry=GS_ENTRY, ring=GS_RING, overlay=(ringe, entries),
-            qnorm=q_nf, cnorm=alive_nf,
+            qnorm=q_nf, cnorm=alive_nf, _materialize_final=False,
         )
         return similarity.recall_at_k(got, truth).select(
             "qid", "hits", F.lit(GS_K).cast("bigint").alias("k")
         )
 
     def refresh(state):
+        # _seed_ranked: state is the maintained adjacency (a
+        # maintenance output, rank contract exact); _materialize_final
+        # =False: the re-gauge's searched-graph union reads the
+        # refreshed adjacency exactly once (r13 batch 7)
         return similarity.graph_refresh(
             state, alive, k=DESCENT_K, rounds=GREF_ROUNDS,
             max_reverse=DESCENT_MAX_REVERSE, vnorm=alive_nf,
+            _materialize_final=False, _seed_ranked=True,
         )
 
     report, _final = serving.apply_graph_policy(
@@ -11039,14 +11067,19 @@ def q_graph_drift_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
                 alive0, n_entry=GS_ENTRY, ring=GS_RING
             ),
         )
+        # _seed_ranked + _materialize_final=False on the refresh (g2 is
+        # a maintenance output; g3 is read once by the search's graph
+        # union), _materialize_final=False on the search (recall_at_k
+        # reads got once) — r13 batch 7, row-identical
         g3 = similarity.graph_refresh(
             g2, alive, k=DESCENT_K, rounds=GREF_ROUNDS,
             max_reverse=DESCENT_MAX_REVERSE, vnorm=alive_nf,
+            _materialize_final=False, _seed_ranked=True,
         )
         got = similarity.graph_search_topk(
             qrs, g3, alive, k=GS_K, beam=GS_BEAM, rounds=GS_ROUNDS,
             n_entry=GS_ENTRY, ring=GS_RING, overlay=(ringe, entries),
-            qnorm=q_nf, cnorm=alive_nf,
+            qnorm=q_nf, cnorm=alive_nf, _materialize_final=False,
         )
         truth = similarity.brute_force_topk(qrs, alive, k=GS_K)
         gauge = similarity.recall_at_k(got, truth).select(

@@ -317,6 +317,7 @@ def label_propagation(
     label_col: str = "label",
     seed_col: str = "is_seed",
     _materialize: bool = True,
+    _materialize_final: bool = True,
 ) -> DataFrame:
     """Synchronous label propagation over an edge list (Zhu &
     Ghahramani 2002 / Raghavan et al. 2007, in its deterministic
@@ -363,7 +364,7 @@ def label_propagation(
     w_pick = Window.partitionBy("_nid").orderBy(
         F.col("_c").desc(), F.col("_lab").asc()
     )
-    for _ in range(rounds):
+    for _r in range(rounds):
         msgs = (
             und.join(
                 state.where(F.col("_lab").isNotNull()).select(
@@ -386,7 +387,11 @@ def label_propagation(
             .alias("_lab"),
             "_seed",
         )
-        if _materialize:
+        # the LAST round's state checkpoint is skippable when the
+        # caller reads the result exactly once (its job absorbs one
+        # round's plan — the graph_search_topk _materialize_final
+        # contract; r13, row-identical)
+        if _materialize and (_r < rounds - 1 or _materialize_final):
             state = state.localCheckpoint(eager=True)
     return state.select(
         F.col("_nid").alias(id_col),

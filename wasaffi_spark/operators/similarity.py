@@ -3230,11 +3230,15 @@ def knn_descent(
     _materialize: bool = True,
     ring_edges: DataFrame | None = None,
     vnorm: DataFrame | None = None,
+    _materialize_final: bool = True,
 ) -> DataFrame:
     """(``ring_edges`` — an already-built :func:`ring_overlay` edge
     frame for this exact ``df``/``seed``/``ring`` — skips the per-call
     ring recomputation; ``vnorm`` — a prebuilt :func:`norm_frame` over
-    this exact ``df`` — skips the per-call corpus materialization; r13
+    this exact ``df`` — skips the per-call corpus materialization;
+    ``_materialize_final=False`` — skip the LAST round's edge
+    checkpoint when the caller reads the result exactly once (its job
+    absorbs one round's plan — the graph_search_topk contract); r13
     optimizations, row-identical.)
 
     kNN-graph construction by NN-DESCENT (Dong, Moses & Li, WWW
@@ -3344,10 +3348,14 @@ def knn_descent(
         edges = scored0.withColumn(
             "rank", F.row_number().over(w_rank)
         ).where(F.col("rank") <= k).select("src", "dst", "cos_sim", "rank")
-        if _materialize:
+        # with rounds the seed is referenced ~5× by round 1 → always
+        # checkpoint; at rounds=0 the seed IS the result, so the
+        # _materialize_final contract applies to it directly
+        if _materialize and (rounds > 0 or _materialize_final):
             edges = edges.localCheckpoint(eager=True)
     return _nn_descent_rounds(
-        edges, va, vb, rounds, k, max_reverse, _materialize
+        edges, va, vb, rounds, k, max_reverse, _materialize,
+        _materialize_final=_materialize_final,
     )
 
 
@@ -3360,6 +3368,7 @@ def _nn_descent_rounds(
     max_reverse: int | None,
     _materialize: bool,
     materialize_every: int = 1,
+    _materialize_final: bool = True,
 ) -> DataFrame:
     """The NN-descent round loop, shared verbatim by
     :func:`knn_descent` (cold build from LSH cells + ring) and
@@ -3428,9 +3437,13 @@ def _nn_descent_rounds(
         # so skipping a round's checkpoint grows the next plan ~5× —
         # measured SLOWER at every-2 (11.2 s vs 9.6 s) and 3× worse
         # at every-4; the per-round cadence stays (materialize_every
-        # is the measured seam, default 1).
+        # is the measured seam, default 1). The LAST round's checkpoint
+        # is skippable via _materialize_final when the caller reads the
+        # result exactly once (its job absorbs one round's plan — the
+        # graph_search_topk _materialize_final contract).
         if _materialize and (
-            (_r + 1) % materialize_every == 0 or _r == rounds - 1
+            ((_r + 1) % materialize_every == 0 or _r == rounds - 1)
+            and (_r < rounds - 1 or _materialize_final)
         ):
             edges = edges.localCheckpoint(eager=True)
     return edges
@@ -3446,10 +3459,24 @@ def graph_refresh(
     id_col: str = "vec_id",
     _materialize: bool = True,
     vnorm: DataFrame | None = None,
+    _materialize_final: bool = True,
+    _seed_ranked: bool = False,
 ) -> DataFrame:
     """(``vnorm`` — a prebuilt :func:`norm_frame` over this exact
-    ``corpus`` — skips the per-call corpus materialization; r13
-    optimization, row-identical.)
+    ``corpus`` — skips the per-call corpus materialization;
+    ``_materialize_final=False`` — skip the last round's checkpoint
+    when the caller reads the result exactly once; ``_seed_ranked=True``
+    — trust the input graph's existing ``rank`` column instead of
+    recomputing the normalization window. Only pass ``_seed_ranked``
+    for a MAINTENANCE OUTPUT of this module (knn_descent /
+    graph_apply_delta / graph_insert / graph_delete results, k-capped
+    at the same ``k``): those frames carry rank = row_number over
+    (cos_sim desc, dst asc) per src with complete per-src lists by
+    construction, so the recomputed window is bit-identical to the
+    stored column (pytest-pinned) — but round 1 references the seed
+    ~5×, and the un-checkpointed window costs one full-graph exchange
+    + sort PER REFERENCE (4 redundant kN-row shuffles at any scale);
+    r13 optimizations, row-identical.)
 
     Warm-started re-descent over a MAINTAINED adjacency — the
     REFRESH leg of the graph-index lifecycle, the analogue of
@@ -3492,14 +3519,21 @@ def graph_refresh(
         F.col("cos_sim").desc(), F.col("dst").asc()
     )
     # normalize the warm seed to ranked top-k (maintenance outputs are
-    # already exactly this shape, so for them the re-rank is a no-op)
-    edges = (
-        graph.select("src", "dst", "cos_sim")
-        .withColumn("rank", F.row_number().over(w_rank))
-        .where(F.col("rank") <= k)
-    )
+    # already exactly this shape, so for them the re-rank is a no-op —
+    # _seed_ranked skips recomputing it, see the docstring)
+    if _seed_ranked:
+        edges = graph.select("src", "dst", "cos_sim", "rank").where(
+            F.col("rank") <= k
+        )
+    else:
+        edges = (
+            graph.select("src", "dst", "cos_sim")
+            .withColumn("rank", F.row_number().over(w_rank))
+            .where(F.col("rank") <= k)
+        )
     return _nn_descent_rounds(
-        edges, va, vb, rounds, k, max_reverse, _materialize
+        edges, va, vb, rounds, k, max_reverse, _materialize,
+        _materialize_final=_materialize_final,
     )
 
 
@@ -3963,6 +3997,7 @@ def graph_maintained_search(
     alive_norm: DataFrame | None = None,
     qnorm: DataFrame | None = None,
     alive_overlay: tuple[DataFrame, DataFrame] | None = None,
+    _materialize_final: bool = True,
 ) -> DataFrame:
     """(``base_overlay`` — a prebuilt :func:`ring_overlay` pair over
     ``base``, forwarded to the insert's search; ``base_norm``/
@@ -4084,7 +4119,7 @@ def graph_maintained_search(
         queries, g2, alive, k=k, beam=beam, rounds=rounds,
         n_entry=n_entry, ring=ring, vec_col=vec_col, id_col=id_col,
         seed=seed, _materialize=_materialize, overlay=ov,
-        qnorm=qn, cnorm=cn,
+        qnorm=qn, cnorm=cn, _materialize_final=_materialize_final,
     )
 
 
