@@ -17,6 +17,15 @@ round-2 consolidation renamed/merged queries) and a ``regressions`` map
 of queries now slower than 2× their r1 time. Merged queries do strictly
 more work than their r1 counterpart (noted in R1_NAME), so a modest rise
 there is expected; same-shape queries should hold their r1 numbers.
+
+NOTE on the stdout window (VERDICT r13 #7): when the full per-query dict
+would overflow the driver's bounded tail capture (~1800 chars), the
+stdout JSON line keeps only the 40 SLOWEST queries — a VIEW of the
+suite, not the suite. ``total`` always sums ALL queries, and the full
+per-query map for every run is in the side file ``BENCH_LOCAL.json``.
+A query "disappearing" from the stdout window round-over-round therefore
+usually means it got FASTER than the ~40th-slowest cut, not that it was
+removed; diff BENCH_LOCAL.json across commits to see every query.
 """
 
 from __future__ import annotations

@@ -30,11 +30,86 @@ DEFAULT_SKIP = (
 )
 
 
+def _seq(jseq):
+    """Iterate a Scala Seq via py4j."""
+    return [jseq.apply(i) for i in range(jseq.size())]
+
+
+def audit_exchanges(df) -> list[str]:
+    """Census of Exchange nodes (VERDICT r13 #8 — the anti-pattern
+    class the regex sweep cannot see): for every ShuffleExchangeExec in
+    the pre-AQE physical plan, report
+
+    - DROPPED-ABOVE: exchange output attributes that the DIRECT parent
+      provably discards — only checked when the parent is a Project or
+      a hash/sort Aggregate, the two operator classes whose output is
+      exactly their expression list (everything else passes child
+      columns through implicitly, so a one-level reference test would
+      lie). A hit means columns crossed the network only to be thrown
+      away — the guide §2.3 "project before the exchange" miss.
+    - PAYLOAD: array/string/binary/struct columns riding the exchange —
+      byte-weight evidence for a manual review, not a verdict (a score
+      join legitimately shuffles its vectors).
+
+    Returns human-readable flag lines (empty = clean)."""
+    plan = df._jdf.queryExecution().sparkPlan()
+    flags: list[str] = []
+
+    def attr_ids(attrset):
+        return {a.exprId().id() for a in _seq(attrset.toSeq())}
+
+    def walk(node, parent):
+        cls = node.getClass().getSimpleName()
+        if "ShuffleExchangeExec" in cls:
+            out_attrs = _seq(node.output())
+            wide = [
+                f"{a.name()}:{a.dataType().simpleString()}"
+                for a in out_attrs
+                if any(
+                    t in a.dataType().simpleString()
+                    for t in ("array", "string", "binary", "struct")
+                )
+            ]
+            if wide:
+                flags.append(
+                    f"PAYLOAD exchange carries {len(out_attrs)} cols "
+                    f"incl {wide[:6]}"
+                )
+            if parent is not None:
+                pcls = parent.getClass().getSimpleName()
+                if pcls in (
+                    "ProjectExec",
+                    "HashAggregateExec",
+                    "ObjectHashAggregateExec",
+                    "SortAggregateExec",
+                ):
+                    used = attr_ids(parent.references())
+                    dropped = [
+                        a.name()
+                        for a in out_attrs
+                        if a.exprId().id() not in used
+                    ]
+                    if dropped:
+                        flags.append(
+                            f"DROPPED-ABOVE {pcls} discards "
+                            f"{dropped[:8]} right above an exchange"
+                        )
+        for ch in _seq(node.children()):
+            walk(ch, node)
+
+    walk(plan, None)
+    return flags
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--skip", default=DEFAULT_SKIP)
     ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument(
+        "--exchanges", action="store_true",
+        help="per-Exchange dropped-column/payload census (py4j walk)",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
     skip = set(args.skip.split(","))
@@ -91,6 +166,12 @@ def main() -> None:
             f"nopush={nofilter} {' '.join(flags)}",
             flush=True,
         )
+        if args.exchanges:
+            try:
+                for line in audit_exchanges(df):
+                    print(f"  {name}: {line}", flush=True)
+            except Exception as exc:  # noqa: BLE001
+                print(f"  {name}: exchange-audit ERROR {exc}", flush=True)
 
 
 if __name__ == "__main__":

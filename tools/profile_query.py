@@ -29,6 +29,7 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--no-explain", action="store_true")
     ap.add_argument("--rest", action="store_true", help="enable UI + dump per-job wall from REST API")
+    ap.add_argument("--plans-dir", default="r14", help="subdir of plans/ for explain dumps")
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
@@ -58,7 +59,7 @@ def main() -> None:
         F.pandas_udf(lambda s: s * 2, "long")(F.col("id"))
     ).write.format("noop").mode("overwrite").save()
 
-    plans_dir = os.path.join(REPO, "plans", "r13")
+    plans_dir = os.path.join(REPO, "plans", args.plans_dir)
     os.makedirs(plans_dir, exist_ok=True)
     st = spark.sparkContext.statusTracker()
 

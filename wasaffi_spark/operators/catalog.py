@@ -9495,7 +9495,13 @@ def q_graph_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13: the alive-corpus ring overlay depends only on (emb, the GMS
     # delete slice) — start it before the descent build so it overlaps
     # the whole build+CRUD chain (guide §2.6; the
-    # q_graph_maintained_search treatment)
+    # q_graph_maintained_search treatment). r14: the O(Q·N) brute-force
+    # truth set is likewise a pure function of (queries, alive) —
+    # independent of the whole chain — so it materializes on the same
+    # prep pool instead of computing serially inside the final gauge
+    # job (the q_graph_policy_applied prep() treatment; row-identical:
+    # brute_force_topk is deterministic and the raw-table filters below
+    # are byte-identical to the chain-derived slices).
     from concurrent.futures import ThreadPoolExecutor
 
     emb0 = _table(spark, sf_dir, "embeddings")
@@ -9506,9 +9512,18 @@ def q_graph_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") == F.col("_did"),
         "left_anti",
     )
-    _pool = ThreadPoolExecutor(max_workers=1)
+    queries0 = emb0.where(
+        (F.col("vec_id") < ANN_QUERY_MAX_ID)
+        & (F.pmod(F.col("vec_id"), F.lit(GMS_DEL_MOD)) != GMS_DEL_RES)
+    )
+    _pool = ThreadPoolExecutor(max_workers=2)
     _ov_fut = _pool.submit(
         similarity.ring_overlay, alive0, GS_ENTRY, GS_RING
+    )
+    _truth_fut = _pool.submit(
+        lambda: similarity.brute_force_topk(
+            queries0, alive0, k=GS_K
+        ).localCheckpoint(eager=True)
     )
     try:
         emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries = (
@@ -9530,11 +9545,9 @@ def q_graph_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_norm=batch_nf, alive_norm=alive_nf, qnorm=q_nf,
             alive_overlay=_ov_fut.result(), _materialize_final=False,
         )
+        truth = _truth_fut.result()
     finally:
         _pool.shutdown(wait=False)
-    d = dele.withColumnRenamed("vec_id", "_did")
-    alive = emb.join(d, F.col("vec_id") == F.col("_did"), "left_anti")
-    truth = similarity.brute_force_topk(queries, alive, k=GS_K)
     return (
         similarity.recall_at_k(got, truth)
         .select("qid", "hits", F.lit(GS_K).cast("bigint").alias("k"))
@@ -9631,13 +9644,25 @@ def q_ivf_recall_monitor(
         (F.col("vec_id") < ANN_QUERY_MAX_ID)
         & (F.pmod(F.col("vec_id"), F.lit(IMS_DEL_MOD)) != IMS_DEL_RES)
     )
-    got = similarity.ivf_maintained_topk(
-        queries, base, batch, dele, k=ANN_K, n_cells=LLOYD_CELLS,
-        n_probe=n_probe, iters=LLOYD_ITERS,
-    )
     d = dele.withColumnRenamed("vec_id", "_did")
     alive = emb.join(d, F.col("vec_id") == F.col("_did"), "left_anti")
-    truth = similarity.brute_force_topk(queries, alive, k=ANN_K)
+    # r14 (guide §2.6, the q_policy_applied treatment): the O(Q·N)
+    # brute-force truth set depends only on (queries, alive) — not on
+    # the Lloyd train or the maintained postings — so it materializes
+    # on a second driver thread overlapped with the eager index build
+    # instead of computing serially inside the final gauge job.
+    # Row-identical: both legs deterministic.
+    (got,), truth = similarity._overlap(
+        lambda: (
+            similarity.ivf_maintained_topk(
+                queries, base, batch, dele, k=ANN_K, n_cells=LLOYD_CELLS,
+                n_probe=n_probe, iters=LLOYD_ITERS,
+            ),
+        ),
+        lambda: similarity.brute_force_topk(
+            queries, alive, k=ANN_K
+        ).localCheckpoint(eager=True),
+    )
     return (
         similarity.recall_at_k(got, truth)
         .select("qid", "hits", F.lit(ANN_K).cast("bigint").alias("k"))
@@ -10846,10 +10871,28 @@ def q_drift_policy_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
         # SAME two Lloyd codebooks (frozen + warm-retrained) — train
         # them once and pass them into both legs instead of paying the
         # eager train loops twice (deterministic → row-identical;
-        # guide §1.2 step 1).
-        old_c = similarity.lloyd_centroids(base, LLOYD_CELLS, LLOYD_ITERS)
-        new_c = similarity.lloyd_centroids(
-            emb, LLOYD_CELLS, LLOYD_ITERS, init_cents=old_c
+        # guide §1.2 step 1). r14: the O(Q·N) brute-force truth set is
+        # a pure function of (queries, alive) — independent of both
+        # trains — so it materializes on a second driver thread
+        # overlapped with the eager train loops (guide §2.6, the
+        # q_policy_applied treatment; row-identical).
+        d = dele.withColumnRenamed("vec_id", "_did")
+        alive = emb.join(d, F.col("vec_id") == F.col("_did"), "left_anti")
+
+        def trains():
+            old_c = similarity.lloyd_centroids(
+                base, LLOYD_CELLS, LLOYD_ITERS
+            )
+            new_c = similarity.lloyd_centroids(
+                emb, LLOYD_CELLS, LLOYD_ITERS, init_cents=old_c
+            )
+            return old_c, new_c
+
+        (old_c, new_c), truth = similarity._overlap(
+            trains,
+            lambda: similarity.brute_force_topk(
+                queries, alive, k=ANN_K
+            ).localCheckpoint(eager=True),
         )
         moves = similarity.ivf_retrain_delta(
             base, emb, n_cells=LLOYD_CELLS, iters=LLOYD_ITERS,
@@ -10859,9 +10902,6 @@ def q_drift_policy_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
             queries, base, emb, dele, k=ANN_K, n_cells=LLOYD_CELLS,
             n_probe=LLOYD_PROBE, iters=LLOYD_ITERS, new_cents=new_c,
         )
-        d = dele.withColumnRenamed("vec_id", "_did")
-        alive = emb.join(d, F.col("vec_id") == F.col("_did"), "left_anti")
-        truth = similarity.brute_force_topk(queries, alive, k=ANN_K)
         gauge = similarity.recall_at_k(
             got.select("qid", "nid"), truth
         ).select("qid", "hits", F.lit(ANN_K).cast("bigint").alias("k"))
@@ -11054,6 +11094,11 @@ def q_graph_drift_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so it materializes on a second driver thread OVERLAPPED with
         # the chain (guide §2.6); the chain itself is the shared
         # _maintained_graph_chain over the one-prologue norm_frame.
+        # r14: the O(Q·N) brute-force truth set is likewise a pure
+        # function of (queries, alive) — materialize it on a third
+        # overlapped thunk instead of serially inside the final gauge
+        # job (the q_graph_policy_applied prep() treatment;
+        # row-identical — deterministic, identical filters).
         d0 = dele.withColumnRenamed("vec_id", "_did")
         alive0 = emb.join(
             d0, F.col("vec_id") == F.col("_did"), "left_anti"
@@ -11061,10 +11106,16 @@ def q_graph_drift_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (_e, _nf, _del, _d, g2, alive, alive_nf, qrs, q_nf),
             (ringe, entries),
+            (truth,),
         ) = similarity._overlap(
             lambda: _maintained_graph_chain(spark, sf_dir),
             lambda: similarity.ring_overlay(
                 alive0, n_entry=GS_ENTRY, ring=GS_RING
+            ),
+            lambda: (
+                similarity.brute_force_topk(
+                    queries, alive0, k=GS_K
+                ).localCheckpoint(eager=True),
             ),
         )
         # _seed_ranked + _materialize_final=False on the refresh (g2 is
@@ -11081,7 +11132,6 @@ def q_graph_drift_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_entry=GS_ENTRY, ring=GS_RING, overlay=(ringe, entries),
             qnorm=q_nf, cnorm=alive_nf, _materialize_final=False,
         )
-        truth = similarity.brute_force_topk(qrs, alive, k=GS_K)
         gauge = similarity.recall_at_k(got, truth).select(
             "qid", "hits", F.lit(GS_K).cast("bigint").alias("k")
         )
@@ -11226,10 +11276,26 @@ def q_snapshot_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
     def retrain():
         # shared Lloyd codebooks across the move plan and the re-gauge
         # (the q_drift_policy_applied r13 sharing — deterministic, so
-        # row-identical to the per-leg retrain)
-        old_c = similarity.lloyd_centroids(base, LLOYD_CELLS, LLOYD_ITERS)
-        new_c = similarity.lloyd_centroids(
-            emb, LLOYD_CELLS, LLOYD_ITERS, init_cents=old_c
+        # row-identical to the per-leg retrain); r14: the O(Q·N) truth
+        # set overlaps the eager train loops on a second driver thread
+        # (guide §2.6, the q_policy_applied treatment; row-identical)
+        d = dele.withColumnRenamed("vec_id", "_did")
+        alive = emb.join(d, F.col("vec_id") == F.col("_did"), "left_anti")
+
+        def trains():
+            old_c = similarity.lloyd_centroids(
+                base, LLOYD_CELLS, LLOYD_ITERS
+            )
+            new_c = similarity.lloyd_centroids(
+                emb, LLOYD_CELLS, LLOYD_ITERS, init_cents=old_c
+            )
+            return old_c, new_c
+
+        (old_c, new_c), truth = similarity._overlap(
+            trains,
+            lambda: similarity.brute_force_topk(
+                queries, alive, k=ANN_K
+            ).localCheckpoint(eager=True),
         )
         moves = similarity.ivf_retrain_delta(
             base, emb, n_cells=LLOYD_CELLS, iters=LLOYD_ITERS,
@@ -11239,9 +11305,6 @@ def q_snapshot_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
             queries, base, emb, dele, k=ANN_K, n_cells=LLOYD_CELLS,
             n_probe=LLOYD_PROBE, iters=LLOYD_ITERS, new_cents=new_c,
         )
-        d = dele.withColumnRenamed("vec_id", "_did")
-        alive = emb.join(d, F.col("vec_id") == F.col("_did"), "left_anti")
-        truth = similarity.brute_force_topk(queries, alive, k=ANN_K)
         gauge = similarity.recall_at_k(
             got.select("qid", "nid"), truth
         ).select("qid", "hits", F.lit(ANN_K).cast("bigint").alias("k"))

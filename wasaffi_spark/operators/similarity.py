@@ -69,10 +69,17 @@ def _resolve_bits(
     share one execution of the upstream plan — for derived inputs
     (e.g. a hashed-embedding build) the raw plan would otherwise run
     twice, once for the knob and once for the query (review finding
-    r6). With explicit ``bits`` the frame passes through untouched."""
+    r6). With explicit ``bits`` the frame passes through untouched.
+
+    r14 (guide §1.2 step 1 — the graph.py 5a probe-fold): the
+    checkpoint is LAZY and the count is the action that materializes
+    it — one scheduler job instead of an eager-checkpoint job PLUS a
+    count job. Legal because the count references the frame exactly
+    once (the subtree executes once, inside the count's job), and
+    every later consumer reads the already-materialized checkpoint."""
     if bits is not None:
         return corpus, bits
-    corpus = corpus.localCheckpoint(eager=True)
+    corpus = corpus.localCheckpoint(eager=False)
     return corpus, auto_sign_bits(corpus.count(), target_cell_size)
 
 
@@ -631,8 +638,12 @@ def semantic_dedup(
         # job share one execution of the upstream plan (for derived
         # inputs like a hashed-embedding build the raw plan would
         # otherwise run twice — review finding r6); projected to the
-        # two columns every downstream stage reads
-        corpus = corpus.select(id_col, vec_col).localCheckpoint(eager=True)
+        # two columns every downstream stage reads. r14 (the 5a
+        # probe-fold): the checkpoint is LAZY and the knob count
+        # materializes it — one job instead of two (the count
+        # references the frame once; later consumers read the
+        # materialized checkpoint).
+        corpus = corpus.select(id_col, vec_col).localCheckpoint(eager=False)
         k_seeds = max(16, math.ceil(corpus.count() / target_cluster_size))
     h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
     seeds = (
@@ -799,8 +810,12 @@ def semantic_dedup_pruned(
         # job share one execution of the upstream plan (for derived
         # inputs like a hashed-embedding build the raw plan would
         # otherwise run twice — review finding r6); projected to the
-        # two columns every downstream stage reads
-        corpus = corpus.select(id_col, vec_col).localCheckpoint(eager=True)
+        # two columns every downstream stage reads. r14 (the 5a
+        # probe-fold): the checkpoint is LAZY and the knob count
+        # materializes it — one job instead of two (the count
+        # references the frame once; later consumers read the
+        # materialized checkpoint).
+        corpus = corpus.select(id_col, vec_col).localCheckpoint(eager=False)
         k_seeds = max(16, math.ceil(corpus.count() / target_cluster_size))
     bits_a = auto_sign_bits(k_seeds, seeds_per_cell)
     h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
