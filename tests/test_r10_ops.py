@@ -4,6 +4,8 @@ latest-wins delta application (graph_apply_delta) it builds on."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -58,6 +60,7 @@ def _orthogonal_fixture(spark):
     return base, batch, deletes, queries
 
 
+@pytest.mark.slow
 def test_maintained_search_equals_bruteforce_over_alive(spark):
     """End-to-end truth in the equivalence regime: after insert + delete,
     the beam search's top-k for every query must equal the brute-force
@@ -97,6 +100,7 @@ def test_maintained_search_equals_bruteforce_over_alive(spark):
         assert 100 + j in by_q[500 + j], by_q
 
 
+@pytest.mark.slow
 def test_maintained_search_deterministic_and_layout_independent(spark):
     from wasaffi_spark.operators import similarity
 
@@ -377,6 +381,7 @@ def test_ivf_maintained_topk_excludes_deleted(spark):
 # ----------------------------------------------------------- graph_refresh
 
 
+@pytest.mark.slow
 def test_graph_refresh_equals_longer_descent(spark):
     """refresh(descent(a rounds), b rounds) must be ROW-IDENTICAL to
     descent(a+b rounds): the warm refresh runs knn_descent's OWN round
@@ -420,6 +425,7 @@ def test_graph_refresh_noop_at_fixpoint(spark):
     )
 
 
+@pytest.mark.slow
 def test_graph_refresh_recovers_new_to_new_links(spark):
     """The gap refresh exists to close: after a batch insert, two new
     nodes in the same cluster have NO edge between them (inserts search
@@ -627,6 +633,7 @@ def test_compact_small_files_executes_plan(spark, tmp_path):
 # --------------------------------------------------------- index bundle
 
 
+@pytest.mark.slow
 def test_index_bundle_roundtrip_and_serve(spark, tmp_path):
     """Export the full serving state of both index families, read it
     back with verification, and get IDENTICAL search results from the
@@ -734,6 +741,7 @@ def test_recall_at_k_semantics(spark):
     assert out == {1: 1, 2: 2, 3: 0}
 
 
+@pytest.mark.slow
 def test_recall_monitor_perfect_in_equivalence_regime(spark):
     """On the orthogonal fixture (maintained search ≡ brute force,
     pinned above) the monitor must read hits == k for every query —

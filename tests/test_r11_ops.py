@@ -226,6 +226,7 @@ def test_last_committed_batch_and_heal_seed(spark, tmp_path):
 
 
 @needs_data
+@pytest.mark.slow
 def test_vacuum_set_state_with_pending_replay(spark, tmp_path):
     """THE ADVICE r10 hazard: the sink stops with batch 1's state
     writes landed but its checkpoint commit missing. A
@@ -318,6 +319,7 @@ def test_vacuum_set_state_with_pending_replay(spark, tmp_path):
 
 
 @needs_data
+@pytest.mark.slow
 def test_vacuum_graph_state_with_pending_replay(spark, tmp_path):
     """The graph-state twin of the pending-replay hazard: with batch
     1's commit marker removed, vacuum_graph_state folds only batch 0,
@@ -455,6 +457,7 @@ def test_policy_is_integer_exact(spark):
 # ----------------------------- bundle_diff over the maintained index
 
 
+@pytest.mark.slow
 def test_bundle_diff_crud_matrix(spark, tmp_path):
     """The serving handoff composed with every maintenance leg: export
     the base bundle, apply ONE CRUD op, export again, and bundle_diff

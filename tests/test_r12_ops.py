@@ -78,6 +78,7 @@ def test_commit_compaction_end_to_end(spark, tmp_path):
     assert not os.path.exists(os.path.join(src, "_compact_journal"))
 
 
+@pytest.mark.slow
 def test_commit_compaction_crash_matrix(spark, tmp_path, monkeypatch):
     """Kill points across the swap: pre-journal and uncommitted-journal
     crashes ROLL BACK (table bit-untouched); any crash after the
@@ -217,6 +218,7 @@ def test_vacuum_set_state_autodiscovers_checkpoint(spark, tmp_path):
 
 
 @needs_data
+@pytest.mark.slow
 def test_policy_applied_flip(spark):
     """The controller's before row reads degraded (raise_n_probe) at
     n_probe=1 and the after row — the APPLIED raise — crosses the

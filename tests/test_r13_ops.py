@@ -55,6 +55,7 @@ def _planted_corpora(spark):
     return old, new
 
 
+@pytest.mark.slow
 def test_apply_drift_policy_planted_shift_retrains_and_recovers(spark):
     """The full drift→retrain loop on a planted mean shift: the drift
     reading (~500k µu on the shifted dims) escalates past the retrain
@@ -187,6 +188,7 @@ def test_drift_policy_m2_lane_votes(spark):
     assert pol["decision"] == "retrain"  # m2 lane escalated
 
 
+@pytest.mark.slow
 def test_apply_drift_policy_graph_family_refresh_flip(spark):
     """Drift symmetry for the graph family (VERDICT r12 #5): the SAME
     controller, actions renamed to the graph ladder, drives a
@@ -278,6 +280,7 @@ def test_embedding_drift_sum_sq_lane_does_not_wrap(spark):
 # ------------------------------------------------ compaction journal
 
 
+@pytest.mark.slow
 def test_heal_compaction_streams_large_journal(spark, tmp_path):
     """A committed journal with tens of thousands of ops replays
     streamed (seq-ordered toLocalIterator) and completes: every move

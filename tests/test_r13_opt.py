@@ -66,6 +66,7 @@ def split(emb):
     return base, batch, dele, queries
 
 
+@pytest.mark.slow
 def test_ivf_postings_topk_equals_maintained(emb, split):
     """The shared-components probe tail returns exactly the rows the
     all-in-one maintained search returns (the q_policy_applied r13
@@ -105,6 +106,7 @@ def test_knn_descent_with_prebuilt_ring(emb, split):
     assert _rows(pre) == _rows(plain)
 
 
+@pytest.mark.slow
 def test_graph_search_and_insert_with_overlay(emb, split):
     base, batch, _dele, queries = split
     graph = similarity.knn_descent(
@@ -136,6 +138,7 @@ def test_graph_search_and_insert_with_overlay(emb, split):
     assert _rows(pre_ins) == _rows(plain_ins)
 
 
+@pytest.mark.slow
 def test_retrain_with_shared_codebooks(emb, split):
     base, _batch, dele, queries = split
     old_c = similarity.lloyd_centroids(base, LLOYD_CELLS, LLOYD_ITERS)
@@ -248,6 +251,7 @@ def test_cluster_safe_split_shared_components(spark):
         sig.unpersist()
 
 
+@pytest.mark.slow
 def test_norm_frame_seams_row_identical(emb, split):
     """Batch-4 pins: every ``vnorm``/``qnorm``/``cnorm`` norm_frame
     seam (and the knn_edges_bucketed vnorm path + graph_search_topk's
@@ -311,6 +315,7 @@ def test_norm_frame_seams_row_identical(emb, split):
     assert _rows(pre_r) == _rows(plain_r)
 
 
+@pytest.mark.slow
 def test_graph_maintained_search_norm_seams(emb, split):
     """graph_maintained_search with every per-side norm seam (and the
     overlapped CRUD/prep threads) ≡ the straight-line composition."""
@@ -350,6 +355,7 @@ def test_graph_maintained_search_norm_seams(emb, split):
     assert _rows(pre) == _rows(plain)
 
 
+@pytest.mark.slow
 def test_final_checkpoint_folds_row_identical(emb, split):
     """Batch-7 pins: skipping the LAST round's checkpoint
     (``_materialize_final=False``) and trusting a maintenance output's

@@ -61,6 +61,24 @@ def test_semantic_dedup_knob_fold_row_identical(emb):
         assert _rows(auto) == _rows(explicit), fn.__name__
 
 
+def test_knn_descent_overlay_total_bits_row_identical(emb):
+    """knn_descent deriving the auto-bits knob from the ring overlay's
+    row total (r14) ≡ the explicit-bits straight line ≡ the prebuilt-
+    ring path that still pays the vnorm count."""
+    n = emb.count()
+    bits = similarity.auto_sign_bits(n, 32)
+    auto = similarity.knn_descent(emb, k=4, rounds=1, ring=2)
+    explicit = similarity.knn_descent(emb, k=4, rounds=1, ring=2, bits=bits)
+    assert _rows(auto) == _rows(explicit)
+    ringe, _e, total = similarity.ring_overlay(
+        emb, n_entry=0, ring=2, with_total=True
+    )
+    assert total == n
+    pre = similarity.knn_descent(emb, k=4, rounds=1, ring=2, ring_edges=ringe)
+    assert _rows(pre) == _rows(auto)
+
+
+@pytest.mark.slow
 def test_ivf_recall_monitor_truth_overlap_row_identical(spark):
     """The r14 overlapped-truth builder ≡ the r13 serial form (truth
     lazy inside the final gauge job)."""
@@ -98,11 +116,12 @@ def test_ivf_recall_monitor_truth_overlap_row_identical(spark):
     assert _rows(new) == _rows(old)
 
 
+@pytest.mark.slow
 def test_graph_recall_monitor_truth_overlap_row_identical(spark):
     """The r14 overlapped-truth builder ≡ a serial gauge over the same
     maintained chain (truth computed lazily from the chain's frames)."""
     new = catalog.q_graph_recall_monitor(spark, SF_DIR)
-    emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries = (
+    emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries, dbits = (
         catalog._graph_family_prologue(spark, SF_DIR)
     )
     graph = similarity.knn_descent(

@@ -5,6 +5,8 @@ no-op identity, aHash stability, BPE fertility bounds."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -101,6 +103,7 @@ def test_confusion_counts_partition_every_threshold(spark, pts):
         max_size=8,
     )
 )
+@pytest.mark.slow
 def test_mutual_knn_is_subset_of_directed_edges(spark, vecs):
     from wasaffi_spark.operators.similarity import (
         knn_edges_bucketed,
@@ -118,6 +121,7 @@ def test_mutual_knn_is_subset_of_directed_edges(spark, vecs):
 
 @settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(texts)
+@pytest.mark.slow
 def test_dsir_weights_invariant_under_partitioning(spark, vals):
     from wasaffi_spark.operators.importance import dsir_logweights
 
@@ -133,6 +137,7 @@ def test_dsir_weights_invariant_under_partitioning(spark, vals):
 
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(texts)
+@pytest.mark.slow
 def test_strip_boilerplate_noop_when_no_templates(spark, vals):
     from wasaffi_spark.operators.text import strip_boilerplate
 
@@ -146,6 +151,7 @@ def test_strip_boilerplate_noop_when_no_templates(spark, vals):
 
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(st.text(alphabet="abc", min_size=0, max_size=20), min_size=1, max_size=6))
+@pytest.mark.slow
 def test_ahash_stable_under_partitioning_and_bounded(spark, vals):
     from wasaffi_spark.operators.multimodal import ahash_signature, ingest_as_media
 

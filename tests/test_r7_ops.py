@@ -8,6 +8,8 @@ the documented NULL-attribute behavior (no slice → no candidates).
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pyspark.sql import functions as F
@@ -178,6 +180,7 @@ def test_ivf_pq_residual_single_cell_equals_flat_pq(spark):
     assert one == flat
 
 
+@pytest.mark.slow
 def test_ivf_pq_residual_multicell_semantics(spark):
     import random
 
@@ -243,6 +246,7 @@ def test_ivf_lloyd_zero_iters_equals_hashed(spark):
     assert lloyd0 == hashed
 
 
+@pytest.mark.slow
 def test_ivf_lloyd_deterministic_under_repartition(spark):
     # grid-exact training: per-dimension member sums are integers, so
     # centroids (and therefore every assignment/probe/rank) must not
@@ -399,6 +403,7 @@ def test_prototype_prune_frac_zero_keeps_all(spark):
     assert kept.count() == 48
 
 
+@pytest.mark.slow
 def test_prototype_prune_hard_drops_closest_per_cell(spark):
     # keep="hard" drops the per-cell slice with the SMALLEST prototype
     # distance: within every cell, max(dropped proto_dist) must be <=
@@ -425,6 +430,7 @@ def test_prototype_prune_hard_drops_closest_per_cell(spark):
     assert dropped_any
 
 
+@pytest.mark.slow
 def test_prototype_prune_easy_and_hard_are_complementary_bands(spark):
     # keep="easy" retains the low-percentile band, keep="hard" the
     # high one; with frac on both sides their union covers the corpus

@@ -126,6 +126,7 @@ def test_unigram_fertility_beats_chars(spark):
 # ------------------------------------------------------------ graph search
 
 
+@pytest.mark.slow
 def test_graph_search_recall_on_planted_clusters(spark):
     """On data with real neighbourhood structure (the recall ladder's
     planted-cluster corpus — the fixture embeddings are isotropic, the
@@ -257,6 +258,7 @@ def test_label_propagation_seed_clamped(spark):
 
 
 @needs_data
+@pytest.mark.slow
 def test_viterbi_inrow_equals_joins(spark):
     """The single-pass in-row DP must equal the unrolled join+window
     formulation (the literal transcription of the oracle's CTE rounds)

@@ -49,6 +49,7 @@ def test_ivf_append_postings_equal_rebuild_assignment(spark):
 
 
 @needs_data
+@pytest.mark.slow
 def test_ivf_append_empty_batch_degenerates_to_lloyd(spark):
     """With an empty ingest batch the incremental search must equal
     ivf_topk_lloyd exactly — same codebook, same postings, same probe
@@ -188,6 +189,7 @@ def test_graph_insert_reverse_valve_caps_and_is_deterministic(spark):
         assert set(new_in) <= set(kept_prefix), (src, new_in, kept_prefix)
 
 
+@pytest.mark.slow
 def test_graph_insert_deterministic(spark):
     import numpy as np
 
@@ -355,6 +357,7 @@ def test_graph_delete_deterministic_and_bounded(spark):
 
 
 @needs_data
+@pytest.mark.slow
 def test_ivf_retrain_delta_reconciliation_identity(spark):
     """The refresh contract: applying the delta to the OLD postings —
     replace old_cell with new_cell for exactly the delta ids — must

@@ -439,6 +439,7 @@ def test_streaming_fuzzy_decontamination_equals_batch(spark):
 
 
 @needs_data
+@pytest.mark.slow
 def test_streaming_media_neardup_equals_batch(spark):
     """Stream-static aHash media dedup: streamed flagged-id set must
     equal the batch banded-hamming join against the same known set."""
@@ -598,6 +599,7 @@ def test_ewma_stream_multichunk_out_of_order(spark, tmp_path):
 
 
 @needs_data
+@pytest.mark.slow
 def test_streaming_semantic_neardup_gate_equals_batch(spark):
     """Stream-static semantic near-dup gate (streaming/vectors.py):
     (1) with every cell probed the flagged set must equal the
@@ -666,6 +668,7 @@ def test_streaming_semantic_neardup_gate_equals_batch(spark):
     assert streamed <= brute  # partial probing only ever prunes
 
 
+@pytest.mark.slow
 def test_streaming_filtered_semantic_gate_respects_attribute(spark):
     """filter_col (r7): the gate flags an arriving vector only when a
     SAME-label known vector is within threshold — the streaming twin
@@ -735,6 +738,7 @@ def test_streaming_filtered_semantic_gate_respects_attribute(spark):
 
 
 @needs_data
+@pytest.mark.slow
 def test_streaming_prototype_gate_equals_batch(spark):
     """Stateless prototype-redundancy gate (streaming/vectors.py::
     prototype_gate_stream): streamed kept-set must equal (1) the SAME
@@ -794,6 +798,7 @@ def test_streaming_prototype_gate_equals_batch(spark):
 
 
 @needs_data
+@pytest.mark.slow
 def test_streaming_pseudo_label_gate_equals_batch(spark):
     """Stateless pseudo-labeling gate (streaming/vectors.py::
     pseudo_label_stream — the stream-static twin of
@@ -862,6 +867,7 @@ def test_streaming_pseudo_label_gate_equals_batch(spark):
 
 
 @needs_data
+@pytest.mark.slow
 def test_streaming_ivf_append_equals_batch(spark):
     """The streaming write path of the incremental IVF index
     (streaming/vectors.py::ivf_append_stream): the streamed postings
@@ -902,6 +908,7 @@ def test_streaming_ivf_append_equals_batch(spark):
 
 
 @needs_data
+@pytest.mark.slow
 def test_graph_insert_sink_equals_sequential_batch(spark, tmp_path):
     """foreachBatch graph maintenance (streaming/vectors.py::
     graph_insert_sink): streaming the ingest slice through the sink in
@@ -986,6 +993,7 @@ def test_graph_insert_sink_equals_sequential_batch(spark, tmp_path):
 
 
 @needs_data
+@pytest.mark.slow
 def test_graph_delete_sink_equals_sequential_batch(spark, tmp_path):
     """foreachBatch delete maintenance (streaming/vectors.py::
     graph_delete_sink): streaming two delete micro-batches against a
@@ -1066,6 +1074,7 @@ def test_graph_delete_sink_equals_sequential_batch(spark, tmp_path):
 
 
 @needs_data
+@pytest.mark.slow
 def test_snapshot_sink_equals_sequential_batch(spark, tmp_path):
     """foreachBatch nightly snapshot (streaming/documents.py::
     snapshot_sink): streaming the ingest slice in two micro-batches
@@ -1202,6 +1211,7 @@ def test_snapshot_sink_equals_sequential_batch(spark, tmp_path):
 
 
 @needs_data
+@pytest.mark.slow
 def test_snapshot_sink_replay_is_idempotent(spark, tmp_path):
     """The effectively-once contract: re-running an already-committed
     snapshot micro-batch (the at-least-once foreachBatch replay after a
@@ -1287,6 +1297,7 @@ def test_snapshot_sink_replay_is_idempotent(spark, tmp_path):
 
 
 @needs_data
+@pytest.mark.slow
 def test_vacuum_graph_state_preserves_reads_and_continuation(spark, tmp_path):
     """Offline state compaction (streaming/vectors.py::
     vacuum_graph_state): after folding every batch partition into the

@@ -5,6 +5,8 @@ results on generated micro-corpora."""
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 from hypothesis import HealthCheck, given, settings
@@ -70,6 +72,7 @@ doc = st.lists(para, min_size=1, max_size=5).map("\n".join)
 
 @settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(doc, min_size=1, max_size=6))
+@pytest.mark.slow
 def test_paragraph_dedup_properties(spark, texts):
     """Checked against a plain-Python model of the spec:
     - every document survives (row conservation);

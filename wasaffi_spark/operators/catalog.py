@@ -7567,13 +7567,13 @@ def q_graph_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (DESCENT_RING == GS_RING, same seed) — build once, pin, pass to
     # both (row-identical; ring_overlay). The two materializations are
     # independent → overlapped (guide §2.6; _graph_family_prologue).
-    emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries = (
+    emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries, dbits = (
         _graph_family_prologue(spark, sf_dir)
     )
     graph = similarity.knn_descent(
         base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
         max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
-        ring_edges=b_ringe, vnorm=base_nf,
+        ring_edges=b_ringe, vnorm=base_nf, bits=dbits,
     )
     out = similarity.graph_insert(
         batch, graph, base, k=DESCENT_K, beam=GS_BEAM, rounds=GS_ROUNDS,
@@ -7728,21 +7728,29 @@ def _graph_family_prologue(spark: SparkSession, sf_dir: str):
     stage reads cached rows instead of re-materializing the corpus),
     and the shared base ring overlay — the norm_frame and overlay
     materializations are independent and run overlapped. Returns
-    ``(emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries)``;
-    all row-identical to the per-builder constructions they replace."""
+    ``(emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries,
+    dbits)``; all row-identical to the per-builder constructions they
+    replace. ``dbits`` (r14): the descent build's auto-bits knob,
+    derived from the overlay ranking's exact base row count instead of
+    a separate O(N) count job inside ``knn_edges_bucketed`` — the same
+    ``auto_sign_bits(|base|, 32)`` value by construction, so every
+    cell and edge is identical."""
     emb = _table(spark, sf_dir, "embeddings")
     base = emb.where(F.col("vec_id") % IAP_MOD != IAP_MOD - 1)
     batch = emb.where(F.col("vec_id") % IAP_MOD == IAP_MOD - 1)
-    (nf,), (b_ringe, b_entries) = similarity._overlap(
+    (nf,), (b_ringe, b_entries, n_base) = similarity._overlap(
         lambda: (similarity.norm_frame(emb),),
         lambda: similarity.ring_overlay(
-            base, n_entry=GS_ENTRY, ring=GS_RING
+            base, n_entry=GS_ENTRY, ring=GS_RING, with_total=True
         ),
     )
     b_ringe = b_ringe.localCheckpoint(eager=True)
     base_nf = nf.where(F.col("_vid") % IAP_MOD != IAP_MOD - 1)
     batch_nf = nf.where(F.col("_vid") % IAP_MOD == IAP_MOD - 1)
-    return emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries
+    # knn_descent's default target_cell_size (the value the dropped
+    # count job would have fed)
+    dbits = similarity.auto_sign_bits(n_base, 32)
+    return emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries, dbits
 
 
 def _gms_slices(emb, nf):
@@ -7792,13 +7800,13 @@ def q_graph_maintained_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.ring_overlay, alive0, GS_ENTRY, GS_RING
     )
     try:
-        emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries = (
+        emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries, dbits = (
             _graph_family_prologue(spark, sf_dir)
         )
         graph = similarity.knn_descent(
             base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
             max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
-            ring_edges=b_ringe, vnorm=base_nf,
+            ring_edges=b_ringe, vnorm=base_nf, bits=dbits,
         )
         dele, queries, alive_nf, q_nf = _gms_slices(emb, nf)
         # _materialize_final=False: the sink reads the result exactly
@@ -9300,13 +9308,13 @@ def _maintained_graph_chain(spark: SparkSession, sf_dir: str):
     ``_graph_family_prologue`` materialization. Returns ``(emb, nf,
     dele, d, g2, alive, alive_nf, queries, q_nf)`` — row-identical to
     the inlined chains it replaces."""
-    emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries = (
+    emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries, dbits = (
         _graph_family_prologue(spark, sf_dir)
     )
     graph = similarity.knn_descent(
         base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
         max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
-        ring_edges=b_ringe, vnorm=base_nf,
+        ring_edges=b_ringe, vnorm=base_nf, bits=dbits,
     )
     dele, queries, alive_nf, q_nf = _gms_slices(emb, nf)
     ins = similarity.graph_insert(
@@ -9526,13 +9534,13 @@ def q_graph_recall_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     )
     try:
-        emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries = (
+        emb, base, batch, nf, base_nf, batch_nf, b_ringe, b_entries, dbits = (
             _graph_family_prologue(spark, sf_dir)
         )
         graph = similarity.knn_descent(
             base, k=DESCENT_K, rounds=DESCENT_ROUNDS,
             max_reverse=DESCENT_MAX_REVERSE, ring=DESCENT_RING,
-            ring_edges=b_ringe, vnorm=base_nf,
+            ring_edges=b_ringe, vnorm=base_nf, bits=dbits,
         )
         dele, queries, alive_nf, q_nf = _gms_slices(emb, nf)
         # _materialize_final=False: recall_at_k reads got exactly once

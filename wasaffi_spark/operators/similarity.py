@@ -1894,8 +1894,12 @@ def top_pc_power(
         f" * {quant} + 0.5d) as bigint) as `_g{j}`"
         for j in range(dim)
     ]
-    # N×dim longs — materialize once; every iteration reads this table
-    gdf = corpus.selectExpr(*gexprs).localCheckpoint(eager=True)
+    # N×dim longs — materialize once; every iteration reads this table.
+    # r14 (the 5a probe-fold): LAZY checkpoint — iteration 1's collect
+    # references gdf exactly once, so its job materializes the
+    # checkpoint (one job instead of two); iterations 2+ read the
+    # materialized rows as before.
+    gdf = corpus.selectExpr(*gexprs).localCheckpoint(eager=False)
     w = [scale] * dim
     for _ in range(iters):
         s_sql = " + ".join(f"(`_g{j}` * {w[j]})" for j in range(dim))
@@ -3311,10 +3315,19 @@ def knn_descent(
         else (lambda: norm_frame(df, vec_col, id_col, _materialize))
     )
     if ring and ring_edges is None:
-        v, (ringe_built, _e) = _overlap(
+        v, (ringe_built, _e, _n_ring) = _overlap(
             build_v,
-            lambda: ring_overlay(df, 0, ring, id_col, seed, _materialize),
+            lambda: ring_overlay(
+                df, 0, ring, id_col, seed, _materialize, with_total=True
+            ),
         )
+        # r14: the overlay's ranking already collected the exact corpus
+        # row count — derive the auto-bits knob from it instead of
+        # paying knn_edges_bucketed's separate O(N) count job (same
+        # count over the same rows, so the bits value — and therefore
+        # every cell and edge — is identical by construction).
+        if bits is None:
+            bits = auto_sign_bits(_n_ring, target_cell_size)
     else:
         v = build_v()
         ringe_built = None
@@ -3559,6 +3572,7 @@ def ring_overlay(
     id_col: str = "vec_id",
     seed: str = IVF_SEED,
     _materialize: bool = True,
+    with_total: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The deterministic hash-ring overlay + entry points of
     :func:`graph_search_topk`, factored out so a caller that searches
@@ -3567,7 +3581,13 @@ def ring_overlay(
     row-identical to the inline computation (pure function of
     (corpus, seed); r13 optimization). Returns ``(ringe, entries)``:
     the ring successor edges ``(src, dst)`` and the first ``n_entry``
-    ring nodes ``(nid)``."""
+    ring nodes ``(nid)``.
+
+    ``with_total=True`` additionally returns the exact corpus row
+    count as a third element — the ranking's offsets collect already
+    holds it (r14, guide §1.2 step 1: the caller's auto-bits knob
+    count over the same corpus becomes free instead of a separate
+    O(N) probe job)."""
     from wasaffi_spark.operators import ranking
 
     h = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
@@ -3601,6 +3621,8 @@ def ring_overlay(
         .where(F.col(id_col) != F.col("_did"))
         .select(F.col(id_col).alias("src"), F.col("_did").alias("dst"))
     )
+    if with_total:
+        return ringe, entries, n_total
     return ringe, entries
 
 
