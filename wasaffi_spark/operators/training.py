@@ -78,7 +78,15 @@ def train_linear_classifier(
         .join(labels, id_col)
         .persist()
     )
-    n_docs = float(docs.count())
+    # r14: materialize the persisted feature frame with the SAME job
+    # that yields n_docs — the bias lane carries exactly one row per
+    # document, so this count equals docs.count() by construction.
+    # Previously the persist was still lazy when the collapsed train
+    # job referenced x six times (2 per iteration), so concurrent
+    # stages could each recompute the O(corpus-features) subtree
+    # before the cache was populated; now the iterations are
+    # guaranteed to read cached rows.
+    n_docs = float(x.where(F.col("b") == -1).count())
 
     w = spark.range(-1, n_buckets).select(
         F.col("id").alias("b"), F.lit(0).cast("bigint").alias("w_micro")
